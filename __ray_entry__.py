@@ -20,8 +20,16 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship conflation pipeline on /root/testdata/sf0.001.
+
+    Reads customer.parquet for corpus identity, synthesizes the OSM/Overture
+    sides deterministically from those keys, and runs the full distributed
+    spatial+fuzzy conflation join (SURVEY.md §2.4-J1). Returns the match
+    Dataset (osm_id, overture_id, lon, lat, distance_m, similarity,
+    overture_tags)."""
+    from overmatch_ray.pipelines.conflate import flagship_matches
+
+    return flagship_matches("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

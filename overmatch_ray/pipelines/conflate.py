@@ -1,0 +1,155 @@
+"""Flagship conflation pipeline (reference lifecycle §3.1, Ray-Data-first).
+
+    read OSM + Overture
+      → [Overture] normalize tags once per place (stateless map_batches)
+      → [Overture] k-ring-1 cell replication   (vectorized map_batches)
+      → [OSM]      name filter + cell encode    (vectorized map_batches)
+      → union → groupby(bucket) → match_bucket  (the only shuffle)
+      → match table (osm_id, overture_id, lon, lat, distance_m,
+                     similarity, overture_tags)
+
+Scale notes: the single wide op is the bucket groupby; bucket count is
+chosen ≈ 4× the CPU count (configurable) so groups are balanced and each is
+processed by one vectorized kernel call. Everything else is embarrassingly
+parallel map_batches over zero-copy Arrow. Nothing materializes the full
+dataset driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.cellindex import encode_probe_batch, replicate_index_batch
+from ..stages.matcher import match_bucket
+from ..stages.normalize import normalize_overture_batch
+
+# Unified schema both join sides are projected to before the union.
+_JOIN_COLS = ["id", "name", "housenumber", "lon", "lat", "tags_json",
+              "x", "y", "cell", "bucket", "side"]
+
+
+def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """OSM probe side: drop no-name rows (match.py:203-206), cell-encode."""
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.is_valid(batch["name"]), pc.not_equal(pc.fill_null(batch["name"], ""), "")
+    )
+    batch = batch.filter(mask)
+    batch = encode_probe_batch(batch, num_buckets)
+    n = batch.num_rows
+    return pa.table(
+        {
+            "id": batch["osm_id"],
+            "name": batch["name"],
+            "housenumber": batch["addr_housenumber"],
+            "lon": batch["lon"],
+            "lat": batch["lat"],
+            "tags_json": pa.array([None] * n, pa.string()),
+            "x": batch["x"],
+            "y": batch["y"],
+            "cell": batch["cell"],
+            "bucket": batch["bucket"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+    )
+
+
+def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Overture index side: normalize tags, replicate to k-ring-1 cells."""
+    compact = normalize_overture_batch(batch)
+    rep = replicate_index_batch(compact, num_buckets)
+    n = rep.num_rows
+    return pa.table(
+        {
+            "id": rep["id"],
+            "name": rep["name"],
+            "housenumber": rep["housenumber"],
+            "lon": rep["lon"],
+            "lat": rep["lat"],
+            "tags_json": rep["tags_json"],
+            "x": rep["x"],
+            "y": rep["y"],
+            "cell": rep["cell"],
+            "bucket": rep["bucket"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+    )
+
+
+def conflate(
+    osm_ds: "ray.data.Dataset",
+    overture_ds: "ray.data.Dataset",
+    num_buckets: int = 128,
+) -> "ray.data.Dataset":
+    """The J1 spatial+fuzzy conflation join as a Ray Data pipeline."""
+    probe = osm_ds.map_batches(
+        _osm_join_side,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    index = overture_ds.map_batches(
+        _overture_join_side,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = probe.union(index)
+    return both.groupby("bucket").map_groups(match_bucket, batch_format="pyarrow")
+
+
+# --- synthetic corpus as Ray Datasets (driven by the testdata tables) ------
+
+
+def synth_osm_dataset(n: int, override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    from ..synth import osm_block
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: osm_block(b["id"], n_total=n), batch_format="pyarrow"
+    )
+
+
+def synth_overture_dataset(n_osm: int, override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    from ..synth import overture_block
+
+    ds = ray.data.range(n_osm, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: overture_block(b["id"], n_total=n_osm), batch_format="pyarrow"
+    )
+
+
+def synth_images_dataset(n: int, override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    from ..synth import images_block
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: images_block(b["id"], n_total=n), batch_format="pyarrow",
+        batch_size=512,
+    )
+
+
+def flagship_matches(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """entry()'s pipeline: corpus size + row identity come from the driver
+    testdata (customer.parquet keys), geometry/attributes from the
+    deterministic synthesizer, then the full conflation join."""
+    from ..synth import osm_block, overture_block
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    n = cust.count()
+
+    def to_osm(batch: pa.Table) -> pa.Table:
+        idx = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return osm_block(idx, n_total=n)
+
+    def to_overture(batch: pa.Table) -> pa.Table:
+        idx = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return overture_block(idx, n_total=n)
+
+    osm_ds = cust.map_batches(to_osm, batch_format="pyarrow")
+    ovt_ds = cust.map_batches(to_overture, batch_format="pyarrow")
+    return conflate(osm_ds, ovt_ds, num_buckets=num_buckets)

@@ -1,0 +1,153 @@
+"""The conflation matcher — vectorized within-bucket spatial+fuzzy join.
+
+Reproduces the reference's J1 semantics
+(/root/reference/scripts/match.py:186-407):
+
+  for each OSM point with a non-empty name, every Overture candidate with
+  planar EPSG:3857 distance ≤ 100 m and non-empty name and
+  fuzz.ratio(osm_name, cand_name)/100 ≥ 0.6, minus candidates whose
+  addr:housenumber conflicts with the OSM row's (M16 veto); multi-match
+  preserved (no top-1 cut); distance rounded to 1 decimal.
+
+Executed as ``groupby("bucket").map_groups(match_bucket)`` over the union of
+the cell-encoded probe side and the k-ring-replicated index side. Inside a
+bucket everything is numpy: candidate ranges via searchsorted on the sorted
+index cells, pair generation chunked so a skewed urban cell can never blow
+memory (it just takes more chunks), similarity via the bit-parallel LCS
+kernel (text.ratio_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import BUFFER_DISTANCE_M, SIMILARITY_THRESHOLD
+from ..text import ratio_pairs
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("osm_id", pa.string()),
+        ("overture_id", pa.string()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("distance_m", pa.float64()),
+        ("similarity", pa.float64()),
+        ("overture_tags", pa.string()),  # JSON object, sorted keys
+    ]
+)
+
+# cap on the (osm × candidate) pair matrix evaluated at once
+_PAIR_CHUNK = 2_000_000
+
+
+def match_bucket(
+    group: pa.Table,
+    buffer_distance: float = BUFFER_DISTANCE_M,
+    similarity_threshold: float = SIMILARITY_THRESHOLD,
+) -> pa.Table:
+    """One bucket of the co-shuffled union (side 0 = OSM, 1 = Overture)."""
+    side = group["side"].to_numpy(zero_copy_only=False)
+    osm = group.filter(pa.array(side == 0))
+    ovt = group.filter(pa.array(side == 1))
+    if osm.num_rows == 0 or ovt.num_rows == 0:
+        return MATCH_SCHEMA.empty_table()
+
+    o_cell = osm["cell"].to_numpy(zero_copy_only=False)
+    v_cell_raw = ovt["cell"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v_cell_raw, kind="stable")
+    v_cell = v_cell_raw[order]
+
+    o_x = osm["x"].to_numpy(zero_copy_only=False)
+    o_y = osm["y"].to_numpy(zero_copy_only=False)
+    o_name = osm["name"].to_numpy(zero_copy_only=False)
+    o_hn = osm["housenumber"].to_numpy(zero_copy_only=False)
+    o_id = osm["id"].to_numpy(zero_copy_only=False)
+
+    v_x = ovt["x"].to_numpy(zero_copy_only=False)[order]
+    v_y = ovt["y"].to_numpy(zero_copy_only=False)[order]
+    v_name = ovt["name"].to_numpy(zero_copy_only=False)[order]
+    v_hn = ovt["housenumber"].to_numpy(zero_copy_only=False)[order]
+    v_id = ovt["id"].to_numpy(zero_copy_only=False)[order]
+    v_lon = ovt["lon"].to_numpy(zero_copy_only=False)[order]
+    v_lat = ovt["lat"].to_numpy(zero_copy_only=False)[order]
+    v_tags = ovt["tags_json"].to_numpy(zero_copy_only=False)[order]
+
+    lo = np.searchsorted(v_cell, o_cell, side="left")
+    hi = np.searchsorted(v_cell, o_cell, side="right")
+    counts = hi - lo
+    keep = counts > 0
+    if not keep.any():
+        return MATCH_SCHEMA.empty_table()
+
+    osm_rows = np.nonzero(keep)[0]
+    lo, counts = lo[keep], counts[keep]
+    # chunk the probe rows so sum(pairs) per evaluation stays bounded
+    csum = np.cumsum(counts)
+    out_tables = []
+    start = 0
+    while start < osm_rows.size:
+        base = csum[start - 1] if start > 0 else 0
+        end = int(np.searchsorted(csum, base + _PAIR_CHUNK, side="left")) + 1
+        end = min(max(end, start + 1), osm_rows.size)
+        sel = slice(start, end)
+        o_idx = np.repeat(osm_rows[sel], counts[sel])
+        v_idx = (
+            np.concatenate([np.arange(l, l + c) for l, c in zip(lo[sel], counts[sel])])
+            if end > start
+            else np.empty(0, np.int64)
+        )
+        start = end
+
+        # exact planar distance filter (match.py:222-227)
+        dx = o_x[o_idx] - v_x[v_idx]
+        dy = o_y[o_idx] - v_y[v_idx]
+        dist = np.hypot(dx, dy)
+        m = dist <= buffer_distance
+        if not m.any():
+            continue
+        o_idx, v_idx, dist = o_idx[m], v_idx[m], dist[m]
+
+        # candidate must have a name (match.py:239-240)
+        cn = v_name[v_idx]
+        has_name = np.array([bool(s) for s in cn])
+        if not has_name.any():
+            continue
+        o_idx, v_idx, dist, cn = (
+            o_idx[has_name], v_idx[has_name], dist[has_name], cn[has_name]
+        )
+
+        # fuzzy name gate (match.py:242-244)
+        sim = ratio_pairs(o_name[o_idx], cn) / 100.0
+        m = sim >= similarity_threshold
+        if not m.any():
+            continue
+        o_idx, v_idx, dist, sim = o_idx[m], v_idx[m], dist[m], sim[m]
+
+        # housenumber veto (M16, match.py:300-302): both present and unequal
+        ohn = o_hn[o_idx]
+        vhn = v_hn[v_idx]
+        veto = np.array(
+            [bool(a) and bool(b) and a != b for a, b in zip(ohn, vhn)]
+        )
+        if veto.all():
+            continue
+        o_idx, v_idx, dist, sim = o_idx[~veto], v_idx[~veto], dist[~veto], sim[~veto]
+
+        out_tables.append(
+            pa.table(
+                {
+                    "osm_id": pa.array(o_id[o_idx], pa.string()),
+                    "overture_id": pa.array(v_id[v_idx], pa.string()),
+                    "lon": pa.array(v_lon[v_idx]),
+                    "lat": pa.array(v_lat[v_idx]),
+                    "distance_m": pa.array(np.round(dist, 1)),
+                    "similarity": pa.array(sim),
+                    "overture_tags": pa.array(v_tags[v_idx], pa.string()),
+                },
+                schema=MATCH_SCHEMA,
+            )
+        )
+    if not out_tables:
+        return MATCH_SCHEMA.empty_table()
+    return pa.concat_tables(out_tables)

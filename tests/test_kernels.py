@@ -1,0 +1,115 @@
+"""Unit tests for the pure-numpy kernels: geo, cell index, fuzzy ratio."""
+
+import numpy as np
+import pytest
+
+from overmatch_ray.cell import cell_id, cell_ij, hilbert_key, kring1_cells
+from overmatch_ray.geo import (
+    PackedPolygon,
+    inverse_mercator,
+    mercator_xy,
+    parse_wkb_points,
+    planar_distance,
+    wkb_points,
+    wkb_polygon,
+)
+from overmatch_ray.text import lcs_length, ratio, ratio_pairs
+
+
+def _lcs_dp(a: str, b: str) -> int:
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a)):
+        for j in range(len(b)):
+            dp[i + 1][j + 1] = (
+                dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+            )
+    return dp[len(a)][len(b)]
+
+
+class TestRatio:
+    def test_against_dp_random(self):
+        rng = np.random.default_rng(7)
+        alpha = list("abcde XYZ,éü'&-")
+        pairs = []
+        for _ in range(300):
+            a = "".join(rng.choice(alpha, rng.integers(0, 70)))
+            b = "".join(rng.choice(alpha, rng.integers(0, 70)))
+            pairs.append((a, b))
+        pairs += [("", ""), ("", "a"), ("Starbucks", "Starbucks")]
+        got = ratio_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+        for i, (a, b) in enumerate(pairs):
+            lcs = _lcs_dp(a, b)
+            assert lcs_length(a, b) == lcs
+            exp = 100.0 if not a and not b else 200.0 * lcs / (len(a) + len(b))
+            assert got[i] == pytest.approx(exp)
+            assert ratio(a, b) == pytest.approx(exp)
+
+    def test_known_values(self):
+        # indel similarity: substitution costs 2 (rapidfuzz fuzz.ratio model)
+        assert ratio("abcd", "abcd") == 100.0
+        assert ratio("abcd", "abce") == pytest.approx(75.0)
+        assert ratio("We, The Pizza", "We The Pizza") == pytest.approx(96.0)
+
+
+class TestGeo:
+    def test_mercator_roundtrip(self):
+        lon = np.array([-77.0017, -179.9, 0.0, 120.5])
+        lat = np.array([38.8867, -84.9, 0.0, 66.6])
+        x, y = mercator_xy(lon, lat)
+        lo, la = inverse_mercator(x, y)
+        np.testing.assert_allclose(lo, lon)
+        np.testing.assert_allclose(la, lat)
+
+    def test_equator_scale(self):
+        # at the equator 1° lon ≈ 111.32 km in 3857
+        x, _ = mercator_xy(np.array([0.0, 1.0]), np.array([0.0, 0.0]))
+        d = planar_distance(x[0], 0.0, x[1], 0.0)
+        assert d == pytest.approx(111_319.49, rel=1e-4)
+
+    def test_wkb_point_roundtrip(self):
+        lon = np.array([-77.0, 13.5])
+        lat = np.array([38.9, -7.25])
+        lo, la = parse_wkb_points(wkb_points(lon, lat))
+        np.testing.assert_allclose(lo, lon)
+        np.testing.assert_allclose(la, lat)
+
+    def test_point_in_polygon(self):
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        poly = PackedPolygon.from_wkb(wkb_polygon([sq]))
+        got = poly.contains(np.array([5.0, 15.0, -1.0]), np.array([5.0, 5.0, 5.0]))
+        assert got.tolist() == [True, False, False]
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)
+        donut = PackedPolygon([sq, hole])
+        got = donut.contains(np.array([5.0, 2.0]), np.array([5.0, 2.0]))
+        assert got.tolist() == [False, True]
+
+
+class TestCell:
+    def test_cell_roundtrip(self):
+        x = np.array([-8_571_600.1, 0.0, 255.9, -0.1, 1e7])
+        y = np.array([4_705_300.2, 0.0, -256.0, 0.1, -1e7])
+        c = cell_id(x, y)
+        ix, iy = cell_ij(c)
+        c2 = cell_id((ix + 0.5) * 256.0, (iy + 0.5) * 256.0)
+        np.testing.assert_array_equal(c, c2)
+
+    def test_kring_covers_radius(self):
+        # every point within 100 m of p lies in p's k-ring-1 cell set
+        rng = np.random.default_rng(3)
+        px = rng.uniform(-1e6, 1e6, 200)
+        py = rng.uniform(-1e6, 1e6, 200)
+        ang = rng.uniform(0, 2 * np.pi, 200)
+        r = rng.uniform(0, 100, 200)
+        qx, qy = px + r * np.cos(ang), py + r * np.sin(ang)
+        pc = cell_id(px, py)
+        kr = kring1_cells(cell_id(qx, qy))  # replicate the "index side"
+        assert all(pc[i] in kr[i] for i in range(200))
+
+    def test_hilbert_locality(self):
+        # adjacent grid points get closer keys than far-apart points on average
+        x = np.array([0.0, 10.0, 5e6])
+        y = np.array([0.0, 10.0, -5e6])
+        k = hilbert_key(x, y)
+        assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
+        # deterministic
+        np.testing.assert_array_equal(k, hilbert_key(x, y))
