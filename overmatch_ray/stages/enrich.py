@@ -1,0 +1,177 @@
+"""Match post-pipeline: per-element merge (A1/O1), tracking enrichment (J2),
+tag flattening (M17) and feature shaping (M18).
+
+Reference semantics reproduced:
+
+- A1: group matches by osm_id → matches list + match_count
+  (/root/reference/api/load_matches.py:64-102, 207-212)
+- O1/O2: per osm_id, matches sorted ascending by distance; the merged tag
+  dict is built farthest-first so the CLOSEST match wins key conflicts
+  (/root/reference/front_end/src/components/TagComparisonTable.tsx:84-100),
+  and the closest match supplies the quality score
+  0.6·(sim−0.6)/0.4 + 0.4·(1−d/100), ×100 (TagComparisonTable.tsx:49-56).
+- J2: left-join matches ⟕ tracking on osm_id and overture_id → *_marked,
+  *_first_seen, *_last_seen (None when absent)
+  (/root/reference/scripts/enrich_matches_with_dynamodb.py:129-167). The
+  tracking side is small relative to the corpus → broadcast via ray.put,
+  probed per batch (no shuffle).
+- M17: overture_tags flattened to 'overture_'-prefixed columns
+  (enrich_matches_with_dynamodb.py:108-126).
+- M18: feature id — the reference uses the input line number
+  (enrich…py:315); we deliberately use a deterministic content key
+  hash64(osm_id, overture_id) instead so output is order-free under
+  distributed execution (SURVEY.md §4 ordering note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def quality_score(similarity: float, distance_m: float) -> float:
+    """Reference quality metric (TagComparisonTable.tsx:49-56)."""
+    return 100.0 * (
+        0.6 * (similarity - 0.6) / 0.4 + 0.4 * (1.0 - distance_m / 100.0)
+    )
+
+
+def pair_id(osm_id: str, overture_id: str) -> int:
+    """Deterministic 63-bit feature id replacing the reference's line-number
+    id (order-free conformance)."""
+    h = hashlib.blake2b(
+        f"{osm_id}|{overture_id}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big") >> 1
+
+
+def merge_matches_group(g: pd.DataFrame) -> pd.DataFrame:
+    """A1 + O1: one output row per osm_id with the collected match list,
+    the closest-wins merged tag dict, and the best match's quality score."""
+    g = g.sort_values(["distance_m", "overture_id"], kind="mergesort")
+    merged: dict[str, str] = {}
+    for tags_json in reversed(list(g["overture_tags"])):
+        if tags_json:
+            merged.update(json.loads(tags_json))
+    best = g.iloc[0]
+    return pd.DataFrame(
+        {
+            "osm_id": [g["osm_id"].iloc[0]],
+            "match_count": np.array([len(g)], dtype=np.int64),
+            "best_overture_id": [best["overture_id"]],
+            "best_distance_m": [float(best["distance_m"])],
+            "best_similarity": [float(best["similarity"])],
+            "quality": [quality_score(best["similarity"], best["distance_m"])],
+            "merged_tags": [json.dumps(merged, separators=(",", ":"), sort_keys=True)],
+            "matches": [
+                json.dumps(
+                    [
+                        {
+                            "overture_id": r.overture_id,
+                            "distance_m": float(r.distance_m),
+                            "similarity": float(r.similarity),
+                        }
+                        for r in g.itertuples()
+                    ],
+                    separators=(",", ":"),
+                )
+            ],
+        }
+    )
+
+
+def merge_matches(matches_ds):
+    """groupby(osm_id) merge — Ray-native A1/O1."""
+    return matches_ds.groupby("osm_id").map_groups(
+        merge_matches_group, batch_format="pandas"
+    )
+
+
+class TrackingEnricher:
+    """J2 broadcast enrichment stage: actor-pool map_batches callable.
+
+    ``osm_ref`` / ``overture_ref`` are ``ray.put`` object refs of
+    {element_id: (first_seen, last_seen)} dicts, fetched once per actor in
+    __init__ (zero-copy from the local object store), probed per batch.
+    """
+
+    def __init__(self, osm_ref, overture_ref):
+        import ray
+
+        self._osm = ray.get(osm_ref)
+        self._ovt = ray.get(overture_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        osm_ids = batch["osm_id"].to_pylist()
+        ovt_ids = batch["overture_id"].to_pylist()
+
+        def look(track, ids):
+            marked, first, last = [], [], []
+            for i in ids:
+                rec = track.get(i)
+                marked.append(rec is not None)
+                first.append(rec[0] if rec else None)
+                last.append(rec[1] if rec else None)
+            return marked, first, last
+
+        om, of, ol = look(self._osm, osm_ids)
+        vm, vf, vl = look(self._ovt, ovt_ids)
+        fid = [pair_id(a, b) for a, b in zip(osm_ids, ovt_ids)]
+        return (
+            batch.append_column("feature_id", pa.array(fid, pa.int64()))
+            .append_column("osm_marked", pa.array(om, pa.bool_()))
+            .append_column("osm_first_seen", pa.array(of, pa.string()))
+            .append_column("osm_last_seen", pa.array(ol, pa.string()))
+            .append_column("overture_marked", pa.array(vm, pa.bool_()))
+            .append_column("overture_first_seen", pa.array(vf, pa.string()))
+            .append_column("overture_last_seen", pa.array(vl, pa.string()))
+        )
+
+
+def enrich_matches(matches_ds, osm_tracking: dict, overture_tracking: dict,
+                   concurrency: int = 4):
+    """Wire the J2 join: broadcast both tracking maps once, probe per batch."""
+    import ray
+
+    osm_ref = ray.put(osm_tracking)
+    ovt_ref = ray.put(overture_tracking)
+    return matches_ds.map_batches(
+        TrackingEnricher,
+        fn_constructor_args=(osm_ref, ovt_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# The observed OSM tag vocabulary of the reference's golden output
+# (data/matches.jsonl key census, BASELINE.md) — the pinned flatten schema.
+STANDARD_TAG_KEYS = (
+    "name", "amenity", "shop", "cuisine", "phone", "website", "brand",
+    "contact:facebook", "contact:twitter", "addr:housenumber", "addr:street",
+    "addr:unit", "addr:city", "addr:state", "addr:postcode", "drink:cocktail",
+)
+
+
+def flatten_tags_batch(
+    batch: pa.Table, prefix: str = "overture_", keys: tuple[str, ...] = STANDARD_TAG_KEYS
+) -> pa.Table:
+    """M17: explode the overture_tags JSON into prefixed string columns.
+
+    The key set is PINNED (open-world keys outside it stay in the JSON map
+    only) so every batch yields the same schema — per-batch key discovery
+    would give batches divergent schemas and break Arrow writers. ':' in
+    OSM keys becomes '_' in column names
+    (enrich_matches_with_dynamodb.py:108-126 uses the same separator).
+    """
+    dicts = [json.loads(s) if s else {} for s in batch["overture_tags"].to_pylist()]
+    out = batch.drop_columns(["overture_tags"])
+    for k in keys:
+        col = [d.get(k) for d in dicts]
+        out = out.append_column(
+            prefix + k.replace(":", "_"), pa.array(col, pa.string())
+        )
+    return out

@@ -1,0 +1,100 @@
+"""Deterministic vector tiling (S15/O6 analog, Ray-Data-native).
+
+The reference shells out to tippecanoe to build a PMTiles pyramid
+(/root/reference/scripts/build_pmtiles.py:186-200) with `-zg` auto zoom and
+`--drop-densest-as-needed`. Neither tippecanoe nor a PMTiles writer exists
+here, and density-dropping is nondeterministic across runs — a conformance
+problem. Our engine therefore:
+
+- assigns features to standard slippy-map tiles (z/x/y web-mercator, the
+  same scheme tippecanoe uses) per zoom level, vectorized;
+- replaces density dropping with a PINNED rank: per tile, features are
+  ordered by (quality desc, osm_id asc) and capped at ``max_per_tile`` —
+  deterministic across runs and parallelism levels (SURVEY.md §2.6-O6);
+- encodes each tile as a compact JSON FeatureCollection payload (the
+  engine-side tile artifact a PMTiles packer would consume).
+
+The tile shuffle key is (zoom, tx, ty) — SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def tile_xy(lon: np.ndarray, lat: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Standard slippy-map tile coordinates at ``zoom``. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << zoom
+    tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    lat_r = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+    ty = np.floor(
+        (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+    ).astype(np.int64)
+    return np.clip(tx, 0, n - 1), np.clip(ty, 0, n - 1)
+
+
+def assign_tiles_batch(batch: pa.Table, zooms: list[int]) -> pa.Table:
+    """Explode each feature row to one row per zoom with (zoom, tx, ty)."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    parts = []
+    for z in zooms:
+        tx, ty = tile_xy(lon, lat, z)
+        t = batch.append_column("zoom", pa.array(np.full(len(lon), z, dtype=np.int16)))
+        t = t.append_column("tx", pa.array(tx))
+        t = t.append_column("ty", pa.array(ty))
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def encode_tile_group(g: pd.DataFrame, max_per_tile: int = 500) -> pd.DataFrame:
+    """One tile per group: pinned rank + cap + JSON FeatureCollection."""
+    if "quality" in g.columns:
+        g = g.sort_values(["quality", "osm_id"], ascending=[False, True], kind="mergesort")
+    else:
+        g = g.sort_values("osm_id", kind="mergesort")
+    total = len(g)
+    kept = g.head(max_per_tile)
+    props_cols = [
+        c for c in kept.columns
+        if c not in ("zoom", "tx", "ty", "lon", "lat")
+    ]
+    features = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [row["lon"], row["lat"]]},
+            "properties": {c: row[c] for c in props_cols if pd.notna(row[c])},
+        }
+        for _, row in kept.iterrows()
+    ]
+    payload = json.dumps(
+        {"type": "FeatureCollection", "features": features},
+        separators=(",", ":"),
+        sort_keys=True,
+    ).encode()
+    return pd.DataFrame(
+        {
+            "zoom": [int(g["zoom"].iloc[0])],
+            "tx": [int(g["tx"].iloc[0])],
+            "ty": [int(g["ty"].iloc[0])],
+            "n_features": np.array([len(kept)], dtype=np.int64),
+            "n_dropped": np.array([total - len(kept)], dtype=np.int64),
+            "tile": [payload],
+        }
+    )
+
+
+def build_tiles(features_ds, zooms: list[int], max_per_tile: int = 500):
+    """features (needs lon, lat, osm_id[, quality]) → tile dataset."""
+    assigned = features_ds.map_batches(
+        assign_tiles_batch, fn_kwargs={"zooms": zooms}, batch_format="pyarrow"
+    )
+    return assigned.groupby(["zoom", "tx", "ty"]).map_groups(
+        lambda g: encode_tile_group(g, max_per_tile), batch_format="pandas"
+    )

@@ -1,0 +1,104 @@
+"""Ray-side image pipeline tests: decode/validate actor stage, dedup, cells."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from overmatch_ray.synth import images_block
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def images():
+    return images_block(np.arange(N))
+
+
+class TestDecodeValidate:
+    def test_all_valid(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.images import decode_validate
+
+        out = decode_validate(
+            ray.data.from_arrow(images).repartition(4), concurrency=2, batch_size=32
+        ).take_all()
+        assert len(out) == N
+        assert all(r["decode_ok"] for r in out)
+        assert all(r["phash_ok"] for r in out)
+        # lossless: decoded phash identical; lossy: within tolerance
+        assert all(
+            r["phash_hamming"] == 0 for r in out if r["fmt"] == "png"
+        )
+        lossy = [r for r in out if r["fmt"] == "jpeg"]
+        assert lossy and all(r["roundtrip_psnr"] >= 40.0 for r in lossy)
+        # captions byte-equal per row (input_hint invariant)
+        caps = {r["image_id"]: r["caption"] for r in out}
+        for r in images.to_pylist():
+            assert caps[r["image_id"]] == r["caption"]
+
+    def test_corrupt_rows_quarantined(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.images import decode_validate
+
+        bad = images.set_column(
+            images.schema.get_field_index("bytes"),
+            "bytes",
+            pa.array([b"garbage"] * N, pa.large_binary()),
+        )
+        out = decode_validate(ray.data.from_arrow(bad), concurrency=1).take_all()
+        assert len(out) == N  # quarantined, not dropped
+        assert not any(r["decode_ok"] for r in out)
+        assert all(r["error"] for r in out)
+
+
+class TestDedup:
+    def test_exact(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.images import dedup_exact
+
+        out = dedup_exact(ray.data.from_arrow(images)).take_all()
+        n_unique_phash = len(set(images["phash"].to_pylist()))
+        assert len(out) == n_unique_phash
+        dups = [r for r in out if r["dup_count"] > 0]
+        assert dups, "corpus should contain exact duplicates (every 17th row)"
+        # deterministic representative: lexicographically-first id per group
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i, p in zip(images["image_id"].to_pylist(), images["phash"].to_pylist()):
+            groups[p].append(i)
+        for r in dups:
+            assert r["image_id"] == min(groups[r["phash"]])
+
+    def test_near_dup_pairs(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.images import near_dup_pairs
+
+        pairs = near_dup_pairs(ray.data.from_arrow(images), max_hamming=6).take_all()
+        keys = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert len(keys) == len(pairs), "pair dedup across bands failed"
+        # all exact-dup pairs must be found (hamming 0 ⇒ all bands collide)
+        ids = images["image_id"].to_pylist()
+        ph = images["phash"].to_pylist()
+        expected = {
+            tuple(sorted((ids[i], ids[i + 1])))
+            for i in range(N - 1)
+            if ph[i] == ph[i + 1]
+        }
+        assert expected and expected <= keys
+
+
+class TestCells:
+    def test_assign(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.images import assign_cells
+
+        out = assign_cells(ray.data.from_arrow(images), num_buckets=32).take_all()
+        assert len(out) == N
+        assert all(0 <= r["bucket"] < 32 for r in out)
+        assert all("cell" in r for r in out)
