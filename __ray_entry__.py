@@ -15,8 +15,15 @@ functions use, or inside the callables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the overmatch_ray package lives next to this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry() -> Any:
@@ -39,7 +46,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from overmatch_ray.pipelines import corpus_queries as cq
+    from overmatch_ray.pipelines import queries as rq
+    from overmatch_ray.pipelines import rows_only as ro
+
+    return {
+        # relational operator families (SQL-oracled)
+        "pricing_summary": rq.q_pricing_summary,
+        "revenue_filter": rq.q_revenue_filter,
+        "segment_orders": rq.q_segment_orders,
+        "priority_revenue": rq.q_priority_revenue,
+        "customers_with_orders": rq.q_customers_with_orders,
+        "customers_without_orders": rq.q_customers_without_orders,
+        "top_orders": rq.q_top_orders,
+        "distinct_flags": rq.q_distinct_flags,
+        "priority_top3": rq.q_priority_top3,
+        "hourly_events": rq.q_hourly_events,
+        "user_sessions": rq.q_user_sessions,
+        "tracking_upsert": rq.q_tracking_upsert,
+        "match_stats": rq.q_match_stats,
+        "brand_dist": rq.q_brand_dist,
+        # text / embedding / spatial (SQL-oracled)
+        "token_counts": cq.q_token_counts,
+        "doc_quality": cq.q_doc_quality,
+        "lang_distribution": cq.q_lang_distribution,
+        "prefix_dedup": cq.q_prefix_dedup,
+        "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
+        "knn_topk": cq.q_knn_topk,
+        "embedding_neardup": cq.q_embedding_neardup,
+        "cell_assign": cq.q_cell_assign,
+        "distance_join_100m": cq.q_distance_join_100m,
+        "tile_assign": cq.q_tile_assign,
+        # non-SQL-expressible (rows-only; pinned by the test suite)
+        "conflate_matches": ro.q_conflate_matches,
+        "conflate_merged": ro.q_conflate_merged,
+        "flagship_tiles": ro.q_flagship_tiles,
+        "images_validate": ro.q_images_validate,
+        "phash_dedup": ro.q_phash_dedup,
+        "image_neardup_pairs": ro.q_image_neardup_pairs,
+        "image_cells": ro.q_image_cells,
+        "minhash_pairs": ro.q_minhash_pairs,
+        "simhash_pairs": ro.q_simhash_pairs,
+        "langid_docs": ro.q_langid_docs,
+        "lsh_knn": ro.q_lsh_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -49,4 +99,8 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    # importing the query modules populates ORACLE_SQL
+    from overmatch_ray.pipelines import corpus_queries  # noqa: F401
+    from overmatch_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

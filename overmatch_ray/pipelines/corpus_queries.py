@@ -1,0 +1,447 @@
+"""Text / embedding / spatial-formula queries (the training-data-pipeline
+operator families), SQL-oracled where DuckDB can express the semantics.
+
+Spatial queries derive lon/lat from integer keys with pure int arithmetic
+(`lon = -77.05 + (key % 1000)·1e-4`, `lat = 38.85 + ((key//1000) % 1000)·1e-4`)
+so the DuckDB oracle reproduces coordinates bit-exactly, then both sides
+apply the same EPSG:3857 formulas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count
+
+from .queries import ORACLE_SQL, _read
+
+_MERC = "6378137.0"
+
+
+def _formula_coords(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    key = key.astype(np.int64)
+    lon = -77.05 + (key % 1000).astype(np.float64) * 1e-4
+    lat = 38.85 + ((key // 1000) % 1000).astype(np.float64) * 1e-4
+    return lon, lat
+
+
+_COORD_SQL = (
+    "-77.05 + ({k} % 1000) * 1e-4 AS lon, "
+    "38.85 + (({k} // 1000) % 1000) * 1e-4 AS lat"
+)
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    from ..stages.textstats import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+ORACLE_SQL["token_counts"] = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    from ..stages.textstats import quality_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality_keep"]
+        )
+    )
+
+
+ORACLE_SQL["doc_quality"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0
+             / greatest(len(toks), 1) AS mlen,
+         len(list_filter(toks,
+             x -> x IN ('the','a','of','to','and','in','is','it'))) * 1.0
+             / greatest(len(toks), 1) AS sratio
+  FROM t)
+SELECT doc_id, n_tokens,
+       round(mlen, 6) AS mean_token_len,
+       round(sratio, 6) AS stopword_ratio,
+       (n_tokens >= 10 AND mlen >= 2.0 AND mlen <= 12.0 AND sratio <= 0.5)
+           AS quality_keep
+FROM s
+"""
+
+
+def q_lang_distribution(sf_dir: str):
+    return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n")
+    )
+
+
+ORACLE_SQL["lang_distribution"] = """
+SELECT lang, count(*) AS n FROM documents GROUP BY 1
+"""
+
+
+def q_prefix_dedup(sf_dir: str):
+    """Exact dedup on the first-8-token prefix key (D-family)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    out = exact_dedup(ds, "prefix_key")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "prefix_key": b["prefix_key"],
+                "keep_id": b["doc_id"],
+                "dup_count": b["dup_count"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["prefix_dedup"] = """
+SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix_key,
+       min(doc_id) AS keep_id,
+       count(*) - 1 AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (EXACT, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.6
+
+
+def _derived_corpus(sf_dir: str):
+    """documents ∪ perturbed copies (doc_id+100000, one appended token) —
+    a deterministic corpus that actually CONTAINS near-duplicates."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], pa.scalar(40))
+        f = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": pc.add(f["doc_id"], pa.scalar(100000, pa.int64())),
+                "text": pa.array(
+                    [t + " xtra token" for t in f["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_ngram_neardup_pairs(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    )
+
+
+ORACLE_SQL["ngram_neardup_pairs"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xtra token' FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus),
+sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def q_knn_topk(sf_dir: str):
+    from ..stages.knn import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank", "cos_sim"])
+
+
+ORACLE_SQL["knn_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cs
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid)
+SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """EXACT cosine near-dup pairs: corpus matrix broadcast once, each batch
+    scores its rows against the full corpus, emits (a < b) pairs ≥ 0.4."""
+    import ray
+
+    from ..stages.knn import _normalize, _to_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = pa.concat_tables(
+        [pa.table(b) for b in emb.iter_batches(batch_format="pyarrow")]
+    )
+    m = _normalize(_to_matrix(full["embedding"]))
+    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False))
+    ref = ray.put((ids, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_, m_ = ray.get(ref)
+        bm = _normalize(_to_matrix(batch["embedding"]))
+        bids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        sims = bm @ m_.T
+        ia, ib = np.nonzero((sims >= 0.4) & (bids[:, None] < ids_[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(bids[ia]),
+                "id_b": pa.array(ids_[ib]),
+                "cos_sim": pa.array(np.round(sims[ia, ib], 6)),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+ORACLE_SQL["embedding_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial-formula queries (cell index / distance join / tiling)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_assign(sf_dir: str):
+    """Grid-cell occupancy of formula-derived customer points — the cell
+    kernel with a pure-SQL oracle."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from ..geo import mercator_xy
+
+        lon, lat = _formula_coords(
+            batch["c_custkey"].to_numpy(zero_copy_only=False)
+        )
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "cell_x": pa.array(np.floor(x / 256.0).astype(np.int64)),
+                "cell_y": pa.array(np.floor(y / 256.0).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cell_x", "cell_y"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORACLE_SQL["cell_assign"] = f"""
+WITH pts AS (
+  SELECT {_COORD_SQL.format(k='c_custkey')} FROM customer),
+proj AS (
+  SELECT CAST(floor({_MERC} * radians(lon) / 256.0) AS BIGINT) AS cell_x,
+         CAST(floor({_MERC} * ln(tan(pi()/4 + radians(lat)/2)) / 256.0) AS BIGINT)
+             AS cell_y
+  FROM pts)
+SELECT cell_x, cell_y, count(*) AS n FROM proj GROUP BY 1, 2
+"""
+
+
+def q_distance_join_100m(sf_dir: str):
+    """Bounded-radius spatial join with a SQL oracle: customer points vs
+    thinned order points, planar EPSG:3857 distance ≤ 100 m — executed with
+    the engine's cell co-shuffle (k-ring replication), checked by DuckDB's
+    inequality join."""
+    from .. import CELL_SIZE_M
+    from ..cell import cell_id, kring1_cells
+    from ..geo import mercator_xy
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = _formula_coords(key)
+        x, y = mercator_xy(lon, lat)
+        cell = cell_id(x, y)
+        return pa.table(
+            {
+                "id": pa.array(key.astype(np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "cell": pa.array(cell.view(np.int64)),
+                "side": pa.array(np.zeros(len(key), np.int8)),
+            }
+        )
+
+    def index_side(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = key[key % 4 == 0]
+        lon, lat = _formula_coords(key)
+        x, y = mercator_xy(lon, lat)
+        cells = kring1_cells(cell_id(x, y)).ravel()
+        rep = np.repeat(np.arange(key.size), 9)
+        return pa.table(
+            {
+                "id": pa.array(key[rep]),
+                "x": pa.array(x[rep]),
+                "y": pa.array(y[rep]),
+                "cell": pa.array(cells.view(np.int64)),
+                "side": pa.array(np.ones(rep.size, np.int8)),
+            }
+        )
+
+    both = cust.map_batches(probe, batch_format="pyarrow").union(
+        orders.map_batches(index_side, batch_format="pyarrow")
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((cell.view(np.uint64) % np.uint64(32)).astype(np.int64))
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        if a.empty or b.empty:
+            return pd.DataFrame({"cust_id": [], "order_id": [], "dist_m": []})
+        bc = b["cell"].to_numpy()
+        lo = np.searchsorted(bc, a["cell"].to_numpy(), "left")
+        hi = np.searchsorted(bc, a["cell"].to_numpy(), "right")
+        counts = hi - lo
+        ai = np.repeat(np.arange(len(a)), counts)
+        bi = (
+            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        ax = a["x"].to_numpy()[ai]
+        ay = a["y"].to_numpy()[ai]
+        bx = b["x"].to_numpy()[bi]
+        by = b["y"].to_numpy()[bi]
+        d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)  # matches SQL sqrt form
+        m = d <= 100.0
+        return pd.DataFrame(
+            {
+                "cust_id": a["id"].to_numpy()[ai][m],
+                "order_id": b["id"].to_numpy()[bi][m],
+                "dist_m": np.round(d[m], 1),
+            }
+        )
+
+    return (
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+ORACLE_SQL["distance_join_100m"] = f"""
+WITH a AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer),
+b AS (
+  SELECT o_orderkey AS id, {_MERC} * radians(-77.05 + (o_orderkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((o_orderkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT a.id AS cust_id, b.id AS order_id,
+       round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 1) AS dist_m
+FROM a JOIN b
+  ON b.x BETWEEN a.x - 100 AND a.x + 100
+ AND b.y BETWEEN a.y - 100 AND a.y + 100
+WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100
+"""
+
+
+def q_tile_assign(sf_dir: str):
+    """z14 tile occupancy of formula-derived customer points (S15 analog)."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        from ..stages.tiles import tile_xy
+
+        lon, lat = _formula_coords(batch["c_custkey"].to_numpy(zero_copy_only=False))
+        tx, ty = tile_xy(lon, lat, 14)
+        return pa.table({"tx": pa.array(tx), "ty": pa.array(ty)})
+
+    return (
+        ds.map_batches(tiles, batch_format="pyarrow")
+        .groupby(["tx", "ty"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORACLE_SQL["tile_assign"] = """
+WITH pts AS (
+  SELECT -77.05 + (c_custkey % 1000) * 1e-4 AS lon,
+         38.85 + ((c_custkey // 1000) % 1000) * 1e-4 AS lat
+  FROM customer)
+SELECT CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT) AS tx,
+       CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                  / 2.0 * 16384) AS BIGINT) AS ty,
+       count(*) AS n
+FROM pts GROUP BY 1, 2
+"""

@@ -1,0 +1,515 @@
+"""The driver-facing query suite: every operator family from SURVEY.md §2
+expressed through this engine's Ray Data operators, each paired (where SQL
+can express it) with a DuckDB oracle over the same parquet tables.
+
+Conventions (driver contract):
+- each query fn takes ``sf_dir`` and returns a Dataset / pyarrow Table
+- output column names match the oracle SQL exactly
+- float aggregates are rounded identically on both sides (the driver
+  value-hashes; unrounded float reductions are order-sensitive)
+
+The oracle SQL strings live in ``ORACLE_SQL`` next to their queries so the
+pair stays in sync.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=nd))
+
+
+# ---------------------------------------------------------------------------
+# 1. pricing_summary — A2-style grouped aggregate with partial pre-agg
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch PARTIAL pre-aggregation (combiner)
+    before the shuffle — the scale pattern for A2/A4 (ray_guide §agg)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+                "base": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                "disc": (
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base=("base", "sum"),
+            sum_disc=("disc", "sum"),
+            n=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.round(batch["sum_qty"], ndigits=2),
+                "sum_base_price": pc.round(batch["sum_base"], ndigits=2),
+                "sum_disc_price": pc.round(batch["sum_disc"], ndigits=2),
+                "avg_qty": pa.array(
+                    np.round(batch["sum_qty"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4)                 AS avg_qty,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. revenue_filter — M5/M23-style predicate + projection (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_filter(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity",
+                                    "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"]
+        disc = batch["l_discount"]
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(sd, pa.scalar(np.datetime64("1997-01-01", "us"))),
+            ),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, pa.scalar(0.05)),
+                        pc.less_equal(disc, pa.scalar(0.07))),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        f = batch.filter(mask)
+        rev = float(
+            np.sum(
+                f["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * f["l_discount"].to_numpy(zero_copy_only=False)
+            )
+        )
+        return pa.table({"revenue": pa.array([rev]), "n_items": pa.array([f.num_rows])})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sum(["revenue", "n_items"])
+    )
+    return pa.table(
+        {
+            "revenue": pa.array([round(out["sum(revenue)"], 2)]),
+            "n_items": pa.array([int(out["sum(n_items)"])], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["revenue_filter"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. segment_orders — broadcast join (J2 pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_segment_orders(sf_dir: str):
+    from ..stages.joins import broadcast_join
+
+    cust = pa.concat_tables(
+        [pa.table(b) for b in
+         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+             batch_format="pyarrow")]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    return agg.map_batches(
+        lambda b: _round_col(b, "total_price", 2), batch_format="pyarrow"
+    )
+
+
+ORACLE_SQL["segment_orders"] = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. priority_revenue — bucketed co-shuffle hash join (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def q_priority_revenue(sf_dir: str):
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev": pa.array(r)}
+        )
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucket_hash_join(li_rev, orders, "l_orderkey", "o_orderkey", num_buckets=32)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return agg.map_batches(
+        lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow"
+    )
+
+
+ORACLE_SQL["priority_revenue"] = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5/6. semi + anti joins (J3/J4/J5 pattern)
+# ---------------------------------------------------------------------------
+
+
+def _custkeys_with_orders(sf_dir: str, urgent_only: bool = False) -> set:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    if urgent_only:
+        ds = ds.filter(expr="o_orderpriority == '1-URGENT'")
+    return set(ds.unique("o_custkey"))
+
+
+def q_customers_with_orders(sf_dir: str):
+    from ..stages.joins import semi_join_filter
+
+    keys = _custkeys_with_orders(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return semi_join_filter(cust, keys, "c_custkey").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_customers"))
+
+
+ORACLE_SQL["customers_with_orders"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    from ..stages.joins import semi_join_filter
+
+    keys = _custkeys_with_orders(sf_dir, urgent_only=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return semi_join_filter(cust, keys, "c_custkey", anti=True).groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_customers"))
+
+
+ORACLE_SQL["customers_without_orders"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. top_orders — global top-k (O2/O3)
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # distributed top-k: per-batch partial top-10 → tiny global sort
+    K = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        k = min(K, len(tp))
+        if k == 0:
+            return batch
+        idx = np.argpartition(-tp, k - 1)[:k]
+        return batch.take(pa.array(idx))
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(K)
+    )
+    return top
+
+
+ORACLE_SQL["top_orders"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. distinct_flags (A5/D2)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_flags(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n")
+    ).select_columns(["l_returnflag", "l_linestatus"])
+
+
+ORACLE_SQL["distinct_flags"] = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. priority_top3 — per-group top-k (O1/O2 pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_priority_top3(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+
+
+ORACLE_SQL["priority_top3"] = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. hourly_events — tumbling window (§2.9 streaming analog)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def hour(batch: pa.Table) -> pa.Table:
+        micros = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_id": pa.array(micros // 3_600_000_000),
+                "value": batch["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow")
+
+
+ORACLE_SQL["hourly_events"] = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. user_sessions — session windows (gap > 30 min) per user
+# ---------------------------------------------------------------------------
+
+
+def q_user_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].sort_values().astype("int64").to_numpy() // 1_000_000
+        n = 1 + int((np.diff(s) > 1800).sum()) if s.size else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+ORACLE_SQL["user_sessions"] = """
+WITH t AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS p
+  FROM events)
+SELECT user_id,
+       count(CASE WHEN p IS NULL OR s - p > 1800 THEN 1 END) AS n_sessions
+FROM t GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. tracking_upsert — D1 first_seen/last_seen merge over events
+# ---------------------------------------------------------------------------
+
+
+def q_tracking_upsert(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_track(batch: pa.Table) -> pa.Table:
+        micros = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "element_id": batch["user_id"],
+                "first_seen": micros,
+                "last_seen": micros,
+            }
+        )
+
+    return (
+        ds.map_batches(to_track, batch_format="pyarrow")
+        .groupby("element_id")
+        .aggregate(
+            Min("first_seen", alias_name="first_seen"),
+            Max("last_seen", alias_name="last_seen"),
+        )
+    )
+
+
+ORACLE_SQL["tracking_upsert"] = """
+SELECT user_id AS element_id,
+       min(CAST(epoch_us(ts) AS BIGINT)) AS first_seen,
+       max(CAST(epoch_us(ts) AS BIGINT)) AS last_seen
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. match_stats — A2 aggregate-of-aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_match_stats(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    stats = per_cust.aggregate(
+        Count(alias_name="n_customers"),
+        Sum("n_orders", alias_name="total_orders"),
+        Min("n_orders", alias_name="min_orders"),
+        Max("n_orders", alias_name="max_orders"),
+    )
+    avg = round(stats["total_orders"] / stats["n_customers"], 6)
+    return pa.table(
+        {
+            "n_customers": pa.array([int(stats["n_customers"])], pa.int64()),
+            "avg_orders": pa.array([avg]),
+            "min_orders": pa.array([int(stats["min_orders"])], pa.int64()),
+            "max_orders": pa.array([int(stats["max_orders"])], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["match_stats"] = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+SELECT count(*) AS n_customers,
+       round(sum(n) / count(*), 6) AS avg_orders,
+       min(n) AS min_orders,
+       max(n) AS max_orders
+FROM per_cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. brand_dist — A6 category distribution analog
+# ---------------------------------------------------------------------------
+
+
+def q_brand_dist(sf_dir: str):
+    return _read(sf_dir, "part", ["p_brand"]).groupby("p_brand").aggregate(
+        Count(alias_name="n")
+    )
+
+
+ORACLE_SQL["brand_dist"] = """
+SELECT p_brand, count(*) AS n FROM part GROUP BY 1
+"""

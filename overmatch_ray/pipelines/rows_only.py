@@ -1,0 +1,125 @@
+"""Rows-only queries: pipelines whose semantics SQL can't express (spatial
+fuzzy conflation, sketch-based dedup, LSH ANN, image decode). The driver
+records a rows-only check for these; their correctness is pinned by the
+test suite instead (brute-force oracle in tests/reference_oracle.py,
+golden unit tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def q_conflate_matches(sf_dir: str):
+    """The flagship J1 conflation join (tested against tests/reference_oracle)."""
+    from .conflate import flagship_matches
+
+    return flagship_matches(sf_dir)
+
+
+def q_conflate_merged(sf_dir: str):
+    """A1/O1: per-osm_id match collection + closest-wins merge + quality."""
+    from ..stages.enrich import merge_matches
+    from .conflate import flagship_matches
+
+    return merge_matches(flagship_matches(sf_dir))
+
+
+def q_flagship_tiles(sf_dir: str):
+    """S15/O6: deterministic tile pyramid over the merged match features."""
+    from ..stages.tiles import build_tiles
+    from .conflate import flagship_matches
+
+    return build_tiles(flagship_matches(sf_dir), zooms=[8, 12, 14], max_per_tile=200)
+
+
+def _images_ds(sf_dir: str):
+    """Deterministic image corpus sized by the documents table (graft axis)."""
+    from ..synth import images_block
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        idx = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return images_block(idx, n_total=n)
+
+    return docs.map_batches(to_images, batch_format="pyarrow", batch_size=256)
+
+
+def q_images_validate(sf_dir: str):
+    """M24: decode/validate actor pool over the image table; emits per-image
+    validation + feature columns (bytes dropped from the result)."""
+    from ..stages.images import decode_validate
+
+    out = decode_validate(_images_ds(sf_dir), concurrency=2, batch_size=128)
+    return out.drop_columns(["bytes"])
+
+
+def q_phash_dedup(sf_dir: str):
+    """D4: exact perceptual-hash dedup of the image corpus."""
+    from ..stages.images import dedup_exact
+
+    out = dedup_exact(_images_ds(sf_dir))
+    return out.drop_columns(["bytes"])
+
+
+def q_image_neardup_pairs(sf_dir: str):
+    """D4 near-dup: banded-Hamming phash pairs."""
+    from ..stages.images import near_dup_pairs
+
+    return near_dup_pairs(_images_ds(sf_dir), max_hamming=6)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates on the derived document corpus
+    (the sketch counterpart of the SQL-oracled ngram_neardup_pairs)."""
+    from ..stages.dedup import minhash_lsh_pairs
+    from .corpus_queries import _derived_corpus
+
+    return minhash_lsh_pairs(_derived_corpus(sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+    from .corpus_queries import _derived_corpus
+
+    return simhash_pairs(_derived_corpus(sf_dir), max_hamming=3)
+
+
+def q_langid_docs(sf_dir: str):
+    """Language-ID heuristic over documents (marker-vocabulary n-grams)."""
+    from ..stages.textstats import langid_batch
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(langid_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q_lsh_knn(sf_dir: str):
+    """Approximate ANN (hyperplane-LSH buckets) — the scale path next to the
+    exact brute-force knn_topk."""
+    from ..stages.knn import lsh_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+def q_image_cells(sf_dir: str):
+    """J6: image→cell assignment stats (images co-partitioned with features)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.images import assign_cells
+
+    ds = assign_cells(_images_ds(sf_dir), num_buckets=64)
+    return ds.groupby("bucket").aggregate(Count(alias_name="n_images"))

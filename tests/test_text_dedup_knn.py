@@ -1,0 +1,172 @@
+"""Tests for text stats, document dedup suite, and embedding similarity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "the quick brown fox jumps over the lazy dog near the river bank today",  # exact dup
+        "the quick brown fox jumps over the lazy dog near the river bank now",  # near dup
+        "completely different content about spark shuffles and arrow batches here",
+        "el la de que y los hola mundo como estas bien gracias",
+        "der die und das ist ein hallo welt wie geht es dir",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+class TestTextStats:
+    def test_token_count_and_quality(self):
+        from overmatch_ray.stages.textstats import quality_batch, token_count_batch
+
+        out = token_count_batch(_docs())
+        assert out["n_tokens"].to_pylist()[0] == 14
+        q = quality_batch(_docs())
+        row0 = q.slice(0, 1).to_pylist()[0]
+        assert row0["stopword_ratio"] == pytest.approx(round(3 / 14, 6))  # "the" ×3
+        assert row0["quality_keep"]
+
+    def test_langid(self):
+        from overmatch_ray.stages.textstats import langid_batch
+
+        out = langid_batch(_docs())["lang_pred"].to_pylist()
+        assert out[0] == "en" and out[4] == "es" and out[5] == "de"
+
+    def test_fingerprint(self):
+        from overmatch_ray.stages.textstats import fingerprint_batch
+
+        out = fingerprint_batch(_docs())
+        fp = out["fingerprint"].to_pylist()
+        assert fp[0] == fp[1] and fp[0] != fp[3]
+        assert out["prefix_key"].to_pylist()[0].startswith("the quick brown")
+
+
+class TestDedup:
+    def test_exact(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.dedup import exact_dedup
+        from overmatch_ray.stages.textstats import fingerprint_batch
+
+        ds = ray.data.from_arrow(_docs()).map_batches(
+            fingerprint_batch, batch_format="pyarrow"
+        )
+        out = exact_dedup(ds, "fingerprint").take_all()
+        assert len(out) == 5  # 6 docs, one exact pair
+        dup = [r for r in out if r["dup_count"] > 0]
+        assert len(dup) == 1 and dup[0]["doc_id"] == 0
+
+    def test_ngram_jaccard_exact(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.dedup import ngram_jaccard_pairs, shingle_hashes
+
+        ds = ray.data.from_arrow(_docs())
+        pairs = ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert (0, 1) in got and got[(0, 1)] == 1.0
+        assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+        # verify jaccard value against direct set computation
+        s0 = set(shingle_hashes(_docs()["text"][0].as_py()).tolist())
+        s2 = set(shingle_hashes(_docs()["text"][2].as_py()).tolist())
+        expect = round(len(s0 & s2) / len(s0 | s2), 6)
+        assert got[(0, 2)] == pytest.approx(expect)
+        assert (0, 3) not in got
+
+    def test_minhash_lsh(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(ray.data.from_arrow(_docs()), threshold=0.5).take_all()
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+        assert got[(0, 1)] == 1.0
+        assert (0, 2) in got  # J≈0.8 — 16×4 bands catch it essentially always
+        assert (0, 3) not in got
+
+    def test_simhash(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.dedup import simhash64, simhash_pairs
+
+        texts = _docs()["text"].to_pylist()
+        assert simhash64(texts[0]) == simhash64(texts[1])
+        pairs = simhash_pairs(ray.data.from_arrow(_docs()), max_hamming=8).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert ("0", "1") in got
+
+
+def _vectors(n=80, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    m[1] = m[0] + 0.01 * rng.standard_normal(d)  # near-dup pair (0, 1)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+
+class TestKnn:
+    def test_brute_force_matches_numpy(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.knn import _normalize, brute_force_topk
+
+        t = _vectors()
+        queries = t.slice(0, 5)
+        got = brute_force_topk(
+            ray.data.from_arrow(t).repartition(4), queries, k=3
+        ).take_all()
+        m = _normalize(np.array(t["embedding"].to_pylist()))
+        sims = m[:5] @ m.T
+        for q in range(5):
+            s = sims[q].copy()
+            s[q] = -np.inf
+            expect = list(np.argsort(-s)[:3])
+            mine = [
+                r["neighbor_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+                )
+            ]
+            assert mine == expect
+
+    def test_lsh_recall(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.knn import brute_force_topk, lsh_topk
+
+        # clustered corpus (the realistic regime for embedding spaces):
+        # near neighbors share hyperplane buckets with high probability
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((10, 16)) * 4
+        m = centers[np.arange(300) % 10] + 0.3 * rng.standard_normal((300, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        queries = t.slice(0, 20)
+        bf = brute_force_topk(ray.data.from_arrow(t), queries, k=5).take_all()
+        ap = lsh_topk(ray.data.from_arrow(t), queries, k=5, n_planes=3).take_all()
+        bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+        ap_set = {(r["query_id"], r["neighbor_id"]) for r in ap}
+        recall = len(bf_set & ap_set) / len(bf_set)
+        assert recall >= 0.6, f"LSH recall {recall} too low on clustered data"
+
+    def test_near_dup(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.knn import near_dup_embeddings
+
+        pairs = near_dup_embeddings(
+            ray.data.from_arrow(_vectors()), threshold=0.98
+        ).take_all()
+        assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
