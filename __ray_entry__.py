@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_assign": cq.q_cell_assign,
         "distance_join_100m": cq.q_distance_join_100m,
         "tile_assign": cq.q_tile_assign,
+        "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

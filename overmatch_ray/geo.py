@@ -47,6 +47,23 @@ def planar_distance(x1, y1, x2, y2) -> np.ndarray:
     return np.hypot(dx, dy)
 
 
+def parse_wkt_points(wkts) -> tuple[np.ndarray, np.ndarray]:
+    """M20: 'POINT(lon lat)' strings → (lon, lat) arrays (the reference's
+    SPARQL centroid format, get_osm_ids.py:107-113). Invalid → NaN."""
+    import re
+
+    pat = re.compile(r"POINT\s*\(\s*(-?[\d.eE+]+)\s+(-?[\d.eE+]+)\s*\)", re.I)
+    n = len(wkts)
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    for i, w in enumerate(wkts):
+        m = pat.search(w or "")
+        if m:
+            lon[i] = float(m.group(1))
+            lat[i] = float(m.group(2))
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # WKB (well-known binary) — little-endian, 2-D only.
 # ---------------------------------------------------------------------------

@@ -32,35 +32,25 @@ _JOIN_COLS = ["id", "name", "housenumber", "lon", "lat", "tags_json",
 
 
 def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """OSM probe side: drop no-name rows (match.py:203-206), cell-encode."""
+    """OSM probe side: drop no-name rows (match.py:203-206), cell-encode and
+    REPLICATE ×9 to the k-ring-1 cells. The probe side is the narrow one
+    (no tag payload), so it — not the Overture side — pays the replication:
+    shuffle volume stays ≈ |osm|·9·~80 B + |overture|·1·full-payload."""
     import pyarrow.compute as pc
 
     mask = pc.and_(
         pc.is_valid(batch["name"]), pc.not_equal(pc.fill_null(batch["name"], ""), "")
     )
     batch = batch.filter(mask)
-    batch = encode_probe_batch(batch, num_buckets)
-    n = batch.num_rows
-    return pa.table(
+    compact = pa.table(
         {
             "id": batch["osm_id"],
             "name": batch["name"],
             "housenumber": batch["addr_housenumber"],
             "lon": batch["lon"],
             "lat": batch["lat"],
-            "tags_json": pa.array([None] * n, pa.string()),
-            "x": batch["x"],
-            "y": batch["y"],
-            "cell": batch["cell"],
-            "bucket": batch["bucket"],
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
         }
     )
-
-
-def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Overture index side: normalize tags, replicate to k-ring-1 cells."""
-    compact = normalize_overture_batch(batch)
     rep = replicate_index_batch(compact, num_buckets)
     n = rep.num_rows
     return pa.table(
@@ -70,11 +60,33 @@ def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
             "housenumber": rep["housenumber"],
             "lon": rep["lon"],
             "lat": rep["lat"],
-            "tags_json": rep["tags_json"],
+            "tags_json": pa.nulls(n, pa.string()),
             "x": rep["x"],
             "y": rep["y"],
             "cell": rep["cell"],
             "bucket": rep["bucket"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+    )
+
+
+def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Overture index side: normalize tags once, single copy, own cell."""
+    compact = normalize_overture_batch(batch)
+    enc = encode_probe_batch(compact, num_buckets)
+    n = enc.num_rows
+    return pa.table(
+        {
+            "id": enc["id"],
+            "name": enc["name"],
+            "housenumber": enc["housenumber"],
+            "lon": enc["lon"],
+            "lat": enc["lat"],
+            "tags_json": enc["tags_json"],
+            "x": enc["x"],
+            "y": enc["y"],
+            "cell": enc["cell"],
+            "bucket": enc["bucket"],
             "side": pa.array(np.ones(n, dtype=np.int8)),
         }
     )

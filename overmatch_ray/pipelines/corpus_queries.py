@@ -445,3 +445,62 @@ SELECT CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT) AS tx,
        count(*) AS n
 FROM pts GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon residual filter (M23) with a convex-polygon SQL oracle
+# ---------------------------------------------------------------------------
+
+# CCW convex quadrilateral straddling the formula-coordinate band
+# (lat ∈ {38.85, 38.8501, …}); boundaries at half-steps so no point ever
+# lies exactly on an edge (keeps ray-cast and half-plane oracles identical).
+_PIP_QUAD = [(-77.03055, 38.8495), (-76.98955, 38.8496), (-76.98955, 38.8526),
+             (-77.03055, 38.8525)]
+
+
+def q_pip_filter(sf_dir: str):
+    """Count customer formula-points inside a division polygon — the
+    engine-side ST_INTERSECTS residual filter (build_query.py:104):
+    PackedPolygon broadcast once via ray.put, probed with the vectorized
+    ray-cast inside map_batches."""
+    import ray
+
+    from ..geo import PackedPolygon
+
+    poly_ref = ray.put(PackedPolygon([np.array(_PIP_QUAD)]))
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        poly = ray.get(poly_ref)
+        lon, lat = _formula_coords(
+            batch["c_custkey"].to_numpy(zero_copy_only=False)
+        )
+        return batch.filter(pa.array(poly.contains(lon, lat)))
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_inside"))
+    )
+
+
+def _halfplane_sql(x1, y1, x2, y2):
+    return (
+        f"(({x2} - ({x1})) * (lat - ({y1})) - (({y2}) - ({y1})) * (lon - ({x1}))) > 0"
+    )
+
+
+ORACLE_SQL["pip_filter"] = f"""
+WITH pts AS (
+  SELECT c_mktsegment,
+         -77.05 + (c_custkey % 1000) * 1e-4 AS lon,
+         38.85 + ((c_custkey // 1000) % 1000) * 1e-4 AS lat
+  FROM customer)
+SELECT c_mktsegment, count(*) AS n_inside
+FROM pts
+WHERE {_halfplane_sql(*_PIP_QUAD[0], *_PIP_QUAD[1])}
+  AND {_halfplane_sql(*_PIP_QUAD[1], *_PIP_QUAD[2])}
+  AND {_halfplane_sql(*_PIP_QUAD[2], *_PIP_QUAD[3])}
+  AND {_halfplane_sql(*_PIP_QUAD[3], *_PIP_QUAD[0])}
+GROUP BY c_mktsegment
+"""

@@ -219,8 +219,25 @@ def q_priority_revenue(sf_dir: str):
     li_rev = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = bucket_hash_join(li_rev, orders, "l_orderkey", "o_orderkey", num_buckets=32)
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+
+    # partial pre-aggregation per block (combiner) — the final groupby then
+    # shuffles ≤ 5 rows per block instead of the full join output
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "rev": batch["rev"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
     )
     return agg.map_batches(
         lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow"

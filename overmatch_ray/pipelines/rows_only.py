@@ -59,11 +59,11 @@ def q_images_validate(sf_dir: str):
 
 
 def q_phash_dedup(sf_dir: str):
-    """D4: exact perceptual-hash dedup of the image corpus."""
+    """D4: exact perceptual-hash dedup of the image corpus → one row per
+    distinct phash (representative image_id + dup_count)."""
     from ..stages.images import dedup_exact
 
-    out = dedup_exact(_images_ds(sf_dir))
-    return out.drop_columns(["bytes"])
+    return dedup_exact(_images_ds(sf_dir))
 
 
 def q_image_neardup_pairs(sf_dir: str):

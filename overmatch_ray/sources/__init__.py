@@ -1,0 +1,174 @@
+"""Sources / sinks (SURVEY.md §2.1).
+
+- GeoJSON FeatureCollection reader/writer (S1/S2/S13/S14): the reference's
+  on-disk interchange format. Reader flattens features into the engine's
+  flat point schema; writer shapes rows back into a FeatureCollection.
+- JSONL match reader/writer (S9/S10): line-delimited match records,
+  Ray-native (`read_json`/`write_json` equivalents with the reference's
+  row shape).
+- Lance image-table source (S19): ``read_images`` tries ``lance`` first
+  (the input_hint carrier); this container has no lance, so it falls back
+  to parquet with the identical schema — the fallback is the tested path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def read_geojson_points(path: str, extra_props: tuple[str, ...] = ()) -> "ray.data.Dataset":
+    """S1/S2: FeatureCollection of Point features → Dataset with
+    (osm_id, elem_type, name, addr_housenumber, lon, lat [, extra…]).
+
+    The file-level JSON parse happens once driver-side (GeoJSON is a single
+    JSON document, not splittable); feature flattening is distributed."""
+    with open(path) as f:
+        fc = json.load(f)
+    feats = fc.get("features", [])
+    rows = ray.data.from_items([{"feature": json.dumps(ft)} for ft in feats])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ids, types, names, hns, lons, lats = [], [], [], [], [], []
+        extras: dict[str, list] = {k: [] for k in extra_props}
+        for s in batch["feature"].to_pylist():
+            ft = json.loads(s)
+            props = ft.get("properties") or {}
+            fid = props.get("@id") or ft.get("id") or ""
+            ids.append(fid)
+            types.append(str(fid).split("/")[0] if "/" in str(fid) else "node")
+            names.append(props.get("name"))
+            hns.append(props.get("addr:housenumber"))
+            coords = (ft.get("geometry") or {}).get("coordinates") or [None, None]
+            lons.append(coords[0])
+            lats.append(coords[1])
+            for k in extra_props:
+                extras[k].append(props.get(k))
+        out = {
+            "osm_id": pa.array(ids, pa.string()),
+            "elem_type": pa.array(types, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "addr_housenumber": pa.array(hns, pa.string()),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+        }
+        for k in extra_props:
+            out[k] = pa.array([str(v) if v is not None else None for v in extras[k]],
+                              pa.string())
+        return pa.table(out)
+
+    return rows.map_batches(flatten, batch_format="pyarrow")
+
+
+def write_geojson_features(ds, path: str) -> int:
+    """S13/S14: match/feature rows → one FeatureCollection file (compact
+    separators like the reference's writer, enrich…py:398-409). Streams
+    batches; the file is assembled on the driver (GeoJSON is one document)."""
+    n = 0
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        first = True
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                props = {
+                    k: v
+                    for k, v in row.items()
+                    if k not in ("lon", "lat") and v is not None
+                }
+                feat = {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [row["lon"], row["lat"]],
+                    },
+                    "properties": props,
+                }
+                f.write(("" if first else ",") + json.dumps(feat, separators=(",", ":")))
+                first = False
+                n += 1
+        f.write("]}")
+    return n
+
+
+def write_matches_jsonl(matches_ds, out_dir: str):
+    """S9: match rows → line-delimited JSON part files (the reference's
+    matches.jsonl shape: overture_tags as a nested object)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        lines = []
+        for row in batch.to_pylist():
+            row = dict(row)
+            tags = row.pop("overture_tags", None)
+            row["overture_tags"] = json.loads(tags) if tags else {}
+            lines.append(json.dumps(row, separators=(",", ":")))
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    lines_ds = matches_ds.map_batches(to_lines, batch_format="pyarrow")
+    # one part file per block, atomic rename
+    import uuid
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        tmp = name + ".tmp"
+        with open(tmp, "w") as f:
+            for line in batch["line"].to_pylist():
+                f.write(line + "\n")
+        os.replace(tmp, name)
+        return pa.table({"file": pa.array([name]), "rows": pa.array([batch.num_rows])})
+
+    return lines_ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def read_matches_jsonl(path_or_dir: str) -> "ray.data.Dataset":
+    """S10: read line-delimited match records (skipping unparseable lines,
+    like api/load_matches.py:21-41); overture_tags re-serialized to the
+    engine's JSON-string column."""
+    paths = []
+    if os.path.isdir(path_or_dir):
+        paths = [
+            os.path.join(path_or_dir, f)
+            for f in sorted(os.listdir(path_or_dir))
+            if f.endswith(".jsonl")
+        ]
+    else:
+        paths = [path_or_dir]
+    ds = ray.data.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch["text"].to_pylist():
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # skip bad lines (reference behavior)
+            d["overture_tags"] = json.dumps(
+                d.get("overture_tags") or {}, separators=(",", ":"), sort_keys=True
+            )
+            rows.append(d)
+        if not rows:
+            from ..stages.matcher import MATCH_SCHEMA
+
+            return MATCH_SCHEMA.empty_table()
+        cols = ["osm_id", "overture_id", "lon", "lat", "distance_m",
+                "similarity", "overture_tags"]
+        return pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_images(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """S19: the Lance image+caption table source. Prefers ``lance`` when the
+    library exists (the production carrier per the input_hint); falls back
+    to parquet with the identical schema otherwise."""
+    try:
+        import lance  # noqa: F401
+
+        return ray.data.read_lance(path, columns=columns)
+    except ImportError:
+        return ray.data.read_parquet(path, columns=columns)

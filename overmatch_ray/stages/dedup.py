@@ -68,15 +68,24 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id"):
-    """Keep the smallest id per key; report group size."""
+    """Keep the smallest id per key; report group size. Vectorized
+    sort-based aggregate (no per-group dispatch — key cardinality ≈ corpus
+    size). Output columns: (key_col, id_col=min, dup_count)."""
+    from ray.data.aggregate import Count, Min
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        out = g.head(1).copy()
-        out["dup_count"] = np.int64(len(g) - 1)
-        return out
+    agg = docs_ds.groupby(key_col).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="__n")
+    )
 
-    return docs_ds.groupby(key_col).map_groups(first, batch_format="pandas")
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch["__n"]
+        return batch.drop_columns(["__n"]).append_column(
+            "dup_count", pc.subtract(n, pa.scalar(1, n.type))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # --- exact n-gram Jaccard pairs -------------------------------------------
@@ -134,30 +143,36 @@ def ngram_jaccard_pairs(
     }  # compact: two ints per doc; at larger scale this becomes a join
     sizes_ref = ray.put(sizes)
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].to_numpy())
-        n = docs.size
-        if n < 2 or n > max_group:
-            return pd.DataFrame({"id_a": [], "id_b": [], "shared": []})
-        ia, ib = np.triu_indices(n, k=1)
-        return pd.DataFrame(
-            {"id_a": docs[ia], "id_b": docs[ib], "shared": np.ones(ia.size, np.int64)}
-        )
+    from .groupops import bucketed_group_apply, group_pair_indices
 
-    pair_counts = (
-        exploded.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "id_a": g["id_a"].head(1),
-                    "id_b": g["id_b"].head(1),
-                    "shared": [np.int64(g["shared"].sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket inverted-index pair generation (vectorized runs)."""
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        run = (g["shingle"] != g["shingle"].shift()).cumsum().to_numpy()
+        ia, ib = group_pair_indices(run, max_group)
+        if ia.size == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "shared": pd.Series(dtype=np.int64)}
+            )
+        docs = g["doc_id"].to_numpy()
+        a, b = docs[ia], docs[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        df = pd.DataFrame({"id_a": lo, "id_b": hi})
+        # partial combiner: collapse repeats within the bucket before the
+        # pair-key shuffle
+        out = df.groupby(["id_a", "id_b"], as_index=False).size()
+        return out.rename(columns={"size": "shared"})
+
+    pair_parts = bucketed_group_apply(
+        exploded, ["shingle"], bucket_pairs, num_buckets=64
+    )
+    pair_counts = bucketed_group_apply(
+        pair_parts,
+        ["id_a", "id_b"],
+        lambda g: g.groupby(["id_a", "id_b"], as_index=False)["shared"].sum(),
+        num_buckets=32,
     )
 
     def add_jaccard(batch: pa.Table) -> pa.Table:
@@ -248,26 +263,38 @@ def minhash_lsh_pairs(
 
     exploded = docs_ds.map_batches(sig_rows, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
-        n = len(g)
-        if n < 2 or n > 1000:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    from .groupops import bucketed_group_apply, dedup_pairs, group_pair_indices
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        run = (
+            (g[["band", "band_hash"]] != g[["band", "band_hash"]].shift())
+            .any(axis=1)
+            .cumsum()
+            .to_numpy()
+        )
+        ia, ib = group_pair_indices(run, 1000)
+        if ia.size == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "est_jaccard": pd.Series(dtype=np.float64)}
+            )
         ids = g["doc_id"].to_numpy()
         sigs = np.stack(g["sig"].to_numpy())
-        ia, ib = np.triu_indices(n, k=1)
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         m = est >= threshold
+        a, b = ids[ia[m]], ids[ib[m]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "est_jaccard": np.round(est[m], 6)}
+            {"id_a": lo, "id_b": hi, "est_jaccard": np.round(est[m], 6)}
         )
 
-    return (
-        exploded.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = bucketed_group_apply(
+        exploded, ["band", "band_hash"], bucket_pairs, num_buckets=32
     )
+    return dedup_pairs(pairs, num_buckets=16)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -295,8 +322,9 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
     """Near-dup doc pairs at Hamming ≤ max_hamming, via 4×16-bit banding of
-    the simhash (any pair ≤3 bits apart shares ≥1 intact band)."""
-    from .images import _band_explode, _pairs_from_band
+    the simhash (any pair ≤3 bits apart shares ≥1 intact band). Reuses the
+    image phash banding machinery (same 64-bit sketch shape)."""
+    from .images import near_dup_pairs
 
     with_hash = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
 
@@ -309,10 +337,4 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
         )
 
     keyed = with_hash.map_batches(rename, batch_format="pyarrow")
-    exploded = keyed.map_batches(lambda b: _band_explode(b, 4), batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(
-        lambda g: _pairs_from_band(g, max_hamming), batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return near_dup_pairs(keyed, max_hamming=max_hamming, bands=4)

@@ -50,8 +50,8 @@ def pair_id(osm_id: str, overture_id: str) -> int:
 
 
 def merge_matches_group(g: pd.DataFrame) -> pd.DataFrame:
-    """A1 + O1: one output row per osm_id with the collected match list,
-    the closest-wins merged tag dict, and the best match's quality score."""
+    """A1 + O1 for ONE element: collected match list, closest-wins merged
+    tag dict, best match's quality score."""
     g = g.sort_values(["distance_m", "overture_id"], kind="mergesort")
     merged: dict[str, str] = {}
     for tags_json in reversed(list(g["overture_tags"])):
@@ -84,10 +84,18 @@ def merge_matches_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def merge_matches(matches_ds):
-    """groupby(osm_id) merge — Ray-native A1/O1."""
-    return matches_ds.groupby("osm_id").map_groups(
-        merge_matches_group, batch_format="pandas"
+def merge_matches(matches_ds, num_buckets: int = 32):
+    """A1/O1 merge, bucketed: osm_id cardinality ≈ corpus size, so the
+    shuffle groups by hash(osm_id) % B and one callable merges a whole
+    bucket of elements (pandas groupby inside, not Ray per-group dispatch)."""
+    from .groupops import bucketed_group_apply
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = [merge_matches_group(sub) for _, sub in g.groupby("osm_id", sort=False)]
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        matches_ds, ["osm_id"], merge_bucket, num_buckets=num_buckets
     )
 
 
@@ -132,19 +140,41 @@ class TrackingEnricher:
         )
 
 
+# per-worker-process cache of fetched broadcast maps (task-based stages
+# would deserialize ray.get(dict) per call otherwise)
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    import ray
+
+    if ref not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()  # keep at most one generation per worker
+        _BROADCAST_CACHE[ref] = ray.get(ref)
+    return _BROADCAST_CACHE[ref]
+
+
 def enrich_matches(matches_ds, osm_tracking: dict, overture_tracking: dict,
-                   concurrency: int = 4):
-    """Wire the J2 join: broadcast both tracking maps once, probe per batch."""
+                   concurrency: int | None = None):
+    """Wire the J2 join: broadcast both tracking maps once, probe per batch.
+
+    Runs as STATELESS TASKS (elastic, no CPU reservation), not an actor
+    pool: an actor pool chained into downstream all-to-all ops can stall a
+    small cluster (the pool reserves CPUs the shuffle needs), and the only
+    state here is the broadcast lookup dict — cached per worker process.
+    ``concurrency`` is accepted for API compatibility and ignored."""
     import ray
 
     osm_ref = ray.put(osm_tracking)
     ovt_ref = ray.put(overture_tracking)
-    return matches_ds.map_batches(
-        TrackingEnricher,
-        fn_constructor_args=(osm_ref, ovt_ref),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def enrich_batch(batch: pa.Table) -> pa.Table:
+        enricher = TrackingEnricher.__new__(TrackingEnricher)
+        enricher._osm = _cached_get(osm_ref)
+        enricher._ovt = _cached_get(ovt_ref)
+        return enricher(batch)
+
+    return matches_ds.map_batches(enrich_batch, batch_format="pyarrow")
 
 
 # The observed OSM tag vocabulary of the reference's golden output

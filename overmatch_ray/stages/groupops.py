@@ -1,0 +1,103 @@
+"""Bucketed group operations — the scale-safe replacement for per-group
+``map_groups`` dispatch.
+
+Ray's ``groupby(key).map_groups(fn)`` calls ``fn`` once per key group with
+~1 ms of fixed overhead; with millions of tiny groups (shingle inverted
+index, per-pair dedup, per-phash dedup) that overhead dominates wall time.
+The pattern here: group by ``hash(key) % B`` instead (B ≈ a few × CPUs), so
+one vectorized callable processes a whole bucket of key-groups at once —
+group boundaries recovered with numpy, not the scheduler.
+
+Deterministic hashing only (splitmix64 / crc32) — never Python ``hash``
+(PYTHONHASHSEED would break cross-process determinism).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of one or more key columns."""
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        col = batch[c]
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(col.to_numpy(zero_copy_only=False).view(np.uint64)
+                            if col.type == pa.int64()
+                            else col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = np.fromiter(
+                (zlib.crc32(str(v).encode()) for v in col.to_pylist()),
+                dtype=np.uint64,
+                count=batch.num_rows,
+            )
+            h = _splitmix64(h)
+        acc = _splitmix64(acc * _U64(0x100000001B3) ^ h)
+    return acc
+
+
+def bucketed_group_apply(ds, key_cols: list[str], fn, num_buckets: int = 64):
+    """``groupby(hash(keys) % B).map_groups(fn)``: ``fn`` (pandas in/out)
+    receives a whole bucket — every row of every key-group that hashed to
+    the bucket — and is responsible for its own within-bucket grouping
+    (vectorized). Replaces per-key map_groups for high-cardinality keys."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash_columns(batch, key_cols) % _U64(num_buckets)).astype(np.int64)
+        return batch.append_column("__gbucket", pa.array(b))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gbucket")
+        .map_groups(
+            lambda g: fn(g.drop(columns="__gbucket")), batch_format="pandas"
+        )
+    )
+
+
+def dedup_pairs(ds, id_a: str = "id_a", id_b: str = "id_b", num_buckets: int = 32):
+    """Drop duplicate (id_a, id_b) rows (e.g. a pair surfacing from several
+    LSH bands) — vectorized drop_duplicates per hash bucket."""
+    return bucketed_group_apply(
+        ds,
+        [id_a, id_b],
+        lambda g: g.sort_values([id_a, id_b], kind="mergesort").drop_duplicates(
+            [id_a, id_b]
+        ),
+        num_buckets=num_buckets,
+    )
+
+
+def group_pair_indices(
+    keys_sorted: np.ndarray, max_group: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Given a SORTED key array, return (ia, ib) row-index pairs for every
+    unordered pair within each equal-key run of size ∈ [2, max_group].
+    Runs larger than max_group are stop-keys and skipped (documented
+    inverted-index trade-off)."""
+    if keys_sorted.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    _, starts, counts = np.unique(keys_sorted, return_index=True, return_counts=True)
+    ia_all, ib_all = [], []
+    for s, c in zip(starts, counts):
+        if 2 <= c <= max_group:
+            ia, ib = np.triu_indices(c, k=1)
+            ia_all.append(ia + s)
+            ib_all.append(ib + s)
+    if not ia_all:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ia_all), np.concatenate(ib_all)

@@ -36,13 +36,17 @@ from ..imaging.codec import decode_image, encode_image, hamming64, phash64, psnr
 class DecodeValidate:
     """Actor-pool map_batches callable (stateful stage T5)."""
 
-    def __init__(self, max_hamming: int = 6, min_psnr_db: float = 40.0):
+    def __init__(self, max_hamming: int = 6, min_psnr_db: float = 40.0,
+                 select: list | None = None):
         # per-actor state: warm the DCT basis once (module-level lazy const)
         from ..imaging import codec as _codec
 
         self._codec = _codec
         self.max_hamming = max_hamming
         self.min_psnr_db = min_psnr_db
+        # optional output projection, applied INSIDE the actor so no extra
+        # task-pool stage competes with the pool for CPUs
+        self.select = select
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
@@ -75,7 +79,7 @@ class DecodeValidate:
 
         ham = hamming64(dec_ph, stored_ph)
         phash_ok = ok & (ham <= self.max_hamming)
-        return (
+        out = (
             batch.append_column("decode_ok", pa.array(ok))
             .append_column("phash_decoded", pa.array(dec_ph))
             .append_column("phash_hamming", pa.array(ham))
@@ -86,12 +90,17 @@ class DecodeValidate:
             .append_column("mean_b", pa.array(mean_rgb[:, 2]))
             .append_column("error", pa.array(errors, pa.string()))
         )
+        if self.select:
+            out = out.select(self.select)
+        return out
 
 
-def decode_validate(images_ds, concurrency=(2, 8), batch_size: int = 256):
+def decode_validate(images_ds, concurrency=(2, 8), batch_size: int = 256,
+                    select: list | None = None):
     """Wire the actor pool. Small batches: payloads are binary-heavy."""
     return images_ds.map_batches(
         DecodeValidate,
+        fn_constructor_kwargs={"select": select},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -99,18 +108,26 @@ def decode_validate(images_ds, concurrency=(2, 8), batch_size: int = 256):
     )
 
 
-def _first_per_group(g):
-    import pandas as pd
+def dedup_exact(images_ds, key: str = "phash", id_col: str = "image_id"):
+    """D4 exact dedup: hash-partition on phash via a vectorized sort-based
+    aggregate (NOT per-group map_groups — millions of tiny groups would pay
+    ~1 ms scheduler overhead each). Output: one row per distinct key with
+    the deterministic representative (min id) and the duplicate count."""
+    from ray.data.aggregate import Count, Min
 
-    g = g.sort_values("image_id", kind="mergesort")
-    out = g.head(1).copy()
-    out["dup_count"] = np.int64(len(g) - 1)
-    return out
+    agg = images_ds.groupby(key).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="__n")
+    )
 
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-def dedup_exact(images_ds, key: str = "phash"):
-    """D4 exact dedup: hash-partition on phash, keep deterministic first."""
-    return images_ds.groupby(key).map_groups(_first_per_group, batch_format="pandas")
+        n = batch["__n"]
+        return batch.drop_columns(["__n"]).append_column(
+            "dup_count", pc.subtract(n, pa.scalar(1, n.type))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
@@ -134,35 +151,104 @@ def _band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _pairs_from_band(g, max_hamming: int):
+def _bucket_band_pairs(g, max_hamming: int, max_group: int = 10_000):
+    """Whole-bucket pair generation: recover (band, band_val) runs with
+    numpy, emit verified pairs for every run — no per-group dispatch."""
     import pandas as pd
 
-    g = g.sort_values("image_id", kind="mergesort")
-    n = len(g)
-    if n < 2 or n > 10_000:  # pathological band bucket: skip (logged via count)
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    from .groupops import group_pair_indices
+
+    g = g.sort_values(["band", "band_val", "image_id"], kind="mergesort")
+    run = (
+        (g[["band", "band_val"]] != g[["band", "band_val"]].shift())
+        .any(axis=1)
+        .cumsum()
+        .to_numpy()
+    )
+    ia, ib = group_pair_indices(run, max_group)
+    if ia.size == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=object), "id_b": pd.Series(dtype=object),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
     ids = g["image_id"].to_numpy()
     ph = g["phash"].to_numpy()
-    ia, ib = np.triu_indices(n, k=1)
     ham = hamming64(ph[ia], ph[ib])
     m = ham <= max_hamming
-    return pd.DataFrame(
-        {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "hamming": ham[m].astype(np.int64)}
-    )
+    a, b = ids[ia[m]], ids[ib[m]]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[m].astype(np.int64)})
 
 
-def near_dup_pairs(images_ds, max_hamming: int = 6, bands: int = 4):
+def near_dup_pairs(images_ds, max_hamming: int = 6, bands: int = 4,
+                   num_buckets: int = 32):
     """Banded-Hamming near-duplicate pairs (verified exactly), deduplicated
-    across bands."""
+    across bands. Both group steps run bucketed+vectorized."""
+    from .groupops import bucketed_group_apply, dedup_pairs
+
     exploded = images_ds.map_batches(
         lambda b: _band_explode(b, bands), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(
-        lambda g: _pairs_from_band(g, max_hamming), batch_format="pandas"
+    pairs = bucketed_group_apply(
+        exploded,
+        ["band", "band_val"],
+        lambda g: _bucket_band_pairs(g, max_hamming),
+        num_buckets=num_buckets,
     )
-    # a pair can surface from several bands → dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return dedup_pairs(pairs, num_buckets=num_buckets)
+
+
+class Resize:
+    """Actor-pool thumbnail stage (the 'resize / feature-extract' member of
+    the multimodal stage family): decode → area-mean resample to a fixed
+    square → re-encode PNG. State (target size, DCT warm) per actor."""
+
+    def __init__(self, size: int = 32):
+        from ..imaging.codec import _resize_area  # warm import per actor
+
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import _resize_area, encode_png
+
+        thumbs = []
+        ok = []
+        for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            try:
+                img = decode_image(blob, fmt)
+                small = np.stack(
+                    [_resize_area(img[..., c].astype(np.float64), self.size)
+                     for c in range(3)],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                thumbs.append(encode_png(small))
+                ok.append(True)
+            except Exception:
+                thumbs.append(None)
+                ok.append(False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb_png": pa.array(thumbs, pa.large_binary()),
+                "thumb_w": pa.array(
+                    np.full(batch.num_rows, self.size, np.int32)),
+                "thumb_h": pa.array(
+                    np.full(batch.num_rows, self.size, np.int32)),
+                "resize_ok": pa.array(ok),
+            }
+        )
+
+
+def resize_images(images_ds, size: int = 32, concurrency=(2, 8),
+                  batch_size: int = 128):
+    return images_ds.map_batches(
+        Resize,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

@@ -218,9 +218,9 @@ def near_dup_embeddings(
             }
         )
 
-    return (
-        exploded.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from .groupops import dedup_pairs
+
+    return dedup_pairs(
+        exploded.groupby("bucket").map_groups(pairs, batch_format="pandas"),
+        num_buckets=16,
     )

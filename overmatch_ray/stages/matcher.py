@@ -9,12 +9,16 @@ Reproduces the reference's J1 semantics
   addr:housenumber conflicts with the OSM row's (M16 veto); multi-match
   preserved (no top-1 cut); distance rounded to 1 decimal.
 
-Executed as ``groupby("bucket").map_groups(match_bucket)`` over the union of
-the cell-encoded probe side and the k-ring-replicated index side. Inside a
-bucket everything is numpy: candidate ranges via searchsorted on the sorted
-index cells, pair generation chunked so a skewed urban cell can never blow
-memory (it just takes more chunks), similarity via the bit-parallel LCS
-kernel (text.ratio_pairs).
+Executed as ``groupby("bucket").map_groups(match_bucket)`` over the union
+of the k-ring-REPLICATED probe (OSM) side and the single-copy index
+(Overture) side. The NARROW side is the one replicated ×9 — the Overture
+side carries the ~300 B normalized-tag payload exactly once through the
+shuffle (shuffle volume is the scale bottleneck, SURVEY.md §7.4).
+
+Inside a bucket everything is numpy: candidate ranges via searchsorted on
+the sorted index cells, pair generation chunked so a skewed urban cell can
+never blow memory (it just takes more chunks), similarity via the
+bit-parallel LCS kernel (text.ratio_pairs).
 """
 
 from __future__ import annotations
@@ -46,7 +50,10 @@ def match_bucket(
     buffer_distance: float = BUFFER_DISTANCE_M,
     similarity_threshold: float = SIMILARITY_THRESHOLD,
 ) -> pa.Table:
-    """One bucket of the co-shuffled union (side 0 = OSM, 1 = Overture)."""
+    """One bucket of the co-shuffled union.
+
+    side 0 = OSM probe rows (replicated to k-ring-1 cells);
+    side 1 = Overture index rows (own cell, full payload)."""
     side = group["side"].to_numpy(zero_copy_only=False)
     osm = group.filter(pa.array(side == 0))
     ovt = group.filter(pa.array(side == 1))
@@ -108,9 +115,9 @@ def match_bucket(
             continue
         o_idx, v_idx, dist = o_idx[m], v_idx[m], dist[m]
 
-        # candidate must have a name (match.py:239-240)
+        # candidate must have a name (match.py:239-240); "" from normalize
         cn = v_name[v_idx]
-        has_name = np.array([bool(s) for s in cn])
+        has_name = np.not_equal(cn, "")
         if not has_name.any():
             continue
         o_idx, v_idx, dist, cn = (
@@ -127,9 +134,8 @@ def match_bucket(
         # housenumber veto (M16, match.py:300-302): both present and unequal
         ohn = o_hn[o_idx]
         vhn = v_hn[v_idx]
-        veto = np.array(
-            [bool(a) and bool(b) and a != b for a, b in zip(ohn, vhn)]
-        )
+        both = np.not_equal(ohn, None) & np.not_equal(vhn, None)
+        veto = both & np.not_equal(ohn, vhn) & np.not_equal(ohn, "") & np.not_equal(vhn, "")
         if veto.all():
             continue
         o_idx, v_idx, dist, sim = o_idx[~veto], v_idx[~veto], dist[~veto], sim[~veto]

@@ -65,13 +65,14 @@ def encode_tile_group(g: pd.DataFrame, max_per_tile: int = 500) -> pd.DataFrame:
         c for c in kept.columns
         if c not in ("zoom", "tx", "ty", "lon", "lat")
     ]
+    records = kept[props_cols].to_dict("records")
     features = [
         {
             "type": "Feature",
-            "geometry": {"type": "Point", "coordinates": [row["lon"], row["lat"]]},
-            "properties": {c: row[c] for c in props_cols if pd.notna(row[c])},
+            "geometry": {"type": "Point", "coordinates": [lon, lat]},
+            "properties": {k: v for k, v in rec.items() if pd.notna(v)},
         }
-        for _, row in kept.iterrows()
+        for rec, lon, lat in zip(records, kept["lon"], kept["lat"])
     ]
     payload = json.dumps(
         {"type": "FeatureCollection", "features": features},
@@ -90,11 +91,25 @@ def encode_tile_group(g: pd.DataFrame, max_per_tile: int = 500) -> pd.DataFrame:
     )
 
 
-def build_tiles(features_ds, zooms: list[int], max_per_tile: int = 500):
-    """features (needs lon, lat, osm_id[, quality]) → tile dataset."""
+def build_tiles(features_ds, zooms: list[int], max_per_tile: int = 500,
+                num_buckets: int = 32):
+    """features (needs lon, lat, osm_id[, quality]) → tile dataset.
+
+    Tile-id cardinality grows with zoom, so the shuffle is bucketed: one
+    callable encodes every tile that hashed into its bucket."""
+    from .groupops import bucketed_group_apply
+
     assigned = features_ds.map_batches(
         assign_tiles_batch, fn_kwargs={"zooms": zooms}, batch_format="pyarrow"
     )
-    return assigned.groupby(["zoom", "tx", "ty"]).map_groups(
-        lambda g: encode_tile_group(g, max_per_tile), batch_format="pandas"
+
+    def encode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            encode_tile_group(sub, max_per_tile)
+            for _, sub in g.groupby(["zoom", "tx", "ty"], sort=False)
+        ]
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        assigned, ["zoom", "tx", "ty"], encode_bucket, num_buckets=num_buckets
     )

@@ -303,7 +303,8 @@ def overture_block(osm_idx: np.ndarray, max_cands: int = 3, n_total: int | None 
     )
 
 
-def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: int | None = None) -> pa.Table:
+def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: int | None = None,
+                 min_px: int = 16, max_px: int = 64) -> pa.Table:
     """Image+caption rows (input_hint schema + lon/lat geotags).
 
     Pixels are deterministic per index; every 17th row is an exact duplicate
@@ -315,8 +316,9 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
     # exact-duplicate content: row i with i%17==0 and i>0 re-renders row i-1
     content_idx = np.where((idx % 17 == 0) & (idx > 0), idx - 1, idx)
 
-    w = (16 + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(50)) % _U64(49))).astype(np.int64)
-    h = (16 + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(51)) % _U64(49))).astype(np.int64)
+    span = _U64(max(max_px - min_px + 1, 1))
+    w = (min_px + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(50)) % span)).astype(np.int64)
+    h = (min_px + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(51)) % span)).astype(np.int64)
     fmt = np.where(_uniform(content_idx, 52) < 0.5, "png", "jpeg").astype(object)
 
     blobs, hashes = [], []

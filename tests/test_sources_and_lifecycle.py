@@ -1,0 +1,224 @@
+"""Sources/sinks, category taxonomy, review semantics, osmChange XML,
+resize stage, and the publish/checkpoint lifecycles."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from overmatch_ray.synth import images_block, osm_block, overture_block
+
+
+class TestGeoJsonRoundtrip:
+    def test_read_write(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.sources import read_geojson_points, write_geojson_features
+
+        osm = osm_block(np.arange(50)).to_pylist()
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point",
+                                 "coordinates": [r["lon"], r["lat"]]},
+                    "properties": {
+                        "@id": r["osm_id"],
+                        "name": r["name"],
+                        "addr:housenumber": r["addr_housenumber"],
+                    },
+                }
+                for r in osm
+            ],
+        }
+        p = tmp_path / "osm.geojson"
+        p.write_text(json.dumps(fc))
+        ds = read_geojson_points(str(p))
+        rows = {r["osm_id"]: r for r in ds.take_all()}
+        assert len(rows) == 50
+        assert rows[osm[3]["osm_id"]]["name"] == osm[3]["name"]
+        assert rows[osm[3]["osm_id"]]["lon"] == pytest.approx(osm[3]["lon"])
+
+        out = tmp_path / "out.geojson"
+        n = write_geojson_features(ds, str(out))
+        assert n == 50
+        back = json.loads(out.read_text())
+        assert len(back["features"]) == 50
+
+
+class TestMatchesJsonl:
+    def test_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.pipelines.conflate import conflate
+        from overmatch_ray.sources import read_matches_jsonl, write_matches_jsonl
+
+        osm = osm_block(np.arange(100), n_total=100)
+        ovt = overture_block(np.arange(100), n_total=100)
+        matches = conflate(
+            ray.data.from_arrow(osm), ray.data.from_arrow(ovt), num_buckets=4
+        )
+        out_dir = str(tmp_path / "jsonl")
+        receipts = write_matches_jsonl(matches, out_dir).take_all()
+        assert sum(r["rows"] for r in receipts) > 0
+        back = read_matches_jsonl(out_dir).take_all()
+        orig = matches.take_all()
+        assert {(r["osm_id"], r["overture_id"]) for r in back} == {
+            (r["osm_id"], r["overture_id"]) for r in orig
+        }
+        by_key = {(r["osm_id"], r["overture_id"]): r for r in back}
+        o0 = orig[0]
+        assert by_key[(o0["osm_id"], o0["overture_id"])]["overture_tags"] == o0[
+            "overture_tags"
+        ]
+
+    def test_bad_lines_skipped(self, ray_session, tmp_path):
+        from overmatch_ray.sources import read_matches_jsonl
+
+        p = tmp_path / "m.jsonl"
+        p.write_text(
+            '{"osm_id":"node/1","overture_id":"a","lon":1.0,"lat":2.0,'
+            '"distance_m":3.0,"similarity":0.9,"overture_tags":{"name":"x"}}\n'
+            "NOT JSON\n"
+        )
+        rows = read_matches_jsonl(str(p)).take_all()
+        assert len(rows) == 1 and rows[0]["osm_id"] == "node/1"
+
+
+class TestCategories:
+    TAXO = "\n".join(
+        [
+            "pizza_restaurant;[eat_and_drink,restaurant,pizza_restaurant]",
+            "italian_restaurant;[eat_and_drink,restaurant,italian_restaurant]",
+            "coffee_shop;[eat_and_drink,cafe,coffee_shop]",
+            "garbage line",
+            "bar;[eat_and_drink,bar]",
+        ]
+    )
+
+    def test_parse_and_expand(self):
+        from overmatch_ray.functions.categories import (
+            category_distribution,
+            expand_subcategories,
+            parse_taxonomy_csv,
+        )
+
+        taxo = parse_taxonomy_csv(self.TAXO)
+        assert len(taxo) == 4  # bad line dropped
+        got = expand_subcategories(taxo, {"restaurant": 2, "cafe": 2})
+        assert sorted(got["restaurant"]) == ["italian_restaurant", "pizza_restaurant"]
+        assert got["cafe"] == ["coffee_shop"]
+        assert category_distribution(taxo, {"restaurant": 2}) == {"restaurant": 2}
+
+
+class TestReview:
+    def test_filter_equation(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+
+        from overmatch_ray.functions.review import (
+            distinct_overture_ids,
+            review_work_set,
+        )
+
+        t = pa.table(
+            {
+                "osm_id": ["n/1", "n/1", "n/2", "n/3", "n/4"],
+                "overture_id": ["a", "b", "c", "d", "e"],
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # n/2 seen; n/3 uploaded; n/1 has one skipped match (b) → survives;
+        # n/4's only match skipped → dropped (ALL-skipped rule)
+        out = {
+            r["osm_id"]: r
+            for r in review_work_set(
+                ds, seen={"n/2"}, uploaded={"n/3"}, skipped_overture={"b", "e"}
+            ).take_all()
+        }
+        assert set(out) == {"n/1"}
+        assert out["n/1"]["n_matches"] == 2 and out["n/1"]["n_unskipped"] == 1
+        assert sorted(distinct_overture_ids(ds)) == ["a", "b", "c", "d", "e"]
+
+
+class TestOsmXml:
+    def test_changeset(self):
+        from overmatch_ray.functions.osmxml import build_changeset
+
+        rows = [
+            {
+                "osm_id": "node/42",
+                "lon": -77.0,
+                "lat": 38.9,
+                "merged_tags": json.dumps({"name": 'Bob\'s "Cafe"', "phone": "+1 202-555-0100"}),
+            }
+        ]
+        xml = build_changeset(rows, changeset=7)
+        assert xml.startswith('<?xml version="1.0"')
+        assert '<node id="42" changeset="7" version="1"' in xml
+        assert 'k="phone" v="+1 202-555-0100"' in xml
+        assert "&quot;Cafe&quot;" in xml  # attribute escaping
+        assert xml.count("<modify>") == 1
+
+
+class TestResize:
+    def test_thumbnails(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.imaging.codec import decode_png
+        from overmatch_ray.stages.images import resize_images
+
+        t = images_block(np.arange(24))
+        out = resize_images(ray.data.from_arrow(t), size=16, concurrency=1).take_all()
+        assert len(out) == 24 and all(r["resize_ok"] for r in out)
+        thumb = decode_png(out[0]["thumb_png"])
+        assert thumb.shape == (16, 16, 3)
+
+
+class TestWkt:
+    def test_parse(self):
+        from overmatch_ray.geo import parse_wkt_points
+
+        lon, lat = parse_wkt_points(["POINT(-77.01 38.9)", "Point( 1.5 -2.25 )", "junk", None])
+        assert lon[0] == pytest.approx(-77.01) and lat[1] == pytest.approx(-2.25)
+        assert np.isnan(lon[2]) and np.isnan(lon[3])
+
+
+class TestLifecycles:
+    def test_publish_tiles_resumable(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.pipelines.conflate import conflate
+        from overmatch_ray.pipelines.publish import publish_tiles
+
+        osm = osm_block(np.arange(200), n_total=200)
+        ovt = overture_block(np.arange(200), n_total=200)
+        matches = conflate(
+            ray.data.from_arrow(osm), ray.data.from_arrow(ovt), num_buckets=4
+        )
+        track = {"node/100001": ("2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")}
+        out = str(tmp_path / "tiles")
+        r1 = publish_tiles(matches, track, {}, out, zooms=[8, 12]).take_all()
+        assert sorted(x["key"] for x in r1) == [8, 12]
+        # rerun: everything skipped
+        r2 = publish_tiles(matches, track, {}, out, zooms=[8, 12]).take_all()
+        assert r2 == []
+
+    def test_conflate_checkpoint_resume(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.pipelines.publish import conflate_checkpointed
+        from overmatch_ray.state.checkpoint import read_partitioned
+
+        osm = ray.data.from_arrow(osm_block(np.arange(150), n_total=150))
+        ovt = ray.data.from_arrow(overture_block(np.arange(150), n_total=150))
+        out = str(tmp_path / "matches")
+        r1 = conflate_checkpointed(osm, ovt, out, num_buckets=4, num_parts=5).take_all()
+        n_first = read_partitioned(out).count()
+        assert n_first > 0
+        r2 = conflate_checkpointed(osm, ovt, out, num_buckets=4, num_parts=5).take_all()
+        assert r2 == []  # full resume skip
+        assert read_partitioned(out).count() == n_first
