@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tracking_upsert": rq.q_tracking_upsert,
         "match_stats": rq.q_match_stats,
         "brand_dist": rq.q_brand_dist,
+        "region_balance": rq.q_region_balance,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
         "doc_quality": cq.q_doc_quality,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": ro.q_simhash_pairs,
         "langid_docs": ro.q_langid_docs,
         "lsh_knn": ro.q_lsh_knn,
+        "marked_counters": ro.q_marked_counters,
     }
 
 

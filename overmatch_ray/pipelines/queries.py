@@ -530,3 +530,39 @@ def q_brand_dist(sf_dir: str):
 ORACLE_SQL["brand_dist"] = """
 SELECT p_brand, count(*) AS n FROM part GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# 15. region_balance — multi-way broadcast join chain (J2 over dimensions)
+# ---------------------------------------------------------------------------
+
+
+def q_region_balance(sf_dir: str):
+    """customer ⋈ nation ⋈ region via chained broadcast joins (both
+    dimension tables are tiny — the canonical star-schema pattern)."""
+    from ..stages.joins import broadcast_join
+
+    nation = pa.concat_tables(
+        [pa.table(b) for b in _read(sf_dir, "nation").iter_batches(batch_format="pyarrow")]
+    )
+    region = pa.concat_tables(
+        [pa.table(b) for b in _read(sf_dir, "region").iter_batches(batch_format="pyarrow")]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    j1 = broadcast_join(cust, nation, "c_nationkey", "n_nationkey")
+    j2 = broadcast_join(j1, region, "n_regionkey", "r_regionkey")
+    agg = j2.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_balance")
+    )
+    return agg.map_batches(
+        lambda b: _round_col(b, "total_balance", 2), batch_format="pyarrow"
+    )
+
+
+ORACLE_SQL["region_balance"] = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

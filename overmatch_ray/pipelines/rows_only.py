@@ -123,3 +123,24 @@ def q_image_cells(sf_dir: str):
 
     ds = assign_cells(_images_ds(sf_dir), num_buckets=64)
     return ds.groupby("bucket").aggregate(Count(alias_name="n_images"))
+
+
+def q_marked_counters(sf_dir: str):
+    """A3: global marked counters over the tracking-enriched flagship
+    output (deterministic tracking fixture: every 10th element marked)."""
+    from ..stages.enrich import enrich_matches, marked_counters
+    from .conflate import flagship_matches
+
+    matches = flagship_matches(sf_dir)
+    sample = matches.take(200)
+    osm_track = {
+        r["osm_id"]: ("2024-01-01T00:00:00Z", "2024-06-01T00:00:00Z")
+        for i, r in enumerate(sample)
+        if i % 10 == 0
+    }
+    ovt_track = {
+        r["overture_id"]: ("2024-02-01T00:00:00Z", "2024-06-01T00:00:00Z")
+        for i, r in enumerate(sample)
+        if i % 7 == 0
+    }
+    return marked_counters(enrich_matches(matches, osm_track, ovt_track))

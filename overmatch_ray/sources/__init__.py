@@ -172,3 +172,47 @@ def read_images(path: str, columns: list[str] | None = None) -> "ray.data.Datase
         return ray.data.read_lance(path, columns=columns)
     except ImportError:
         return ray.data.read_parquet(path, columns=columns)
+
+
+def read_overture_places(
+    path: str,
+    columns: list[str] | None = None,
+    min_confidence: float | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    categories: list[str] | None = None,
+    operating_status: str | None = "open",
+) -> "ray.data.Dataset":
+    """S3/M23: the Overture place source with PREDICATE PUSHDOWN — the
+    Ray-native analog of the reference's DuckDB S3 scan
+    (/root/reference/scripts/build_query.py:86-105). bbox / confidence /
+    category / status predicates become a pyarrow dataset expression so only
+    matching row groups leave storage; the exact point-in-polygon residual
+    test stays a downstream map_batches (geo.PackedPolygon)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401 — expression support
+
+    expr = None
+
+    def conj(e, new):
+        return new if e is None else (e & new)
+
+    if min_confidence is not None:
+        expr = conj(expr, pc.field("confidence") >= min_confidence)
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        expr = conj(expr, (pc.field("lon") >= xmin) & (pc.field("lon") <= xmax)
+                    & (pc.field("lat") >= ymin) & (pc.field("lat") <= ymax))
+    if operating_status is not None:
+        expr = conj(expr, pc.field("operating_status") == operating_status)
+    ds = ray.data.read_parquet(path, columns=columns, filter=expr)
+    if categories:
+        cats = set(categories)
+
+        def cat_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcc
+
+            prim = pcc.struct_field(batch["categories"], "primary")
+            return batch.filter(pcc.is_in(prim, value_set=pa.array(list(cats))))
+
+        ds = ds.map_batches(cat_filter, batch_format="pyarrow")
+    return ds

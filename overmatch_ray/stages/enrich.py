@@ -205,3 +205,33 @@ def flatten_tags_batch(
             prefix + k.replace(":", "_"), pa.array(col, pa.string())
         )
     return out
+
+
+def marked_counters(enriched_ds):
+    """A3: global counts of osm-marked / overture-marked / both
+    (enrich_matches_with_dynamodb.py:283-335) — boolean sums, no shuffle."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        om = batch["osm_marked"]
+        vm = batch["overture_marked"]
+        both = pc.and_(om, vm)
+        return pa.table(
+            {
+                "n_total": pa.array([batch.num_rows], pa.int64()),
+                "n_osm_marked": pa.array([pc.sum(pc.cast(om, pa.int64())).as_py() or 0], pa.int64()),
+                "n_overture_marked": pa.array([pc.sum(pc.cast(vm, pa.int64())).as_py() or 0], pa.int64()),
+                "n_both_marked": pa.array([pc.sum(pc.cast(both, pa.int64())).as_py() or 0], pa.int64()),
+            }
+        )
+
+    totals = enriched_ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_total", "n_osm_marked", "n_overture_marked", "n_both_marked"]
+    )
+    return pa.table(
+        {k: pa.array([int(v)], pa.int64()) for k, v in
+         (("n_total", totals["sum(n_total)"]),
+          ("n_osm_marked", totals["sum(n_osm_marked)"]),
+          ("n_overture_marked", totals["sum(n_overture_marked)"]),
+          ("n_both_marked", totals["sum(n_both_marked)"]))}
+    )

@@ -222,3 +222,61 @@ class TestLifecycles:
         r2 = conflate_checkpointed(osm, ovt, out, num_buckets=4, num_parts=5).take_all()
         assert r2 == []  # full resume skip
         assert read_partitioned(out).count() == n_first
+
+
+class TestOvertureSource:
+    def test_predicate_pushdown(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from overmatch_ray.sources import read_overture_places
+
+        t = overture_block(np.arange(300))
+        p = str(tmp_path / "places.parquet")
+        pq.write_table(t, p)
+        ds = read_overture_places(
+            p, min_confidence=0.8, categories=["pizza_restaurant", "bar"]
+        )
+        rows = ds.take_all()
+        assert rows, "filter should keep some rows"
+        for r in rows:
+            assert r["confidence"] >= 0.8
+            assert r["categories"]["primary"] in ("pizza_restaurant", "bar")
+            assert r["operating_status"] == "open"
+        # matches a driver-side recount
+        full = t.to_pylist()
+        expect = sum(
+            1
+            for r in full
+            if r["confidence"] >= 0.8
+            and r["categories"]["primary"] in ("pizza_restaurant", "bar")
+        )
+        assert len(rows) == expect
+
+
+class TestMarkedCounters:
+    def test_counts(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+
+        from overmatch_ray.stages.enrich import enrich_matches, marked_counters
+
+        t = pa.table(
+            {
+                "osm_id": ["n/1", "n/2", "n/3"],
+                "overture_id": ["a", "b", "c"],
+            }
+        )
+        out = marked_counters(
+            enrich_matches(
+                ray.data.from_arrow(t),
+                {"n/1": ("t0", "t1"), "n/2": ("t0", "t1")},
+                {"a": ("t0", "t1")},
+            )
+        ).to_pylist()[0]
+        assert out == {
+            "n_total": 3,
+            "n_osm_marked": 2,
+            "n_overture_marked": 1,
+            "n_both_marked": 1,
+        }
