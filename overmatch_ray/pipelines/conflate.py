@@ -31,6 +31,39 @@ _JOIN_COLS = ["id", "name", "housenumber", "lon", "lat", "tags_json",
               "x", "y", "cell", "bucket", "side"]
 
 
+def _salted_buckets(batch: pa.Table, salt: int, spread: bool) -> pa.Table:
+    """Hot-cell salting (SURVEY.md §7.2-11). With ``salt`` S > 1 the bucket
+    space becomes bucket·S + s:
+
+    - probe rows (spread=True) each land in ONE salted bucket, chosen by a
+      deterministic hash of the row id → a hot cell's probes split across S
+      tasks;
+    - index rows (spread=False) are replicated to ALL S salted buckets so
+      every probe still sees every candidate. Cost: index shuffle volume ×S
+      — enable only for corpora with known hot cells.
+    """
+    import numpy as np
+
+    from ..stages.groupops import hash_columns
+
+    if salt <= 1:
+        return batch
+    bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+    if spread:
+        s = (hash_columns(batch, ["id"]) % np.uint64(salt)).astype(np.int64)
+        new_bucket = bucket * salt + s
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"), "bucket", pa.array(new_bucket)
+        )
+    take = np.repeat(np.arange(batch.num_rows, dtype=np.int64), salt)
+    rep = batch.take(pa.array(take))
+    s = np.tile(np.arange(salt, dtype=np.int64), batch.num_rows)
+    new_bucket = rep["bucket"].to_numpy(zero_copy_only=False) * salt + s
+    return rep.set_column(
+        rep.schema.get_field_index("bucket"), "bucket", pa.array(new_bucket)
+    )
+
+
 def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
     """OSM probe side: drop no-name rows (match.py:203-206), cell-encode and
     REPLICATE ×9 to the k-ring-1 cells. The probe side is the narrow one
@@ -96,8 +129,12 @@ def conflate(
     osm_ds: "ray.data.Dataset",
     overture_ds: "ray.data.Dataset",
     num_buckets: int = 128,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
-    """The J1 spatial+fuzzy conflation join as a Ray Data pipeline."""
+    """The J1 spatial+fuzzy conflation join as a Ray Data pipeline.
+
+    ``salt`` > 1 splits every bucket S ways (probe rows spread, index rows
+    replicated ×S) — the straggler mitigation for skewed urban cells."""
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},
@@ -110,6 +147,13 @@ def conflate(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if salt > 1:
+        probe = probe.map_batches(
+            lambda b: _salted_buckets(b, salt, spread=True), batch_format="pyarrow"
+        )
+        index = index.map_batches(
+            lambda b: _salted_buckets(b, salt, spread=False), batch_format="pyarrow"
+        )
     both = probe.union(index)
     return both.groupby("bucket").map_groups(match_bucket, batch_format="pyarrow")
 

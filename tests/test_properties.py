@@ -1,0 +1,105 @@
+"""Property-based spot checks (SURVEY.md §5) — hypothesis over the pure
+kernels (no Ray session needed)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from overmatch_ray.cell import cell_id, kring1_cells
+from overmatch_ray.functions.tags import (
+    clean_website,
+    normalize_candidate,
+    normalize_phone,
+    strip_tracking_params,
+)
+from overmatch_ray.geo import inverse_mercator, mercator_xy
+from overmatch_ray.text import lcs_length, ratio, ratio_pairs
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=80,
+)
+
+
+class TestRatioProperties:
+    @given(TEXT, TEXT)
+    @settings(max_examples=200, deadline=None)
+    def test_bounds_symmetry_identity(self, a, b):
+        r = ratio(a, b)
+        assert 0.0 <= r <= 100.0
+        assert r == ratio(b, a)  # LCS is symmetric
+        assert ratio(a, a) == 100.0
+        # vectorized kernel agrees with scalar
+        assert abs(ratio_pairs([a], [b])[0] - r) < 1e-9
+
+    @given(TEXT, TEXT)
+    @settings(max_examples=100, deadline=None)
+    def test_lcs_bounds(self, a, b):
+        l = lcs_length(a, b)
+        assert 0 <= l <= min(len(a), len(b))
+
+
+class TestGeoProperties:
+    @given(
+        st.floats(-179.9, 179.9),
+        st.floats(-84.9, 84.9),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_mercator_roundtrip(self, lon, lat):
+        x, y = mercator_xy(np.array([lon]), np.array([lat]))
+        lo, la = inverse_mercator(x, y)
+        assert abs(lo[0] - lon) < 1e-9
+        assert abs(la[0] - lat) < 1e-9
+
+    @given(
+        st.floats(-1e6, 1e6),
+        st.floats(-1e6, 1e6),
+        st.floats(0, 100.0),
+        st.floats(0, 2 * np.pi),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_kring_covers_radius(self, x, y, r, ang):
+        """Any point within 100 m is inside the k-ring-1 of the other's cell."""
+        qx = x + r * np.cos(ang)
+        qy = y + r * np.sin(ang)
+        pc = cell_id(np.array([x]), np.array([y]))[0]
+        kr = kring1_cells(cell_id(np.array([qx]), np.array([qy])))[0]
+        assert pc in kr
+
+
+class TestTagProperties:
+    @given(st.text(max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_strip_tracking_idempotent_and_total(self, url):
+        once = strip_tracking_params(url)
+        assert strip_tracking_params(once) == once  # idempotent
+        cw = clean_website(url)  # never raises
+        assert cw is None or isinstance(cw, str)
+
+    @given(st.text(alphabet="0123456789()+- .ext", max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_phone_total(self, s):
+        out = normalize_phone(s)
+        assert out is None or (out.startswith("+1 ") and len(out) == 15)
+
+    @given(
+        st.text(max_size=40),
+        st.sampled_from(["pizza_restaurant", "bar", "unknown_cat", ""]),
+        st.text(alphabet="0123456789 MainSt.", max_size=25),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_normalize_candidate_total_and_clean(self, name, cat, freeform):
+        cand = {
+            "names": {"primary": name, "rules": None},
+            "categories": {"primary": cat or None},
+            "addresses": [
+                {"freeform": freeform or None, "country": "US",
+                 "region": "DC", "locality": "W", "postcode": "20001"}
+            ],
+            "phones": [], "websites": [], "socials": [],
+            "brand": None, "sources": [],
+        }
+        tags = normalize_candidate(cand)  # never raises
+        for k in ("addr:country", "addr:full", "source"):
+            assert k not in tags
+        assert all(isinstance(v, str) for v in tags.values())

@@ -88,3 +88,25 @@ def test_dense_cell_matches_bruteforce(ray_session, monkeypatch):
     assert len(got) == len(got_keys)
     assert got_keys == expected
     assert len(expected) > 5000  # genuinely dense
+
+
+def test_salting_preserves_result(ray_session):
+    """salt=3 must produce exactly the same match set as salt=1 (probe rows
+    split across salted buckets, index replicated to all of them)."""
+    import ray.data
+
+    from overmatch_ray.pipelines.conflate import conflate
+
+    osm, ovt, _ = _dense_corpus()
+    base = {
+        (r["osm_id"], r["overture_id"])
+        for r in conflate(
+            ray.data.from_arrow(osm), ray.data.from_arrow(ovt), num_buckets=4
+        ).take_all()
+    }
+    salted = conflate(
+        ray.data.from_arrow(osm), ray.data.from_arrow(ovt), num_buckets=4, salt=3
+    ).take_all()
+    salted_keys = {(r["osm_id"], r["overture_id"]) for r in salted}
+    assert len(salted) == len(salted_keys), "salting introduced duplicate pairs"
+    assert salted_keys == base
