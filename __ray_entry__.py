@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats": rq.q_match_stats,
         "brand_dist": rq.q_brand_dist,
         "region_balance": rq.q_region_balance,
+        "props_extract": rq.q_props_extract,
+        "yearly_orders": rq.q_yearly_orders,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
         "doc_quality": cq.q_doc_quality,

@@ -96,7 +96,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.pipelines.queries import q_pricing_summary, q_priority_revenue
     from overmatch_ray.stages.images import decode_validate, dedup_exact
 
-    cache = f"/tmp/overmatch_bench/v4-{_sf_of(sf_dir)}"
+    cache = f"/tmp/overmatch_bench/v5-{_sf_of(sf_dir)}"
     meta = _gen_inputs(sf_dir, cache)
     n_osm, n_img = meta["n_osm"], meta["n_img"]
 

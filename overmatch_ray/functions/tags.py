@@ -78,13 +78,15 @@ WEBSITE_BLOCKLIST = (
     "dandb.com", "chamberofcommerce.com", "wikidot.com", "...", '"',
 )
 
-# --- M9: toll-free area codes (conformance data, match.py:379-388) ---
-# The reference substring-matches "+1-800" etc. against the phone tag; its
-# own normalizer emits "+1 800-…" (space), so the literal check only fires
-# on raw-format leftovers. We implement the documented intent — drop NANP
-# toll-free area codes regardless of formatting — which is a superset of the
-# reference's observable behavior (golden matches.jsonl contains none).
-TOLL_FREE_AREA_CODES = frozenset({"800", "888", "877", "866", "855", "844", "833"})
+# --- M9: toll-free prefixes (conformance data, match.py:379-388) ---
+# EXACT reference semantics: substring match of the dash-formatted prefixes
+# against the final phone tag. The reference's own normalizer emits
+# "+1 800-…" (space), so this check only fires on raw-format leftovers
+# where normalization failed — and the golden matches.jsonl indeed CONTAINS
+# normalized toll-free numbers ("+1 877-…"), confirming the literal
+# behavior (tests/test_reference_data.py pins this).
+TOLL_FREE_PREFIXES = ("+1-800", "+1-888", "+1-877", "+1-866", "+1-855",
+                      "+1-844", "+1-833")
 
 
 def clean_website(url: str) -> str | None:
@@ -98,10 +100,7 @@ def clean_website(url: str) -> str | None:
 
 
 def is_toll_free(phone: str) -> bool:
-    digits = "".join(_DIGITS_RE.findall(phone))
-    if len(digits) == 11 and digits.startswith("1"):
-        digits = digits[1:]
-    return digits[:3] in TOLL_FREE_AREA_CODES
+    return any(p in phone for p in TOLL_FREE_PREFIXES)
 
 
 # --- M15: phone normalizer (atlus.get_phone observed behavior) -------------

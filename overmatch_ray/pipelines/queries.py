@@ -566,3 +566,74 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# ---------------------------------------------------------------------------
+# 16. props_extract — JSON field extraction (§2.8 array/map/json family)
+# ---------------------------------------------------------------------------
+
+
+def q_props_extract(sf_dir: str):
+    """Extract the integer 'k' field from the events props JSON with a
+    vectorized regex (pc.extract_regex) and aggregate — the engine-side
+    nested-JSON access pattern (names.primary / addresses[0] analog)."""
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "k_bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(7, pa.int64())), pa.int64()
+                ),
+                "value": batch["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow")
+
+
+ORACLE_SQL["props_extract"] = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) & 7 AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. yearly_orders — date/time scalar family (§2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_yearly_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def years(batch: pa.Table) -> pa.Table:
+        micros = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = (
+            micros.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table({"year": pa.array(y), "o_totalprice": batch["o_totalprice"]})
+
+    agg = (
+        ds.map_batches(years, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "total", 2), batch_format="pyarrow")
+
+
+ORACLE_SQL["yearly_orders"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""

@@ -227,14 +227,19 @@ def overture_block(osm_idx: np.ndarray, max_cands: int = 3, n_total: int | None 
         for f, p in zip(freeform, postcode)
     ]
 
-    # phones: 70% normal, 10% toll-free raw, 20% none
+    # phones: 70% normal, 10% toll-free (5% parseable → normalized+kept per
+    # the reference's literal filter, 5% with an ext suffix → dropped), 20% none
     u_p = _uniform(pair, 30)
     pdig = _splitmix64(pair.astype(np.uint64) ^ _U64(31)) % _U64(10_000_000)
     phones = [
         (
             [f"(202) {int(d) // 10000:03d}-{int(d) % 10000:04d}"]
             if up < 0.7
-            else ([f"+1-800-{int(d) // 10000:03d}-{int(d) % 10000:04d}"] if up < 0.8 else [])
+            else (
+                [f"+1-800-{int(d) // 10000:03d}-{int(d) % 10000:04d}"]
+                if up < 0.75
+                else ([f"+1-800-{int(d) // 10000:03d}-{int(d) % 10000:04d} ext 9"] if up < 0.8 else [])
+            )
         )
         for up, d in zip(u_p, pdig)
     ]

@@ -100,7 +100,8 @@ def test_edge_cases_present(corpus, expected):
             assert "utm_" not in tags["website"]
             assert "doordash.com" not in tags["website"]
         if "phone" in tags:
-            assert not tags["phone"].startswith("+1 800")
+            # literal reference semantics: no DASH-format toll-free survives
+            assert "+1-800" not in tags["phone"]
     ovt_rows = ovt.to_pylist()
     vx, vy = mercator_xy(np.asarray(ovt["lon"]), np.asarray(ovt["lat"]))
     from tests.reference_oracle import _ratio

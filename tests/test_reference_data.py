@@ -1,0 +1,156 @@
+"""Conformance against the reference's OWN data (read-only at
+/root/reference/data): the real OSM extract parses through our source, and
+every row of the golden matches.jsonl satisfies the invariants our pipeline
+enforces — i.e. our normalizers are fixed points of the reference's output.
+(The Overture input is a missing large blob upstream, so the full join
+can't be replayed; these checks pin everything observable.)"""
+
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def golden_matches():
+    rows = []
+    with open(f"{REF}/matches.jsonl") as f:
+        for line in f:
+            rows.append(json.loads(line))
+    return rows
+
+
+class TestRealOsmExtract:
+    def test_source_parses_reference_extract(self, ray_session):
+        from overmatch_ray.sources import read_geojson_points
+
+        ds = read_geojson_points(f"{REF}/osm_qlever.geojson")
+        rows = ds.take_all()
+        assert len(rows) == 2308  # BASELINE.md corpus size
+        ids = [r["osm_id"] for r in rows]
+        assert all(re.match(r"^(node|way|relation)/\d+$", i) for i in ids)
+        assert len(set(ids)) == len(ids)
+        named = [r for r in rows if r["name"]]
+        assert len(named) > 2000
+        lons = np.array([r["lon"] for r in rows])
+        lats = np.array([r["lat"] for r in rows])
+        assert ((lons > -78) & (lons < -76)).all()  # DC area
+        assert ((lats > 38) & (lats < 40)).all()
+
+    def test_cell_encode_real_extract(self, ray_session):
+        """The real extract flows through the cell kernel; k-ring neighbors
+        of every point include its own cell."""
+        from overmatch_ray.cell import cell_id, kring1_cells
+        from overmatch_ray.geo import mercator_xy
+        from overmatch_ray.sources import read_geojson_points
+
+        rows = read_geojson_points(f"{REF}/osm_qlever.geojson").take_all()
+        x, y = mercator_xy(
+            np.array([r["lon"] for r in rows]), np.array([r["lat"] for r in rows])
+        )
+        cells = cell_id(x, y)
+        kr = kring1_cells(cells)
+        assert (kr[:, 0] == cells).all()
+        # DC amenities should occupy hundreds of distinct 256 m cells
+        assert 200 < len(set(cells.tolist())) < 2308
+
+
+class TestGoldenMatches:
+    def test_row_invariants(self, golden_matches):
+        assert len(golden_matches) == 1669
+        for m in golden_matches:
+            assert 0.6 <= m["similarity"] <= 1.0
+            assert 0.0 <= m["distance_m"] <= 100.0
+            assert round(m["distance_m"], 1) == m["distance_m"]
+        assert len({m["osm_id"] for m in golden_matches}) == 1531
+
+    def test_phone_format_matches_our_normalizer(self, golden_matches):
+        """Golden phones are fixed points of our normalizer. (One golden row
+        carries a malformed '120005' — an upstream atlus failure leftover —
+        so the check allows a ≤0.1% tail.)"""
+        from overmatch_ray.functions.tags import is_toll_free, normalize_phone
+
+        pat = re.compile(r"^\+1 \d{3}-\d{3}-\d{4}$")
+        phones = [
+            m["overture_tags"]["phone"]
+            for m in golden_matches
+            if "phone" in m["overture_tags"]
+        ]
+        assert len(phones) > 1500
+        well_formed = [p for p in phones if pat.match(p)]
+        assert len(well_formed) / len(phones) > 0.995  # 3/1638 malformed upstream
+        for p in well_formed:
+            assert normalize_phone(p) == p
+            assert not is_toll_free(p)
+
+    def test_website_cleaner_idempotent_on_golden(self, golden_matches):
+        """NOTE: the committed matches.jsonl PREDATES the reference's
+        current website pipeline — golden rows still carry uppercase
+        domains, trailing tracking params ('?cid=…') and even
+        'saint-ex.com' (which the current blocklist's 'x.com' substring
+        test drops). The authoritative semantics is the current match.py
+        code, which our cleaner reproduces (unit tests). Here we check our
+        cleaner is IDEMPOTENT on the golden corpus and that its output is
+        fully normalized (lowercase domain, no tracking params)."""
+        from overmatch_ray.functions.tags import _TRACKING_RE, clean_website
+
+        sites = [
+            m["overture_tags"]["website"]
+            for m in golden_matches
+            if "website" in m["overture_tags"]
+        ]
+        assert len(sites) > 1500
+        for s in sites:
+            c = clean_website(s)
+            if c is None:
+                continue  # blocklisted under current semantics
+            # idempotent up to one faithful reference quirk: the blocklist
+            # substring test is CASE-SENSITIVE and runs before domain
+            # lowercasing, so 'https://Twitter.com/x' survives pass 1 and is
+            # dropped on pass 2 (match.py:316-374 order)
+            assert clean_website(c) in (c, None), (s, c)
+            domain = c.split("//", 1)[-1].split("/", 1)[0]
+            assert domain == domain.lower()
+            assert not _TRACKING_RE.search("?" + c.split("?", 1)[1]) if "?" in c else True
+
+    def test_forbidden_keys_absent(self, golden_matches):
+        for m in golden_matches:
+            for k in ("addr:country", "addr:full", "source"):
+                assert k not in m["overture_tags"]
+
+    def test_address_expansion_vocabulary(self, golden_matches):
+        """Golden addr:street values use the expanded words our splitter
+        emits (Street/Avenue/Northwest…), never the raw abbreviations."""
+        streets = [
+            m["overture_tags"]["addr:street"]
+            for m in golden_matches
+            if "addr:street" in m["overture_tags"]
+        ]
+        assert len(streets) > 1500
+        bad = [
+            s
+            for s in streets
+            if re.search(r"\b(St|Ave|Rd|Blvd|NW|NE|SW|SE)\b\.?$", s)
+        ]
+        assert len(bad) / len(streets) < 0.01, bad[:5]
+
+    def test_tag_keys_covered(self, golden_matches):
+        """≥97% of golden tag instances use keys our pinned flatten
+        vocabulary knows; the tail stays available in the JSON map."""
+        from overmatch_ray.stages.enrich import STANDARD_TAG_KEYS
+
+        known = set(STANDARD_TAG_KEYS)
+        total = hit = 0
+        for m in golden_matches:
+            for k in m["overture_tags"]:
+                total += 1
+                hit += k in known
+        assert hit / total > 0.97

@@ -49,8 +49,11 @@ class TestPhone:
         assert normalize_phone("12345") is None
 
     def test_toll_free(self):
+        # EXACT reference semantics: dash-format substring only
+        # (normalized "+1 888-…" numbers are NOT caught — golden
+        # matches.jsonl contains them; see test_reference_data.py)
         assert is_toll_free("+1-800-555-0100")
-        assert is_toll_free("+1 888-555-0100")
+        assert not is_toll_free("+1 888-555-0100")
         assert not is_toll_free("+1 202-544-4008")
 
 
@@ -109,9 +112,14 @@ class TestPipeline:
         for k in ("addr:country", "addr:full", "source"):
             assert k not in tags
 
-    def test_toll_free_dropped(self):
+    def test_toll_free_semantics(self):
+        # parseable toll-free → normalized to "+1 800-…" → KEPT (the
+        # reference's literal check misses the normalized format)
         cand = dict(self.CAND, phones=["+1-800-555-0100"])
-        assert "phone" not in normalize_candidate(cand)
+        assert normalize_candidate(cand)["phone"] == "+1 800-555-0100"
+        # unparseable raw toll-free → kept verbatim → dash prefix → DROPPED
+        cand2 = dict(self.CAND, phones=["+1-800-555-0100 ext 22"])
+        assert "phone" not in normalize_candidate(cand2)
 
     def test_blocklisted_website_dropped(self):
         cand = dict(self.CAND, websites=["https://www.doordash.com/store/9"])
