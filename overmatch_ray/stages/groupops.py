@@ -36,9 +36,10 @@ def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
     for c in cols:
         col = batch[c]
         if pa.types.is_integer(col.type):
-            h = _splitmix64(col.to_numpy(zero_copy_only=False).view(np.uint64)
-                            if col.type == pa.int64()
-                            else col.to_numpy(zero_copy_only=False).astype(np.uint64))
+            # widen to int64 first so e.g. int32(-5) and int64(-5) hash alike
+            h = _splitmix64(
+                col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
         else:
             h = np.fromiter(
                 (zlib.crc32(str(v).encode()) for v in col.to_pylist()),

@@ -75,10 +75,12 @@ def bucket_hash_join(
 
     def tag(side: int, on: str):
         def _tag(batch: pa.Table) -> pa.Table:
-            key = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            from .groupops import hash_columns
+
+            h = hash_columns(batch, [on])  # int or string keys
             return batch.append_column(
-                "__bucket", pa.array((_mix(key) % _U64(num_buckets)).astype(np.int64))
-            ).append_column("__side", pa.array(np.full(len(key), side, np.int8)))
+                "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
+            ).append_column("__side", pa.array(np.full(len(h), side, np.int8)))
 
         return _tag
 
