@@ -11,9 +11,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the same bench in fresh processes at num_cpus=8 and 32 and
-reports throughput at both plus scaling efficiency (the two-cluster-size
-criterion evidenced at two parallelism levels).
+--scaling: runs the same bench in fresh processes at two parallelism
+levels (default num_cpus=4 and 16 — N and 4N; see run_scaling for why not
+8/32 on this box) and reports throughput at both plus scaling efficiency
+(the two-cluster-size criterion evidenced at two parallelism levels).
 """
 
 from __future__ import annotations

@@ -86,8 +86,9 @@ def decode_png(data: bytes) -> np.ndarray:
             f = filters[y]
             if f == 0:
                 continue
-            if f == 2 and y > 0:  # Up
-                out[y] = (out[y] + out[y - 1]) % 256
+            if f == 2:  # Up (prior row is implicit zeros on row 0, PNG spec)
+                if y > 0:
+                    out[y] = (out[y] + out[y - 1]) % 256
             elif f == 1:  # Sub
                 for x in range(1, w):
                     out[y, x] = (out[y, x] + out[y, x - 1]) % 256

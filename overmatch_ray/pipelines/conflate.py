@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.cellindex import encode_probe_batch, replicate_index_batch
+from ..stages.cellindex import encode_cells_batch, replicate_kring_batch
 from ..stages.matcher import match_bucket
 from ..stages.normalize import normalize_overture_batch
 
@@ -84,7 +84,7 @@ def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
             "lat": batch["lat"],
         }
     )
-    rep = replicate_index_batch(compact, num_buckets)
+    rep = replicate_kring_batch(compact, num_buckets)
     n = rep.num_rows
     return pa.table(
         {
@@ -106,7 +106,7 @@ def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
 def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Overture index side: normalize tags once, single copy, own cell."""
     compact = normalize_overture_batch(batch)
-    enc = encode_probe_batch(compact, num_buckets)
+    enc = encode_cells_batch(compact, num_buckets)
     n = enc.num_rows
     return pa.table(
         {

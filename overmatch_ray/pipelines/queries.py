@@ -312,12 +312,16 @@ def q_top_orders(sf_dir: str):
     K = 10
 
     def partial(batch: pa.Table) -> pa.Table:
+        # the partial MUST rank by the same (price desc, orderkey asc)
+        # tie-break as the final sort, or rows tied at the k-th price are
+        # dropped before the global merge can break the tie
         tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         k = min(K, len(tp))
         if k == 0:
             return batch
-        idx = np.argpartition(-tp, k - 1)[:k]
-        return batch.take(pa.array(idx))
+        order = np.lexsort((ok, -tp))[:k]
+        return batch.take(pa.array(order))
 
     top = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -419,16 +423,27 @@ FROM events GROUP BY 1, 2
 
 
 def q_user_sessions(sf_dir: str):
+    from ..stages.groupops import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        s = g["ts"].sort_values().astype("int64").to_numpy() // 1_000_000
-        n = 1 + int((np.diff(s) > 1800).sum()) if s.size else 0
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all users in the bucket: sort by (user, ts),
+        # a session break = same-user gap > 1800 s
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        s = g["ts"].astype("int64").to_numpy() // 1_000_000
+        u = g["user_id"].to_numpy()
+        same_user = u[1:] == u[:-1]
+        gap_break = same_user & (np.diff(s) > 1800)
+        users, starts = np.unique(u, return_index=True)
+        breaks_cum = np.concatenate([[0], np.cumsum(gap_break)])
+        ends = np.concatenate([starts[1:], [len(u)]])
+        n_sessions = 1 + (breaks_cum[ends - 1] - breaks_cum[starts])
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], np.int64)}
+            {"user_id": users, "n_sessions": n_sessions.astype(np.int64)}
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_group_apply(ds, ["user_id"], sessions_bucket, num_buckets=16)
 
 
 ORACLE_SQL["user_sessions"] = """

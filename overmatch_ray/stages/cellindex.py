@@ -1,16 +1,21 @@
-"""Cell-encoding stages: the vectorized map_batches kernels that turn the
+"""Cell-encoding kernels: the vectorized map_batches bodies that turn the
 bounded-radius spatial join into an equi-join on ``cell`` (SURVEY.md §2.4-J1).
 
-- probe side (OSM): one row per feature, its own cell.
-- index side (Overture): replicated to the k-ring-1 neighborhood (9 cells),
-  because the 100 m match radius is smaller than the 256 m cell edge — every
-  ≤100 m pair is guaranteed to share exactly one (probe-cell, replica-cell)
-  coincidence, so no post-join dedup is needed.
+Two side-neutral kernels; the PIPELINE decides which join side gets which:
 
-Both also get ``bucket = splitmix64(cell) % num_buckets`` — the shuffle key
-for the bucketed hash join (bounded group count, skew-tolerant: a bucket is
-processed with vectorized kernels and chunked pair generation, so hot urban
-cells cost time, not memory).
+- ``encode_cells_batch``: one row per feature, its OWN cell.
+- ``replicate_kring_batch``: each row replicated to its k-ring-1
+  neighborhood (9 cells). Because the 100 m match radius is smaller than
+  the 256 m cell edge, a pair within radius always shares exactly one
+  (own-cell, replica-cell) coincidence — no post-join dedup needed.
+
+Rule of thumb (CLAUDE.md): replicate the NARROW side — in the conflation
+join that is the OSM probe side; the Overture side carries its ~300 B tag
+payload through the shuffle exactly once (pipelines/conflate.py).
+
+Both kernels also add ``bucket = splitmix64(cell) % num_buckets`` — the
+shuffle key for the bucketed join (bounded group count; hot cells cost
+time, not memory, thanks to chunked pair generation in the matcher).
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ def bucket_of(cell: np.ndarray, num_buckets: int) -> np.ndarray:
     return (_mix(cell) % _U64(num_buckets)).astype(np.int64)
 
 
-def encode_probe_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+def encode_cells_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Add x, y (EPSG:3857), cell, bucket to a batch with lon/lat columns."""
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -49,7 +54,7 @@ def encode_probe_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
-def replicate_index_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+def replicate_kring_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Replicate each row to its 9 k-ring-1 cells (row count ×9)."""
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -64,3 +69,8 @@ def replicate_index_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
         .append_column("cell", pa.array(cells.view(np.int64)))
         .append_column("bucket", pa.array(bucket_of(cells, num_buckets)))
     )
+
+
+# backwards-compatible aliases (older call sites / round-1 history)
+encode_probe_batch = encode_cells_batch
+replicate_index_batch = replicate_kring_batch

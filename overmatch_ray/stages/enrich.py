@@ -149,7 +149,8 @@ def _cached_get(ref):
     import ray
 
     if ref not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE.clear()  # keep at most one generation per worker
+        if len(_BROADCAST_CACHE) >= 8:  # bound worker memory across generations
+            _BROADCAST_CACHE.clear()
         _BROADCAST_CACHE[ref] = ray.get(ref)
     return _BROADCAST_CACHE[ref]
 

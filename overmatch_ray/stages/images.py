@@ -254,10 +254,10 @@ def resize_images(images_ds, size: int = 32, concurrency=(2, 8),
 
 def assign_cells(images_ds, num_buckets: int = 128):
     """J6: images → same cell/bucket space as the conflation join."""
-    from .cellindex import encode_probe_batch
+    from .cellindex import encode_cells_batch
 
     return images_ds.map_batches(
-        lambda b: encode_probe_batch(b, num_buckets),
+        lambda b: encode_cells_batch(b, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,

@@ -36,10 +36,12 @@ def broadcast_join(
     """left ⋈ broadcast(right). Right side shipped once via ray.put."""
     import ray
 
-    right_ref = ray.put(right_table)
+    from .enrich import _cached_get
+
+    right_ref = ray.put(right_table.to_pandas())  # convert once, ship once
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(right_ref).to_pandas()
+        right = _cached_get(right_ref)  # per-worker cached deserialization
         return batch.merge(right, left_on=left_on, right_on=right_on, how=how)
 
     return left_ds.map_batches(join_batch, batch_format="pandas")

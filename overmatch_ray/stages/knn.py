@@ -59,10 +59,12 @@ def brute_force_topk(
         if exclude_self:
             sims[qids_[:, None] == cids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # rank with the final (cos desc, neighbor_id asc) tie-break so ties
+        # at the k-th score are not dropped batch-locally
+        order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :kk]
         rows_q = np.repeat(qids_, kk)
-        rows_n = cids[top.ravel()]
-        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        rows_n = cids[order.ravel()]
+        rows_s = np.take_along_axis(sims, order, axis=1).ravel()
         m = np.isfinite(rows_s)
         return pa.table(
             {
@@ -139,7 +141,7 @@ def lsh_topk(
                 continue
             sims = cm[cand] @ qm_[qi]
             kk = min(k, sims.size)
-            top = np.argpartition(-sims, kk - 1)[:kk]
+            top = np.lexsort((cids[cand], -sims))[:kk]
             out_q.append(np.full(kk, qids_[qi]))
             out_n.append(cids[cand[top]])
             out_s.append(sims[top])
@@ -179,10 +181,16 @@ def near_dup_embeddings(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 5000,
 ):
     """Pairs with cosine ≥ threshold, bucketed by hyperplane signs and
     verified exactly within buckets (high-cosine pairs almost always share
-    a bucket at small n_planes)."""
+    a bucket at small n_planes).
+
+    TRADE-OFF: a bucket larger than ``max_bucket`` is skipped (its all-pairs
+    matrix would be quadratic) — a corpus dominated by one near-duplicate
+    cluster needs a larger cap or the exact broadcast variant
+    (pipelines.corpus_queries.q_embedding_neardup)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         cm = _normalize(_to_matrix(batch[vec_col]))
@@ -202,7 +210,7 @@ def near_dup_embeddings(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="mergesort")
         n = len(g)
-        if n < 2 or n > 5000:
+        if n < 2 or n > max_bucket:  # documented quadratic-blowup guard
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         ids = g["vec_id"].to_numpy()
         m = np.stack(g["vec"].to_numpy())

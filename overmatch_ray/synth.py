@@ -19,7 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .cell import hilbert_key
 from .geo import inverse_mercator, mercator_xy, wkb_points
 
 # DC-ish bbox (matches the reference corpus area) at the base corpus size.

@@ -26,6 +26,31 @@ class TestCodecs:
         img = _img(0)
         assert (decode_png(encode_png(img)) == img).all()
 
+    def test_png_up_filter_first_row(self):
+        # spec-valid PNG using filter 2 (Up) on row 0: prior row is implicit
+        # zeros — regression for the decoder rejecting it
+        import struct
+        import zlib
+
+        img = _img(9, 4, 5)
+        rows = []
+        prev = np.zeros((5 * 3,), dtype=np.uint8)
+        for y in range(4):
+            cur = img[y].reshape(-1)
+            rows.append(b"\x02" + ((cur.astype(np.int64) - prev) % 256).astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        assert (decode_png(data) == img).all()
+
     def test_fake_lossy_psnr(self):
         img = _img(1)
         back = decode_fake_lossy(encode_fake_lossy(img))

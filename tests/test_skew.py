@@ -58,14 +58,11 @@ def _dense_corpus():
     return osm, base, (ox, oy, vx, vy, names)
 
 
-def test_dense_cell_matches_bruteforce(ray_session, monkeypatch):
+def test_dense_cell_matches_bruteforce(ray_session):
     import ray.data
 
-    import overmatch_ray.stages.matcher as matcher_mod
     from overmatch_ray.functions.tags import normalize_candidate
     from overmatch_ray.pipelines.conflate import conflate
-
-    monkeypatch.setattr(matcher_mod, "_PAIR_CHUNK", 10_000)  # force chunking
 
     osm, ovt, (ox, oy, vx, vy, names) = _dense_corpus()
     got = conflate(
@@ -110,3 +107,30 @@ def test_salting_preserves_result(ray_session):
     salted_keys = {(r["osm_id"], r["overture_id"]) for r in salted}
     assert len(salted) == len(salted_keys), "salting introduced duplicate pairs"
     assert salted_keys == base
+
+
+
+def test_matcher_chunking_direct(monkeypatch):
+    """Exercise match_bucket's multi-chunk pair loop IN-PROCESS (a
+    monkeypatch of _PAIR_CHUNK does not reach Ray workers, so this calls the
+    group body directly): tiny chunk cap vs default must agree exactly."""
+    import pyarrow as pa
+
+    import overmatch_ray.stages.matcher as matcher_mod
+    from overmatch_ray.pipelines.conflate import _osm_join_side, _overture_join_side
+    from overmatch_ray.stages.matcher import match_bucket
+
+    osm, ovt, _ = _dense_corpus()
+    probe = _osm_join_side(osm, num_buckets=1)
+    index = _overture_join_side(ovt, num_buckets=1)
+    group = pa.concat_tables([probe, index]).combine_chunks()
+
+    baseline = match_bucket(group)
+    monkeypatch.setattr(matcher_mod, "_PAIR_CHUNK", 1_000)  # ≫1 chunk
+    chunked = match_bucket(group)
+    assert chunked.num_rows == baseline.num_rows > 5000
+    key = lambda t: sorted(
+        zip(t["osm_id"].to_pylist(), t["overture_id"].to_pylist(),
+            t["distance_m"].to_pylist(), t["similarity"].to_pylist())
+    )
+    assert key(chunked) == key(baseline)
