@@ -218,3 +218,40 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     for shift in range(0, 64, 8):
         cnt += table[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
     return cnt
+
+
+# --- STUB video container --------------------------------------------------
+
+_FAKE_VIDEO_MAGIC = b"FVIDEO01"  # deterministic fake container; NOT a codec
+
+
+def encode_fake_video(frames: "list[np.ndarray]") -> bytes:
+    """STUB video container: a length-prefixed sequence of PNG frames.
+    Stands in for a real video codec (absent in this container) so the
+    frame-sampling plumbing is real and testable."""
+    parts = [_FAKE_VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = encode_png(f)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def iter_fake_video(data: bytes):
+    """Yield (frame_index, png_bytes) without decoding pixels — sampling can
+    skip frames at container level (the point of frame-sampling)."""
+    if data[:8] != _FAKE_VIDEO_MAGIC:
+        raise ValueError("not a fake-video payload")
+    (n,) = struct.unpack_from(">I", data, 8)
+    off = 12
+    for i in range(n):
+        (ln,) = struct.unpack_from(">I", data, off)
+        off += 4
+        yield i, data[off : off + ln]
+        off += ln
+
+
+def video_frame_count(data: bytes) -> int:
+    if data[:8] != _FAKE_VIDEO_MAGIC:
+        raise ValueError("not a fake-video payload")
+    return struct.unpack_from(">I", data, 8)[0]

@@ -262,3 +262,54 @@ def assign_cells(images_ds, num_buckets: int = 128):
         zero_copy_batch=True,
         batch_size=256,
     )
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage (the video member of the multimodal
+    family): take every ``stride``-th frame of each fake-video payload (the
+    real-codec swap point is imaging.codec), decode only the sampled frames,
+    emit one row per sampled frame with its phash. Container-level seeking
+    means skipped frames are never decoded."""
+
+    def __init__(self, stride: int = 5, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import decode_png, iter_fake_video
+
+        vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
+        for vid, blob in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
+            taken = 0
+            for i, png in iter_fake_video(blob):
+                if i % self.stride or taken >= self.max_frames:
+                    continue
+                img = decode_png(png)
+                vid_ids.append(vid)
+                frame_idx.append(i)
+                hashes.append(phash64(img))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                taken += 1
+        return pa.table(
+            {
+                "video_id": pa.array(vid_ids, pa.string()),
+                "frame_index": pa.array(frame_idx, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+                "w": pa.array(np.array(ws, np.int32)),
+                "h": pa.array(np.array(hs, np.int32)),
+            }
+        )
+
+
+def sample_frames(videos_ds, stride: int = 5, max_frames: int = 8,
+                  concurrency=(2, 8), batch_size: int = 32):
+    """Wire the frame-sampling actor pool (small batches: video payloads)."""
+    return videos_ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -102,3 +102,36 @@ class TestCells:
         assert len(out) == N
         assert all(0 <= r["bucket"] < 32 for r in out)
         assert all("cell" in r for r in out)
+
+
+class TestFrameSample:
+    def test_sampling(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.imaging.codec import encode_fake_video, video_frame_count
+        from overmatch_ray.stages.images import sample_frames
+
+        rng = np.random.default_rng(4)
+        vids = []
+        for v in range(6):
+            frames = [
+                rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(17)
+            ]
+            vids.append(encode_fake_video(frames))
+        t = pa.table(
+            {
+                "video_id": pa.array([f"vid-{v}" for v in range(6)]),
+                "bytes": pa.array(vids, pa.large_binary()),
+            }
+        )
+        assert video_frame_count(vids[0]) == 17
+        out = sample_frames(
+            ray.data.from_arrow(t), stride=5, max_frames=3, concurrency=1
+        ).take_all()
+        # 17 frames, stride 5 → indices 0,5,10,15 but max_frames=3 → 0,5,10
+        per_vid = {}
+        for r in out:
+            per_vid.setdefault(r["video_id"], []).append(r["frame_index"])
+        assert all(sorted(v) == [0, 5, 10] for v in per_vid.values())
+        assert len(per_vid) == 6
+        assert all(r["w"] == 10 and r["h"] == 12 for r in out)
