@@ -281,16 +281,25 @@ class FrameSample:
         vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
         for vid, blob in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
             taken = 0
-            for i, png in iter_fake_video(blob):
-                if i % self.stride or taken >= self.max_frames:
-                    continue
-                img = decode_png(png)
+            try:
+                for i, png in iter_fake_video(blob):
+                    if i % self.stride or taken >= self.max_frames:
+                        continue
+                    img = decode_png(png)
+                    vid_ids.append(vid)
+                    frame_idx.append(i)
+                    hashes.append(phash64(img))
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    taken += 1
+            except Exception:  # quarantine bad containers:
+                # emit a sentinel row (frame_index = -1) instead of failing
+                # the task — same philosophy as DecodeValidate
                 vid_ids.append(vid)
-                frame_idx.append(i)
-                hashes.append(phash64(img))
-                hs.append(img.shape[0])
-                ws.append(img.shape[1])
-                taken += 1
+                frame_idx.append(-1)
+                hashes.append(0)
+                hs.append(0)
+                ws.append(0)
         return pa.table(
             {
                 "video_id": pa.array(vid_ids, pa.string()),
