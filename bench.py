@@ -120,7 +120,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # (phash, image_id) table is ~16 B/row
         validated = decode_validate(
             img_ds, concurrency=max(2, num_cpus // 2), batch_size=128,
-            select=["phash", "image_id"],
+            select=["phash", "image_id"], psnr_sample=4,
         ).materialize()
         return dedup_exact(validated.repartition(2 * num_cpus)).count()
 
