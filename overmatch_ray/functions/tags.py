@@ -39,6 +39,7 @@ _TRACKING_RE = re.compile(
     r"|hsa_[^&=]*"
     r"|_hs[^&=]*"
     r"|ref_?"
+    r"|lipi"
     r")(=[^&=]+)"
 )
 _QMARK_AMP_RE = re.compile(r"\?&")

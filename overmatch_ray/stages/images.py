@@ -283,27 +283,41 @@ class FrameSample:
         from ..imaging.codec import decode_png, iter_fake_video
 
         vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
+        errors: list[str | None] = []
         for vid, blob in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
-            taken = 0
+            # buffer this video's rows so mid-stream corruption can discard
+            # the partial frames and emit ONLY the quarantine sentinel —
+            # a video is either fully sampled (error=None rows) or
+            # quarantined (single frame_index=-1 row with an error), never
+            # a mix (ADVICE r1)
+            rows: list[tuple[int, int, int, int]] = []
+            err: str | None = None
             try:
                 for i, png in iter_fake_video(blob):
-                    if i % self.stride or taken >= self.max_frames:
+                    if len(rows) >= self.max_frames:
+                        break  # stop reading the container entirely
+                    if i % self.stride:
                         continue
                     img = decode_png(png)
-                    vid_ids.append(vid)
-                    frame_idx.append(i)
-                    hashes.append(phash64(img))
-                    hs.append(img.shape[0])
-                    ws.append(img.shape[1])
-                    taken += 1
-            except Exception:  # quarantine bad containers:
-                # emit a sentinel row (frame_index = -1) instead of failing
-                # the task — same philosophy as DecodeValidate
+                    rows.append((i, phash64(img), img.shape[1], img.shape[0]))
+            except Exception as e:  # quarantine bad containers
+                rows = []
+                err = f"{type(e).__name__}: {e}"
+            if err is not None:
                 vid_ids.append(vid)
                 frame_idx.append(-1)
                 hashes.append(0)
-                hs.append(0)
                 ws.append(0)
+                hs.append(0)
+                errors.append(err)
+            else:
+                for i, ph, w, h in rows:
+                    vid_ids.append(vid)
+                    frame_idx.append(i)
+                    hashes.append(ph)
+                    ws.append(w)
+                    hs.append(h)
+                    errors.append(None)
         return pa.table(
             {
                 "video_id": pa.array(vid_ids, pa.string()),
@@ -311,6 +325,7 @@ class FrameSample:
                 "phash": pa.array(hashes, pa.int64()),
                 "w": pa.array(np.array(ws, np.int32)),
                 "h": pa.array(np.array(hs, np.int32)),
+                "error": pa.array(errors, pa.string()),
             }
         )
 

@@ -248,8 +248,11 @@ def overture_block(osm_idx: np.ndarray, max_cands: int = 3, n_total: int | None 
     slug = [s.lower().replace(" ", "").replace(",", "") for s in names]
     websites = []
     for uw, sl, i in zip(u_w, slug, pair):
-        if uw < 0.5:
+        if uw < 0.25:
             websites.append([f"https://www.{sl or 'place'}.com/?utm_source=ov&page=menu"])
+        elif uw < 0.5:
+            # LinkedIn-style lipi tracking param (reference match.py:44)
+            websites.append([f"https://www.{sl or 'place'}.com/?lipi=urn{int(i)}&page=menu"])
         elif uw < 0.65:
             websites.append([f"https://WWW.{(sl or 'place').upper()}.com/Menu"])
         elif uw < 0.8:

@@ -135,3 +135,57 @@ class TestFrameSample:
         assert all(sorted(v) == [0, 5, 10] for v in per_vid.values())
         assert len(per_vid) == 6
         assert all(r["w"] == 10 and r["h"] == 12 for r in out)
+        assert all(r["error"] is None for r in out)
+
+    def test_corrupt_containers_quarantined(self, ray_session):
+        """ADVICE r1: a quarantined video must emit ONLY the frame_index=-1
+        sentinel (partial frames dropped), valid videos no sentinel — and a
+        corrupt tail AFTER max_frames sampled frames must not quarantine a
+        video whose sampled frames all decoded fine."""
+        import ray.data
+
+        from overmatch_ray.imaging.codec import encode_fake_video
+        from overmatch_ray.stages.images import sample_frames
+
+        rng = np.random.default_rng(7)
+        frames = [
+            rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(17)
+        ]
+        good = encode_fake_video(frames)
+        bad_magic = b"NOTAVID0" + good[8:]
+        # truncate mid-container: keep header + first frame only, then garbage
+        truncated = good[: len(good) // 3]
+        # corrupt only the TAIL: stride=5, max_frames=3 samples frames
+        # 0,5,10 — corrupting from frame 12 on must not affect the result
+        tail_corrupt = bytearray(good)
+        # find offset of frame 12's length prefix by walking the container
+        import struct as _struct
+
+        off = 12
+        for _ in range(12):
+            (ln,) = _struct.unpack_from(">I", bytes(tail_corrupt), off)
+            off += 4 + ln
+        tail_corrupt = bytes(tail_corrupt[:off]) + b"\xff" * 8  # garbage tail
+        t = pa.table(
+            {
+                "video_id": pa.array(["ok", "badmagic", "trunc", "tail"]),
+                "bytes": pa.array(
+                    [good, bad_magic, truncated, tail_corrupt], pa.large_binary()
+                ),
+            }
+        )
+        out = sample_frames(
+            ray.data.from_arrow(t), stride=5, max_frames=3, concurrency=1
+        ).take_all()
+        per_vid = {}
+        for r in out:
+            per_vid.setdefault(r["video_id"], []).append(r)
+        assert sorted(r["frame_index"] for r in per_vid["ok"]) == [0, 5, 10]
+        assert all(r["error"] is None for r in per_vid["ok"])
+        for bad in ("badmagic", "trunc"):
+            assert len(per_vid[bad]) == 1, f"{bad}: partial rows must be dropped"
+            (row,) = per_vid[bad]
+            assert row["frame_index"] == -1 and row["error"]
+        # tail corruption past the sampling window: fully valid result
+        assert sorted(r["frame_index"] for r in per_vid["tail"]) == [0, 5, 10]
+        assert all(r["error"] is None for r in per_vid["tail"])
