@@ -40,21 +40,49 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+_FNV_BASIS = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
+
+
+def _token_hashes_batch(texts: list[str | None]) -> list[np.ndarray]:
+    """Per-token FNV-1a hashes for a whole batch of documents, fully
+    vectorized: all docs' utf-8 bytes are joined into one buffer, token
+    boundaries recovered from the 0x20 separators, and the FNV fold runs as
+    one numpy sweep per byte-COLUMN (j-th byte of every token at once) —
+    O(total bytes) vector work, no per-byte Python. Produces values
+    identical to the scalar FNV-1a loop (pinned by test_dedup)."""
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)  # tokens per doc
+    enc: list[bytes] = []
+    for i, t in enumerate(texts):
+        if t:  # '' and None → 0 tokens (matches `text.split(" ") if text`)
+            counts[i] = t.count(" ") + 1
+            enc.append(t.encode())
+    if not enc:
+        return [np.empty(0, np.uint64)] * n_docs
+    arr = np.frombuffer(b" ".join(enc), dtype=np.uint8)
+    sep = np.flatnonzero(arr == 0x20)
+    starts = np.concatenate([[0], sep + 1])
+    ends = np.concatenate([sep, [arr.size]])
+    lens = ends - starts
+    h = np.full(starts.size, _FNV_BASIS, dtype=np.uint64)
+    j = 0
+    active = np.flatnonzero(lens > 0)
+    while active.size:
+        b = arr[starts[active] + j].astype(np.uint64)
+        h[active] = (h[active] ^ b) * _FNV_PRIME
+        j += 1
+        active = active[lens[active] > j]
+    per_doc = np.split(h, np.cumsum(counts)[:-1])
+    return [p for p in per_doc]
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    """Per-token 64-bit hashes (FNV-1a over utf-8, vectorized-ish)."""
-    toks = text.split(" ") if text else []
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & _MASK
-        out[i] = h
-    return out
+    """Per-token 64-bit hashes (FNV-1a over utf-8) for one document."""
+    return _token_hashes_batch([text])[0]
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct k-token shingle hashes of a document."""
-    th = _token_hashes(text)
+def _shingles_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
     if th.size < k:
         return np.unique(_splitmix64(th)) if th.size else th
     # combine k consecutive token hashes order-sensitively
@@ -62,6 +90,17 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     for j in range(1, k):
         acc = _splitmix64(acc * _U64(1099511628211) ^ th[j : th.size - k + 1 + j])
     return np.unique(acc)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-token shingle hashes of a document."""
+    return _shingles_from_tokens(_token_hashes(text), k)
+
+
+def shingle_hashes_batch(texts: list[str | None], k: int = 3) -> list[np.ndarray]:
+    """Batch variant: one vectorized token-hash pass, per-doc k-gram
+    combine (numpy slices per doc over precomputed token hashes)."""
+    return [_shingles_from_tokens(th, k) for th in _token_hashes_batch(texts)]
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -92,26 +131,28 @@ def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id"):
 
 
 def _explode_shingles(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa.Table:
-    ids, shingles, sizes_id, sizes = [], [], [], []
-    for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        sh = shingle_hashes(text or "", k)
-        ids.append(np.full(sh.size, did, dtype=np.int64))
-        shingles.append(sh.view(np.int64))
-        sizes_id.append(did)
-        sizes.append(sh.size)
+    ids_in = batch[id_col].to_numpy(zero_copy_only=False)
+    per_doc = shingle_hashes_batch(batch[text_col].to_pylist(), k)
+    sizes = np.array([sh.size for sh in per_doc], dtype=np.int64)
     return pa.table(
         {
-            "shingle": pa.array(np.concatenate(shingles) if shingles else np.empty(0, np.int64)),
-            "doc_id": pa.array(np.concatenate(ids) if ids else np.empty(0, np.int64)),
+            "shingle": pa.array(
+                np.concatenate(per_doc).view(np.int64)
+                if per_doc
+                else np.empty(0, np.int64)
+            ),
+            "doc_id": pa.array(np.repeat(ids_in.astype(np.int64), sizes)),
         }
     )
 
 
 def _shingle_sizes(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa.Table:
-    ids = batch[id_col].to_pylist()
-    sizes = [shingle_hashes(t or "", k).size for t in batch[text_col].to_pylist()]
+    sizes = [sh.size for sh in shingle_hashes_batch(batch[text_col].to_pylist(), k)]
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "n_shingles": pa.array(sizes, pa.int64())}
+        {
+            "doc_id": batch[id_col],
+            "n_shingles": pa.array(sizes, pa.int64()),
+        }
     )
 
 
@@ -129,19 +170,18 @@ def ngram_jaccard_pairs(
     A shingle shared by > ``max_group`` docs is a stop-shingle and is
     dropped (standard inverted-index practice; a pair sharing ONLY
     stop-shingles can be missed — documented trade-off for bounded skew).
-    """
-    import ray
 
+    Fully distributed: per-doc shingle counts are attached to the candidate
+    pairs via two partitioned hash joins (``bucket_hash_join`` on id_a then
+    id_b) — the pair set is ≪ the corpus after the shared-count shuffle, so
+    both joins are cheap; nothing O(corpus) ever lands on the driver.
+    """
     exploded = docs_ds.map_batches(
         lambda b: _explode_shingles(b, k, text_col, id_col), batch_format="pyarrow"
     )
     sizes_ds = docs_ds.map_batches(
         lambda b: _shingle_sizes(b, k, text_col, id_col), batch_format="pyarrow"
     )
-    sizes = {
-        r["doc_id"]: r["n_shingles"] for r in sizes_ds.take_all()
-    }  # compact: two ints per doc; at larger scale this becomes a join
-    sizes_ref = ray.put(sizes)
 
     from .groupops import bucketed_group_apply, group_pair_indices
 
@@ -175,19 +215,33 @@ def ngram_jaccard_pairs(
         num_buckets=32,
     )
 
+    # distributed size lookup: co-shuffle the (small) pair set with the
+    # per-doc sizes, once per pair endpoint
+    from .joins import bucket_hash_join
+
+    def rename_sizes(key_out: str, n_out: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({key_out: batch["doc_id"], n_out: batch["n_shingles"]})
+
+        return _r
+
+    sz_a = sizes_ds.map_batches(rename_sizes("__sz_a", "n_a"), batch_format="pyarrow")
+    sz_b = sizes_ds.map_batches(rename_sizes("__sz_b", "n_b"), batch_format="pyarrow")
+    with_a = bucket_hash_join(pair_counts, sz_a, "id_a", "__sz_a", num_buckets=32)
+    with_ab = bucket_hash_join(with_a, sz_b, "id_b", "__sz_b", num_buckets=32)
+
     def add_jaccard(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
         shared = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sz.get(x, 0) for x in a], dtype=np.float64)
-        nb = np.array([sz.get(x, 0) for x in b], dtype=np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         union = np.maximum(na + nb - shared, 1.0)
         jac = shared / union
-        out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
+        out = batch.select(["id_a", "id_b", "shared"]).append_column(
+            "jaccard", pa.array(np.round(jac, 6))
+        )
         return out.filter(pa.array(jac >= threshold))
 
-    return pair_counts.map_batches(add_jaccard, batch_format="pyarrow")
+    return with_ab.map_batches(add_jaccard, batch_format="pyarrow")
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -230,8 +284,9 @@ def minhash_lsh_pairs(
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         out_id, out_band, out_bh, out_sig = [], [], [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = minhash_signature(shingle_hashes(text or "", k))
+        shingles = shingle_hashes_batch(batch[text_col].to_pylist(), k)
+        for did, sh in zip(batch[id_col].to_pylist(), shingles):
+            sig = minhash_signature(sh)
             bh = _splitmix64(
                 np.add.reduceat(
                     _splitmix64(sig), np.arange(0, _NUM_PERM, rows_per_band)
@@ -300,23 +355,38 @@ def minhash_lsh_pairs(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    th = _token_hashes(text)
-    if th.size == 0:
-        return 0
+_BIT_POWERS = (_U64(1) << np.arange(64, dtype=np.uint64))
+
+
+def simhash64_many(texts: list[str | None]) -> np.ndarray:
+    """Batch simhash: one bit-matrix over ALL tokens in the batch, per-doc
+    bit-count sums via ``np.add.reduceat`` — no per-doc or per-bit Python
+    loops. Returns int64 codes (empty docs → 0), values identical to the
+    scalar formulation (pinned by test_dedup)."""
+    per_doc = _token_hashes_batch(texts)
+    counts = np.array([t.size for t in per_doc], dtype=np.int64)
+    nz = np.flatnonzero(counts)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if nz.size == 0:
+        return out
+    th = np.concatenate([per_doc[i] for i in nz])
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
         np.int64
     )
-    v = (2 * bits - 1).sum(axis=0)
-    code = np.uint64(0)
-    for i in range(64):
-        if v[i] > 0:
-            code |= _U64(1) << np.uint64(i)
-    return int(code.astype(np.int64))
+    starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+    ones = np.add.reduceat(bits, starts, axis=0)  # per-doc set-bit counts
+    v = 2 * ones - counts[nz][:, None]  # sum of (2·bit − 1)
+    codes = ((v > 0).astype(np.uint64) * _BIT_POWERS[None, :]).sum(axis=1)
+    out[nz] = codes.astype(np.int64)
+    return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash64_many([text])[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    vals = simhash64_many(batch[text_col].to_pylist())
     return batch.append_column("simhash", pa.array(vals, pa.int64()))
 
 

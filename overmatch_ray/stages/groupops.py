@@ -30,6 +30,37 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+_FNV_BASIS = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
+
+
+def _hash_strings(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized deterministic FNV-1a over a string column's utf-8 bytes,
+    read straight from the Arrow offsets/data buffers (zero-copy) and folded
+    as one numpy sweep per byte-column. Nulls hash as empty strings."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs = []
+    for ch in chunks:
+        if ch.null_count:
+            ch = ch.fill_null("")
+        ch = ch.cast(pa.large_string())
+        offsets = np.frombuffer(ch.buffers()[1], dtype=np.int64)[
+            ch.offset : ch.offset + len(ch) + 1
+        ]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        starts, lens = offsets[:-1], np.diff(offsets)
+        h = np.full(len(ch), _FNV_BASIS, dtype=np.uint64)
+        j = 0
+        active = np.flatnonzero(lens > 0)
+        while active.size:
+            b = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * _FNV_PRIME
+            j += 1
+            active = active[lens[active] > j]
+        outs.append(h)
+    return np.concatenate(outs) if outs else np.empty(0, np.uint64)
+
+
 def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
     """Deterministic uint64 hash of one or more key columns."""
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -40,6 +71,8 @@ def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
             h = _splitmix64(
                 col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             )
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = _splitmix64(_hash_strings(col))
         else:
             h = np.fromiter(
                 (zlib.crc32(str(v).encode()) for v in col.to_pylist()),

@@ -118,6 +118,14 @@ def bucket_hash_join(
 
     lcols = [n for n in l_names if n != "__side"]
     rcols = [n for n in r_names] + ["__bucket"]
+    # the schema-aligning union null-pads each side's missing columns, which
+    # pandas upcasts to float64 — restore the original integer dtypes after
+    # the merge so chained joins keep integer keys (hash/bucket stability)
+    int_restore = {
+        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
+        for n, t in types_all.items()
+        if pa.types.is_integer(t)
+    }
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["__side"] == 0][lcols]
@@ -125,6 +133,10 @@ def bucket_hash_join(
         out = left.merge(
             right, left_on=left_on, right_on=right_on, how=how
         )
-        return out.drop(columns=["__bucket"], errors="ignore")
+        out = out.drop(columns=["__bucket"], errors="ignore")
+        for n, dt in int_restore.items():
+            if n in out.columns and out[n].dtype.kind == "f":
+                out[n] = out[n].astype(dt)
+        return out
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
