@@ -184,29 +184,13 @@ def split_address(freeform: str) -> dict[str, str]:
     return out
 
 
-# --- M13: Overture category → OSM tags (overturetoosm observed subset) -----
-# Table-driven mapping for the category vocabulary our corpus uses; entries
-# validated against data/matches.jsonl ('pizza_restaurant' →
-# amenity=restaurant + cuisine=pizza, 'coffee_shop' → amenity=cafe +
-# cuisine=coffee_shop, 'cocktail_bar' → amenity=bar, …).
-CATEGORY_TAGS: dict[str, dict[str, str]] = {
-    "restaurant": {"amenity": "restaurant"},
-    "pizza_restaurant": {"amenity": "restaurant", "cuisine": "pizza"},
-    "italian_restaurant": {"amenity": "restaurant", "cuisine": "italian"},
-    "mexican_restaurant": {"amenity": "restaurant", "cuisine": "mexican"},
-    "chinese_restaurant": {"amenity": "restaurant", "cuisine": "chinese"},
-    "thai_restaurant": {"amenity": "restaurant", "cuisine": "thai"},
-    "seafood_restaurant": {"amenity": "restaurant", "cuisine": "seafood"},
-    "burger_restaurant": {"amenity": "restaurant", "cuisine": "burger"},
-    "coffee_shop": {"amenity": "cafe", "cuisine": "coffee_shop"},
-    "cafe": {"amenity": "cafe"},
-    "bar": {"amenity": "bar"},
-    "cocktail_bar": {"amenity": "bar", "drink:cocktail": "served"},
-    "pub": {"amenity": "pub"},
-    "fast_food_restaurant": {"amenity": "fast_food"},
-    "bakery": {"shop": "bakery"},
-    "ice_cream_shop": {"amenity": "ice_cream"},
-}
+# --- M13: Overture category → OSM tags -------------------------------------
+# Generated from the taxonomy branch rules in functions/categories.py
+# (anchored by the full tagset census of the reference's golden
+# data/matches.jsonl output — see build_category_tags for the rules).
+from .categories import build_category_tags
+
+CATEGORY_TAGS: dict[str, dict[str, str]] = build_category_tags()
 
 
 def map_place_to_osm_tags(candidate: dict) -> dict[str, str]:

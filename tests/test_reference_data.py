@@ -142,6 +142,35 @@ class TestGoldenMatches:
         ]
         assert len(bad) / len(streets) < 0.01, bad[:5]
 
+    def test_category_tagset_census(self, golden_matches):
+        """EVERY distinct category-derived tagset in the golden output must
+        be producible by some CATEGORY_TAGS entry (VERDICT r1 missing #1 —
+        the full taxonomy, not 16 hand-picked entries). Category-derived
+        keys are the amenity/shop/cuisine/craft/diet/drink/tourism/sport
+        families that overturetoosm emits from the category code alone."""
+        from overmatch_ray.functions.tags import CATEGORY_TAGS
+
+        derived_fams = (
+            "amenity", "shop", "cuisine", "craft", "diet", "drink",
+            "tourism", "leisure", "sport",
+        )
+        produced = {
+            tuple(sorted(tags.items())) for tags in CATEGORY_TAGS.values()
+        }
+        missing = {}
+        for m in golden_matches:
+            derived = {
+                k: v
+                for k, v in m["overture_tags"].items()
+                if k.split(":")[0] in derived_fams
+            }
+            if not derived:
+                continue
+            key = tuple(sorted(derived.items()))
+            if key not in produced:
+                missing[key] = missing.get(key, 0) + 1
+        assert not missing, f"uncovered golden tagsets: {missing}"
+
     def test_tag_keys_covered(self, golden_matches):
         """≥97% of golden tag instances use keys our pinned flatten
         vocabulary knows; the tail stays available in the JSON map."""
