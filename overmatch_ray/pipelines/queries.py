@@ -258,6 +258,13 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
+# Above this many (upper-bound) right-side rows, the key set is not
+# broadcast: the semi/anti join runs as a partitioned co-shuffle instead
+# (stages.joins.semi_join_shuffled). The bound comes from parquet metadata
+# (count of the projected read), so choosing the path costs no data pass.
+SEMI_JOIN_BROADCAST_LIMIT = 5_000_000
+
+
 def _custkeys_with_orders(sf_dir: str, urgent_only: bool = False) -> set:
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     if urgent_only:
@@ -265,12 +272,22 @@ def _custkeys_with_orders(sf_dir: str, urgent_only: bool = False) -> set:
     return set(ds.unique("o_custkey"))
 
 
-def q_customers_with_orders(sf_dir: str):
-    from ..stages.joins import semi_join_filter
+def _customers_semi(sf_dir: str, urgent_only: bool, anti: bool):
+    from ..stages.joins import semi_join_filter, semi_join_shuffled
 
-    keys = _custkeys_with_orders(sf_dir)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    return semi_join_filter(cust, keys, "c_custkey").groupby(
+    if _read(sf_dir, "orders", ["o_custkey"]).count() <= SEMI_JOIN_BROADCAST_LIMIT:
+        keys = _custkeys_with_orders(sf_dir, urgent_only=urgent_only)
+        return semi_join_filter(cust, keys, "c_custkey", anti=anti)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    if urgent_only:
+        orders = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    orders = orders.select_columns(["o_custkey"])
+    return semi_join_shuffled(cust, orders, "c_custkey", "o_custkey", anti=anti)
+
+
+def q_customers_with_orders(sf_dir: str):
+    return _customers_semi(sf_dir, urgent_only=False, anti=False).groupby(
         "c_mktsegment"
     ).aggregate(Count(alias_name="n_customers"))
 
@@ -283,11 +300,7 @@ GROUP BY c_mktsegment
 
 
 def q_customers_without_orders(sf_dir: str):
-    from ..stages.joins import semi_join_filter
-
-    keys = _custkeys_with_orders(sf_dir, urgent_only=True)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    return semi_join_filter(cust, keys, "c_custkey", anti=True).groupby(
+    return _customers_semi(sf_dir, urgent_only=True, anti=True).groupby(
         "c_mktsegment"
     ).aggregate(Count(alias_name="n_customers"))
 

@@ -63,6 +63,77 @@ def semi_join_filter(left_ds, keys: set | np.ndarray, on: str, anti: bool = Fals
     return left_ds.map_batches(filt, batch_format="pyarrow")
 
 
+def semi_join_shuffled(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    num_buckets: int = 64,
+):
+    """Distributed semi/anti join for key sides too large to broadcast
+    (VERDICT r1 #6): co-shuffle left rows and the right side's DISTINCT keys
+    by hash(key) % B, filter per bucket. The right side is pre-deduplicated
+    inside each batch (partial combiner) so at most one row per distinct key
+    per block crosses the shuffle; nothing lands on the driver. Semantics
+    match ``semi_join_filter`` (NOT IN with non-null keys)."""
+    from .groupops import hash_columns
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, [left_on])
+        return batch.append_column(
+            "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
+        ).append_column("__side", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch[right_on].combine_chunks())
+        t = pa.table({"__semi_key": keys})
+        h = hash_columns(t, ["__semi_key"])
+        return t.append_column(
+            "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
+        ).append_column("__side", pa.array(np.ones(len(keys), np.int8)))
+
+    left_t = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    l_schema = left_ds.schema()
+    key_type = dict(zip(l_schema.names, l_schema.types))[left_on]
+    l_names = list(l_schema.names)
+
+    def align_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__semi_key", pa.nulls(batch.num_rows, key_type))
+
+    def align_right(batch: pa.Table) -> pa.Table:
+        cols = {n: pa.nulls(batch.num_rows, t) for n, t in zip(l_schema.names, l_schema.types)}
+        cols["__bucket"] = batch["__bucket"]
+        cols["__side"] = batch["__side"]
+        cols["__semi_key"] = batch["__semi_key"].cast(key_type)
+        return pa.table(cols)
+
+    both = left_t.map_batches(align_left, batch_format="pyarrow").union(
+        right_t.map_batches(align_right, batch_format="pyarrow")
+    )
+
+    int_restore = {
+        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
+        for n, t in zip(l_schema.names, l_schema.types)
+        if pa.types.is_integer(t)
+    }
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][l_names]
+        keys = g[g["__side"] == 1]["__semi_key"].dropna().unique()
+        mask = left[left_on].isin(keys)
+        out = left[~mask] if anti else left[mask]
+        out = out.copy()
+        for n, dt in int_restore.items():
+            if n in out.columns and out[n].dtype.kind == "f":
+                out[n] = out[n].astype(dt)
+        return out
+
+    return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
 def bucket_hash_join(
     left_ds,
     right_ds,

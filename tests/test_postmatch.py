@@ -186,3 +186,55 @@ class TestResumableSink:
         assert sorted(os.listdir(os.path.join(out_dir, "_manifest"))) == [
             "0.json", "1.json", "2.json",
         ]
+
+
+class TestSemiJoinShuffled:
+    def test_matches_broadcast_path(self, ray_session):
+        """VERDICT r1 #6: with the broadcast limit forced to 0 the two semi/
+        anti-join queries must run through semi_join_shuffled and produce
+        the exact same aggregates as the broadcast path."""
+        import ray.data
+
+        from overmatch_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+
+        def rows(ds):
+            return sorted(
+                ((r["c_mktsegment"], r["n_customers"]) for r in ds.take_all())
+            )
+
+        broadcast_with = rows(q.q_customers_with_orders(sf))
+        broadcast_without = rows(q.q_customers_without_orders(sf))
+        assert sum(n for _, n in broadcast_with) > 0
+
+        old = q.SEMI_JOIN_BROADCAST_LIMIT
+        q.SEMI_JOIN_BROADCAST_LIMIT = 0
+        try:
+            assert rows(q.q_customers_with_orders(sf)) == broadcast_with
+            assert rows(q.q_customers_without_orders(sf)) == broadcast_without
+        finally:
+            q.SEMI_JOIN_BROADCAST_LIMIT = old
+
+    def test_shuffled_primitive_nulls_and_anti(self, ray_session):
+        """Null left keys survive an anti join and never pass a semi join
+        (same semantics as semi_join_filter)."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import semi_join_shuffled
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3, None, 5], pa.int64()),
+                    "v": pa.array(["a", "b", "c", "d", "e"]),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array([2, 2, 3, 7], pa.int64())})
+        )
+        semi = semi_join_shuffled(left, right, "k", "rk")
+        assert sorted(r["v"] for r in semi.take_all()) == ["b", "c"]
+        anti = semi_join_shuffled(left, right, "k", "rk", anti=True)
+        assert sorted(r["v"] for r in anti.take_all()) == ["a", "d", "e"]
