@@ -35,20 +35,41 @@ def publish_tiles(
     return write_partitioned_resumable(tiles, out_dir, "zoom")
 
 
+def hilbert_partition(batch: pa.Table, num_parts: int,
+                      lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
+    """Assign each row to one of ``num_parts`` CONTIGUOUS Hilbert-curve
+    ranges over the mercator square (cell.hilbert_key, order 16). Rows that
+    are spatially close share a partition, so a bbox consumer prunes to the
+    few partitions whose Hilbert range intersects the box (measured in
+    tests/test_postmatch.py::TestHilbertPartitioning) — unlike a hash of
+    osm_id, which scatters every box over ALL partitions. Equal d-ranges
+    trade balance for locality on clustered data; raise num_parts (ranges
+    stay contiguous) if partition-size variance matters more."""
+    from ..cell import hilbert_key
+    from ..geo import mercator_xy
+
+    x, y = mercator_xy(
+        batch[lon_col].to_numpy(zero_copy_only=False),
+        batch[lat_col].to_numpy(zero_copy_only=False),
+    )
+    d = hilbert_key(x, y)  # uint64 in [0, 2^32)
+    part = (d * np.uint64(num_parts)) >> np.uint64(32)
+    return batch.append_column("part", pa.array(part.astype(np.int64)))
+
+
 def conflate_checkpointed(osm_ds, overture_ds, out_dir: str,
                           num_buckets: int = 64, num_parts: int = 16):
     """Flagship join with a resumable partitioned sink: output partition key
-    is a stable hash of osm_id (NOT the join bucket — the sink key must be
-    derivable from output rows alone so resume filtering is exact)."""
-    from ..stages.groupops import hash_columns
+    is the row's Hilbert range (locality-preserving, SURVEY §2.4-J1; NOT the
+    join bucket — the sink key must be derivable from output rows alone so
+    resume filtering is exact, and lon/lat are deterministic outputs)."""
     from .conflate import conflate
 
     matches = conflate(osm_ds, overture_ds, num_buckets=num_buckets)
-
-    def part(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, ["osm_id"]) % np.uint64(num_parts)
-        return batch.append_column("part", pa.array(h.astype(np.int64)))
-
     return write_partitioned_resumable(
-        matches.map_batches(part, batch_format="pyarrow"), out_dir, "part"
+        matches.map_batches(
+            lambda b: hilbert_partition(b, num_parts), batch_format="pyarrow"
+        ),
+        out_dir,
+        "part",
     )

@@ -238,3 +238,35 @@ class TestSemiJoinShuffled:
         assert sorted(r["v"] for r in semi.take_all()) == ["b", "c"]
         anti = semi_join_shuffled(left, right, "k", "rk", anti=True)
         assert sorted(r["v"] for r in anti.take_all()) == ["a", "d", "e"]
+
+
+class TestHilbertPartitioning:
+    def test_bbox_prunes_partitions(self):
+        """VERDICT r1 #7: Hilbert-range partition keys must give measurable
+        partition pruning — a small bbox touches few Hilbert partitions but
+        essentially all hash partitions."""
+        from overmatch_ray.pipelines.publish import hilbert_partition
+        from overmatch_ray.stages.groupops import hash_columns
+
+        rng = np.random.default_rng(12)
+        n, parts = 20000, 16
+        lon = rng.uniform(-120, -70, n)
+        lat = rng.uniform(25, 48, n)
+        t = pa.table(
+            {
+                "osm_id": pa.array([f"node/{i}" for i in range(n)]),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+        hil = hilbert_partition(t, parts)["part"].to_numpy()
+        hsh = (hash_columns(t, ["osm_id"]) % np.uint64(parts)).astype(np.int64)
+
+        box = (lon > -78) & (lon < -76) & (lat > 38) & (lat < 40)  # DC-ish
+        assert box.sum() > 20
+        hil_touched = len(np.unique(hil[box]))
+        hsh_touched = len(np.unique(hsh[box]))
+        assert hil_touched <= parts // 4, f"hilbert touched {hil_touched}"
+        assert hsh_touched >= parts - 2, f"hash touched only {hsh_touched}"
+        # key is contiguous-range: every partition id in [0, parts)
+        assert hil.min() >= 0 and hil.max() < parts
