@@ -1,0 +1,219 @@
+"""Dependency-free Mapbox Vector Tile (MVT) encoding — the binary tile
+artifact a map client / PMTiles packer consumes.
+
+The reference ships its tiles through tippecanoe → PMTiles
+(/root/reference/scripts/build_pmtiles.py:186-200). Neither tool exists in
+this environment, so the engine encodes the MVT protobuf itself from the
+public spec (Mapbox Vector Tile spec 2.1: protobuf wire format, zigzag
+geometry deltas, command integers). Point features only — the engine's
+feature model is points (SURVEY.md §2.1-S15).
+
+Encoding is fully deterministic: property keys sorted, values deduplicated
+in first-use order, features pre-ordered by the caller's pinned rank — so
+tile bytes are identical across runs and parallelism levels (pinned by
+tests/test_postmatch.py tiling determinism).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+EXTENT = 4096
+
+# protobuf field keys: (field_number << 3) | wire_type
+_TILE_LAYER = 26  # Tile.layers = 3, len-delimited
+_LAYER_NAME = 10  # Layer.name = 1, len-delimited
+_LAYER_FEATURE = 18  # Layer.features = 2, len-delimited
+_LAYER_KEY = 26  # Layer.keys = 3, len-delimited
+_LAYER_VALUE = 34  # Layer.values = 4, len-delimited
+_LAYER_EXTENT = 40  # Layer.extent = 5, varint
+_LAYER_VERSION = 120  # Layer.version = 15, varint
+_FEATURE_TAGS = 18  # Feature.tags = 2, packed
+_FEATURE_TYPE = 24  # Feature.type = 3, varint (POINT = 1)
+_FEATURE_GEOM = 34  # Feature.geometry = 4, packed
+_VALUE_STRING = 10  # Value.string_value = 1, len-delimited
+_VALUE_DOUBLE = 25  # Value.double_value = 3, 64-bit
+_VALUE_INT = 32  # Value.int_value = 4, varint
+_VALUE_BOOL = 56  # Value.bool_value = 7, varint
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _ld(key: int, payload: bytes) -> bytes:
+    """Length-delimited field."""
+    return _varint(key) + _varint(len(payload)) + payload
+
+
+def _encode_value(v) -> bytes:
+    """MVT Value message for one property value."""
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return _varint(_VALUE_BOOL) + _varint(1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        # int_value is a plain (two's-complement) varint in the MVT spec
+        return _varint(_VALUE_INT) + _varint(int(v))
+    if isinstance(v, (float, np.floating)):
+        import struct
+
+        return _varint(_VALUE_DOUBLE) + struct.pack("<d", float(v))
+    b = str(v).encode()
+    return _ld(_VALUE_STRING, b)
+
+
+def encode_mvt_tile(
+    props: "list[dict]",
+    px: np.ndarray,
+    py: np.ndarray,
+    layer_name: str = "overmatch",
+    extent: int = EXTENT,
+) -> bytes:
+    """Encode one tile: parallel lists of per-feature property dicts and
+    tile-local integer coordinates (already clipped to [0, extent])."""
+    keys: dict[str, int] = {}
+    values: dict[bytes, int] = {}
+    feats = []
+    for rec, x, y in zip(props, px, py):
+        tags: list[int] = []
+        for k in sorted(rec):
+            v = rec[k]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            ki = keys.setdefault(k, len(keys))
+            vb = _encode_value(v)
+            vi = values.setdefault(vb, len(values))
+            tags.extend((ki, vi))
+        tag_payload = b"".join(_varint(t) for t in tags)
+        geom = _varint(9) + _varint(_zigzag(int(x))) + _varint(_zigzag(int(y)))
+        feat = (
+            _ld(_FEATURE_TAGS, tag_payload)
+            + _varint(_FEATURE_TYPE)
+            + _varint(1)  # POINT
+            + _ld(_FEATURE_GEOM, geom)
+        )
+        feats.append(_ld(_LAYER_FEATURE, feat))
+    layer = bytearray()
+    layer += _varint(_LAYER_VERSION) + _varint(2)
+    layer += _ld(_LAYER_NAME, layer_name.encode())
+    for f in feats:
+        layer += f
+    for k in keys:  # insertion order == first-use order (deterministic)
+        layer += _ld(_LAYER_KEY, k.encode())
+    for vb in values:
+        layer += _ld(_LAYER_VALUE, vb)
+    layer += _varint(_LAYER_EXTENT) + _varint(extent)
+    return bytes(_ld(_TILE_LAYER, bytes(layer)))
+
+
+def tile_local_coords(
+    lon: np.ndarray, lat: np.ndarray, zoom: int, tx: int, ty: int,
+    extent: int = EXTENT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Web-mercator fractional tile position → integer extent grid."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = float(1 << zoom)
+    fx = (lon + 180.0) / 360.0 * n - tx
+    lat_r = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+    fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n - ty
+    px = np.clip(np.floor(fx * extent), 0, extent).astype(np.int64)
+    py = np.clip(np.floor(fy * extent), 0, extent).astype(np.int64)
+    return px, py
+
+
+def decode_mvt_points(data: bytes) -> "list[dict]":
+    """Minimal MVT reader for tests: returns per-feature dicts with
+    ``__x``/``__y`` extent coords plus decoded properties."""
+    import struct
+
+    def read_varint(buf, i):
+        shift = out = 0
+        while True:
+            b = buf[i]
+            i += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, i
+            shift += 7
+
+    def parse_value(buf):
+        i = 0
+        while i < len(buf):
+            key, i = read_varint(buf, i)
+            fnum, wt = key >> 3, key & 7
+            if wt == 2:
+                ln, i = read_varint(buf, i)
+                return buf[i : i + ln].decode()
+            if wt == 1:
+                return struct.unpack_from("<d", buf, i)[0]
+            v, i = read_varint(buf, i)
+            if fnum == 7:
+                return bool(v)
+            return v
+        return None
+
+    feats, keys, values = [], [], []
+    i = 0
+    key, i = read_varint(data, i)
+    assert key == _TILE_LAYER
+    ln, i = read_varint(data, i)
+    layer = data[i : i + ln]
+    i = 0
+    raw_feats = []
+    while i < len(layer):
+        key, i = read_varint(layer, i)
+        fnum, wt = key >> 3, key & 7
+        if wt == 0:
+            _, i = read_varint(layer, i)
+            continue
+        ln, i = read_varint(layer, i)
+        payload = layer[i : i + ln]
+        i += ln
+        if fnum == 2:
+            raw_feats.append(payload)
+        elif fnum == 3:
+            keys.append(payload.decode())
+        elif fnum == 4:
+            values.append(parse_value(payload))
+    for payload in raw_feats:
+        j = 0
+        tags, geom = [], []
+        while j < len(payload):
+            key, j = read_varint(payload, j)
+            fnum, wt = key >> 3, key & 7
+            if wt == 0:
+                _, j = read_varint(payload, j)
+                continue
+            ln, j = read_varint(payload, j)
+            sub = payload[j : j + ln]
+            j += ln
+            vals, jj = [], 0
+            while jj < len(sub):
+                v, jj = read_varint(sub, jj)
+                vals.append(v)
+            if fnum == 2:
+                tags = vals
+            elif fnum == 4:
+                geom = vals
+        assert geom[0] == 9  # MoveTo ×1
+        zz = lambda u: (u >> 1) ^ -(u & 1)
+        rec = {"__x": zz(geom[1]), "__y": zz(geom[2])}
+        for ki, vi in zip(tags[::2], tags[1::2]):
+            rec[keys[ki]] = values[vi]
+        feats.append(rec)
+    return feats

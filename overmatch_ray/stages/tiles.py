@@ -54,7 +54,11 @@ def assign_tiles_batch(batch: pa.Table, zooms: list[int]) -> pa.Table:
 
 
 def encode_tile_group(g: pd.DataFrame, max_per_tile: int = 500) -> pd.DataFrame:
-    """One tile per group: pinned rank + cap + JSON FeatureCollection."""
+    """One tile per group: pinned rank + cap + JSON FeatureCollection +
+    binary MVT payload (stages.mvt, spec 2.1 protobuf — the artifact a map
+    client / PMTiles packer reads)."""
+    from .mvt import encode_mvt_tile, tile_local_coords
+
     if "quality" in g.columns:
         g = g.sort_values(["quality", "osm_id"], ascending=[False, True], kind="mergesort")
     else:
@@ -79,14 +83,22 @@ def encode_tile_group(g: pd.DataFrame, max_per_tile: int = 500) -> pd.DataFrame:
         separators=(",", ":"),
         sort_keys=True,
     ).encode()
+    zoom, tx, ty = int(g["zoom"].iloc[0]), int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
+    px, py = tile_local_coords(
+        kept["lon"].to_numpy(), kept["lat"].to_numpy(), zoom, tx, ty
+    )
+    mvt = encode_mvt_tile(
+        [{k: v for k, v in rec.items() if pd.notna(v)} for rec in records], px, py
+    )
     return pd.DataFrame(
         {
-            "zoom": [int(g["zoom"].iloc[0])],
-            "tx": [int(g["tx"].iloc[0])],
-            "ty": [int(g["ty"].iloc[0])],
+            "zoom": [zoom],
+            "tx": [tx],
+            "ty": [ty],
             "n_features": np.array([len(kept)], dtype=np.int64),
             "n_dropped": np.array([total - len(kept)], dtype=np.int64),
             "tile": [payload],
+            "mvt": [mvt],
         }
     )
 
@@ -113,3 +125,34 @@ def build_tiles(features_ds, zooms: list[int], max_per_tile: int = 500,
     return bucketed_group_apply(
         assigned, ["zoom", "tx", "ty"], encode_bucket, num_buckets=num_buckets
     )
+
+
+def auto_max_zoom(
+    features_ds,
+    max_per_tile: int = 500,
+    zmin: int = 4,
+    zmax: int = 16,
+    sample_rows: int = 100_000,
+) -> int:
+    """tippecanoe ``-zg`` analog (reference build_pmtiles.py): pick the
+    smallest max zoom whose densest tile holds ≤ ``max_per_tile`` features,
+    estimated from a deterministic bounded sample (first ``sample_rows`` of
+    the dataset — Ray block order is deterministic for a given input), with
+    counts scaled by the sampled fraction. The sample is bounded, so the
+    driver never holds O(dataset); the full pyramid build stays distributed.
+    """
+    total = features_ds.count()
+    sample = features_ds.limit(min(sample_rows, total)).select_columns(
+        ["lon", "lat"]
+    ).take_all()
+    if not sample:
+        return zmin
+    lon = np.array([r["lon"] for r in sample])
+    lat = np.array([r["lat"] for r in sample])
+    scale = max(1.0, total / len(sample))
+    for z in range(zmin, zmax + 1):
+        tx, ty = tile_xy(lon, lat, z)
+        _, counts = np.unique(tx << np.int64(32) | ty, return_counts=True)
+        if counts.max() * scale <= max_per_tile:
+            return z
+    return zmax

@@ -143,7 +143,8 @@ class TestTiles:
             ds = ray.data.from_arrow(feats).repartition(nblocks)
             out = build_tiles(ds, zooms=[8, 12], max_per_tile=5).take_all()
             return sorted(
-                (r["zoom"], r["tx"], r["ty"], r["n_features"], r["n_dropped"], r["tile"])
+                (r["zoom"], r["tx"], r["ty"], r["n_features"], r["n_dropped"],
+                 r["tile"], r["mvt"])
                 for r in out
             )
 
@@ -152,6 +153,36 @@ class TestTiles:
         assert any(t[4] > 0 for t in a), "cap never triggered — weak test"
         # every zoom-8 feature count ≤ cap
         assert all(t[3] <= 5 for t in a)
+        # binary MVT payloads byte-identical across parallelism AND decode
+        # back to the JSON payload's features
+        import json as _json
+
+        from overmatch_ray.stages.mvt import decode_mvt_points
+
+        for t in a:
+            fc = _json.loads(t[5])
+            pts = decode_mvt_points(t[6])
+            assert len(pts) == t[3] == len(fc["features"])
+            names_json = sorted(
+                f["properties"].get("name") or "" for f in fc["features"]
+            )
+            names_mvt = sorted(p.get("name") or "" for p in pts)
+            assert names_json == names_mvt
+            assert all(0 <= p["__x"] <= 4096 and 0 <= p["__y"] <= 4096 for p in pts)
+
+    def test_auto_max_zoom(self, ray_session):
+        """tippecanoe -zg analog: denser corpora need deeper max zoom."""
+        import ray.data
+
+        from overmatch_ray.stages.tiles import auto_max_zoom
+        from overmatch_ray.synth import osm_block
+
+        sparse = ray.data.from_arrow(osm_block(np.arange(200), n_total=200))
+        dense = ray.data.from_arrow(osm_block(np.arange(5000), n_total=5000))
+        z_sparse = auto_max_zoom(sparse, max_per_tile=50)
+        z_dense = auto_max_zoom(dense, max_per_tile=50)
+        assert z_dense >= z_sparse
+        assert 4 <= z_sparse <= 16 and 4 <= z_dense <= 16
 
 
 class TestResumableSink:
