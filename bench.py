@@ -95,7 +95,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from overmatch_ray.pipelines.conflate import conflate
     from overmatch_ray.pipelines.queries import q_pricing_summary, q_priority_revenue
+    from overmatch_ray.stages.dedup import minhash_lsh_pairs
+    from overmatch_ray.stages.enrich import merge_matches
     from overmatch_ray.stages.images import decode_validate, dedup_exact
+    from overmatch_ray.stages.tiles import build_tiles
 
     cache = f"/tmp/overmatch_bench/v5-{_sf_of(sf_dir)}"
     meta = _gen_inputs(sf_dir, cache)
@@ -104,13 +107,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # warm the page cache (untimed read)
     ray.data.read_parquet(os.path.join(cache, "osm")).count()
 
+    matches_mat = {}  # materialized conflate output, reused by postmatch
+
     def run_conflate():
         # coalesce the read into ~num_cpus blocks: sort-shuffle overhead
         # grows with block count, and the default parquet split is far finer
         nb = max(16, num_cpus)
         osm_ds = ray.data.read_parquet(os.path.join(cache, "osm")).repartition(nb)
         ovt_ds = ray.data.read_parquet(os.path.join(cache, "overture")).repartition(nb)
-        return conflate(osm_ds, ovt_ds, num_buckets=2 * num_cpus).count()
+        matches_mat["ds"] = conflate(
+            osm_ds, ovt_ds, num_buckets=2 * num_cpus
+        ).materialize()
+        return matches_mat["ds"].count()
+
+    def run_postmatch():
+        # the bucketed-group-apply family over the matches: per-osm_id
+        # closest-wins merge (A1/O1) + deterministic tile pyramid (S15/O6)
+        merged = merge_matches(matches_mat["ds"], num_buckets=2 * num_cpus)
+        n_merged = merged.count()
+        n_tiles = build_tiles(
+            matches_mat["ds"], zooms=[8, 12, 14], max_per_tile=200,
+            num_buckets=2 * num_cpus,
+        ).count()
+        return n_merged, n_tiles
+
+    def run_textdedup():
+        # shingle → minhash → banded LSH → bucketed pair-gen over documents
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(max(16, num_cpus))
+        return minhash_lsh_pairs(docs, threshold=0.5).count()
 
     def run_images():
         img_ds = ray.data.read_parquet(os.path.join(cache, "images"))
@@ -129,6 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # worker startup / actor spin-up / page cache are excluded
         run_conflate()
         run_images()
+        run_postmatch()
+        run_textdedup()
 
     timings: dict[str, float] = {}
 
@@ -141,6 +169,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["images"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    n_merged, n_tiles = run_postmatch()
+    timings["postmatch"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_dedup_pairs = run_textdedup()
+    timings["textdedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     q_pricing_summary(sf_dir).to_pandas()
     timings["pricing_summary"] = round(time.time() - t0, 3)
 
@@ -148,10 +184,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     q_priority_revenue(sf_dir).to_pandas()
     timings["priority_revenue"] = round(time.time() - t0, 3)
 
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
     total = round(sum(timings.values()), 3)
-    headline = timings["conflate"] + timings["images"]
+    headline = (
+        timings["conflate"] + timings["images"] + timings["postmatch"]
+        + timings["textdedup"]
+    )
     result = {
-        "metric": "conflation throughput (features+images matched/sec)",
+        "metric": "pipeline throughput (features+images+docs processed/sec)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -159,9 +201,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_osm": n_osm,
         "n_images": n_img,
+        "n_docs": n_docs,
         "n_matches": n_matches,
         "n_unique_images": n_unique,
-        "throughput_rows_per_sec": round((n_osm + n_img) / max(headline, 1e-9), 1),
+        "n_merged": n_merged,
+        "n_tiles": n_tiles,
+        "n_dedup_pairs": n_dedup_pairs,
+        "throughput_rows_per_sec": round(
+            (n_osm + n_img + n_docs) / max(headline, 1e-9), 1
+        ),
     }
     ray.shutdown()
     return result
@@ -188,6 +236,10 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def headline_sec(r: dict) -> float:
+        q = r["queries"]
+        return q["conflate"] + q["images"] + q["postmatch"] + q["textdedup"]
+
     r_lo = once(lo)
     r_hi = once(hi)
     thr_lo = r_lo["throughput_rows_per_sec"]
@@ -195,8 +247,8 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "sf": r_lo["sf"],
-        f"sec_{lo}": r_lo["queries"]["conflate"] + r_lo["queries"]["images"],
-        f"sec_{hi}": r_hi["queries"]["conflate"] + r_hi["queries"]["images"],
+        f"sec_{lo}": round(headline_sec(r_lo), 3),
+        f"sec_{hi}": round(headline_sec(r_hi), 3),
         f"throughput_{lo}": thr_lo,
         f"throughput_{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),

@@ -87,12 +87,62 @@ def merge_matches_group(g: pd.DataFrame) -> pd.DataFrame:
 def merge_matches(matches_ds, num_buckets: int = 32):
     """A1/O1 merge, bucketed: osm_id cardinality ≈ corpus size, so the
     shuffle groups by hash(osm_id) % B and one callable merges a whole
-    bucket of elements (pandas groupby inside, not Ray per-group dispatch)."""
+    bucket of elements. Within the bucket, group boundaries are recovered
+    with numpy over ONE sorted frame (no per-group DataFrame construction —
+    that cost ~100 µs × |elements| and dominated the postmatch bench
+    stage); only the per-row JSON parse/serialize remains row-wise.
+    Per-group semantics identical to ``merge_matches_group``."""
     from .groupops import bucketed_group_apply
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = [merge_matches_group(sub) for _, sub in g.groupby("osm_id", sort=False)]
-        return pd.concat(out, ignore_index=True)
+        g = g.sort_values(
+            ["osm_id", "distance_m", "overture_id"], kind="mergesort"
+        )
+        osm = g["osm_id"].to_numpy()
+        dist = g["distance_m"].to_numpy(dtype=np.float64)
+        sim = g["similarity"].to_numpy(dtype=np.float64)
+        ovt = g["overture_id"].to_numpy()
+        tj = g["overture_tags"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(np.concatenate([[True], osm[1:] != osm[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        best = starts  # ascending (distance_m, overture_id) → first is best
+        merged_tags = []
+        matches_json = []
+        for s, e in zip(starts, ends):
+            merged: dict = {}
+            for j in range(e - 1, s - 1, -1):  # farthest first, closest wins
+                if tj[j]:
+                    merged.update(json.loads(tj[j]))
+            merged_tags.append(
+                json.dumps(merged, separators=(",", ":"), sort_keys=True)
+            )
+            matches_json.append(
+                json.dumps(
+                    [
+                        {
+                            "overture_id": ovt[j],
+                            "distance_m": float(dist[j]),
+                            "similarity": float(sim[j]),
+                        }
+                        for j in range(s, e)
+                    ],
+                    separators=(",", ":"),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "osm_id": osm[best],
+                "match_count": (ends - starts).astype(np.int64),
+                "best_overture_id": ovt[best],
+                "best_distance_m": dist[best],
+                "best_similarity": sim[best],
+                "quality": 100.0
+                * (0.6 * (sim[best] - 0.6) / 0.4 + 0.4 * (1.0 - dist[best] / 100.0)),
+                "merged_tags": merged_tags,
+                "matches": matches_json,
+            }
+        )
 
     return bucketed_group_apply(
         matches_ds, ["osm_id"], merge_bucket, num_buckets=num_buckets

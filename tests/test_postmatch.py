@@ -301,3 +301,48 @@ class TestHilbertPartitioning:
         assert hsh_touched >= parts - 2, f"hash touched only {hsh_touched}"
         # key is contiguous-range: every partition id in [0, parts)
         assert hil.min() >= 0 and hil.max() < parts
+
+
+class TestMergeVectorizedParity:
+    def test_matches_per_group_oracle(self, ray_session):
+        """The vectorized bucket merge must equal the per-element reference
+        implementation (merge_matches_group) on a corpus with multi-match
+        elements and overlapping tag keys."""
+        import json
+
+        import ray.data
+
+        from overmatch_ray.stages.enrich import merge_matches, merge_matches_group
+
+        rng = np.random.default_rng(21)
+        n = 400
+        osm_ids = [f"node/{int(i)}" for i in rng.integers(0, 120, n)]
+        t = pa.table(
+            {
+                "osm_id": pa.array(osm_ids),
+                "overture_id": pa.array([f"ovt-{i}" for i in range(n)]),
+                "distance_m": pa.array(np.round(rng.uniform(0, 100, n), 1)),
+                "similarity": pa.array(np.round(rng.uniform(0.6, 1.0, n), 2)),
+                "overture_tags": pa.array(
+                    [
+                        json.dumps({"name": f"N{i}", "k%d" % (i % 3): str(i)})
+                        if i % 7
+                        else ""
+                        for i in range(n)
+                    ]
+                ),
+            }
+        )
+        got = {
+            r["osm_id"]: r
+            for r in merge_matches(
+                ray.data.from_arrow(t), num_buckets=8
+            ).take_all()
+        }
+        df = t.to_pandas()
+        for osm_id, sub in df.groupby("osm_id"):
+            exp = merge_matches_group(sub).iloc[0].to_dict()
+            g = got[osm_id]
+            for k, v in exp.items():
+                assert g[k] == v, (osm_id, k, g[k], v)
+        assert len(got) == df["osm_id"].nunique()
