@@ -202,11 +202,13 @@ def phash64(img: np.ndarray) -> int:
     dct = _DCT32 @ small @ _DCT32.T
     block = dct[:_PHASH_K, :_PHASH_K].ravel()
     med = np.median(block[1:])
-    bits = (block > med).astype(np.uint64)
-    code = np.uint64(0)
-    for b in bits:
-        code = (code << np.uint64(1)) | b
-    return int(code.astype(np.int64))
+    bits = (block > med).astype(np.uint8)
+    # MSB-first bit pack == the former per-bit shift loop, branch-free
+    code = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return code - (1 << 64) if code >= (1 << 63) else code
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -214,9 +216,8 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (np.asarray(a, dtype=np.int64).view(np.uint64)
          ^ np.asarray(b, dtype=np.int64).view(np.uint64))
     cnt = np.zeros(x.shape, dtype=np.int64)
-    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
     for shift in range(0, 64, 8):
-        cnt += table[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        cnt += _POPCOUNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
     return cnt
 
 

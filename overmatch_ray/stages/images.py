@@ -76,7 +76,11 @@ class DecodeValidate:
                     if psnrs[i] < self.min_psnr_db:
                         raise ValueError(f"roundtrip psnr {psnrs[i]:.1f} dB")
                 dec_ph[i] = phash64(img)
-                mean_rgb[i] = img.reshape(-1, 3).mean(axis=0)
+                # two-stage integer sum: exact same float64 value as
+                # .mean(axis=0) (uint8 sums are exact integers), ~15× cheaper
+                mean_rgb[i] = img.sum(axis=0, dtype=np.uint32).sum(
+                    axis=0, dtype=np.int64
+                ) / (img.shape[0] * img.shape[1])
                 ok[i] = True
             except Exception as e:  # quarantine, don't fail the pipeline
                 errors[i] = f"{type(e).__name__}: {e}"
