@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": ro.q_langid_docs,
         "lsh_knn": ro.q_lsh_knn,
         "marked_counters": ro.q_marked_counters,
+        "pmtiles_archive": ro.q_pmtiles_archive,
     }
 
 

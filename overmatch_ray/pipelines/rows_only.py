@@ -144,3 +144,34 @@ def q_marked_counters(sf_dir: str):
         if i % 7 == 0
     }
     return marked_counters(enrich_matches(matches, osm_track, ovt_track))
+
+
+def q_pmtiles_archive(sf_dir: str):
+    """S16/PMTiles: pack the flagship tile pyramid into one PMTiles v3
+    archive (stages.pmtiles) and report per-zoom tile counts plus the
+    archive checksum — deterministic for a given corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..stages.pmtiles import write_pmtiles
+    from ..stages.tiles import build_tiles
+    from .conflate import flagship_matches
+
+    tiles = build_tiles(flagship_matches(sf_dir), zooms=[8, 12], max_per_tile=200)
+    path = os.path.join(tempfile.gettempdir(), "overmatch_flagship.pmtiles")
+    stats = write_pmtiles(tiles, path)
+    per_zoom = tiles.groupby("zoom").aggregate(Count(alias_name="n_tiles"))
+    sha = hashlib.sha256(open(path, "rb").read()).hexdigest()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "archive_sha256", pa.array([sha] * batch.num_rows)
+        ).append_column(
+            "archive_bytes",
+            pa.array([stats["bytes"]] * batch.num_rows, pa.int64()),
+        )
+
+    return per_zoom.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,238 @@
+"""PMTiles v3 archive writer/reader — the reference's published tile
+artifact (build_pmtiles.py produces a PMTiles pyramid via tippecanoe;
+upload_pmtiles.py ships it, S16). Neither tool exists here, so the archive
+format is implemented from the public PMTiles v3 spec:
+
+- 127-byte little-endian header (magic "PMTiles", spec version 3);
+- tile ids = cumulative-pyramid offset + per-zoom Hilbert index (the
+  classic xy2d bit-twiddling, same algorithm as ``cell.hilbert_key``);
+- root directory: varint-encoded columns (id deltas, run lengths, byte
+  lengths, offsets with the 0="contiguous" shorthand);
+- gzip'd directories/metadata (zlib wbits=31 → MTIME=0, deterministic) and
+  gzip'd MVT tile payloads.
+
+The write is a streaming single-writer pass over the tile dataset sorted
+by tile id (PMTiles is one clustered file by design — same shape as the
+reference's tippecanoe step); memory stays bounded by one batch + the
+directory, never the pyramid. Deterministic byte-for-byte for a given tile
+set (pinned by tests)."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"PMTiles"
+_HDR_LEN = 127
+_COMPRESSION_GZIP = 2
+_TILETYPE_MVT = 1
+
+
+def _gzip(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip wrapper, MTIME=0
+    return co.compress(data) + co.flush()
+
+
+def _gunzip(data: bytes) -> bytes:
+    return zlib.decompress(data, 47)
+
+
+def zxy_to_tileid(z: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """PMTiles tile id: sum of 4^k for k<z, plus the Hilbert d of (x, y)
+    on the 2^z grid. Vectorized per distinct zoom."""
+    z = np.asarray(z, dtype=np.int64)
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    out = np.zeros(z.shape, dtype=np.uint64)
+    for zz in np.unique(z):
+        m = z == zz
+        base = np.uint64((4**int(zz) - 1) // 3)
+        gx, gy = x[m], y[m]
+        d = np.zeros(gx.shape, dtype=np.uint64)
+        s = np.int64(1) << max(int(zz) - 1, 0) if zz > 0 else np.int64(0)
+        while s > 0:
+            rx = ((gx & s) > 0).astype(np.int64)
+            ry = ((gy & s) > 0).astype(np.int64)
+            d += np.uint64(s) * np.uint64(s) * (
+                (np.uint64(3) * rx.astype(np.uint64)) ^ ry.astype(np.uint64)
+            )
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            gx_f = np.where(flip, s - 1 - gx, gx)
+            gy_f = np.where(flip, s - 1 - gy, gy)
+            gx, gy = np.where(swap, gy_f, gx_f), np.where(swap, gx_f, gy_f)
+            s >>= 1
+        out[m] = base + d
+    return out
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _serialize_directory(entries: "list[tuple[int, int, int, int]]") -> bytes:
+    """entries: (tile_id, offset, length, run_length), sorted by tile_id."""
+    out = bytearray(_varint(len(entries)))
+    last_id = 0
+    for tid, _, _, _ in entries:
+        out += _varint(tid - last_id)
+        last_id = tid
+    for _, _, _, rl in entries:
+        out += _varint(rl)
+    for _, _, ln, _ in entries:
+        out += _varint(ln)
+    for i, (_, off, ln, _) in enumerate(entries):
+        if i > 0 and off == entries[i - 1][1] + entries[i - 1][2]:
+            out += _varint(0)  # contiguous shorthand
+        else:
+            out += _varint(off + 1)
+    return bytes(out)
+
+
+def _deserialize_directory(buf: bytes) -> "list[tuple[int, int, int, int]]":
+    n, i = _read_varint(buf, 0)
+    ids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, i = _read_varint(buf, i)
+        last += d
+        ids.append(last)
+    for _ in range(n):
+        v, i = _read_varint(buf, i)
+        rls.append(v)
+    for _ in range(n):
+        v, i = _read_varint(buf, i)
+        lens.append(v)
+    for k in range(n):
+        v, i = _read_varint(buf, i)
+        if v == 0:
+            offs.append(offs[-1] + lens[k - 1])
+        else:
+            offs.append(v - 1)
+    return list(zip(ids, offs, lens, rls))
+
+
+def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
+    """Pack a tile dataset (columns zoom, tx, ty, mvt) into one PMTiles v3
+    file. Streams the dataset in tile-id order (Ray sort) through a single
+    writer; returns summary stats."""
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        tid = zxy_to_tileid(
+            batch["zoom"].to_numpy(zero_copy_only=False),
+            batch["tx"].to_numpy(zero_copy_only=False),
+            batch["ty"].to_numpy(zero_copy_only=False),
+        )
+        return batch.select(["zoom", "tx", "ty", "mvt"]).append_column(
+            "tile_id", pa.array(tid.view(np.int64))
+        )
+
+    ordered = tiles_ds.map_batches(add_id, batch_format="pyarrow").sort("tile_id")
+
+    entries: list[tuple[int, int, int, int]] = []
+    blobs: list[bytes] = []
+    data_off = 0
+    zmin, zmax = 99, 0
+    n_tiles = 0
+    for batch in ordered.iter_batches(batch_format="pyarrow", batch_size=1024):
+        zs = batch["zoom"].to_pylist()
+        tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
+            gz = _gzip(mvt)
+            entries.append((int(tid), data_off, len(gz), 1))
+            blobs.append(gz)
+            data_off += len(gz)
+            zmin, zmax = min(zmin, z), max(zmax, z)
+            n_tiles += 1
+    if n_tiles == 0:
+        zmin = zmax = 0
+
+    root = _gzip(_serialize_directory(entries))
+    meta = _gzip(
+        json.dumps(metadata or {"name": "overmatch"}, sort_keys=True).encode()
+    )
+    root_off = _HDR_LEN
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta)  # no leaf directories (root fits)
+    tile_off = leaf_off
+
+    hdr = bytearray(_HDR_LEN)
+    hdr[0:7] = _MAGIC
+    hdr[7] = 3
+    struct.pack_into(
+        "<QQQQQQQQQQQ",
+        hdr,
+        8,
+        root_off,
+        len(root),
+        meta_off,
+        len(meta),
+        leaf_off,
+        0,
+        tile_off,
+        data_off,
+        n_tiles,  # addressed tiles
+        n_tiles,  # tile entries
+        n_tiles,  # tile contents
+    )
+    hdr[96] = 1  # clustered
+    hdr[97] = _COMPRESSION_GZIP  # internal compression
+    hdr[98] = _COMPRESSION_GZIP  # tile compression
+    hdr[99] = _TILETYPE_MVT
+    hdr[100] = zmin
+    hdr[101] = zmax
+    struct.pack_into("<iiii", hdr, 102, -180 * 10**7, -85 * 10**7,
+                     180 * 10**7, 85 * 10**7)
+    hdr[118] = zmin
+    struct.pack_into("<ii", hdr, 119, 0, 0)
+
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(root)
+        f.write(meta)
+        for b in blobs:
+            f.write(b)
+    return {"n_tiles": n_tiles, "bytes": tile_off + data_off,
+            "min_zoom": zmin, "max_zoom": zmax}
+
+
+def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
+    """Minimal reader: header + root directory lookup → raw MVT bytes."""
+    with open(path, "rb") as f:
+        hdr = f.read(_HDR_LEN)
+        if hdr[0:7] != _MAGIC or hdr[7] != 3:
+            raise ValueError("not a PMTiles v3 archive")
+        (root_off, root_len, _mo, _ml, _lo, _ll, tile_off, _dl) = struct.unpack_from(
+            "<QQQQQQQQ", hdr, 8
+        )
+        f.seek(root_off)
+        entries = _deserialize_directory(_gunzip(f.read(root_len)))
+        tid = int(zxy_to_tileid(np.array([z]), np.array([x]), np.array([y]))[0])
+        for eid, off, ln, _rl in entries:
+            if eid == tid:
+                f.seek(tile_off + off)
+                return _gunzip(f.read(ln))
+    return None

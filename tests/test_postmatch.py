@@ -346,3 +346,53 @@ class TestMergeVectorizedParity:
             for k, v in exp.items():
                 assert g[k] == v, (osm_id, k, g[k], v)
         assert len(got) == df["osm_id"].nunique()
+
+
+class TestPMTiles:
+    def test_roundtrip_and_determinism(self, ray_session, tmp_path):
+        """S16/PMTiles: pack the tile pyramid into one PMTiles v3 archive;
+        every tile reads back (gunzip → MVT decode) and the file is
+        byte-identical across parallelism levels."""
+        import hashlib
+
+        import ray.data
+
+        from overmatch_ray.stages.mvt import decode_mvt_points
+        from overmatch_ray.stages.pmtiles import read_pmtiles_tile, write_pmtiles
+        from overmatch_ray.stages.tiles import build_tiles
+        from overmatch_ray.synth import osm_block
+
+        feats = osm_block(np.arange(250)).drop_columns(["addr_housenumber"])
+
+        def run(nblocks, path):
+            ds = ray.data.from_arrow(feats).repartition(nblocks)
+            tiles = build_tiles(ds, zooms=[6, 10], max_per_tile=50)
+            return write_pmtiles(tiles, path), tiles.take_all()
+
+        stats_a, tiles_a = run(2, str(tmp_path / "a.pmtiles"))
+        stats_b, _ = run(7, str(tmp_path / "b.pmtiles"))
+        assert stats_a["n_tiles"] == len(tiles_a) > 0
+        ha = hashlib.sha256(open(tmp_path / "a.pmtiles", "rb").read()).hexdigest()
+        hb = hashlib.sha256(open(tmp_path / "b.pmtiles", "rb").read()).hexdigest()
+        assert ha == hb, "PMTiles archive not deterministic across parallelism"
+        assert stats_a["min_zoom"] == 6 and stats_a["max_zoom"] == 10
+
+        for r in tiles_a:
+            raw = read_pmtiles_tile(
+                str(tmp_path / "a.pmtiles"), r["zoom"], r["tx"], r["ty"]
+            )
+            assert raw == r["mvt"]
+            assert len(decode_mvt_points(raw)) == r["n_features"]
+        # absent tile → None
+        assert read_pmtiles_tile(str(tmp_path / "a.pmtiles"), 3, 0, 0) is None
+
+    def test_tileid_known_values(self):
+        """PMTiles tile-id spec anchors: z0 → 0; z1 pyramid base 1; the z1
+        Hilbert order visits (0,0),(0,1),(1,1),(1,0)."""
+        from overmatch_ray.stages.pmtiles import zxy_to_tileid
+
+        z = np.array([0, 1, 1, 1, 1, 2])
+        x = np.array([0, 0, 0, 1, 1, 0])
+        y = np.array([0, 0, 1, 1, 0, 0])
+        ids = zxy_to_tileid(z, x, y)
+        assert ids.tolist() == [0, 1, 2, 3, 4, 5]
