@@ -22,47 +22,67 @@ import pyarrow as pa
 import ray.data
 
 
+def _flatten_features(batch: pa.Table, col: str, extra_props: tuple[str, ...]) -> pa.Table:
+    """One JSON Feature string per row → the engine's flat point schema."""
+    ids, types, names, hns, lons, lats = [], [], [], [], [], []
+    extras: dict[str, list] = {k: [] for k in extra_props}
+    for s in batch[col].to_pylist():
+        ft = json.loads(s)
+        props = ft.get("properties") or {}
+        fid = props.get("@id") or ft.get("id") or ""
+        ids.append(fid)
+        types.append(str(fid).split("/")[0] if "/" in str(fid) else "node")
+        names.append(props.get("name"))
+        hns.append(props.get("addr:housenumber"))
+        coords = (ft.get("geometry") or {}).get("coordinates") or [None, None]
+        lons.append(coords[0])
+        lats.append(coords[1])
+        for k in extra_props:
+            extras[k].append(props.get(k))
+    out = {
+        "osm_id": pa.array(ids, pa.string()),
+        "elem_type": pa.array(types, pa.string()),
+        "name": pa.array(names, pa.string()),
+        "addr_housenumber": pa.array(hns, pa.string()),
+        "lon": pa.array(lons, pa.float64()),
+        "lat": pa.array(lats, pa.float64()),
+    }
+    for k in extra_props:
+        out[k] = pa.array([str(v) if v is not None else None for v in extras[k]],
+                          pa.string())
+    return pa.table(out)
+
+
 def read_geojson_points(path: str, extra_props: tuple[str, ...] = ()) -> "ray.data.Dataset":
     """S1/S2: FeatureCollection of Point features → Dataset with
     (osm_id, elem_type, name, addr_housenumber, lon, lat [, extra…]).
 
-    The file-level JSON parse happens once driver-side (GeoJSON is a single
-    JSON document, not splittable); feature flattening is distributed."""
+    The file-level JSON parse happens once driver-side (a FeatureCollection
+    is a single JSON document, not splittable — format-imposed); feature
+    flattening is distributed. For large inputs prefer the splittable
+    NDJSON layout via ``read_geojson_points_ndjson``."""
     with open(path) as f:
         fc = json.load(f)
     feats = fc.get("features", [])
     rows = ray.data.from_items([{"feature": json.dumps(ft)} for ft in feats])
+    return rows.map_batches(
+        lambda b: _flatten_features(b, "feature", extra_props),
+        batch_format="pyarrow",
+    )
 
-    def flatten(batch: pa.Table) -> pa.Table:
-        ids, types, names, hns, lons, lats = [], [], [], [], [], []
-        extras: dict[str, list] = {k: [] for k in extra_props}
-        for s in batch["feature"].to_pylist():
-            ft = json.loads(s)
-            props = ft.get("properties") or {}
-            fid = props.get("@id") or ft.get("id") or ""
-            ids.append(fid)
-            types.append(str(fid).split("/")[0] if "/" in str(fid) else "node")
-            names.append(props.get("name"))
-            hns.append(props.get("addr:housenumber"))
-            coords = (ft.get("geometry") or {}).get("coordinates") or [None, None]
-            lons.append(coords[0])
-            lats.append(coords[1])
-            for k in extra_props:
-                extras[k].append(props.get(k))
-        out = {
-            "osm_id": pa.array(ids, pa.string()),
-            "elem_type": pa.array(types, pa.string()),
-            "name": pa.array(names, pa.string()),
-            "addr_housenumber": pa.array(hns, pa.string()),
-            "lon": pa.array(lons, pa.float64()),
-            "lat": pa.array(lats, pa.float64()),
-        }
-        for k in extra_props:
-            out[k] = pa.array([str(v) if v is not None else None for v in extras[k]],
-                              pa.string())
-        return pa.table(out)
 
-    return rows.map_batches(flatten, batch_format="pyarrow")
+def read_geojson_points_ndjson(
+    path: str, extra_props: tuple[str, ...] = ()
+) -> "ray.data.Dataset":
+    """S1/S2 scale path: newline-delimited GeoJSON (one Feature per line,
+    a.k.a. GeoJSONSeq) read with ``ray.data.read_text`` — splittable, no
+    driver-side parse, each line parsed exactly once inside the batch
+    transform (removes the FeatureCollection path's double JSON cost)."""
+    rows = ray.data.read_text(path)
+    return rows.map_batches(
+        lambda b: _flatten_features(b, "text", extra_props),
+        batch_format="pyarrow",
+    )
 
 
 def write_geojson_features(ds, path: str) -> int:

@@ -280,3 +280,30 @@ class TestMarkedCounters:
             "n_overture_marked": 1,
             "n_both_marked": 1,
         }
+
+
+class TestNdjsonGeojson:
+    def test_ndjson_equals_featurecollection(self, ray_session, tmp_path):
+        """The splittable NDJSON path must parse to the same rows as the
+        FeatureCollection path on the reference's own extract."""
+        import json
+
+        from overmatch_ray.sources import (
+            read_geojson_points,
+            read_geojson_points_ndjson,
+        )
+
+        src = "/root/reference/data/osm_qlever.geojson"
+        fc_rows = sorted(
+            read_geojson_points(src).take_all(), key=lambda r: r["osm_id"]
+        )
+        nd_path = tmp_path / "osm.ndjson"
+        with open(src) as f, open(nd_path, "w") as out:
+            for ft in json.load(f)["features"]:
+                out.write(json.dumps(ft, separators=(",", ":")) + "\n")
+        nd_rows = sorted(
+            read_geojson_points_ndjson(str(nd_path)).take_all(),
+            key=lambda r: r["osm_id"],
+        )
+        assert nd_rows == fc_rows
+        assert len(nd_rows) == 2308
