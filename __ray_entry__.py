@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": cq.q_lang_distribution,
         "prefix_dedup": cq.q_prefix_dedup,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
+        "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
         "knn_topk": cq.q_knn_topk,
         "embedding_neardup": cq.q_embedding_neardup,
         "cell_assign": cq.q_cell_assign,

@@ -164,6 +164,53 @@ def q_ngram_neardup_pairs(sf_dir: str):
     )
 
 
+def q_ngram_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components (min-label propagation) over
+    the exact n-gram Jaccard pair graph — the keep-one-per-cluster step."""
+    from ..stages.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    )
+    return dedup_clusters(pairs)
+
+
+ORACLE_SQL["ngram_dedup_clusters"] = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xtra token' FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus),
+sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.6),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.lbl FROM edges e JOIN reach ON reach.id = e.v)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 ORACLE_SQL["ngram_neardup_pairs"] = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -244,6 +244,130 @@ def ngram_jaccard_pairs(
     return with_ab.map_batches(add_jaccard, batch_format="pyarrow")
 
 
+# --- near-dup cluster formation (connected components) ---------------------
+
+
+def dedup_clusters(
+    pairs_ds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    num_buckets: int = 32,
+    broadcast_limit: int = 2_000_000,
+):
+    """Connected components over a near-dup pair graph → one row per
+    member doc: (doc_id, cluster_id) with cluster_id = the smallest doc id
+    reachable through the pairs. The canonical final step of corpus dedup
+    (keep cluster_id, drop the rest).
+
+    Two paths, picked from the materialized edge count (one scalar):
+
+    - pair graph ≤ ``broadcast_limit`` edges: streaming union-find on the
+      driver over ``iter_batches`` — the pair graph is ≪ the corpus by
+      construction (LSH bands / stop-shingle caps bound it), so this is a
+      bounded small-side step, not an O(corpus) materialization;
+    - larger: distributed min-label propagation — each round joins current
+      labels onto the symmetric edge list (bucket hash join) and takes the
+      per-node min (labels decrease monotonically, so an unchanged label
+      SUM is a reached fixpoint). Rounds = graph diameter, tiny for
+      near-dup clusters; only one scalar per round reaches the driver.
+    """
+    import ray.data
+
+    from .joins import bucket_hash_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if edges.count() <= broadcast_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for batch in edges.iter_batches(batch_format="pyarrow"):
+            for u, v in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by smaller id so the root IS the min label
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        nodes = sorted({x for x in parent} | {find(x) for x in parent})
+        out = pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array([find(x) for x in nodes], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    def local_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["lbl"].min()
+        return out
+
+    from .groupops import bucketed_group_apply
+
+    # round 0: label(x) = min(x, neighbors) straight from the edge list
+    labels = bucketed_group_apply(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["u"],
+                    "lbl": pa.array(
+                        np.minimum(
+                            b["u"].to_numpy(zero_copy_only=False),
+                            b["v"].to_numpy(zero_copy_only=False),
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        local_min,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        cur = labels.sum("lbl")
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+        # propagate: every edge (u, v) offers label(v) to u, plus u keeps its own
+        joined = bucket_hash_join(
+            edges, labels, "v", "node", num_buckets=num_buckets
+        )
+        offers = joined.map_batches(
+            lambda b: pa.table({"node": b["u"], "lbl": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        labels = bucketed_group_apply(
+            labels.union(offers), ["node"], local_min, num_buckets=num_buckets
+        ).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["lbl"]}),
+        batch_format="pyarrow",
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 _NUM_PERM = 64

@@ -216,3 +216,35 @@ class TestKnn:
             ray.data.from_arrow(t2), threshold=0.98, max_bucket=10
         ).take_all()
         assert len(pairs2) == 50 * 49 // 2, "identical cluster: all pairs exact"
+
+
+class TestDedupClusters:
+    def test_union_find_vs_propagation(self, ray_session):
+        """Both cluster paths (driver union-find; distributed min-label
+        propagation, forced via broadcast_limit=0) must produce identical
+        (doc_id, cluster_id) assignments, with cluster_id = min member id."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import dedup_clusters
+
+        # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22}
+        pairs = pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 10, 20, 20, 21], pa.int64()),
+                "id_b": pa.array([2, 3, 4, 11, 21, 22, 22], pa.int64()),
+            }
+        )
+        expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+        fast = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(ray.data.from_arrow(pairs)).take_all()
+        }
+        assert fast == expected
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(
+                ray.data.from_arrow(pairs), broadcast_limit=0, num_buckets=4
+            ).take_all()
+        }
+        assert dist == expected
