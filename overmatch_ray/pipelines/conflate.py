@@ -133,6 +133,13 @@ def conflate(
 ) -> "ray.data.Dataset":
     """The J1 spatial+fuzzy conflation join as a Ray Data pipeline.
 
+    SIZING RULE: set ``num_buckets`` ∝ total cluster cores (≈ 2× the CPUs
+    actually available to the shuffle — bench.py uses ``2 * num_cpus``).
+    Buckets are the unit of join parallelism AND of per-task memory: with
+    a fixed 128 on a growing corpus, per-bucket groups grow linearly and
+    eventually blow task heaps; with buckets ≫ cores, the groupby pays
+    per-group scheduling for no speedup.
+
     ``salt`` > 1 splits every bucket S ways (probe rows spread, index rows
     replicated ×S) — the straggler mitigation for skewed urban cells."""
     probe = osm_ds.map_batches(
