@@ -314,6 +314,64 @@ GROUP BY c_mktsegment
 """
 
 
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (the brief's canonical custom operator): each click event
+    attributed to the user's most recent at-or-before purchase. LEFT
+    semantics — clicks with no prior purchase keep nulls. Timestamps are
+    emitted as epoch microseconds for engine/oracle bit-parity."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_user": batch["user_id"],
+                "p_ts": batch["ts"],
+                "p_value": batch["value"],
+            }
+        )
+
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        rn, batch_format="pyarrow"
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", right_on="p_ts", by="user_id",
+        right_by="p_user", direction="backward",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "last_purchase_us": batch["p_ts"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "last_purchase_value": batch["p_value"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["purchase_attribution"] = """
+SELECT e.event_id AS event_id,
+       e.user_id AS user_id,
+       epoch_us(e.ts) AS ts_us,
+       epoch_us(p.ts) AS last_purchase_us,
+       p.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7. top_orders — global top-k (O2/O3)
 # ---------------------------------------------------------------------------

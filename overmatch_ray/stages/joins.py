@@ -134,6 +134,110 @@ def semi_join_shuffled(
     return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str,
+    by: str,
+    right_by: str,
+    direction: str = "backward",
+    num_buckets: int = 32,
+):
+    """Distributed as-of join (the brief's canonical custom operator): for
+    each left row, the closest right row at-or-before (``backward``) /
+    at-or-after (``forward``) its ``on`` value, within the same ``by`` key.
+    Left rows with no match keep nulls (LEFT semantics, matching DuckDB
+    ``ASOF LEFT JOIN``).
+
+    Plan: co-shuffle both sides by hash(by) % B (the equality key — every
+    (by, right_by) pair lands in one bucket), then one sorted
+    ``pandas.merge_asof`` per bucket. Column names of the two sides must be
+    disjoint."""
+
+    def tag(side: int, key: str):
+        def _tag(batch: pa.Table) -> pa.Table:
+            from .groupops import hash_columns
+
+            h = hash_columns(batch, [key])
+            return batch.append_column(
+                "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
+            ).append_column("__side", pa.array(np.full(batch.num_rows, side, np.int8)))
+
+        return _tag
+
+    left_t = left_ds.map_batches(tag(0, by), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag(1, right_by), batch_format="pyarrow")
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    types_all = dict(zip(l_schema.names, l_schema.types))
+    types_all.update(dict(zip(r_schema.names, r_schema.types)))
+    all_names = l_names + [n for n in r_names if n not in l_names]
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n in all_names:
+            cols[n] = (
+                batch[n]
+                if n in batch.column_names
+                else pa.nulls(batch.num_rows, types_all[n])
+            )
+        cols["__bucket"] = batch["__bucket"]
+        cols["__side"] = batch["__side"]
+        return pa.table(cols)
+
+    both = left_t.map_batches(align, batch_format="pyarrow").union(
+        right_t.map_batches(align, batch_format="pyarrow")
+    )
+
+    int_restore = {
+        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
+        for n, t in types_all.items()
+        if pa.types.is_integer(t)
+    }
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # un-do the union null-pad's int→float upcast per side BEFORE the
+        # merge (merge_asof requires matching key dtypes; side slices hold
+        # no nulls in their own columns)
+        def side(mask, names):
+            df = g[mask][names].copy()
+            for n, dt in int_restore.items():
+                if n in df.columns and df[n].dtype.kind == "f":
+                    df[n] = df[n].astype(dt.lower())
+            return df
+
+        left = side(g["__side"] == 0, l_names).sort_values(
+            [on, by], kind="mergesort"
+        )
+        right = side(g["__side"] == 1, r_names).sort_values(
+            [right_on, right_by], kind="mergesort"
+        )
+        out = pd.merge_asof(
+            left,
+            right,
+            left_on=on,
+            right_on=right_on,
+            left_by=by,
+            right_by=right_by,
+            direction=direction,
+        )
+        # emit Arrow with the explicit output schema: every bucket agrees
+        # on types, and from_pandas turns the merge's NaN/NaT padding into
+        # true nulls (SQL LEFT JOIN semantics)
+        return pa.table(
+            {
+                n: pa.Array.from_pandas(out[n], type=types_all[n], safe=False)
+                for n in all_names
+            }
+        )
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 def bucket_hash_join(
     left_ds,
     right_ds,

@@ -396,3 +396,50 @@ class TestPMTiles:
         y = np.array([0, 0, 1, 1, 0, 0])
         ids = zxy_to_tileid(z, x, y)
         assert ids.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+class TestAsofJoin:
+    def test_backward_forward_and_isolation(self, ray_session):
+        """asof_join: backward picks at-or-before, forward at-or-after,
+        matches never cross the by-key, unmatched rows keep nulls."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import asof_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "eid": pa.array([1, 2, 3, 4], pa.int64()),
+                    "t": pa.array([10, 25, 5, 40], pa.int64()),
+                    "u": pa.array([1, 1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "p_u": pa.array([1, 1, 2], pa.int64()),
+                    "p_t": pa.array([10, 20, 30], pa.int64()),
+                    "p_v": pa.array([1.0, 2.0, 3.0]),
+                }
+            )
+        )
+        back = {
+            r["eid"]: (r["p_t"], r["p_v"])
+            for r in asof_join(
+                left, right, on="t", right_on="p_t", by="u", right_by="p_u",
+                num_buckets=4,
+            ).take_all()
+        }
+        assert back[1] == (10, 1.0)  # exact match allowed
+        assert back[2] == (20, 2.0)  # most recent prior
+        assert back[3] == (None, None)  # u=2's purchase is later
+        assert back[4] == (None, None)  # u=3 has none
+        fwd = {
+            r["eid"]: r["p_t"]
+            for r in asof_join(
+                left, right, on="t", right_on="p_t", by="u", right_by="p_u",
+                direction="forward", num_buckets=4,
+            ).take_all()
+        }
+        assert fwd[1] == 10 and fwd[2] is None and fwd[3] == 30 and fwd[4] is None
