@@ -134,6 +134,8 @@ def _explode_shingles(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa
     ids_in = batch[id_col].to_numpy(zero_copy_only=False)
     per_doc = shingle_hashes_batch(batch[text_col].to_pylist(), k)
     sizes = np.array([sh.size for sh in per_doc], dtype=np.int64)
+    # each row carries its doc's total shingle count (+8 B/row) so the
+    # Jaccard denominator travels WITH the pair — no size lookup ever
     return pa.table(
         {
             "shingle": pa.array(
@@ -142,16 +144,7 @@ def _explode_shingles(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa
                 else np.empty(0, np.int64)
             ),
             "doc_id": pa.array(np.repeat(ids_in.astype(np.int64), sizes)),
-        }
-    )
-
-
-def _shingle_sizes(batch: pa.Table, k: int, text_col: str, id_col: str) -> pa.Table:
-    sizes = [sh.size for sh in shingle_hashes_batch(batch[text_col].to_pylist(), k)]
-    return pa.table(
-        {
-            "doc_id": batch[id_col],
-            "n_shingles": pa.array(sizes, pa.int64()),
+            "n_sh": pa.array(np.repeat(sizes, sizes)),
         }
     )
 
@@ -171,16 +164,14 @@ def ngram_jaccard_pairs(
     dropped (standard inverted-index practice; a pair sharing ONLY
     stop-shingles can be missed — documented trade-off for bounded skew).
 
-    Fully distributed: per-doc shingle counts are attached to the candidate
-    pairs via two partitioned hash joins (``bucket_hash_join`` on id_a then
-    id_b) — the pair set is ≪ the corpus after the shared-count shuffle, so
-    both joins are cheap; nothing O(corpus) ever lands on the driver.
+    Fully distributed with NO size lookup anywhere: every exploded
+    (shingle, doc_id) row carries its doc's total shingle count, so a
+    candidate pair is born knowing both Jaccard denominators — the pipeline
+    is exactly two bucketed shuffles (inverted index, pair combine) and
+    nothing O(corpus) ever lands on the driver.
     """
     exploded = docs_ds.map_batches(
         lambda b: _explode_shingles(b, k, text_col, id_col), batch_format="pyarrow"
-    )
-    sizes_ds = docs_ds.map_batches(
-        lambda b: _shingle_sizes(b, k, text_col, id_col), batch_format="pyarrow"
     )
 
     from .groupops import bucketed_group_apply, group_pair_indices
@@ -194,16 +185,24 @@ def ngram_jaccard_pairs(
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=np.int64),
                  "id_b": pd.Series(dtype=np.int64),
-                 "shared": pd.Series(dtype=np.int64)}
+                 "shared": pd.Series(dtype=np.int64),
+                 "n_a": pd.Series(dtype=np.int64),
+                 "n_b": pd.Series(dtype=np.int64)}
             )
         docs = g["doc_id"].to_numpy()
+        ns = g["n_sh"].to_numpy()
         a, b = docs[ia], docs[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        df = pd.DataFrame({"id_a": lo, "id_b": hi})
+        swap = a > b
+        lo, hi = np.where(swap, b, a), np.where(swap, a, b)
+        n_lo = np.where(swap, ns[ib], ns[ia])
+        n_hi = np.where(swap, ns[ia], ns[ib])
+        df = pd.DataFrame({"id_a": lo, "id_b": hi, "n_a": n_lo, "n_b": n_hi})
         # partial combiner: collapse repeats within the bucket before the
-        # pair-key shuffle
-        out = df.groupby(["id_a", "id_b"], as_index=False).size()
-        return out.rename(columns={"size": "shared"})
+        # pair-key shuffle (n_a/n_b are constant per pair → first)
+        out = df.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        return out
 
     pair_parts = bucketed_group_apply(
         exploded, ["shingle"], bucket_pairs, num_buckets=64
@@ -211,24 +210,11 @@ def ngram_jaccard_pairs(
     pair_counts = bucketed_group_apply(
         pair_parts,
         ["id_a", "id_b"],
-        lambda g: g.groupby(["id_a", "id_b"], as_index=False)["shared"].sum(),
+        lambda g: g.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("shared", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        ),
         num_buckets=32,
     )
-
-    # distributed size lookup: co-shuffle the (small) pair set with the
-    # per-doc sizes, once per pair endpoint
-    from .joins import bucket_hash_join
-
-    def rename_sizes(key_out: str, n_out: str):
-        def _r(batch: pa.Table) -> pa.Table:
-            return pa.table({key_out: batch["doc_id"], n_out: batch["n_shingles"]})
-
-        return _r
-
-    sz_a = sizes_ds.map_batches(rename_sizes("__sz_a", "n_a"), batch_format="pyarrow")
-    sz_b = sizes_ds.map_batches(rename_sizes("__sz_b", "n_b"), batch_format="pyarrow")
-    with_a = bucket_hash_join(pair_counts, sz_a, "id_a", "__sz_a", num_buckets=32)
-    with_ab = bucket_hash_join(with_a, sz_b, "id_b", "__sz_b", num_buckets=32)
 
     def add_jaccard(batch: pa.Table) -> pa.Table:
         shared = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -241,7 +227,7 @@ def ngram_jaccard_pairs(
         )
         return out.filter(pa.array(jac >= threshold))
 
-    return with_ab.map_batches(add_jaccard, batch_format="pyarrow")
+    return pair_counts.map_batches(add_jaccard, batch_format="pyarrow")
 
 
 # --- near-dup cluster formation (connected components) ---------------------
