@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": cq.q_doc_quality,
         "lang_distribution": cq.q_lang_distribution,
         "prefix_dedup": cq.q_prefix_dedup,
+        "doc_splits": cq.q_doc_splits,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
         "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
         "knn_topk": cq.q_knn_topk,

@@ -551,3 +551,29 @@ WHERE {_halfplane_sql(*_PIP_QUAD[0], *_PIP_QUAD[1])}
   AND {_halfplane_sql(*_PIP_QUAD[3], *_PIP_QUAD[0])}
 GROUP BY c_mktsegment
 """
+
+
+def q_doc_splits(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (stages.splits — md5-hex-threshold rule, partitioning-invariant)."""
+    from ..stages.splits import split_assign
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# thresholds: floor(0.8·16^8) = 0xcccccccc, floor(0.9·16^8) = 0xe6666666;
+# fixed-width lowercase hex compares in numeric order on both engines
+ORACLE_SQL["doc_splits"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -248,3 +248,37 @@ class TestDedupClusters:
             ).take_all()
         }
         assert dist == expected
+
+
+class TestSplitAssign:
+    def test_partitioning_invariant_and_fractions(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.splits import split_assign
+
+        t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+
+        def run(nblocks):
+            return {
+                r["doc_id"]: r["split"]
+                for r in split_assign(
+                    ray.data.from_arrow(t).repartition(nblocks), "doc_id"
+                ).take_all()
+            }
+
+        a, b = run(2), run(13)
+        assert a == b, "split must be independent of partitioning"
+        from collections import Counter
+
+        frac = Counter(a.values())
+        assert abs(frac["train"] / 5000 - 0.9) < 0.02
+        assert abs(frac["val"] / 5000 - 0.05) < 0.01
+        assert abs(frac["test"] / 5000 - 0.05) < 0.01
+        # salt changes membership but keeps determinism
+        salted = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(
+                ray.data.from_arrow(t), "doc_id", salt="v2"
+            ).take_all()
+        }
+        assert salted != a
