@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": rq.q_props_extract,
         "yearly_orders": rq.q_yearly_orders,
         "purchase_attribution": rq.q_purchase_attribution,
+        "value_quantiles": rq.q_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
         "doc_quality": cq.q_doc_quality,

@@ -723,3 +723,21 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
        round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY 1
 """
+
+
+def q_value_quantiles(sf_dir: str):
+    """A-family: exact distributed quantiles of the events value measure
+    (value-count collapse + driver interpolation — stages.groupops)."""
+    from ..stages.groupops import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(ev, "value", [0.5, 0.95, 0.99])
+
+
+ORACLE_SQL["value_quantiles"] = """
+SELECT 0.5 AS p, round(quantile_cont(value, 0.5), 6) AS q FROM events
+UNION ALL
+SELECT 0.95 AS p, round(quantile_cont(value, 0.95), 6) AS q FROM events
+UNION ALL
+SELECT 0.99 AS p, round(quantile_cont(value, 0.99), 6) AS q FROM events
+"""

@@ -116,6 +116,41 @@ def dedup_pairs(ds, id_a: str = "id_a", id_b: str = "id_b", num_buckets: int = 3
     )
 
 
+def exact_quantiles(ds, col: str, ps: "list[float]", round_to: int = 6):
+    """EXACT linear-interpolated quantiles of a numeric column, computed
+    distributed: collapse to a (value, count) table with one sort-based
+    aggregate — the only thing that ever leaves the cluster — then
+    interpolate on the driver with the standard ``h = (n-1)·p`` rule (the
+    same rule DuckDB's ``quantile_cont`` uses, so results hash-match).
+
+    SIZING ASSUMPTION: distinct(col) must be driver-small. That holds for
+    decimal-quantized measures (a 2-decimal value in [0, 100] has ≤ 10k
+    distinct values regardless of row count); for continuous doubles use a
+    sketch instead. Returns a pyarrow Table (p, q)."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(col).aggregate(Count(alias_name="__n")).take_all()
+    vals = np.array([r[col] for r in counts], dtype=np.float64)
+    ns = np.array([r["__n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, ns = vals[order], ns[order]
+    cum = np.cumsum(ns)  # cum[i] = #rows ≤ vals[i]
+    n = int(cum[-1]) if cum.size else 0
+    qs = []
+    for p in ps:
+        if n == 0:
+            qs.append(None)
+            continue
+        h = (n - 1) * float(p)
+        lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+        lo = vals[np.searchsorted(cum, lo_rank + 1, side="left")]
+        hi = vals[np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1, side="left")]
+        qs.append(round(float(lo + frac * (hi - lo)), round_to))
+    return pa.table(
+        {"p": pa.array(list(ps), pa.float64()), "q": pa.array(qs, pa.float64())}
+    )
+
+
 def group_pair_indices(
     keys_sorted: np.ndarray, max_group: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1,6 +1,7 @@
 """Unit tests for the pure-numpy kernels: geo, cell index, fuzzy ratio."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from overmatch_ray.cell import cell_id, cell_ij, hilbert_key, kring1_cells
@@ -113,3 +114,21 @@ class TestCell:
         assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
         # deterministic
         np.testing.assert_array_equal(k, hilbert_key(x, y))
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_linear(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import exact_quantiles
+
+        rng = np.random.default_rng(6)
+        vals = np.round(rng.uniform(0, 100, 5000), 2)
+        t = pa.table({"v": pa.array(vals)})
+        ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        out = exact_quantiles(
+            ray.data.from_arrow(t).repartition(7), "v", ps
+        )
+        got = dict(zip(out["p"].to_pylist(), out["q"].to_pylist()))
+        for p in ps:
+            assert got[p] == round(float(np.quantile(vals, p)), 6), p
