@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_top3": rq.q_priority_top3,
         "hourly_events": rq.q_hourly_events,
         "user_sessions": rq.q_user_sessions,
+        "hopping_events": rq.q_hopping_events,
         "tracking_upsert": rq.q_tracking_upsert,
         "match_stats": rq.q_match_stats,
         "brand_dist": rq.q_brand_dist,

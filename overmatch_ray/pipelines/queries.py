@@ -741,3 +741,58 @@ SELECT 0.95 AS p, round(quantile_cont(value, 0.95), 6) AS q FROM events
 UNION ALL
 SELECT 0.99 AS p, round(quantile_cont(value, 0.99), 6) AS q FROM events
 """
+
+
+def q_hopping_events(sf_dir: str):
+    """Hopping (sliding) windows: 1 h windows every 15 min — each event
+    belongs to 4 overlapping windows. Explode inside the batch with a
+    per-batch partial combiner (4× row fan-out never crosses the shuffle
+    unaggregated), then a small grouped sum."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    HOP_US = 900 * 1_000_000
+    K = 4  # window_size / hop
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = micros // HOP_US
+        et = batch["event_type"].to_pylist()
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "window_id": np.concatenate([base - i for i in range(K)]),
+                "event_type": np.tile(np.array(et, dtype=object), K),
+                "value": np.tile(val, K),
+            }
+        )
+        g = df.groupby(["window_id", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    # round via NUMPY, to 6 decimals: np.round (like DuckDB's round) snaps
+    # to the canonical double of the decimal, while pc.round preserves
+    # ulp-level differences from summation order; and the 6-decimal
+    # boundary is never hit because true sums are exact multiples of 0.01
+    def finish(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum_value")
+        return b.set_column(
+            i, "sum_value",
+            pa.array(np.round(b["sum_value"].to_numpy(zero_copy_only=False), 6)),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["hopping_events"] = """
+SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) - i AS window_id,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS i) hops
+GROUP BY 1, 2
+"""

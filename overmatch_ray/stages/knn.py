@@ -254,6 +254,7 @@ def near_dup_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 5000,
+    n_tables: int = 1,
 ):
     """Pairs with cosine ≥ threshold, bucketed by hyperplane signs and
     verified exactly within buckets (high-cosine pairs almost always share
@@ -263,19 +264,30 @@ def near_dup_embeddings(
 
     SIZING: one top-level bucket materializes in one task, so pick
     ``n_planes`` such that corpus/2^n_planes ≈ task memory (recursion then
-    handles skewed buckets); raising n_planes lowers recall — compensate
-    with multiple tables (re-run at shifted seeds, union, dedup_pairs)."""
+    handles skewed buckets). Raising n_planes lowers single-table recall —
+    compensate with ``n_tables`` OR-amplification: each row is bucketed
+    under ``n_tables`` independent plane sets (deterministic shifted
+    seeds); a pair is found if it collides in ANY table, and the final
+    ``dedup_pairs`` collapses multi-table duplicates. Miss probability
+    drops from (1−p^k) to (1−p^k)^T at T× shuffle cost."""
 
     def explode(batch: pa.Table) -> pa.Table:
         cm = _normalize(_to_matrix(batch[vec_col]))
         cids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        planes = _hyperplanes(cm.shape[1], n_planes)
-        buck = _bucket_ids(cm, planes)
+        bucks, ids_out, vec_rows = [], [], []
+        for t in range(n_tables):
+            planes = _hyperplanes(cm.shape[1], n_planes, seed=11 + 7919 * t)
+            bucks.append(_bucket_ids(cm, planes) + (t << n_planes))
+            ids_out.append(cids)
+            vec_rows.append(cm)
         return pa.table(
             {
-                "bucket": pa.array(buck),
-                "vec_id": pa.array(cids),
-                "vec": pa.array(cm.tolist(), pa.list_(pa.float64())),
+                "bucket": pa.array(np.concatenate(bucks)),
+                "vec_id": pa.array(np.concatenate(ids_out)),
+                "vec": pa.array(
+                    np.concatenate(vec_rows, axis=0).tolist(),
+                    pa.list_(pa.float64()),
+                ),
             }
         )
 

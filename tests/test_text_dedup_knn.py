@@ -282,3 +282,49 @@ class TestSplitAssign:
             ).take_all()
         }
         assert salted != a
+
+
+class TestOrAmplification:
+    def test_multi_table_recall_superset(self, ray_session):
+        """n_tables OR-amplification: the multi-table pair set contains the
+        single-table set and recovers strictly more of the true near-dup
+        pairs on a borderline corpus."""
+        import ray.data
+
+        from overmatch_ray.stages.knn import _normalize, near_dup_embeddings
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((120, 24))
+        # near-dup partner for every even row, noisy enough (cos ~0.985)
+        # that single-table 8-plane LSH misses a fair share
+        m = np.vstack([base, base + 0.16 * rng.standard_normal((120, 24))])
+        ids = np.arange(240)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        nm = _normalize(m)
+        true_pairs = {
+            (i, i + 120)
+            for i in range(120)
+            if float(nm[i] @ nm[i + 120]) >= 0.97
+        }
+        assert len(true_pairs) > 40
+
+        def run(tables):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in near_dup_embeddings(
+                    ray.data.from_arrow(t), threshold=0.97, n_planes=8,
+                    n_tables=tables,
+                ).take_all()
+            }
+
+        single, multi = run(1), run(4)
+        assert single <= multi
+        r1 = len(single & true_pairs) / len(true_pairs)
+        r4 = len(multi & true_pairs) / len(true_pairs)
+        assert r4 > r1, f"amplification gained nothing ({r1} -> {r4})"
+        assert r4 >= 0.9, f"4-table recall {r4} too low"
