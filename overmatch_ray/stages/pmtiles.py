@@ -135,10 +135,22 @@ def _deserialize_directory(buf: bytes) -> "list[tuple[int, int, int, int]]":
     return list(zip(ids, offs, lens, rls))
 
 
-def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
+_MAX_ROOT_BYTES = 16384  # spec guidance: root directory should fit 16 KB
+_LEAF_ENTRIES = 4096
+
+
+def write_pmtiles(
+    tiles_ds,
+    path: str,
+    metadata: dict | None = None,
+    max_root_bytes: int = _MAX_ROOT_BYTES,
+) -> dict:
     """Pack a tile dataset (columns zoom, tx, ty, mvt) into one PMTiles v3
     file. Streams the dataset in tile-id order (Ray sort) through a single
-    writer; returns summary stats."""
+    writer; returns summary stats. If the serialized root directory exceeds
+    ``max_root_bytes`` (spec guidance: 16 KB), tile entries spill into leaf
+    directories of ``_LEAF_ENTRIES`` each and the root holds one
+    run_length=0 pointer per leaf."""
 
     def add_id(batch: pa.Table) -> pa.Table:
         tid = zxy_to_tileid(
@@ -170,14 +182,29 @@ def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
     if n_tiles == 0:
         zmin = zmax = 0
 
-    root = _gzip(_serialize_directory(entries))
+    root_payload = _serialize_directory(entries)
+    leaf_bytes = b""
+    if len(_gzip(root_payload)) > max_root_bytes and entries:
+        # spill: leaves of _LEAF_ENTRIES tile entries; root points at them
+        root_entries = []
+        parts = []
+        off = 0
+        for i in range(0, len(entries), _LEAF_ENTRIES):
+            chunk = entries[i : i + _LEAF_ENTRIES]
+            leaf = _gzip(_serialize_directory(chunk))
+            root_entries.append((chunk[0][0], off, len(leaf), 0))
+            parts.append(leaf)
+            off += len(leaf)
+        leaf_bytes = b"".join(parts)
+        root_payload = _serialize_directory(root_entries)
+    root = _gzip(root_payload)
     meta = _gzip(
         json.dumps(metadata or {"name": "overmatch"}, sort_keys=True).encode()
     )
     root_off = _HDR_LEN
     meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)  # no leaf directories (root fits)
-    tile_off = leaf_off
+    leaf_off = meta_off + len(meta)
+    tile_off = leaf_off + len(leaf_bytes)
 
     hdr = bytearray(_HDR_LEN)
     hdr[0:7] = _MAGIC
@@ -191,7 +218,7 @@ def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
         meta_off,
         len(meta),
         leaf_off,
-        0,
+        len(leaf_bytes),
         tile_off,
         data_off,
         n_tiles,  # addressed tiles
@@ -213,26 +240,54 @@ def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
+        f.write(leaf_bytes)
         for b in blobs:
             f.write(b)
+    n_leaves = (
+        (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
+    )
     return {"n_tiles": n_tiles, "bytes": tile_off + data_off,
-            "min_zoom": zmin, "max_zoom": zmax}
+            "min_zoom": zmin, "max_zoom": zmax, "n_leaves": n_leaves}
+
+
+def _lookup(entries: "list[tuple[int, int, int, int]]", tid: int):
+    """Rightmost entry with tile_id ≤ tid (entries sorted by id)."""
+    lo, hi = 0, len(entries)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if entries[mid][0] <= tid:
+            lo = mid + 1
+        else:
+            hi = mid
+    return entries[lo - 1] if lo else None
 
 
 def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
-    """Minimal reader: header + root directory lookup → raw MVT bytes."""
+    """Minimal reader: header → root directory → (optional leaf) → raw MVT
+    bytes. run_length=0 root entries point into the leaf-directory section
+    (the spec's spill mechanism)."""
     with open(path, "rb") as f:
         hdr = f.read(_HDR_LEN)
         if hdr[0:7] != _MAGIC or hdr[7] != 3:
             raise ValueError("not a PMTiles v3 archive")
-        (root_off, root_len, _mo, _ml, _lo, _ll, tile_off, _dl) = struct.unpack_from(
+        (root_off, root_len, _mo, _ml, leaf_off, _ll, tile_off, _dl) = struct.unpack_from(
             "<QQQQQQQQ", hdr, 8
         )
         f.seek(root_off)
         entries = _deserialize_directory(_gunzip(f.read(root_len)))
         tid = int(zxy_to_tileid(np.array([z]), np.array([x]), np.array([y]))[0])
-        for eid, off, ln, _rl in entries:
-            if eid == tid:
-                f.seek(tile_off + off)
-                return _gunzip(f.read(ln))
+        e = _lookup(entries, tid)
+        if e is None:
+            return None
+        if e[3] == 0:  # leaf pointer
+            f.seek(leaf_off + e[1])
+            entries = _deserialize_directory(_gunzip(f.read(e[2])))
+            e = _lookup(entries, tid)
+            if e is None:
+                return None
+        eid, off, ln, rl = e
+        if rl == 0 or not (eid <= tid < eid + rl):
+            return None
+        f.seek(tile_off + off)
+        return _gunzip(f.read(ln))
     return None

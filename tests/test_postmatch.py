@@ -443,3 +443,34 @@ class TestAsofJoin:
             ).take_all()
         }
         assert fwd[1] == 10 and fwd[2] is None and fwd[3] == 30 and fwd[4] is None
+
+
+class TestPMTilesLeaves:
+    def test_leaf_spill_roundtrip(self, ray_session, tmp_path):
+        """Forcing a tiny root budget spills entries into leaf directories;
+        every tile must still read back and the archive stays
+        deterministic."""
+        import hashlib
+
+        import ray.data
+
+        from overmatch_ray.stages.pmtiles import read_pmtiles_tile, write_pmtiles
+        from overmatch_ray.stages.tiles import build_tiles
+        from overmatch_ray.synth import osm_block
+
+        feats = osm_block(np.arange(400)).drop_columns(["addr_housenumber"])
+        tiles = build_tiles(
+            ray.data.from_arrow(feats), zooms=[10, 14], max_per_tile=20
+        )
+        pa_ = str(tmp_path / "leaf.pmtiles")
+        stats = write_pmtiles(tiles, pa_, max_root_bytes=64)  # force spill
+        assert stats["n_leaves"] >= 1
+        rows = tiles.take_all()
+        assert stats["n_tiles"] == len(rows) > 10
+        for r in rows:
+            assert read_pmtiles_tile(pa_, r["zoom"], r["tx"], r["ty"]) == r["mvt"]
+        assert read_pmtiles_tile(pa_, 5, 1, 1) is None
+        stats2 = write_pmtiles(tiles, str(tmp_path / "b.pmtiles"), max_root_bytes=64)
+        ha = hashlib.sha256(open(pa_, "rb").read()).hexdigest()
+        hb = hashlib.sha256(open(tmp_path / "b.pmtiles", "rb").read()).hexdigest()
+        assert ha == hb and stats2 == stats
