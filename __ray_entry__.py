@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": rq.q_hourly_events,
         "user_sessions": rq.q_user_sessions,
         "hopping_events": rq.q_hopping_events,
+        "user_running_value": rq.q_user_running_value,
+        "daily_type_pivot": rq.q_daily_type_pivot,
         "tracking_upsert": rq.q_tracking_upsert,
         "match_stats": rq.q_match_stats,
         "brand_dist": rq.q_brand_dist,

@@ -796,3 +796,82 @@ SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) - i AS window_id,
 FROM events, (SELECT unnest(range(4)) AS i) hops
 GROUP BY 1, 2
 """
+
+
+def q_user_running_value(sf_dir: str):
+    """Window-function family: per-user cumulative value over event time
+    (SUM OVER PARTITION BY ... ORDER BY ...). Bucketed by user hash; one
+    sorted cumsum per bucket recovered with numpy run boundaries — no
+    per-user dispatch."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        csum = np.cumsum(v)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        run_lens = np.diff(np.concatenate([starts, [len(g)]]))
+        # subtract the global running total accumulated before each user's
+        # run (sign-agnostic: exact per-run base, not an accumulate trick)
+        base_per_run = np.concatenate([[0.0], csum[starts[1:] - 1]])
+        base = np.repeat(base_per_run, run_lens)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "running_value": np.round(csum - base, 6),
+            }
+        )
+
+    return bucketed_group_apply(ds, ["user_id"], cum_bucket, num_buckets=32)
+
+
+ORACLE_SQL["user_running_value"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""
+
+
+def q_daily_type_pivot(sf_dir: str):
+    """Pivot/crosstab family: events pivoted to one column per event_type
+    with daily counts — per-batch crosstab partials, then one grouped sum
+    (conditional aggregation, the scale-stable pivot plan)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    DAY_US = 86400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"day_id": micros // DAY_US, "event_type": batch["event_type"].to_pylist()}
+        )
+        ct = pd.crosstab(df["day_id"], df["event_type"])
+        for t in TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[TYPES].reset_index()
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day_id")
+        .aggregate(*[Sum(t, alias_name=t) for t in TYPES])
+    )
+    return agg
+
+
+ORACLE_SQL["daily_type_pivot"] = """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
