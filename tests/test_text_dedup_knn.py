@@ -328,3 +328,41 @@ class TestOrAmplification:
         r4 = len(multi & true_pairs) / len(true_pairs)
         assert r4 > r1, f"amplification gained nothing ({r1} -> {r4})"
         assert r4 >= 0.9, f"4-table recall {r4} too low"
+
+
+class TestMultiProbe:
+    def test_probes_raise_recall(self, ray_session):
+        """Margin-ordered multi-probe must produce recall ≥ single-probe and
+        approach brute force as probes grow — with no extra shuffle."""
+        import ray.data
+
+        from overmatch_ray.stages.knn import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(23)
+        centers = rng.standard_normal((12, 16)) * 3
+        m = centers[np.arange(400) % 12] + 0.45 * rng.standard_normal((400, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        queries = t.slice(0, 25)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(ray.data.from_arrow(t), queries, k=5).take_all()
+        }
+
+        def recall(n_probes):
+            ap = {
+                (r["query_id"], r["neighbor_id"])
+                for r in lsh_topk(
+                    ray.data.from_arrow(t), queries, k=5, n_planes=6,
+                    n_probes=n_probes,
+                ).take_all()
+            }
+            return len(bf & ap) / len(bf)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.8, f"4-probe recall {r4} too low"
