@@ -811,18 +811,21 @@ def q_user_running_value(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         u = g["user_id"].to_numpy()
         v = g["value"].to_numpy()
-        csum = np.cumsum(v)
         starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
-        run_lens = np.diff(np.concatenate([starts, [len(g)]]))
-        # subtract the global running total accumulated before each user's
-        # run (sign-agnostic: exact per-run base, not an accumulate trick)
-        base_per_run = np.concatenate([[0.0], csum[starts[1:] - 1]])
-        base = np.repeat(base_per_run, run_lens)
+        ends = np.concatenate([starts[1:], [len(g)]])
+        # cumsum PER RUN (not global-cumsum-minus-base): the subtraction
+        # trick leaks float error proportional to the bucket's global
+        # prefix magnitude, while the oracle's SUM OVER (PARTITION BY)
+        # accumulates only the user's own values — per-run accumulation is
+        # the bit-parity-safe formulation
+        running = np.empty(len(g))
+        for s, e in zip(starts, ends):
+            running[s:e] = np.cumsum(v[s:e])
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "user_id": u,
-                "running_value": np.round(csum - base, 6),
+                "running_value": np.round(running, 6),
             }
         )
 

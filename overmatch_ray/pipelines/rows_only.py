@@ -160,7 +160,11 @@ def q_pmtiles_archive(sf_dir: str):
     from ..stages.tiles import build_tiles
     from .conflate import flagship_matches
 
-    tiles = build_tiles(flagship_matches(sf_dir), zooms=[8, 12], max_per_tile=200)
+    # materialize: the tile set is consumed twice (archive pack + per-zoom
+    # counts) and is the small projected boundary, not the input
+    tiles = build_tiles(
+        flagship_matches(sf_dir), zooms=[8, 12], max_per_tile=200
+    ).materialize()
     path = os.path.join(tempfile.gettempdir(), "overmatch_flagship.pmtiles")
     stats = write_pmtiles(tiles, path)
     per_zoom = tiles.groupby("zoom").aggregate(Count(alias_name="n_tiles"))

@@ -331,9 +331,11 @@ def dedup_clusters(
     ).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         cur = labels.sum("lbl")
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
         # propagate: every edge (u, v) offers label(v) to u, plus u keeps its own
@@ -347,6 +349,17 @@ def dedup_clusters(
         labels = bucketed_group_apply(
             labels.union(offers), ["node"], local_min, num_buckets=num_buckets
         ).materialize()
+    if not converged and labels.sum("lbl") != prev_sum:
+        # never silent (brief rule): a pair-graph with diameter > max_iters
+        # would report one true cluster as several
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation did NOT converge within %d "
+            "rounds — cluster ids may be split for long chains; raise "
+            "max_iters (graph diameter bound)",
+            max_iters,
+        )
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["lbl"]}),

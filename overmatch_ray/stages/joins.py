@@ -101,7 +101,10 @@ def semi_join_shuffled(
     l_names = list(l_schema.names)
 
     def align_left(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__semi_key", pa.nulls(batch.num_rows, key_type))
+        # left rows carry their OWN key in __semi_key too: the column is
+        # then populated on both sides, so pandas never null-pad-upcasts it
+        # to float64 (which silently corrupts int keys above 2^53)
+        return batch.append_column("__semi_key", batch[left_on].cast(key_type))
 
     def align_right(batch: pa.Table) -> pa.Table:
         cols = {n: pa.nulls(batch.num_rows, t) for n, t in zip(l_schema.names, l_schema.types)}
@@ -121,11 +124,18 @@ def semi_join_shuffled(
     }
 
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == 0][l_names]
-        keys = g[g["__side"] == 1]["__semi_key"].dropna().unique()
-        mask = left[left_on].isin(keys)
-        out = left[~mask] if anti else left[mask]
+        lmask = g["__side"] == 0
+        left = g[lmask][l_names + ["__semi_key"]]
+        keys = g[~lmask]["__semi_key"].dropna().unique()
+        # membership on __semi_key (never float-upcast because both sides
+        # populate it), not the null-padded left_on column
+        mask = left["__semi_key"].isin(keys)
+        out = left[~mask.to_numpy()] if anti else left[mask.to_numpy()]
         out = out.copy()
+        # the left_on column itself WAS null-padded (right rows) — restore
+        # its exact values from __semi_key before dropping the helper
+        out[left_on] = out["__semi_key"]
+        out = out.drop(columns="__semi_key")
         for n, dt in int_restore.items():
             if n in out.columns and out[n].dtype.kind == "f":
                 out[n] = out[n].astype(dt)
@@ -201,39 +211,56 @@ def asof_join(
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # un-do the union null-pad's int→float upcast per side BEFORE the
-        # merge (merge_asof requires matching key dtypes; side slices hold
-        # no nulls in their own columns)
-        def side(mask, names):
+        # merge: KEY columns go to plain numpy ints (merge_asof requires
+        # matching, non-nullable key dtypes — rows whose keys are null are
+        # segregated first), other int columns to nullable Int so inputs
+        # that legitimately contain nulls don't crash the cast
+        def side(mask, names, key_cols):
             df = g[mask][names].copy()
+            null_keys = pd.Series(False, index=df.index)
+            for n in key_cols:
+                null_keys |= df[n].isna()
+            kept, dropped = df[~null_keys], df[null_keys]
+            kept = kept.copy()
             for n, dt in int_restore.items():
-                if n in df.columns and df[n].dtype.kind == "f":
-                    df[n] = df[n].astype(dt.lower())
-            return df
+                if n in kept.columns and kept[n].dtype.kind == "f":
+                    kept[n] = kept[n].astype(dt.lower() if n in key_cols else dt)
+            return kept, dropped
 
-        left = side(g["__side"] == 0, l_names).sort_values(
-            [on, by], kind="mergesort"
-        )
-        right = side(g["__side"] == 1, r_names).sort_values(
-            [right_on, right_by], kind="mergesort"
-        )
+        left, left_nullkey = side(g["__side"] == 0, l_names, (on, by))
+        right, _ = side(g["__side"] == 1, r_names, (right_on, right_by))
         out = pd.merge_asof(
-            left,
-            right,
+            left.sort_values([on, by], kind="mergesort"),
+            right.sort_values([right_on, right_by], kind="mergesort"),
             left_on=on,
             right_on=right_on,
             left_by=by,
             right_by=right_by,
             direction=direction,
         )
+
         # emit Arrow with the explicit output schema: every bucket agrees
         # on types, and from_pandas turns the merge's NaN/NaT padding into
         # true nulls (SQL LEFT JOIN semantics)
-        return pa.table(
-            {
-                n: pa.Array.from_pandas(out[n], type=types_all[n], safe=False)
-                for n in all_names
-            }
-        )
+        def to_arrow(df: pd.DataFrame, null_right: bool) -> pa.Table:
+            cols = {}
+            for n in all_names:
+                if null_right and n not in df.columns:
+                    cols[n] = pa.nulls(len(df), types_all[n])
+                else:
+                    cols[n] = pa.Array.from_pandas(
+                        df[n], type=types_all[n], safe=False
+                    )
+            return pa.table(cols)
+
+        matched = to_arrow(out, null_right=False)
+        if len(left_nullkey):
+            # LEFT semantics: null-key left rows survive with null right
+            # columns (a NULL equality/inequality key matches nothing)
+            return pa.concat_tables(
+                [matched, to_arrow(left_nullkey[l_names], null_right=True)]
+            )
+        return matched
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 

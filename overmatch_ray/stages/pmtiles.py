@@ -164,21 +164,26 @@ def write_pmtiles(
 
     ordered = tiles_ds.map_batches(add_id, batch_format="pyarrow").sort("tile_id")
 
+    # stream compressed tile payloads straight to a sidecar spill file —
+    # the header/directories need every entry length before the data
+    # section's final position is known, but driver MEMORY stays bounded
+    # by one batch + the entry list (16 B/tile), never the pyramid
     entries: list[tuple[int, int, int, int]] = []
-    blobs: list[bytes] = []
+    data_path = path + ".data.tmp"
     data_off = 0
     zmin, zmax = 99, 0
     n_tiles = 0
-    for batch in ordered.iter_batches(batch_format="pyarrow", batch_size=1024):
-        zs = batch["zoom"].to_pylist()
-        tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-        for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
-            gz = _gzip(mvt)
-            entries.append((int(tid), data_off, len(gz), 1))
-            blobs.append(gz)
-            data_off += len(gz)
-            zmin, zmax = min(zmin, z), max(zmax, z)
-            n_tiles += 1
+    with open(data_path, "wb") as df:
+        for batch in ordered.iter_batches(batch_format="pyarrow", batch_size=1024):
+            zs = batch["zoom"].to_pylist()
+            tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+            for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
+                gz = _gzip(mvt)
+                entries.append((int(tid), data_off, len(gz), 1))
+                df.write(gz)
+                data_off += len(gz)
+                zmin, zmax = min(zmin, z), max(zmax, z)
+                n_tiles += 1
     if n_tiles == 0:
         zmin = zmax = 0
 
@@ -236,13 +241,17 @@ def write_pmtiles(
     hdr[118] = zmin
     struct.pack_into("<ii", hdr, 119, 0, 0)
 
+    import os as _os
+
     with open(path, "wb") as f:
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
         f.write(leaf_bytes)
-        for b in blobs:
-            f.write(b)
+        with open(data_path, "rb") as df:
+            while chunk := df.read(1 << 22):
+                f.write(chunk)
+    _os.remove(data_path)
     n_leaves = (
         (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
     )

@@ -31,7 +31,14 @@ def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
     names = list(fractions)
     for i, name in enumerate(names):
         cum += fractions[name]
-        bound = "g" * 8 if i == len(names) - 1 else format(int(cum * 16**8), "08x")
+        # 'g'*8 sorts after every hex digest: used for the final split AND
+        # whenever the cumulative fraction already covers everything — a
+        # bound of int(1.0·16^8) would be 9 characters and break the
+        # fixed-width lexicographic compare
+        if i == len(names) - 1 or cum >= 1.0:
+            bound = "g" * 8
+        else:
+            bound = format(int(cum * 16**8), "08x")
         out.append((name, bound))
     return out
 

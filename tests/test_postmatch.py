@@ -474,3 +474,83 @@ class TestPMTilesLeaves:
         ha = hashlib.sha256(open(pa_, "rb").read()).hexdigest()
         hb = hashlib.sha256(open(tmp_path / "b.pmtiles", "rb").read()).hexdigest()
         assert ha == hb and stats2 == stats
+
+
+class TestReviewRegressions:
+    def test_asof_nullable_int_columns_and_null_keys(self, ray_session):
+        """Review finding: nullable int payload columns and null join keys
+        must not crash asof_join; null-key left rows keep LEFT semantics."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import asof_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "eid": pa.array([1, 2, 3], pa.int64()),
+                    "t": pa.array([10, None, 30], pa.int64()),
+                    "u": pa.array([1, 1, 1], pa.int64()),
+                    "extra": pa.array([7, None, 9], pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "p_u": pa.array([1, None], pa.int64()),
+                    "p_t": pa.array([5, 6], pa.int64()),
+                    "p_v": pa.array([1.5, 9.9]),
+                }
+            )
+        )
+        out = {
+            r["eid"]: r
+            for r in asof_join(
+                left, right, on="t", right_on="p_t", by="u", right_by="p_u",
+                num_buckets=2,
+            ).take_all()
+        }
+        assert out[1]["p_t"] == 5 and out[1]["p_v"] == 1.5
+        assert out[2]["p_t"] is None  # null ON key → no match, row kept
+        assert out[2]["extra"] is None
+        assert out[3]["p_t"] == 5 and out[3]["extra"] == 9
+
+    def test_semi_join_keys_above_2_53(self, ray_session):
+        """Review finding: int64 keys above 2^53 must not be compared as
+        float64 (adjacent keys would collide)."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import semi_join_shuffled
+
+        base = (1 << 60) + 12345678901234567
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([base, base + 1, base + 2], pa.int64()),
+                    "v": pa.array(["a", "b", "c"]),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array([base + 1], pa.int64())})
+        )
+        semi = semi_join_shuffled(left, right, "k", "rk", num_buckets=2).take_all()
+        assert [r["v"] for r in semi] == ["b"]
+        assert semi[0]["k"] == base + 1  # exact key value in the output
+        anti = semi_join_shuffled(
+            left, right, "k", "rk", anti=True, num_buckets=2
+        ).take_all()
+        assert sorted(r["v"] for r in anti) == ["a", "c"]
+
+    def test_split_thresholds_zero_tail(self):
+        """Review finding: a zero-weight tail split after cum=1.0 must get
+        nothing (no 9-char hex bound breaking the compare)."""
+        from overmatch_ray.stages.splits import split_of, split_thresholds
+
+        th = split_thresholds({"a": 0.5, "b": 0.5, "c": 0.0})
+        assert all(len(b) == 8 for _, b in th)
+        from collections import Counter
+
+        c = Counter(split_of(str(i), th) for i in range(4000))
+        assert c["c"] == 0
+        assert abs(c["a"] / 4000 - 0.5) < 0.05 and abs(c["b"] / 4000 - 0.5) < 0.05
