@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": cq.q_lang_distribution,
         "prefix_dedup": cq.q_prefix_dedup,
         "doc_splits": cq.q_doc_splits,
+        "doc_sample": cq.q_doc_sample,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
         "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
         "knn_topk": cq.q_knn_topk,

@@ -577,3 +577,20 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 20% sample of documents (stages.splits rule)."""
+    from ..stages.splits import sample_deterministic
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_deterministic(docs, "doc_id", 0.2)
+
+
+# floor(0.2·16^8) = 0x33333333
+ORACLE_SQL["doc_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+"""

@@ -68,3 +68,21 @@ def split_assign(
         return batch.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_deterministic(ds, id_col: str, fraction: float, salt: str = ""):
+    """Keep a deterministic ``fraction`` of rows — same md5-hex-threshold
+    rule as ``split_assign`` (partitioning/retry-invariant; disjoint
+    samples via different salts; a smaller fraction's sample is a strict
+    subset of a larger one's at the same salt)."""
+    bound = format(int(fraction * 16**8), "08x") if fraction < 1.0 else "g" * 8
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].to_pylist()
+        mask = [
+            hashlib.md5((salt + str(k)).encode()).hexdigest()[:8] < bound
+            for k in keys
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

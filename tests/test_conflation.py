@@ -122,3 +122,21 @@ def test_edge_cases_present(corpus, expected):
                 vetoed += 1
                 assert (r["osm_id"], vr["id"]) not in exp_keys
     assert vetoed > 0, "corpus has no housenumber-veto case"
+
+
+def test_empty_sides(ray_session):
+    """verify-recipe probe: an empty index or probe side must produce 0
+    matches without crashing."""
+    import ray.data
+
+    from overmatch_ray.pipelines.conflate import conflate
+    from overmatch_ray.synth import osm_block, overture_block
+
+    idx = np.arange(50)
+    osm = ray.data.from_arrow(osm_block(idx, 50))
+    ovt = ray.data.from_arrow(overture_block(idx, n_total=50))
+    empty_osm = osm.filter(expr="lon > 999")
+    empty_ovt = ovt.filter(expr="lon > 999")
+    assert conflate(empty_osm, ovt, num_buckets=4).count() == 0
+    assert conflate(osm, empty_ovt, num_buckets=4).count() == 0
+    assert conflate(empty_osm, empty_ovt, num_buckets=4).count() == 0

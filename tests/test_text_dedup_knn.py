@@ -366,3 +366,27 @@ class TestMultiProbe:
         r1, r4 = recall(1), recall(4)
         assert r4 >= r1
         assert r4 >= 0.8, f"4-probe recall {r4} too low"
+
+
+class TestSampleDeterministic:
+    def test_subset_nesting_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.splits import sample_deterministic
+
+        t = pa.table({"doc_id": pa.array(range(3000), pa.int64())})
+
+        def ids(frac, nblocks=3, salt=""):
+            return {
+                r["doc_id"]
+                for r in sample_deterministic(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "doc_id", frac, salt=salt,
+                ).take_all()
+            }
+
+        s10, s30 = ids(0.1), ids(0.3)
+        assert s10 <= s30, "smaller fraction must nest inside larger"
+        assert abs(len(s30) / 3000 - 0.3) < 0.03
+        assert ids(0.3, nblocks=11) == s30, "partitioning must not matter"
+        assert ids(0.3, salt="other") != s30
