@@ -100,7 +100,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.images import decode_validate, dedup_exact
     from overmatch_ray.stages.tiles import build_tiles
 
-    cache = f"/tmp/overmatch_bench/v5-{_sf_of(sf_dir)}"
+    cache = f"/tmp/overmatch_bench/v6-{_sf_of(sf_dir)}"
     meta = _gen_inputs(sf_dir, cache)
     n_osm, n_img = meta["n_osm"], meta["n_img"]
 
