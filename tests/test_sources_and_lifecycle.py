@@ -307,3 +307,43 @@ class TestNdjsonGeojson:
         )
         assert nd_rows == fc_rows
         assert len(nd_rows) == 2308
+
+
+class TestRunAll:
+    def test_staged_pipeline_resume_and_timing(self, ray_session, tmp_path):
+        """§2.10/§3.1 run_all analog: ordered stages, append-only timing
+        log, stage-level resume (a rerun skips receipted stages), and
+        only/skip filters."""
+        import json
+
+        from overmatch_ray.pipelines.run_all import flagship_stages, run_pipeline
+
+        out = str(tmp_path / "run")
+        stages = flagship_stages("/root/testdata/sf0.001", out)
+        r1 = run_pipeline(stages, {}, out)
+        assert [r["stage"] for r in r1] == [
+            "conflate", "merge", "tiles", "pmtiles", "matches_sink"
+        ]
+        assert all(r["status"] == "done" for r in r1)
+        assert r1[0]["n_matches"] == 56  # flagship corpus
+        assert r1[3]["n_tiles"] == r1[2]["n_tiles"]
+        assert r1[4]["n_rows"] == 56
+        timing = [
+            json.loads(l) for l in open(f"{out}/timing.jsonl").read().splitlines()
+        ]
+        assert len(timing) == 5 and all("sec" in t for t in timing)
+
+        # rerun: everything resumes from receipts, timing log unchanged
+        r2 = run_pipeline(flagship_stages("/root/testdata/sf0.001", out), {}, out)
+        assert all(r["status"] == "done" for r in r2)
+        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 5
+
+        # only-filter: run a single stage into a fresh dir
+        out2 = str(tmp_path / "run2")
+        r3 = run_pipeline(
+            flagship_stages("/root/testdata/sf0.001", out2), {}, out2,
+            only={"conflate"},
+        )
+        assert [r["status"] for r in r3] == [
+            "done", "filtered", "filtered", "filtered", "filtered"
+        ]
