@@ -128,20 +128,28 @@ def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
 def conflate(
     osm_ds: "ray.data.Dataset",
     overture_ds: "ray.data.Dataset",
-    num_buckets: int = 128,
+    num_buckets: int | None = None,
     salt: int = 1,
 ) -> "ray.data.Dataset":
     """The J1 spatial+fuzzy conflation join as a Ray Data pipeline.
 
-    SIZING RULE: set ``num_buckets`` ∝ total cluster cores (≈ 2× the CPUs
-    actually available to the shuffle — bench.py uses ``2 * num_cpus``).
-    Buckets are the unit of join parallelism AND of per-task memory: with
-    a fixed 128 on a growing corpus, per-bucket groups grow linearly and
-    eventually blow task heaps; with buckets ≫ cores, the groupby pays
-    per-group scheduling for no speedup.
+    SIZING RULE: ``num_buckets`` ∝ total cluster cores (≈ 2× the CPUs
+    actually available to the shuffle). The default (None) applies the
+    rule automatically from ``ray.cluster_resources()`` at call time, so
+    the same code sizes itself on a 4-CPU test session and a 256-node
+    cluster; pass an explicit value to pin it. Buckets are the unit of
+    join parallelism AND of per-task memory: with a fixed count on a
+    growing corpus, per-bucket groups grow linearly and eventually blow
+    task heaps; with buckets ≫ cores, the groupby pays per-group
+    scheduling for no speedup. Bucket count never changes RESULTS (the
+    join is partition-agnostic; pinned by tests), only the physical plan.
 
     ``salt`` > 1 splits every bucket S ways (probe rows spread, index rows
     replicated ×S) — the straggler mitigation for skewed urban cells."""
+    if num_buckets is None:
+        import ray as _ray
+
+        num_buckets = max(16, 2 * int(_ray.cluster_resources().get("CPU", 32)))
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},

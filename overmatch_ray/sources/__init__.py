@@ -115,6 +115,44 @@ def write_geojson_features(ds, path: str) -> int:
     return n
 
 
+def write_geojson_seq(ds, out_dir: str) -> "ray.data.Dataset":
+    """S13/S14 scale path: newline-delimited GeoJSON (one Feature per
+    line), one part file per block with atomic rename — fully distributed,
+    unlike the single-document FeatureCollection writer. Round-trips
+    through ``read_geojson_points_ndjson``."""
+    os.makedirs(out_dir, exist_ok=True)
+    import uuid
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.geojsonl")
+        tmp = name + ".tmp"
+        with open(tmp, "w") as f:
+            # reference GeoJSON property spellings ('@id',
+            # 'addr:housenumber') so the NDJSON reader round-trips
+            key_map = {"osm_id": "@id", "addr_housenumber": "addr:housenumber"}
+            for row in batch.to_pylist():
+                props = {
+                    key_map.get(k, k): v
+                    for k, v in row.items()
+                    if k not in ("lon", "lat", "elem_type") and v is not None
+                }
+                feat = {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [row["lon"], row["lat"]],
+                    },
+                    "properties": props,
+                }
+                f.write(json.dumps(feat, separators=(",", ":")) + "\n")
+        os.replace(tmp, name)
+        return pa.table(
+            {"file": pa.array([name]), "rows": pa.array([batch.num_rows])}
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
 def write_matches_jsonl(matches_ds, out_dir: str):
     """S9: match rows → line-delimited JSON part files (the reference's
     matches.jsonl shape: overture_tags as a nested object)."""

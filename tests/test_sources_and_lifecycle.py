@@ -347,3 +347,29 @@ class TestRunAll:
         assert [r["status"] for r in r3] == [
             "done", "filtered", "filtered", "filtered", "filtered"
         ]
+
+
+class TestGeojsonSeqWriter:
+    def test_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.sources import (
+            read_geojson_points_ndjson,
+            write_geojson_seq,
+        )
+        from overmatch_ray.synth import osm_block
+
+        feats = osm_block(np.arange(120))
+        out = str(tmp_path / "seq")
+        parts = write_geojson_seq(
+            ray.data.from_arrow(feats).repartition(3), out
+        ).take_all()
+        assert sum(p["rows"] for p in parts) == 120
+        back = read_geojson_points_ndjson(f"{out}/").take_all()
+        orig = {r["osm_id"]: r for r in feats.to_pylist()}
+        assert len(back) == 120
+        for r in back:
+            o = orig[r["osm_id"]]
+            assert r["name"] == o["name"]
+            assert r["addr_housenumber"] == o["addr_housenumber"]
+            assert abs(r["lon"] - o["lon"]) < 1e-9
