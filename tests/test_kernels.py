@@ -132,3 +132,67 @@ class TestExactQuantiles:
         got = dict(zip(out["p"].to_pylist(), out["q"].to_pylist()))
         for p in ps:
             assert got[p] == round(float(np.quantile(vals, p)), 6), p
+
+
+class TestWireFormats:
+    def test_varint_zigzag_roundtrip(self):
+        from hypothesis import given
+        from hypothesis import strategies as st
+
+        from overmatch_ray.stages.mvt import _varint, _zigzag
+
+        def read_varint(buf, i=0):
+            shift = out = 0
+            while True:
+                b = buf[i]
+                i += 1
+                out |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return out, i
+                shift += 7
+
+        @given(st.integers(min_value=0, max_value=2**64 - 1))
+        def roundtrip(n):
+            v, i = read_varint(_varint(n))
+            assert v == n and i == len(_varint(n))
+
+        roundtrip()
+
+        @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+        def zz(n):
+            u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+            assert (u >> 1) ^ -(u & 1) == n
+
+        zz()
+
+    def test_pmtiles_directory_roundtrip(self):
+        from hypothesis import given
+        from hypothesis import strategies as st
+
+        from overmatch_ray.stages.pmtiles import (
+            _deserialize_directory,
+            _serialize_directory,
+        )
+
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=2**40),
+                    st.integers(min_value=1, max_value=2**20),
+                    st.integers(min_value=0, max_value=3),
+                ),
+                max_size=40,
+            )
+        )
+        def roundtrip(rows):
+            # build sorted entries with contiguous and gapped offsets mixed
+            rows.sort()
+            entries, off = [], 0
+            for i, (tid_d, ln, gap) in enumerate(rows):
+                tid = (entries[-1][0] + 1 + tid_d) if entries else tid_d
+                off += gap  # 0 → contiguous shorthand branch
+                entries.append((tid, off, ln, 1))
+                off += ln
+            assert _deserialize_directory(_serialize_directory(entries)) == entries
+
+        roundtrip()
