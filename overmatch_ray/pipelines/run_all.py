@@ -54,11 +54,15 @@ def run_pipeline(
         summary = fn(ctx) or {}
         elapsed = round(time.time() - t0, 3)
         receipt = {"stage": name, "status": "done", "sec": elapsed, **summary}
+        # commit the receipt FIRST (atomic rename), then append the timing
+        # line — a crash between the two loses one advisory log line
+        # instead of duplicating it on rerun
+        tmp = receipt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(receipt, f)
+        os.replace(tmp, receipt_path)  # atomic: crash mid-stage leaves no receipt
         with open(timing_path, "a") as f:  # append-only timing log
             f.write(json.dumps(receipt, sort_keys=True) + "\n")
-        tmp = receipt_path + ".tmp"
-        json.dump(receipt, open(tmp, "w"))
-        os.replace(tmp, receipt_path)  # atomic: crash mid-stage leaves no receipt
         receipts.append(receipt)
     return receipts
 
@@ -71,38 +75,56 @@ def flagship_stages(
     num_buckets: int = 64,
 ) -> "list[Stage]":
     """The reference's nightly rebuild (§3.1/§3.2) as declarative stages:
-    conflate → merge → tiles → pmtiles artifact → matches sink."""
+    conflate → merge → tiles → pmtiles artifact → matches sink.
+
+    Every stage fetches its inputs through ``_ensure_*`` providers that
+    recompute missing ctx entries, so resuming after a crash (receipted
+    stages skipped, fresh empty ctx) still works: a later stage rebuilds
+    the lazy inputs it needs without re-running the receipted stages'
+    SIDE EFFECTS (sinks/artifacts are what receipts actually gate)."""
+
+    def _ensure_matches(ctx: dict):
+        if "matches" not in ctx:
+            from .conflate import flagship_matches
+
+            ctx["matches"] = flagship_matches(
+                sf_dir, num_buckets=num_buckets
+            ).materialize()
+        return ctx["matches"]
+
+    def _ensure_tiles(ctx: dict):
+        if "tiles" not in ctx:
+            from ..stages.tiles import build_tiles
+
+            ctx["tiles"] = build_tiles(
+                _ensure_matches(ctx), zooms=list(zooms), max_per_tile=max_per_tile
+            ).materialize()
+        return ctx["tiles"]
 
     def s_conflate(ctx: dict) -> dict:
-        from .conflate import flagship_matches
-
-        ctx["matches"] = flagship_matches(sf_dir, num_buckets=num_buckets).materialize()
-        return {"n_matches": ctx["matches"].count()}
+        return {"n_matches": _ensure_matches(ctx).count()}
 
     def s_merge(ctx: dict) -> dict:
         from ..stages.enrich import merge_matches
 
-        ctx["merged"] = merge_matches(ctx["matches"]).materialize()
+        ctx["merged"] = merge_matches(_ensure_matches(ctx)).materialize()
         return {"n_elements": ctx["merged"].count()}
 
     def s_tiles(ctx: dict) -> dict:
-        from ..stages.tiles import build_tiles
-
-        ctx["tiles"] = build_tiles(
-            ctx["matches"], zooms=list(zooms), max_per_tile=max_per_tile
-        ).materialize()
-        return {"n_tiles": ctx["tiles"].count()}
+        return {"n_tiles": _ensure_tiles(ctx).count()}
 
     def s_pmtiles(ctx: dict) -> dict:
         from ..stages.pmtiles import write_pmtiles
 
-        return write_pmtiles(ctx["tiles"], os.path.join(out_dir, "tiles.pmtiles"))
+        return write_pmtiles(
+            _ensure_tiles(ctx), os.path.join(out_dir, "tiles.pmtiles")
+        )
 
     def s_matches_sink(ctx: dict) -> dict:
         from ..sources import write_matches_jsonl
 
         parts = write_matches_jsonl(
-            ctx["matches"], os.path.join(out_dir, "matches")
+            _ensure_matches(ctx), os.path.join(out_dir, "matches")
         ).take_all()
         return {"n_parts": len(parts), "n_rows": sum(p["rows"] for p in parts)}
 

@@ -31,7 +31,12 @@ def _flatten_features(batch: pa.Table, col: str, extra_props: tuple[str, ...]) -
         props = ft.get("properties") or {}
         fid = props.get("@id") or ft.get("id") or ""
         ids.append(fid)
-        types.append(str(fid).split("/")[0] if "/" in str(fid) else "node")
+        # explicit elem_type property wins (write_geojson_seq emits it when
+        # the id carries no 'type/123' prefix to re-derive it from)
+        types.append(
+            props.get("elem_type")
+            or (str(fid).split("/")[0] if "/" in str(fid) else "node")
+        )
         names.append(props.get("name"))
         hns.append(props.get("addr:housenumber"))
         coords = (ft.get("geometry") or {}).get("coordinates") or [None, None]
@@ -115,36 +120,20 @@ def write_geojson_features(ds, path: str) -> int:
     return n
 
 
-def write_geojson_seq(ds, out_dir: str) -> "ray.data.Dataset":
-    """S13/S14 scale path: newline-delimited GeoJSON (one Feature per
-    line), one part file per block with atomic rename — fully distributed,
-    unlike the single-document FeatureCollection writer. Round-trips
-    through ``read_geojson_points_ndjson``."""
+
+
+def _write_part_files(ds, out_dir: str, suffix: str, row_to_line) -> "ray.data.Dataset":
+    """Shared line-sink scaffolding: one part file per block, unique name,
+    tmp + atomic rename, (file, rows) receipt rows."""
     os.makedirs(out_dir, exist_ok=True)
     import uuid
 
     def write_block(batch: pa.Table) -> pa.Table:
-        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.geojsonl")
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.{suffix}")
         tmp = name + ".tmp"
         with open(tmp, "w") as f:
-            # reference GeoJSON property spellings ('@id',
-            # 'addr:housenumber') so the NDJSON reader round-trips
-            key_map = {"osm_id": "@id", "addr_housenumber": "addr:housenumber"}
             for row in batch.to_pylist():
-                props = {
-                    key_map.get(k, k): v
-                    for k, v in row.items()
-                    if k not in ("lon", "lat", "elem_type") and v is not None
-                }
-                feat = {
-                    "type": "Feature",
-                    "geometry": {
-                        "type": "Point",
-                        "coordinates": [row["lon"], row["lat"]],
-                    },
-                    "properties": props,
-                }
-                f.write(json.dumps(feat, separators=(",", ":")) + "\n")
+                f.write(row_to_line(row) + "\n")
         os.replace(tmp, name)
         return pa.table(
             {"file": pa.array([name]), "rows": pa.array([batch.num_rows])}
@@ -152,35 +141,48 @@ def write_geojson_seq(ds, out_dir: str) -> "ray.data.Dataset":
 
     return ds.map_batches(write_block, batch_format="pyarrow")
 
+def write_geojson_seq(ds, out_dir: str) -> "ray.data.Dataset":
+    """S13/S14 scale path: newline-delimited GeoJSON (one Feature per
+    line), one part file per block with atomic rename — fully distributed,
+    unlike the single-document FeatureCollection writer. Round-trips
+    through ``read_geojson_points_ndjson``."""
+    # reference GeoJSON property spellings ('@id', 'addr:housenumber') so
+    # the NDJSON reader round-trips; elem_type is kept explicitly whenever
+    # the id does NOT carry a 'type/123' prefix the reader could re-derive
+    key_map = {"osm_id": "@id", "addr_housenumber": "addr:housenumber"}
+
+    def row_to_line(row: dict) -> str:
+        skip = {"lon", "lat"}
+        if "/" in str(row.get("osm_id", "")):
+            skip.add("elem_type")
+        props = {
+            key_map.get(k, k): v
+            for k, v in row.items()
+            if k not in skip and v is not None
+        }
+        feat = {
+            "type": "Feature",
+            "geometry": {
+                "type": "Point",
+                "coordinates": [row["lon"], row["lat"]],
+            },
+            "properties": props,
+        }
+        return json.dumps(feat, separators=(",", ":"))
+
+    return _write_part_files(ds, out_dir, "geojsonl", row_to_line)
+
 
 def write_matches_jsonl(matches_ds, out_dir: str):
     """S9: match rows → line-delimited JSON part files (the reference's
     matches.jsonl shape: overture_tags as a nested object)."""
-    os.makedirs(out_dir, exist_ok=True)
+    def row_to_line(row: dict) -> str:
+        row = dict(row)
+        tags = row.pop("overture_tags", None)
+        row["overture_tags"] = json.loads(tags) if tags else {}
+        return json.dumps(row, separators=(",", ":"))
 
-    def to_lines(batch: pa.Table) -> pa.Table:
-        lines = []
-        for row in batch.to_pylist():
-            row = dict(row)
-            tags = row.pop("overture_tags", None)
-            row["overture_tags"] = json.loads(tags) if tags else {}
-            lines.append(json.dumps(row, separators=(",", ":")))
-        return pa.table({"line": pa.array(lines, pa.string())})
-
-    lines_ds = matches_ds.map_batches(to_lines, batch_format="pyarrow")
-    # one part file per block, atomic rename
-    import uuid
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.jsonl")
-        tmp = name + ".tmp"
-        with open(tmp, "w") as f:
-            for line in batch["line"].to_pylist():
-                f.write(line + "\n")
-        os.replace(tmp, name)
-        return pa.table({"file": pa.array([name]), "rows": pa.array([batch.num_rows])})
-
-    return lines_ds.map_batches(write_block, batch_format="pyarrow")
+    return _write_part_files(matches_ds, out_dir, "jsonl", row_to_line)
 
 
 def read_matches_jsonl(path_or_dir: str) -> "ray.data.Dataset":

@@ -117,31 +117,25 @@ def semi_join_shuffled(
         right_t.map_batches(align_right, batch_format="pyarrow")
     )
 
-    int_restore = {
-        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
-        for n, t in zip(l_schema.names, l_schema.types)
-        if pa.types.is_integer(t)
-    }
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        # ARROW-native filtering: no pandas conversion anywhere, so int64
+        # keys keep full precision (no float64 upcast) even with nulls
+        lmask = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        left = g.filter(lmask)
+        keys = pc.unique(
+            pc.drop_null(g.filter(pc.invert(lmask))["__semi_key"].combine_chunks())
+        )
+        mask = pc.is_in(left["__semi_key"], value_set=keys)
+        if anti:
+            mask = pc.fill_null(pc.invert(mask), True)
+        else:
+            mask = pc.fill_null(mask, False)
+        out = left.filter(mask)
+        # left_on never went through a lossy path (it is __semi_key's twin
+        # on left rows) — emit the original left schema
+        return out.select(l_names)
 
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["__side"] == 0
-        left = g[lmask][l_names + ["__semi_key"]]
-        keys = g[~lmask]["__semi_key"].dropna().unique()
-        # membership on __semi_key (never float-upcast because both sides
-        # populate it), not the null-padded left_on column
-        mask = left["__semi_key"].isin(keys)
-        out = left[~mask.to_numpy()] if anti else left[mask.to_numpy()]
-        out = out.copy()
-        # the left_on column itself WAS null-padded (right rows) — restore
-        # its exact values from __semi_key before dropping the helper
-        out[left_on] = out["__semi_key"]
-        out = out.drop(columns="__semi_key")
-        for n, dt in int_restore.items():
-            if n in out.columns and out[n].dtype.kind == "f":
-                out[n] = out[n].astype(dt)
-        return out
-
-    return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
 def asof_join(

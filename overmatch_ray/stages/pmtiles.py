@@ -168,24 +168,41 @@ def write_pmtiles(
     # the header/directories need every entry length before the data
     # section's final position is known, but driver MEMORY stays bounded
     # by one batch + the entry list (16 B/tile), never the pyramid
+    import os as _os
+    import uuid as _uuid
+
     entries: list[tuple[int, int, int, int]] = []
-    data_path = path + ".data.tmp"
+    # unique per-call sidecar (concurrent writers to the same target can't
+    # interleave), removed on ANY exit path
+    data_path = f"{path}.{_uuid.uuid4().hex[:12]}.data.tmp"
     data_off = 0
     zmin, zmax = 99, 0
     n_tiles = 0
-    with open(data_path, "wb") as df:
-        for batch in ordered.iter_batches(batch_format="pyarrow", batch_size=1024):
-            zs = batch["zoom"].to_pylist()
-            tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-            for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
-                gz = _gzip(mvt)
-                entries.append((int(tid), data_off, len(gz), 1))
-                df.write(gz)
-                data_off += len(gz)
-                zmin, zmax = min(zmin, z), max(zmax, z)
-                n_tiles += 1
-    if n_tiles == 0:
-        zmin = zmax = 0
+    try:
+        with open(data_path, "wb") as df:
+            for batch in ordered.iter_batches(
+                batch_format="pyarrow", batch_size=1024
+            ):
+                zs = batch["zoom"].to_pylist()
+                tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+                for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
+                    gz = _gzip(mvt)
+                    entries.append((int(tid), data_off, len(gz), 1))
+                    df.write(gz)
+                    data_off += len(gz)
+                    zmin, zmax = min(zmin, z), max(zmax, z)
+                    n_tiles += 1
+        return _assemble_pmtiles(
+            path, data_path, entries, metadata, max_root_bytes,
+            data_off, n_tiles, zmin if n_tiles else 0, zmax if n_tiles else 0,
+        )
+    finally:
+        if _os.path.exists(data_path):
+            _os.remove(data_path)
+
+
+def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
+                      data_off, n_tiles, zmin, zmax) -> dict:
 
     root_payload = _serialize_directory(entries)
     leaf_bytes = b""
@@ -241,8 +258,6 @@ def write_pmtiles(
     hdr[118] = zmin
     struct.pack_into("<ii", hdr, 119, 0, 0)
 
-    import os as _os
-
     with open(path, "wb") as f:
         f.write(bytes(hdr))
         f.write(root)
@@ -251,7 +266,6 @@ def write_pmtiles(
         with open(data_path, "rb") as df:
             while chunk := df.read(1 << 22):
                 f.write(chunk)
-    _os.remove(data_path)
     n_leaves = (
         (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
     )

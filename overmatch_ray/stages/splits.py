@@ -22,6 +22,16 @@ import hashlib
 import pyarrow as pa
 
 
+def _hex_bound(cum: float) -> str:
+    """Exclusive-upper bound for a cumulative fraction as a FIXED-WIDTH
+    comparand: 8 lowercase hex chars, or the sorts-after-any-digest
+    sentinel once the fraction covers everything (int(1.0·16^8) would be
+    9 characters and break the lexicographic compare)."""
+    if cum >= 1.0:
+        return "g" * 8
+    return format(int(cum * 16**8), "08x")
+
+
 def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
     """[(name, exclusive-upper hex bound)] in declaration order; the last
     bound is forced to 'ffffffff'+1 territory so fractions that don't sum
@@ -31,14 +41,7 @@ def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
     names = list(fractions)
     for i, name in enumerate(names):
         cum += fractions[name]
-        # 'g'*8 sorts after every hex digest: used for the final split AND
-        # whenever the cumulative fraction already covers everything — a
-        # bound of int(1.0·16^8) would be 9 characters and break the
-        # fixed-width lexicographic compare
-        if i == len(names) - 1 or cum >= 1.0:
-            bound = "g" * 8
-        else:
-            bound = format(int(cum * 16**8), "08x")
+        bound = "g" * 8 if i == len(names) - 1 else _hex_bound(cum)
         out.append((name, bound))
     return out
 
@@ -75,7 +78,7 @@ def sample_deterministic(ds, id_col: str, fraction: float, salt: str = ""):
     rule as ``split_assign`` (partitioning/retry-invariant; disjoint
     samples via different salts; a smaller fraction's sample is a strict
     subset of a larger one's at the same salt)."""
-    bound = format(int(fraction * 16**8), "08x") if fraction < 1.0 else "g" * 8
+    bound = _hex_bound(fraction)
 
     def keep(batch: pa.Table) -> pa.Table:
         keys = batch[id_col].to_pylist()

@@ -554,3 +554,32 @@ class TestReviewRegressions:
         c = Counter(split_of(str(i), th) for i in range(4000))
         assert c["c"] == 0
         assert abs(c["a"] / 4000 - 0.5) < 0.05 and abs(c["b"] / 4000 - 0.5) < 0.05
+
+
+class TestSemiJoinNullAndHugeKeys:
+    def test_null_keys_with_keys_above_2_53(self, ray_session):
+        """Review finding: a null left key must not drag the key column
+        through float64 (corrupting adjacent >2^53 keys)."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import semi_join_shuffled
+
+        base = (1 << 60) + 987654321987654321 % (1 << 59)
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([base, base + 1, None, base + 2], pa.int64()),
+                    "v": pa.array(["a", "b", "n", "c"]),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array([base + 1], pa.int64())})
+        )
+        semi = semi_join_shuffled(left, right, "k", "rk", num_buckets=2).take_all()
+        assert sorted(r["v"] for r in semi) == ["b"]
+        assert semi[0]["k"] == base + 1
+        anti = semi_join_shuffled(
+            left, right, "k", "rk", anti=True, num_buckets=2
+        ).take_all()
+        assert sorted(r["v"] for r in anti) == ["a", "c", "n"]  # null kept

@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from overmatch_ray.synth import images_block, osm_block, overture_block
@@ -373,3 +374,62 @@ class TestGeojsonSeqWriter:
             assert r["name"] == o["name"]
             assert r["addr_housenumber"] == o["addr_housenumber"]
             assert abs(r["lon"] - o["lon"]) < 1e-9
+
+
+class TestRunAllCrashResume:
+    def test_partial_receipts_fresh_ctx(self, ray_session, tmp_path):
+        """Review finding: resuming with a FRESH ctx after a mid-pipeline
+        crash (some stages receipted, later ones not) must work — later
+        stages rebuild their lazy inputs via the _ensure providers."""
+        import os
+
+        from overmatch_ray.pipelines.run_all import flagship_stages, run_pipeline
+
+        out = str(tmp_path / "crash")
+        # simulate a crash after 'conflate': run only the first stage
+        run_pipeline(
+            flagship_stages("/root/testdata/sf0.001", out), {}, out,
+            only={"conflate"},
+        )
+        assert os.path.exists(f"{out}/_stages/conflate.json")
+        assert not os.path.exists(f"{out}/_stages/merge.json")
+        # resume with a FRESH empty ctx — the crashed process's ctx is gone
+        r = run_pipeline(flagship_stages("/root/testdata/sf0.001", out), {}, out)
+        statuses = {x["stage"]: x["status"] for x in r}
+        assert statuses == {
+            "conflate": "done", "merge": "done", "tiles": "done",
+            "pmtiles": "done", "matches_sink": "done",
+        }
+        by = {x["stage"]: x for x in r}
+        assert by["matches_sink"]["n_rows"] == 56
+        # timing log: 1 line from first run + 4 from resume (conflate
+        # resumed from receipt → no duplicate timing line)
+        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 5
+
+
+class TestGeojsonSeqBareIds:
+    def test_elem_type_survives_bare_ids(self, ray_session, tmp_path):
+        """Review finding: elem_type must round-trip even when osm_id has
+        no 'type/123' prefix to re-derive it from."""
+        import ray.data
+
+        from overmatch_ray.sources import (
+            read_geojson_points_ndjson,
+            write_geojson_seq,
+        )
+
+        t = pa.table(
+            {
+                "osm_id": pa.array(["12345", "way/9"]),
+                "elem_type": pa.array(["way", "way"]),
+                "name": pa.array(["A", "B"]),
+                "addr_housenumber": pa.array([None, "7"], pa.string()),
+                "lon": pa.array([-77.0, -77.1]),
+                "lat": pa.array([38.9, 38.8]),
+            }
+        )
+        out = str(tmp_path / "bare")
+        write_geojson_seq(ray.data.from_arrow(t), out).take_all()
+        back = {r["osm_id"]: r for r in read_geojson_points_ndjson(f"{out}/").take_all()}
+        assert back["12345"]["elem_type"] == "way"  # explicit prop kept
+        assert back["way/9"]["elem_type"] == "way"  # derived from prefix
