@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": ro.q_simhash_pairs,
         "langid_docs": ro.q_langid_docs,
         "lsh_knn": ro.q_lsh_knn,
+        "ivf_knn": ro.q_ivf_knn,
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,
     }

@@ -179,3 +179,18 @@ def q_pmtiles_archive(sf_dir: str):
         )
 
     return per_zoom.map_batches(attach, batch_format="pyarrow")
+
+
+def q_ivf_knn(sf_dir: str):
+    """IVF ANN top-k over the embeddings table (k-means coarse quantizer +
+    nprobe search — stages.knn.ivf_topk; approximate, recall pinned by
+    tests, so rows-only)."""
+    from ..stages.knn import ivf_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.limit(10).iter_batches(batch_format="pyarrow")]
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)

@@ -390,3 +390,50 @@ class TestSampleDeterministic:
         assert abs(len(s30) / 3000 - 0.3) < 0.03
         assert ids(0.3, nblocks=11) == s30, "partitioning must not matter"
         assert ids(0.3, salt="other") != s30
+
+
+class TestIvf:
+    def test_recall_and_nprobe_scaling(self, ray_session):
+        """IVF coarse-quantizer ANN: recall ≥ threshold on clustered data
+        and monotone-ish in nprobe; centroids deterministic."""
+        import ray.data
+
+        from overmatch_ray.stages.knn import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.default_rng(31)
+        centers = rng.standard_normal((10, 16)) * 4
+        m = centers[np.arange(400) % 10] + 0.3 * rng.standard_normal((400, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        queries = t.slice(0, 20)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(ds, queries, k=5).take_all()
+        }
+
+        cents = train_ivf_centroids(ds, n_lists=12)
+        np.testing.assert_allclose(
+            cents, train_ivf_centroids(ds, n_lists=12)
+        )  # deterministic
+
+        def recall(nprobe):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    ds, queries, k=5, nprobe=nprobe, centroids=cents
+                ).take_all()
+            }
+            return len(bf & got) / len(bf)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.85, f"IVF 4-probe recall {r4} too low"
