@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_cells": ro.q_image_cells,
         "minhash_pairs": ro.q_minhash_pairs,
         "simhash_pairs": ro.q_simhash_pairs,
+        "winnow_pairs": ro.q_winnow_pairs,
         "langid_docs": ro.q_langid_docs,
         "lsh_knn": ro.q_lsh_knn,
         "ivf_knn": ro.q_ivf_knn,

@@ -194,3 +194,13 @@ def q_ivf_knn(sf_dir: str):
         [pa.table(b) for b in emb.limit(10).iter_batches(batch_format="pyarrow")]
     )
     return ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
+def q_winnow_pairs(sf_dir: str):
+    """Rolling-hash winnowing fingerprints → near-dup candidate pairs
+    (SWA winnowing; fingerprint-set Jaccard is an estimate, so rows-only —
+    the guarantee and density properties are pinned by tests)."""
+    from ..stages.dedup import winnow_jaccard_pairs
+    from .corpus_queries import _derived_corpus
+
+    return winnow_jaccard_pairs(_derived_corpus(sf_dir), threshold=0.5)

@@ -437,3 +437,47 @@ class TestIvf:
         r1, r4 = recall(1), recall(4)
         assert r4 >= r1
         assert r4 >= 0.85, f"IVF 4-probe recall {r4} too low"
+
+
+class TestWinnowing:
+    def test_guarantee_and_density(self, ray_session):
+        """SWA winnowing: identical docs share ALL fingerprints; docs
+        sharing a long substring share ≥1 fingerprint; density ≈
+        2/(window+1); pair pipeline finds the near-dups."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import (
+            shingle_hashes,
+            winnow_fingerprints,
+            winnow_jaccard_pairs,
+        )
+
+        rng = np.random.default_rng(41)
+        words = [f"w{i}" for i in range(300)]
+        doc = " ".join(rng.choice(words, 120))
+        assert set(winnow_fingerprints(doc).tolist()) == set(
+            winnow_fingerprints(doc).tolist()
+        )
+        # shared ≥ k+window-1 token substring → shared fingerprint
+        shared = " ".join(rng.choice(words, 20))
+        a = " ".join(rng.choice(words, 40)) + " " + shared
+        b = shared + " " + " ".join(rng.choice(words, 40))
+        fa = set(winnow_fingerprints(a).tolist())
+        fb = set(winnow_fingerprints(b).tolist())
+        assert fa & fb, "long shared substring must share a fingerprint"
+        # density: far fewer fingerprints than shingles
+        n_shingles = shingle_hashes(doc, 5).size
+        n_fp = winnow_fingerprints(doc).size
+        assert n_fp < 0.6 * n_shingles
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([doc, doc + " tail extra", " ".join(rng.choice(words, 120))]),
+            }
+        )
+        pairs = winnow_jaccard_pairs(
+            ray.data.from_arrow(docs), threshold=0.5
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got and not any(2 in p for p in got)
