@@ -191,7 +191,8 @@ def q_ivf_knn(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     queries = pa.concat_tables(
-        [pa.table(b) for b in emb.limit(10).iter_batches(batch_format="pyarrow")]
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
     )
     return ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
 

@@ -291,8 +291,9 @@ def winnow_jaccard_pairs(
     inverted-index plan as ``ngram_jaccard_pairs`` (counts carried through
     the explode) but over the ~2/(window+1)-density fingerprint sets, so
     the exploded index is a fraction of full shingling's. Jaccard here is
-    over FINGERPRINT sets (an unbiased similarity estimate, not the exact
-    shingle Jaccard)."""
+    over FINGERPRINT sets — an approximation backed by the winnowing
+    detection guarantee, NOT an unbiased estimator of shingle Jaccard
+    (selection is positionally correlated, unlike MinHash)."""
     return ngram_jaccard_pairs(
         docs_ds,
         threshold=threshold,

@@ -93,6 +93,58 @@ def _merge_topk(partials, k: int):
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _probe_partial(
+    cm: np.ndarray,
+    cids: np.ndarray,
+    ckeys: np.ndarray,
+    qids: np.ndarray,
+    qm: np.ndarray,
+    qprobes: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Shared batch-local probe scoring for the bucketed ANN variants:
+    corpus rows keyed by ``ckeys`` (LSH bucket / IVF list), each query
+    scored only against the rows of its ``qprobes`` keys; per-query
+    partial top-k with the (cos desc, neighbor_id asc) tie-break."""
+    out_q, out_n, out_s = [], [], []
+    order = np.argsort(ckeys, kind="stable")
+    sorted_k = ckeys[order]
+    for qi in range(qids.shape[0]):
+        cand_parts = []
+        for key in qprobes[qi]:
+            lo = np.searchsorted(sorted_k, key, side="left")
+            hi = np.searchsorted(sorted_k, key, side="right")
+            if lo < hi:
+                cand_parts.append(order[lo:hi])
+        if not cand_parts:
+            continue
+        cand = np.concatenate(cand_parts)
+        cand = cand[cids[cand] != qids[qi]]
+        if cand.size == 0:
+            continue
+        sims = cm[cand] @ qm[qi]
+        kk = min(k, sims.size)
+        top = np.lexsort((cids[cand], -sims))[:kk]
+        out_q.append(np.full(kk, qids[qi]))
+        out_n.append(cids[cand[top]])
+        out_s.append(sims[top])
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cos_sim": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 # --- IVF (k-means coarse quantizer) ---------------------------------------
 
 
@@ -100,24 +152,32 @@ def train_ivf_centroids(
     corpus_ds,
     n_lists: int = 64,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_rows: int = 20_000,
     iters: int = 10,
     seed: int = 19,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a BOUNDED sample (first
-    ``sample_rows`` — block order is deterministic for a given input):
-    the driver holds sample × d floats, never the corpus. Returns
-    unit-norm centroids (n_lists, d)."""
-    sample = _to_matrix(
-        pa.concat_tables(
-            [
-                pa.table(b)
-                for b in corpus_ds.limit(sample_rows)
-                .select_columns([vec_col])
-                .iter_batches(batch_format="pyarrow")
-            ]
-        )[vec_col]
+    """Deterministic spherical k-means on a BOUNDED sample: the pulled
+    rows are SORTED BY ID before the seeded init, because Ray's limit()
+    delivers blocks in completion order (preserve_order is off) — without
+    the sort, positional rng.choice would pick different init vectors
+    run-to-run. The driver holds sample × d floats, never the corpus.
+    Returns unit-norm centroids (n_lists, d).
+
+    CAVEAT: when the corpus exceeds ``sample_rows``, limit() may also vary
+    the sampled SUBSET across runs; for bit-reproducible centroids on big
+    corpora, pre-select the sample with a deterministic filter (e.g.
+    ``sample_deterministic``) and pass it as ``corpus_ds``."""
+    pulled = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in corpus_ds.limit(sample_rows)
+            .select_columns([id_col, vec_col])
+            .iter_batches(batch_format="pyarrow")
+        ]
     )
+    order = pa.compute.sort_indices(pulled[id_col])
+    sample = _to_matrix(pulled.take(order)[vec_col])
     m = _normalize(sample)
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(m.shape[0], size=min(n_lists, m.shape[0]), replace=False)]
@@ -151,7 +211,7 @@ def ivf_topk(
     import ray
 
     if centroids is None:
-        centroids = train_ivf_centroids(corpus_ds, n_lists, vec_col)
+        centroids = train_ivf_centroids(corpus_ds, n_lists, vec_col, id_col)
     qm = _normalize(_to_matrix(queries[vec_col]))
     qids = np.asarray(queries[id_col].to_numpy(zero_copy_only=False))
     nprobe = min(nprobe, centroids.shape[0])
@@ -163,43 +223,7 @@ def ivf_topk(
         cm = _normalize(_to_matrix(batch[vec_col]))
         cids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         clist = (cm @ cent_.T).argmax(axis=1)
-        out_q, out_n, out_s = [], [], []
-        order = np.argsort(clist, kind="stable")
-        sorted_l = clist[order]
-        for qi in range(qids_.shape[0]):
-            cand_parts = []
-            for lst in qlists_[qi]:
-                lo = np.searchsorted(sorted_l, lst, side="left")
-                hi = np.searchsorted(sorted_l, lst, side="right")
-                if lo < hi:
-                    cand_parts.append(order[lo:hi])
-            if not cand_parts:
-                continue
-            cand = np.concatenate(cand_parts)
-            cand = cand[cids[cand] != qids_[qi]]
-            if cand.size == 0:
-                continue
-            sims = cm[cand] @ qm_[qi]
-            kk = min(k, sims.size)
-            top = np.lexsort((cids[cand], -sims))[:kk]
-            out_q.append(np.full(kk, qids_[qi]))
-            out_n.append(cids[cand[top]])
-            out_s.append(sims[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "cos_sim": pa.array(np.concatenate(out_s)),
-            }
-        )
+        return _probe_partial(cm, cids, clist, qids_, qm_, qlists_, k)
 
     return _merge_topk(
         corpus_ds.map_batches(partial, batch_format="pyarrow"), k
@@ -260,44 +284,7 @@ def lsh_topk(
         cm = _normalize(_to_matrix(batch[vec_col]))
         cids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         cbuck = _bucket_ids(cm, planes_)
-        out_q, out_n, out_s = [], [], []
-        # group corpus rows by bucket, score each query against its probes
-        order = np.argsort(cbuck, kind="stable")
-        sorted_b = cbuck[order]
-        for qi in range(qids_.shape[0]):
-            cand_parts = []
-            for pb in probes_[qi]:
-                lo = np.searchsorted(sorted_b, pb, side="left")
-                hi = np.searchsorted(sorted_b, pb, side="right")
-                if lo < hi:
-                    cand_parts.append(order[lo:hi])
-            if not cand_parts:
-                continue
-            cand = np.concatenate(cand_parts)
-            cand = cand[cids[cand] != qids_[qi]]
-            if cand.size == 0:
-                continue
-            sims = cm[cand] @ qm_[qi]
-            kk = min(k, sims.size)
-            top = np.lexsort((cids[cand], -sims))[:kk]
-            out_q.append(np.full(kk, qids_[qi]))
-            out_n.append(cids[cand[top]])
-            out_s.append(sims[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "cos_sim": pa.array(np.concatenate(out_s)),
-            }
-        )
+        return _probe_partial(cm, cids, cbuck, qids_, qm_, probes_, k)
 
     return _merge_topk(corpus_ds.map_batches(partial, batch_format="pyarrow"), k)
 

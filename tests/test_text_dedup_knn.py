@@ -455,8 +455,11 @@ class TestWinnowing:
         rng = np.random.default_rng(41)
         words = [f"w{i}" for i in range(300)]
         doc = " ".join(rng.choice(words, 120))
+        # scalar and batch APIs agree (non-vacuous identity check)
+        from overmatch_ray.stages.dedup import winnow_fingerprints_batch
+
         assert set(winnow_fingerprints(doc).tolist()) == set(
-            winnow_fingerprints(doc).tolist()
+            winnow_fingerprints_batch([doc])[0].tolist()
         )
         # shared ≥ k+window-1 token substring → shared fingerprint
         shared = " ".join(rng.choice(words, 20))
