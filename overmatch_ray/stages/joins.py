@@ -63,6 +63,76 @@ def semi_join_filter(left_ds, keys: set | np.ndarray, on: str, anti: bool = Fals
     return left_ds.map_batches(filt, batch_format="pyarrow")
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over int64/uint64 keys: numpy bit array,
+    ``n_hashes`` derived probes per key from two splitmix64 streams
+    (Kirsch–Mitzenmacher double hashing). Serializable (ray.put) and
+    deterministic."""
+
+    def __init__(self, n_bits: int, n_hashes: int = 4):
+        self.n_bits = int(n_bits)
+        self.n_hashes = n_hashes
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    def _probes(self, keys: np.ndarray) -> np.ndarray:
+        k = np.asarray(keys).astype(np.int64).view(np.uint64)
+        h1 = _mix(k)
+        h2 = _mix(k ^ _U64(0xA076_1D64_78BD_642F)) | _U64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % _U64(self.n_bits)
+
+    def add(self, keys: np.ndarray) -> None:
+        p = self._probes(keys).ravel()
+        np.bitwise_or.at(self.bits, (p >> _U64(6)).astype(np.int64),
+                         _U64(1) << (p & _U64(63)))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        p = self._probes(keys)
+        word = self.bits[(p >> _U64(6)).astype(np.int64)]
+        hit = (word >> (p & _U64(63))) & _U64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def build_key_bloom(ds, on: str, n_bits: int = 1 << 23, n_hashes: int = 4):
+    """Aggregate a BloomFilter of a dataset's (integer) key column:
+    per-batch filters, an intermediate distributed OR-merge (repartition to
+    ≤8 blocks), and a final driver OR of at most 8 filters — driver memory
+    is bounded by 8 × n_bits/8 bytes regardless of block count."""
+
+    def or_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+        for blob in batch["bits"].to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
+
+    partial = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "bits": pa.array(
+                    [_batch_bloom_bits(b, on, n_bits, n_hashes).tobytes()],
+                    pa.large_binary(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    merged = partial.repartition(8).map_batches(
+        or_merge, batch_format="pyarrow", batch_size=None
+    )
+    bloom = BloomFilter(n_bits, n_hashes)
+    for row in merged.take_all():
+        bloom.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return bloom
+
+
+def _batch_bloom_bits(batch: pa.Table, on: str, n_bits: int, n_hashes: int):
+    bf = BloomFilter(n_bits, n_hashes)
+    keys = batch[on].drop_null().combine_chunks().to_numpy(zero_copy_only=False)
+    if len(keys):
+        bf.add(keys)
+    return bf.bits
+
+
 def semi_join_shuffled(
     left_ds,
     right_ds,
@@ -70,14 +140,42 @@ def semi_join_shuffled(
     right_on: str,
     anti: bool = False,
     num_buckets: int = 64,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ):
     """Distributed semi/anti join for key sides too large to broadcast
     (VERDICT r1 #6): co-shuffle left rows and the right side's DISTINCT keys
     by hash(key) % B, filter per bucket. The right side is pre-deduplicated
     inside each batch (partial combiner) so at most one row per distinct key
     per block crosses the shuffle; nothing lands on the driver. Semantics
-    match ``semi_join_filter`` (NOT IN with non-null keys)."""
+    match ``semi_join_filter`` (NOT IN with non-null keys).
+
+    ``bloom_prefilter=True`` (SEMI only, integer keys) drops left rows
+    whose key a broadcast Bloom filter of the right keys rules out BEFORE
+    the shuffle — at low selectivity the all-to-all moves the ~1% survivors
+    plus false positives instead of the whole left side; the exact
+    per-bucket filter still runs, so results are identical."""
+    import ray
+
     from .groupops import hash_columns
+
+    if bloom_prefilter and not anti:
+        bloom = build_key_bloom(right_ds, right_on, n_bits=bloom_bits)
+        bloom_ref = ray.put(bloom)
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            keys = batch[left_on]
+            valid = pc.is_valid(keys)
+            arr = pc.fill_null(keys, 0).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            keep = bf.might_contain(arr) & valid.combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            return batch.filter(pa.array(keep))
+
+        left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
 
     def tag_left(batch: pa.Table) -> pa.Table:
         h = hash_columns(batch, [left_on])

@@ -583,3 +583,55 @@ class TestSemiJoinNullAndHugeKeys:
             left, right, "k", "rk", anti=True, num_buckets=2
         ).take_all()
         assert sorted(r["v"] for r in anti) == ["a", "c", "n"]  # null kept
+
+
+class TestBloomPrefilter:
+    def test_bloom_properties_and_join_parity(self, ray_session):
+        """Bloom pre-filter: no false negatives ever, measured FP rate near
+        theory, and the pre-filtered semi join returns exactly the plain
+        shuffled join's rows."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import (
+            BloomFilter,
+            build_key_bloom,
+            semi_join_shuffled,
+        )
+
+        rng = np.random.default_rng(51)
+        members = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+        bf = BloomFilter(n_bits=1 << 17)
+        bf.add(members)
+        assert bf.might_contain(members).all(), "false negative!"
+        probe = rng.choice(10**9, 20000, replace=False).astype(np.int64)
+        outside = probe[~np.isin(probe, members)]
+        fp = bf.might_contain(outside).mean()
+        assert fp < 0.05, f"false-positive rate {fp} too high for m/n≈26"
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(
+                        np.concatenate([members[:200], outside[:3000]]), pa.int64()
+                    ),
+                    "v": pa.array(range(3200)),
+                }
+            )
+        ).repartition(4)
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array(members, pa.int64())})
+        ).repartition(3)
+        plain = sorted(
+            r["v"]
+            for r in semi_join_shuffled(left, right, "k", "rk").take_all()
+        )
+        pre = sorted(
+            r["v"]
+            for r in semi_join_shuffled(
+                left, right, "k", "rk", bloom_prefilter=True, bloom_bits=1 << 17
+            ).take_all()
+        )
+        assert pre == plain and len(plain) == 200
+        # distributed builder == direct builder
+        bf2 = build_key_bloom(right, "rk", n_bits=1 << 17)
+        assert (bf2.bits == bf.bits).all()
