@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yearly_orders": rq.q_yearly_orders,
         "purchase_attribution": rq.q_purchase_attribution,
         "value_quantiles": rq.q_value_quantiles,
+        "type_value_quantiles": rq.q_type_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
         "doc_quality": cq.q_doc_quality,

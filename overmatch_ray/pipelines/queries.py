@@ -878,3 +878,21 @@ SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
        count(*) FILTER (event_type = 'view')     AS view
 FROM events GROUP BY 1
 """
+
+
+def q_type_value_quantiles(sf_dir: str):
+    """A-family: per-event-type exact value quantiles (grouped variant of
+    value_quantiles — stages.groupops.exact_quantiles_by)."""
+    from ..stages.groupops import exact_quantiles_by
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles_by(ev, "event_type", "value", [0.5, 0.95])
+
+
+ORACLE_SQL["type_value_quantiles"] = """
+SELECT event_type, 0.5 AS p, round(quantile_cont(value, 0.5), 6) AS q
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.95 AS p, round(quantile_cont(value, 0.95), 6) AS q
+FROM events GROUP BY event_type
+"""

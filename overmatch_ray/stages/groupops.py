@@ -151,6 +151,43 @@ def exact_quantiles(ds, col: str, ps: "list[float]", round_to: int = 6):
     )
 
 
+def exact_quantiles_by(
+    ds, group_col: str, col: str, ps: "list[float]", round_to: int = 6,
+    num_buckets: int = 16,
+):
+    """Per-group exact quantiles: one (group, value, count) aggregate —
+    distinct (group, value) pairs must be shuffle-small (decimal-quantized
+    measures) — then per-group interpolation inside a bucketed apply, the
+    same ``(n-1)·p`` rule as ``exact_quantiles`` (DuckDB quantile_cont
+    parity). Output rows: (group_col, p, q)."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby([group_col, col]).aggregate(Count(alias_name="__n"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_p, out_q = [], [], []
+        for key, sub in g.groupby(group_col, sort=False):
+            sub = sub.sort_values(col, kind="mergesort")
+            vals = sub[col].to_numpy(dtype=np.float64)
+            cum = np.cumsum(sub["__n"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            for p in ps:
+                h = (n - 1) * float(p)
+                lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+                lo = vals[np.searchsorted(cum, lo_rank + 1, side="left")]
+                hi = vals[
+                    np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1, side="left")
+                ]
+                out_g.append(key)
+                out_p.append(float(p))
+                out_q.append(round(float(lo + frac * (hi - lo)), round_to))
+        return pd.DataFrame({group_col: out_g, "p": out_p, "q": out_q})
+
+    return bucketed_group_apply(
+        counts, [group_col], per_group, num_buckets=num_buckets
+    )
+
+
 def group_pair_indices(
     keys_sorted: np.ndarray, max_group: int
 ) -> tuple[np.ndarray, np.ndarray]:
