@@ -34,6 +34,23 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     return t.set_column(i, col, pc.round(t[col], ndigits=nd))
 
 
+def _cents(x) -> np.ndarray:
+    """Exact int64 cents from a 2-decimal float dollar column. Money sums
+    run in INTEGER cents (and 1e-4 units for price×rate products) so the
+    engine's result is exact at any SF — float summation error at 1e9+
+    magnitudes exceeds half a cent and makes round(sum(...), 2) disagree
+    between engines; the DuckDB oracles use DECIMAL sums for the same
+    reason."""
+    return np.rint(np.asarray(x, np.float64) * 100.0).astype(np.int64)
+
+
+def _half_away_cents(units_1e4: np.ndarray) -> np.ndarray:
+    """1e-4-dollar integer units → cents, rounding half AWAY from zero
+    (DuckDB DECIMAL round semantics; numpy would round half-even)."""
+    u = np.asarray(units_1e4, np.int64)
+    return np.sign(u) * ((np.abs(u) * 2 + 100) // 200)
+
+
 # ---------------------------------------------------------------------------
 # 1. pricing_summary — A2-style grouped aggregate with partial pre-agg
 # ---------------------------------------------------------------------------
@@ -53,16 +70,15 @@ def q_pricing_summary(sf_dir: str):
         batch = batch.filter(
             pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
         )
+        base_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_h = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         df = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_pandas(),
                 "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
-                "base": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
-                "disc": (
-                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                    * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
-                ),
+                "qty": _cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+                "base": base_c,
+                "disc": base_c * (100 - disc_h),  # exact 1e-4 dollars
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -83,16 +99,17 @@ def q_pricing_summary(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty_c = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        base_c = batch["sum_base"].to_numpy(zero_copy_only=False)
+        disc4 = batch["sum_disc"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": pc.round(batch["sum_qty"], ndigits=2),
-                "sum_base_price": pc.round(batch["sum_base"], ndigits=2),
-                "sum_disc_price": pc.round(batch["sum_disc"], ndigits=2),
-                "avg_qty": pa.array(
-                    np.round(batch["sum_qty"].to_numpy(zero_copy_only=False) / n, 4)
-                ),
+                "sum_qty": pa.array(qty_c / 100.0),
+                "sum_base_price": pa.array(base_c / 100.0),
+                "sum_disc_price": pa.array(_half_away_cents(disc4) / 100.0),
+                "avg_qty": pa.array(np.round((qty_c / 100.0) / n, 4)),
                 "count_order": batch["count_order"],
             }
         )
@@ -100,13 +117,17 @@ def q_pricing_summary(sf_dir: str):
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+# money sums in DECIMAL (exact at any SF; see _cents)
 ORACLE_SQL["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
-       round(sum(l_quantity) / count(*), 4)                 AS avg_qty,
-       count(*)                                             AS count_order
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                                   AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4)                                        AS avg_qty,
+       count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -137,28 +158,34 @@ def q_revenue_filter(sf_dir: str):
             ),
         )
         f = batch.filter(mask)
-        rev = float(
+        units4 = int(
             np.sum(
-                f["l_extendedprice"].to_numpy(zero_copy_only=False)
-                * f["l_discount"].to_numpy(zero_copy_only=False)
+                _cents(f["l_extendedprice"].to_numpy(zero_copy_only=False))
+                * _cents(f["l_discount"].to_numpy(zero_copy_only=False))
             )
+        )  # exact 1e-4 dollars
+        return pa.table(
+            {"revenue": pa.array([units4], pa.int64()),
+             "n_items": pa.array([f.num_rows])}
         )
-        return pa.table({"revenue": pa.array([rev]), "n_items": pa.array([f.num_rows])})
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .sum(["revenue", "n_items"])
     )
+    cents = _half_away_cents(np.array([out["sum(revenue)"]]))[0]
     return pa.table(
         {
-            "revenue": pa.array([round(out["sum(revenue)"], 2)]),
+            "revenue": pa.array([cents / 100.0]),
             "n_items": pa.array([int(out["sum(n_items)"])], pa.int64()),
         }
     )
 
 
 ORACLE_SQL["revenue_filter"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -179,20 +206,32 @@ def q_segment_orders(sf_dir: str):
          _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
              batch_format="pyarrow")]
     )
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pa.array(_cents(b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        ),
+        batch_format="pyarrow",
+    )
     joined = broadcast_join(orders, cust, "o_custkey", "c_custkey")
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
     return agg.map_batches(
-        lambda b: _round_col(b, "total_price", 2), batch_format="pyarrow"
+        lambda b: b.set_column(
+            b.schema.get_field_index("total_price"),
+            "total_price",
+            pa.array(b["total_price"].to_numpy(zero_copy_only=False) / 100.0),
+        ),
+        batch_format="pyarrow",
     )
 
 
 ORACLE_SQL["segment_orders"] = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -209,9 +248,9 @@ def q_priority_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
-        r = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
-        )
+        r = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+            100 - _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        )  # exact 1e-4 dollars
         return pa.table(
             {"l_orderkey": batch["l_orderkey"], "rev": pa.array(r)}
         )
@@ -240,13 +279,22 @@ def q_priority_revenue(sf_dir: str):
         .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
     )
     return agg.map_batches(
-        lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow"
+        lambda b: b.set_column(
+            b.schema.get_field_index("revenue"),
+            "revenue",
+            pa.array(
+                _half_away_cents(b["revenue"].to_numpy(zero_copy_only=False)) / 100.0
+            ),
+        ),
+        batch_format="pyarrow",
     )
 
 
 ORACLE_SQL["priority_revenue"] = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
