@@ -682,19 +682,34 @@ def q_region_balance(sf_dir: str):
     region = pa.concat_tables(
         [pa.table(b) for b in _read(sf_dir, "region").iter_batches(batch_format="pyarrow")]
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("c_acctbal"),
+            "c_acctbal",
+            pa.array(_cents(b["c_acctbal"].to_numpy(zero_copy_only=False))),
+        ),
+        batch_format="pyarrow",
+    )
     j1 = broadcast_join(cust, nation, "c_nationkey", "n_nationkey")
     j2 = broadcast_join(j1, region, "n_regionkey", "r_regionkey")
     agg = j2.groupby("r_name").aggregate(
         Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_balance")
     )
     return agg.map_batches(
-        lambda b: _round_col(b, "total_balance", 2), batch_format="pyarrow"
+        lambda b: b.set_column(
+            b.schema.get_field_index("total_balance"),
+            "total_balance",
+            pa.array(b["total_balance"].to_numpy(zero_copy_only=False) / 100.0),
+        ),
+        batch_format="pyarrow",
     )
 
 
 ORACLE_SQL["region_balance"] = """
-SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
