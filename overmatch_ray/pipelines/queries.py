@@ -98,10 +98,15 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
         qty_c = batch["sum_qty"].to_numpy(zero_copy_only=False)
         base_c = batch["sum_base"].to_numpy(zero_copy_only=False)
         disc4 = batch["sum_disc"].to_numpy(zero_copy_only=False)
+        # avg in exact integer 1e-4 units with half-away rounding — a float
+        # quotient CAN land exactly on a representable 4-decimal midpoint
+        # (e.g. 805/32), where np.round (half-even) and the oracle's round
+        # (half-away) would disagree; the oracle mirrors this integer form
+        avg4 = (qty_c * 100 * 2 + n) // (2 * n)
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
@@ -109,7 +114,7 @@ def q_pricing_summary(sf_dir: str):
                 "sum_qty": pa.array(qty_c / 100.0),
                 "sum_base_price": pa.array(base_c / 100.0),
                 "sum_disc_price": pa.array(_half_away_cents(disc4) / 100.0),
-                "avg_qty": pa.array(np.round((qty_c / 100.0) / n, 4)),
+                "avg_qty": pa.array(avg4 / 10000.0),
                 "count_order": batch["count_order"],
             }
         )
@@ -125,8 +130,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                       * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
                                                                    AS sum_disc_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*), 4)                                        AS avg_qty,
+       (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) * 200
+        + count(*)) // (2 * count(*)) / 10000.0                    AS avg_qty,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

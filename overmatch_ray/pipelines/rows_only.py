@@ -185,7 +185,7 @@ def q_ivf_knn(sf_dir: str):
     """IVF ANN top-k over the embeddings table (k-means coarse quantizer +
     nprobe search — stages.knn.ivf_topk; approximate, recall pinned by
     tests, so rows-only)."""
-    from ..stages.knn import ivf_topk
+    from ..stages.knn import ivf_topk, train_ivf_centroids
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -194,7 +194,12 @@ def q_ivf_knn(sf_dir: str):
         [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
             batch_format="pyarrow")]
     )
-    return ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+    # deterministic training subset (id filter, not limit()) so centroids —
+    # and therefore the returned rows — are identical run-to-run at any SF
+    cents = train_ivf_centroids(
+        emb.filter(expr="vec_id < 20000"), n_lists=16
+    )
+    return ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents)
 
 
 def q_winnow_pairs(sf_dir: str):

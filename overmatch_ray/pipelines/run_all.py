@@ -121,11 +121,19 @@ def flagship_stages(
         )
 
     def s_matches_sink(ctx: dict) -> dict:
+        import shutil
+
         from ..sources import write_matches_jsonl
 
-        parts = write_matches_jsonl(
-            _ensure_matches(ctx), os.path.join(out_dir, "matches")
-        ).take_all()
+        # write into a stage-temp directory and atomically swap it in: a
+        # crash mid-write leaves only the temp dir, so a resumed
+        # (unreceipted) rerun can never mix two attempts' uuid part files
+        final = os.path.join(out_dir, "matches")
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        parts = write_matches_jsonl(_ensure_matches(ctx), tmp).take_all()
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
         return {"n_parts": len(parts), "n_rows": sum(p["rows"] for p in parts)}
 
     return [

@@ -105,7 +105,7 @@ def build_key_bloom(ds, on: str, n_bits: int = 1 << 23, n_hashes: int = 4):
             acc |= np.frombuffer(blob, dtype=np.uint64)
         return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
 
-    partial = ds.map_batches(
+    partial = ds.select_columns([on]).map_batches(
         lambda b: pa.table(
             {
                 "bits": pa.array(
@@ -160,6 +160,10 @@ def semi_join_shuffled(
     from .groupops import hash_columns
 
     if bloom_prefilter and not anti:
+        # materialize the PROJECTED key column once: the bloom build and the
+        # co-shuffle tag both read it, so the (possibly wide) right pipeline
+        # executes a single time and only 8 B/row lands in the object store
+        right_ds = right_ds.select_columns([right_on]).materialize()
         bloom = build_key_bloom(right_ds, right_on, n_bits=bloom_bits)
         bloom_ref = ray.put(bloom)
 

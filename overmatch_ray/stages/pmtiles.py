@@ -258,7 +258,12 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
     hdr[118] = zmin
     struct.pack_into("<ii", hdr, 119, 0, 0)
 
-    with open(path, "wb") as f:
+    import os as _os
+
+    # assemble at a unique temp path, then atomic-rename: concurrent
+    # writers / crashes never leave a partial archive at the final path
+    final_tmp = data_path + ".archive"
+    with open(final_tmp, "wb") as f:
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
@@ -266,6 +271,7 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
         with open(data_path, "rb") as df:
             while chunk := df.read(1 << 22):
                 f.write(chunk)
+    _os.replace(final_tmp, path)
     n_leaves = (
         (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
     )
