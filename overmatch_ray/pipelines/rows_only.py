@@ -210,3 +210,25 @@ def q_winnow_pairs(sf_dir: str):
     from .corpus_queries import _derived_corpus
 
     return winnow_jaccard_pairs(_derived_corpus(sf_dir), threshold=0.5)
+
+
+def q_embedding_norm_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles of a CONTINUOUS column (embedding L2
+    norms) — the scale path where the exact value-count collapse doesn't
+    apply (stages.groupops.histogram_quantiles; deterministic, error ≤ one
+    bin width — accuracy pinned by tests, so rows-only)."""
+    from ..stages.groupops import histogram_quantiles
+    from ..stages.knn import _to_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        return pa.table({"norm": pa.array(np.linalg.norm(m, axis=1))})
+
+    return histogram_quantiles(
+        emb.map_batches(norms, batch_format="pyarrow"), "norm",
+        [0.05, 0.5, 0.95],
+    )

@@ -188,6 +188,61 @@ def exact_quantiles_by(
     )
 
 
+def histogram_quantiles(
+    ds, col: str, ps: "list[float]", bins: int = 4096, round_to: int = 6,
+):
+    """Approximate quantiles for CONTINUOUS columns (where the exact
+    value-count collapse of ``exact_quantiles`` would be O(rows)): two
+    passes — (1) exact min/max aggregate, (2) fixed-bin histogram counts
+    summed distributed (each batch contributes one ``bins``-long count
+    vector; the shuffle moves bins, never rows) — then linear
+    interpolation inside the covering bin. Deterministic; max error ≤ one
+    bin width = (max−min)/bins. Returns a pyarrow Table (p, q)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if not np.isfinite(lo) or lo == hi:
+        return pa.table(
+            {"p": pa.array(list(ps), pa.float64()),
+             "q": pa.array([lo] * len(ps), pa.float64())}
+        )
+    width = (hi - lo) / bins
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        counts, _ = np.histogram(v, bins=bins, range=(lo, hi))
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    for r in agg:
+        counts[r["bin"]] = r["n"]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    qs = []
+    for p in ps:
+        rank = p * (n - 1)
+        b = int(np.searchsorted(cum, rank + 1, side="left"))
+        prev = cum[b - 1] if b else 0
+        inside = counts[b] if counts[b] else 1
+        frac = (rank + 1 - prev) / inside
+        qs.append(round(lo + (b + min(max(frac, 0.0), 1.0)) * width, round_to))
+    return pa.table(
+        {"p": pa.array(list(ps), pa.float64()), "q": pa.array(qs, pa.float64())}
+    )
+
+
 def group_pair_indices(
     keys_sorted: np.ndarray, max_group: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -196,3 +196,31 @@ class TestWireFormats:
             assert _deserialize_directory(_serialize_directory(entries)) == entries
 
         roundtrip()
+
+
+class TestHistogramQuantiles:
+    def test_accuracy_and_determinism(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import histogram_quantiles
+
+        rng = np.random.default_rng(8)
+        vals = rng.standard_normal(50_000) * 7.3 + 2.1  # continuous doubles
+        t = pa.table({"v": pa.array(vals)})
+        ps = [0.05, 0.5, 0.95]
+        out = histogram_quantiles(
+            ray.data.from_arrow(t).repartition(9), "v", ps, bins=4096
+        )
+        got = dict(zip(out["p"].to_pylist(), out["q"].to_pylist()))
+        width = (vals.max() - vals.min()) / 4096
+        for p in ps:
+            assert abs(got[p] - np.quantile(vals, p)) <= 2 * width, p
+        # partitioning-invariant
+        out2 = histogram_quantiles(
+            ray.data.from_arrow(t).repartition(3), "v", ps, bins=4096
+        )
+        assert out.to_pylist() == out2.to_pylist()
+        # constant column edge
+        c = pa.table({"v": pa.array([3.5] * 100)})
+        oc = histogram_quantiles(ray.data.from_arrow(c), "v", [0.5])
+        assert oc["q"].to_pylist() == [3.5]
