@@ -201,6 +201,11 @@ def histogram_quantiles(
     from ray.data.aggregate import Max, Min, Sum
 
     stats = ds.aggregate(Min(col), Max(col))
+    if stats is None or stats.get(f"min({col})") is None:  # empty input
+        return pa.table(
+            {"p": pa.array(list(ps), pa.float64()),
+             "q": pa.array([None] * len(ps), pa.float64())}
+        )
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     if not np.isfinite(lo) or lo == hi:
         return pa.table(
