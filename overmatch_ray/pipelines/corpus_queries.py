@@ -271,36 +271,71 @@ SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
 """
 
 
-def q_embedding_neardup(sf_dir: str):
-    """EXACT cosine near-dup pairs: corpus matrix broadcast once, each batch
-    scores its rows against the full corpus, emits (a < b) pairs ≥ 0.4."""
-    import ray
+_EXACT_NEARDUP_MAX_ROWS = 200_000
 
-    from ..stages.knn import _normalize, _to_matrix
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    full = pa.concat_tables(
-        [pa.table(b) for b in emb.iter_batches(batch_format="pyarrow")]
-    )
-    m = _normalize(_to_matrix(full["embedding"]))
-    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False))
-    ref = ray.put((ids, m))
+class _ExactNearDupPairs:
+    """Actor-pool body for the exact near-dup oracle: assembles the corpus
+    (ids, unit matrix) ONCE per worker in __init__ from object-store block
+    refs (zero-copy reads of co-located Arrow blocks — the corpus is never
+    concatenated on the driver), then scores each batch against it."""
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_, m_ = ray.get(ref)
+    def __init__(self, refs: list, threshold: float):
+        import ray
+
+        from ..stages.knn import _normalize, _to_matrix
+
+        blocks = ray.get(refs)
+        t = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.table(b) for b in blocks]
+        )
+        self.ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        self.m = _normalize(_to_matrix(t["embedding"]))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.knn import _normalize, _to_matrix
+
         bm = _normalize(_to_matrix(batch["embedding"]))
         bids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
-        sims = bm @ m_.T
-        ia, ib = np.nonzero((sims >= 0.4) & (bids[:, None] < ids_[None, :]))
+        sims = bm @ self.m.T
+        ia, ib = np.nonzero(
+            (sims >= self.threshold) & (bids[:, None] < self.ids[None, :])
+        )
         return pa.table(
             {
                 "id_a": pa.array(bids[ia]),
-                "id_b": pa.array(ids_[ib]),
+                "id_b": pa.array(self.ids[ib]),
                 "cos_sim": pa.array(np.round(sims[ia, ib], 6)),
             }
         )
 
-    return emb.map_batches(pairs, batch_format="pyarrow")
+
+def q_embedding_neardup(sf_dir: str):
+    """EXACT cosine near-dup pairs ≥ 0.4 (a < b) — the sf0.01 oracle
+    counterpart of the LSH scale path ``stages.knn.near_dup_embeddings``.
+    Quadratic by definition, so it is hard-bounded: corpora beyond
+    ``_EXACT_NEARDUP_MAX_ROWS`` must use ``near_dup_embeddings``. The
+    corpus matrix is built inside the actor pool from materialized block
+    refs, not on the driver."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    total = emb.count()
+    if total > _EXACT_NEARDUP_MAX_ROWS:
+        raise ValueError(
+            f"q_embedding_neardup is the exact O(N²) oracle path, bounded at "
+            f"{_EXACT_NEARDUP_MAX_ROWS} rows (got {total}); use "
+            "stages.knn.near_dup_embeddings for real corpora."
+        )
+    refs = [r for b in emb.iter_internal_ref_bundles() for r in b.block_refs]
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return emb.map_batches(
+        _ExactNearDupPairs,
+        fn_constructor_kwargs={"refs": refs, "threshold": 0.4},
+        batch_format="pyarrow",
+        concurrency=(1, max(1, min(8, cpus - 1))),
+    )
 
 
 ORACLE_SQL["embedding_neardup"] = """

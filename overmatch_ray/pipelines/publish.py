@@ -32,7 +32,10 @@ def publish_tiles(
     enriched = enrich_matches(matches_ds, osm_tracking, overture_tracking)
     flat = enriched.map_batches(flatten_tags_batch, batch_format="pyarrow")
     tiles = build_tiles(flat, zooms=list(zooms), max_per_tile=max_per_tile)
-    return write_partitioned_resumable(tiles, out_dir, "zoom")
+    return write_partitioned_resumable(
+        tiles, out_dir, "zoom",
+        scheme=f"tiles/zoom-literal/v1/zooms={sorted(set(int(z) for z in zooms))}",
+    )
 
 
 def hilbert_partition(batch: pa.Table, num_parts: int,
@@ -72,4 +75,5 @@ def conflate_checkpointed(osm_ds, overture_ds, out_dir: str,
         ),
         out_dir,
         "part",
+        scheme=f"conflate/hilbert16-range/v2/parts={num_parts}",
     )

@@ -325,9 +325,16 @@ def asof_join(
 
         left, left_nullkey = side(g["__side"] == 0, l_names, (on, by))
         right, _ = side(g["__side"] == 1, r_names, (right_on, right_by))
+        # deterministic tie-break: when several right rows share the same
+        # (by, on) key, merge_asof picks the LAST in sort order — without a
+        # full-payload sort that row depends on bucket-internal arrival
+        # order and the output flaps across runs/parallelism levels
+        r_tiebreak = [n for n in r_names if n not in (right_on, right_by)]
         out = pd.merge_asof(
             left.sort_values([on, by], kind="mergesort"),
-            right.sort_values([right_on, right_by], kind="mergesort"),
+            right.sort_values(
+                [right_on, right_by, *r_tiebreak], kind="mergesort"
+            ),
             left_on=on,
             right_on=right_on,
             left_by=by,

@@ -164,6 +164,10 @@ def decode_mvt_points(data: bytes) -> "list[dict]":
             v, i = read_varint(buf, i)
             if fnum == 7:
                 return bool(v)
+            if fnum == 4 and v >= 1 << 63:
+                # int_value is a two's-complement varint (encoder masks to
+                # 64 bits) — sign-extend so negatives roundtrip
+                v -= 1 << 64
             return v
         return None
 

@@ -133,18 +133,28 @@ def auto_max_zoom(
     zmin: int = 4,
     zmax: int = 16,
     sample_rows: int = 100_000,
+    id_col: str = "osm_id",
 ) -> int:
     """tippecanoe ``-zg`` analog (reference build_pmtiles.py): pick the
     smallest max zoom whose densest tile holds ≤ ``max_per_tile`` features,
-    estimated from a deterministic bounded sample (first ``sample_rows`` of
-    the dataset — Ray block order is deterministic for a given input), with
-    counts scaled by the sampled fraction. The sample is bounded, so the
-    driver never holds O(dataset); the full pyramid build stays distributed.
+    estimated from a bounded DETERMINISTIC HASH sample (md5-threshold over
+    ``id_col`` via stages.splits — the same row set at any parallelism,
+    block order, or spatial sort of the input; a first-N ``limit()`` sample
+    would cover one region of a Hilbert-partitioned input and bias the
+    density estimate), with tile counts scaled by the true sampled
+    fraction. The sample is bounded, so the driver never holds O(dataset);
+    the full pyramid build stays distributed.
     """
+    from .splits import sample_deterministic
+
     total = features_ds.count()
-    sample = features_ds.limit(min(sample_rows, total)).select_columns(
-        ["lon", "lat"]
-    ).take_all()
+    if total == 0:
+        return zmin
+    proj = features_ds.select_columns([id_col, "lon", "lat"])
+    frac = min(1.0, sample_rows / total)
+    if frac < 1.0:
+        proj = sample_deterministic(proj, id_col, frac, salt="auto_max_zoom:")
+    sample = proj.select_columns(["lon", "lat"]).take_all()
     if not sample:
         return zmin
     lon = np.array([r["lon"] for r in sample])

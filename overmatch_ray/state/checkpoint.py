@@ -52,10 +52,42 @@ class PartitionedSink:
         out_dir/_manifest/<key>.json      ({key, rows, metrics, complete})
     """
 
-    def __init__(self, out_dir: str, key_col: str):
+    def __init__(self, out_dir: str, key_col: str, scheme: "str | None" = None):
         self.out_dir = out_dir
         self.key_col = key_col
         os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+        if scheme is not None:
+            self._check_scheme(scheme)
+
+    def _check_scheme(self, scheme: str) -> None:
+        """Resume safety: the partition-key scheme (hash function, range
+        layout, num_parts) is part of the manifest contract. A resume
+        against a directory written under a DIFFERENT scheme would anti-join
+        old 'complete' partition ids and silently never write rows the new
+        scheme maps to them — so the scheme is stamped in a sentinel and a
+        mismatch (or an unstamped non-empty manifest) refuses to resume."""
+        spath = os.path.join(self.out_dir, "_manifest", "_scheme.json")
+        if os.path.exists(spath):
+            recorded = json.load(open(spath)).get("scheme")
+            if recorded != scheme:
+                raise ValueError(
+                    f"partition-scheme mismatch in {self.out_dir!r}: manifest "
+                    f"was written under scheme {recorded!r}, current code uses "
+                    f"{scheme!r}. Resuming would silently skip rows — use a "
+                    "fresh out_dir (or delete the old output) instead."
+                )
+            return
+        mdir = os.path.join(self.out_dir, "_manifest")
+        if any(f.endswith(".json") for f in os.listdir(mdir)):
+            raise ValueError(
+                f"unversioned manifest in {self.out_dir!r} (written by "
+                "pre-scheme-stamp code); cannot verify the partition scheme "
+                f"matches {scheme!r}. Use a fresh out_dir."
+            )
+        tmp = spath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"scheme": scheme}, f)
+        os.replace(tmp, spath)
 
     def completed_partitions(self) -> set:
         mdir = os.path.join(self.out_dir, "_manifest")
@@ -94,14 +126,20 @@ class PartitionedSink:
         return pd.DataFrame({"key": [manifest["key"]], "rows": [manifest["rows"]]})
 
 
-def write_partitioned_resumable(ds, out_dir: str, key_col: str):
+def write_partitioned_resumable(ds, out_dir: str, key_col: str,
+                                scheme: "str | None" = None):
     """Write ``ds`` partitioned by ``key_col`` with resume: partitions whose
     manifest entry is already complete are filtered out BEFORE the shuffle
     (J5 anti-join), the rest are grouped and written atomically.
 
+    ``scheme`` names the partition-key derivation (hash fn + layout +
+    part count); pass it from any caller whose key is a computed hash/range
+    so a resume against an out_dir written under a different derivation is
+    refused instead of silently dropping rows.
+
     Returns the receipt dataset (one row per newly-written partition).
     """
-    sink = PartitionedSink(out_dir, key_col)
+    sink = PartitionedSink(out_dir, key_col, scheme=scheme)
     done = sink.completed_partitions()
     if done:
         import pyarrow.compute as pc

@@ -184,6 +184,40 @@ class TestTiles:
         assert z_dense >= z_sparse
         assert 4 <= z_sparse <= 16 and 4 <= z_dense <= 16
 
+    def test_auto_max_zoom_order_invariant(self, ray_session):
+        """The density sample is a hash of osm_id, not first-N: a spatially
+        sorted input (dense region first, as a Hilbert-partitioned sink
+        produces) must pick the same zoom as the shuffled same input."""
+        import pyarrow as pa
+        import ray.data
+
+        from overmatch_ray.stages.tiles import auto_max_zoom
+
+        n_dense, n_sparse = 4000, 4000
+        ids = np.arange(n_dense + n_sparse)
+        lon = np.concatenate([
+            10.0 + 0.02 * (ids[:n_dense] % 63) / 63.0,      # one dense ~2km box
+            -170.0 + 340.0 * (ids[n_dense:] * 2654435761 % 2**20) / 2**20,
+        ])
+        lat = np.concatenate([
+            50.0 + 0.02 * (ids[:n_dense] // 63) / 63.0,
+            -60.0 + 120.0 * (ids[n_dense:] * 40503 % 2**20) / 2**20,
+        ])
+        t = pa.table({
+            "osm_id": pa.array([f"node/{i}" for i in ids], pa.string()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+        perm = np.argsort((ids * 2654435761) % 2**32, kind="stable")
+        sorted_ds = ray.data.from_arrow(t).repartition(8)
+        shuffled_ds = ray.data.from_arrow(t.take(pa.array(perm))).repartition(8)
+        kw = dict(max_per_tile=50, sample_rows=1500)
+        z_sorted = auto_max_zoom(sorted_ds, **kw)
+        z_shuffled = auto_max_zoom(shuffled_ds, **kw)
+        assert z_sorted == z_shuffled
+        # the dense box must actually drive the estimate deep
+        assert z_sorted >= 10
+
 
 class TestResumableSink:
     def test_write_resume_skip(self, ray_session, tmp_path):
@@ -635,3 +669,92 @@ class TestBloomPrefilter:
         # distributed builder == direct builder
         bf2 = build_key_bloom(right, "rk", n_bits=1 << 17)
         assert (bf2.bits == bf.bits).all()
+
+
+class TestAdviceR2Regressions:
+    """Pins for the round-2 ADVICE findings."""
+
+    def test_mvt_negative_int_roundtrip(self):
+        """int_value is a two's-complement varint: negatives must decode
+        back as negatives, not huge positives."""
+        from overmatch_ray.stages.mvt import decode_mvt_points, encode_mvt_tile
+
+        props = [{"delta": -7, "big": -(2**40), "pos": 12, "zero": 0}]
+        raw = encode_mvt_tile(props, np.array([5]), np.array([9]))
+        (pt,) = decode_mvt_points(raw)
+        assert pt["delta"] == -7
+        assert pt["big"] == -(2**40)
+        assert pt["pos"] == 12 and pt["zero"] == 0
+
+    def test_sink_scheme_stamp(self, ray_session, tmp_path):
+        """Resume under a DIFFERENT partition scheme must refuse (silent
+        row loss otherwise); same scheme resumes; a pre-stamp unversioned
+        manifest also refuses."""
+        import pytest
+        import ray.data
+
+        from overmatch_ray.state.checkpoint import (
+            PartitionedSink,
+            write_partitioned_resumable,
+        )
+
+        t = pa.table(
+            {
+                "bucket": pa.array([0, 1], pa.int64()),
+                "v": pa.array([1, 2], pa.int64()),
+            }
+        )
+        out_dir = str(tmp_path / "a")
+        write_partitioned_resumable(
+            ray.data.from_arrow(t), out_dir, "bucket", scheme="hash-fnv/v1"
+        ).take_all()
+        # same scheme: resume is a clean no-op rewrite path
+        sink = PartitionedSink(out_dir, "bucket", scheme="hash-fnv/v1")
+        assert sink.completed_partitions() == {0, 1}
+        # different scheme: refuse
+        with pytest.raises(ValueError, match="partition-scheme mismatch"):
+            PartitionedSink(out_dir, "bucket", scheme="hilbert-range/v2")
+        # unversioned pre-existing manifest: refuse when a scheme is claimed
+        legacy = str(tmp_path / "b")
+        PartitionedSink(legacy, "bucket").write_group(
+            pd.DataFrame({"bucket": [0], "v": [1]})
+        )
+        with pytest.raises(ValueError, match="unversioned manifest"):
+            PartitionedSink(legacy, "bucket", scheme="hash-fnv/v1")
+
+    def test_asof_duplicate_right_keys_deterministic(self, ray_session):
+        """Several right rows sharing the same (by, on) key: the picked row
+        must not depend on input row order / bucket arrival order."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import asof_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "eid": pa.array([1], pa.int64()),
+                    "t": pa.array([50], pa.int64()),
+                    "u": pa.array([1], pa.int64()),
+                }
+            )
+        )
+        dup = pa.table(
+            {
+                "p_u": pa.array([1, 1, 1], pa.int64()),
+                "p_t": pa.array([20, 20, 20], pa.int64()),
+                "p_v": pa.array([3.0, 1.0, 2.0]),
+            }
+        )
+        picks = set()
+        for order in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+            right = ray.data.from_arrow(
+                dup.take(pa.array(order))
+            ).repartition(2)
+            (row,) = asof_join(
+                left, right, on="t", right_on="p_t", by="u", right_by="p_u",
+                num_buckets=3,
+            ).take_all()
+            picks.add(row["p_v"])
+        # one deterministic winner regardless of arrival order: the
+        # full-payload sort makes merge_asof pick the LAST row = max payload
+        assert picks == {3.0}
