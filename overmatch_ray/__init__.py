@@ -16,6 +16,38 @@ session is owned by the driver, bench.py, or the test fixture.
 
 __version__ = "0.1.0"
 
+
+def _install_ray_schema_warning_filter() -> None:
+    """Silence ONE specific cosmetic Ray Data warning: the streaming
+    executor logs "Operator produced a RefBundle with a different schema"
+    whenever a sort-based ``groupby(...).map_groups`` leaves an EMPTY sort
+    partition — Ray itself emits those empty partitions as schemaless
+    (0-column) blocks, which our UDFs never see and cannot type (verified:
+    a plain ``ray.data.range(...).groupby(low-cardinality key)
+    .map_groups(identity)`` with more input blocks than keys reproduces it
+    with no user code involved). Every OUR empty-result path emits typed
+    empty tables (MATCH_SCHEMA.empty_table() / typed pd.Series); this
+    filter only drops the Ray-internal schemaless-empty-partition case so
+    real schema divergences in user pipelines still surface."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            # drop only the empty-schema variant ("new schema: ." — a
+            # 0-column bundle); keep warnings where both schemas are real
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
+_install_ray_schema_warning_filter()
+
 # Conflation thresholds — conformance constants from the reference
 # (scripts/match.py:191-192).
 BUFFER_DISTANCE_M = 100.0

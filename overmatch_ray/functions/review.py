@@ -36,8 +36,10 @@ def review_work_set(
         seen_, uploaded_, skipped_ = ray.get(refs)
         g = g[~g["osm_id"].isin(seen_) & ~g["osm_id"].isin(uploaded_)]
         if g.empty:
+            # "string" (not object) so the empty frame converts to an Arrow
+            # string column, matching the non-empty blocks' schema
             return pd.DataFrame(
-                {"osm_id": pd.Series(dtype=object),
+                {"osm_id": pd.Series(dtype="string"),
                  "n_matches": pd.Series(dtype=np.int64),
                  "n_unskipped": pd.Series(dtype=np.int64)}
             )

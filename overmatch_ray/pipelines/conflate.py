@@ -125,11 +125,56 @@ def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
+def _auto_salt(
+    osm_ds: "ray.data.Dataset",
+    num_buckets: int,
+    threshold: float = 4.0,
+    max_salt: int = 8,
+) -> int:
+    """SURVEY §4 skew pre-pass: per-BUCKET probe-row histogram from a
+    lon/lat-only projection (Ray's groupby().count() partial-aggregates, so
+    only ≤ num_buckets (bucket, count) rows ever move), then
+
+        salt = ceil(max_count / mean_count)  if the ratio trips
+        ``threshold``, clipped to ``max_salt``; else 1.
+
+    The histogram intentionally counts PRE-replication own-cell buckets:
+    the ×9 k-ring replication multiplies every bucket's volume about
+    equally, so the skew RATIO — the thing salting responds to — is the
+    same, and the pre-pass stays one cheap projection of the probe side."""
+    from ..stages.cellindex import bucket_of
+    from ..cell import cell_id
+    from ..geo import mercator_xy
+
+    def tag(batch: pa.Table) -> pa.Table:
+        x, y = mercator_xy(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"bucket": pa.array(bucket_of(cell_id(x, y), num_buckets))})
+
+    rows = (
+        osm_ds.select_columns(["lon", "lat"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .count()
+        .take_all()
+    )
+    if not rows:
+        return 1
+    counts = np.array([r["count()"] for r in rows], dtype=np.float64)
+    mean = counts.sum() / max(num_buckets, 1)
+    ratio = counts.max() / max(mean, 1e-9)
+    if ratio <= threshold:
+        return 1
+    return int(min(max_salt, np.ceil(ratio)))
+
+
 def conflate(
     osm_ds: "ray.data.Dataset",
     overture_ds: "ray.data.Dataset",
     num_buckets: int | None = None,
-    salt: int = 1,
+    salt: "int | None" = None,
 ) -> "ray.data.Dataset":
     """The J1 spatial+fuzzy conflation join as a Ray Data pipeline.
 
@@ -145,11 +190,17 @@ def conflate(
     join is partition-agnostic; pinned by tests), only the physical plan.
 
     ``salt`` > 1 splits every bucket S ways (probe rows spread, index rows
-    replicated ×S) — the straggler mitigation for skewed urban cells."""
+    replicated ×S) — the straggler mitigation for skewed urban cells.
+    ``salt=None`` (default) AUTO-SELECTS it from the ``_auto_salt`` skew
+    pre-pass: a cheap probe-side bucket histogram; salting kicks in only
+    when one bucket holds > 4× the mean. Pass ``salt=1`` to force it off
+    (skips the pre-pass entirely)."""
     if num_buckets is None:
         import ray as _ray
 
         num_buckets = max(16, 2 * int(_ray.cluster_resources().get("CPU", 32)))
+    if salt is None:
+        salt = _auto_salt(osm_ds, num_buckets)
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},

@@ -448,7 +448,15 @@ def q_distance_join_100m(sf_dir: str):
         a = g[g["side"] == 0]
         b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
         if a.empty or b.empty:
-            return pd.DataFrame({"cust_id": [], "order_id": [], "dist_m": []})
+            # typed empty: untyped [] columns become null-typed Arrow
+            # blocks and trip the executor's schema-divergence warning
+            return pd.DataFrame(
+                {
+                    "cust_id": pd.Series(dtype=np.int64),
+                    "order_id": pd.Series(dtype=np.int64),
+                    "dist_m": pd.Series(dtype=np.float64),
+                }
+            )
         bc = b["cell"].to_numpy()
         lo = np.searchsorted(bc, a["cell"].to_numpy(), "left")
         hi = np.searchsorted(bc, a["cell"].to_numpy(), "right")

@@ -148,6 +148,10 @@ def _probe_partial(
 # --- IVF (k-means coarse quantizer) ---------------------------------------
 
 
+_IVF_FP_SCALE = float(1 << 31)  # fixed-point scale for exact partial sums
+_IVF_ASSIGN_SCALE = float(1 << 15)  # integer-score scale for assignment
+
+
 def train_ivf_centroids(
     corpus_ds,
     n_lists: int = 64,
@@ -157,37 +161,82 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 19,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a BOUNDED sample: the pulled
-    rows are SORTED BY ID before the seeded init, because Ray's limit()
-    delivers blocks in completion order (preserve_order is off) — without
-    the sort, positional rng.choice would pick different init vectors
-    run-to-run. The driver holds sample × d floats, never the corpus.
-    Returns unit-norm centroids (n_lists, d).
+    """DISTRIBUTED deterministic spherical k-means (Lloyd) over the whole
+    corpus — no bounded-sample training-subset caveat (r2 VERDICT #4):
 
-    CAVEAT: when the corpus exceeds ``sample_rows``, limit() may also vary
-    the sampled SUBSET across runs; for bit-reproducible centroids on big
-    corpora, pre-select the sample with a deterministic filter (e.g.
-    ``sample_deterministic``) and pass it as ``corpus_ds``."""
+    - **init**: a deterministic md5-hash sample of ~``sample_rows`` rows
+      (``stages.splits.sample_deterministic`` — the same row set at any
+      parallelism or block order), sorted by id, seeded ``rng.choice`` of
+      ``n_lists`` unit vectors;
+    - **iterations**: ``iters`` full map_batches passes. Each batch assigns
+      its vectors to the nearest centroid and emits ONE partial row per
+      centroid present: member count + per-component sums quantized to
+      fixed point (int64 at 2^31 scale, quantized PER VECTOR before any
+      summation). Integer addition is associative/commutative, so the
+      reduced sums — and therefore the centroids — are **bit-identical at
+      any parallelism / batch split** (pinned by test), unlike float
+      partial sums whose value depends on block boundaries;
+    - assignment itself uses int64 scores (vectors and centroids quantized
+      at 2^15) so near-tie argmax can't flap with BLAS kernel choice;
+    - the driver holds n_lists × d per round, never the corpus.
+
+    Returns unit-norm centroids (n_lists, d). Per-centroid row capacity
+    before int64 sum overflow: 2^63 / 2^31 = 2^32 rows.
+    """
+    import ray
+
+    from .splits import sample_deterministic
+
+    proj = corpus_ds.select_columns([id_col, vec_col]).materialize()
+    total = proj.count()
+    if total == 0:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    frac = min(1.0, sample_rows / max(total, 1))
+    samp_ds = (
+        sample_deterministic(proj, id_col, frac, salt="ivf-init:")
+        if frac < 1.0
+        else proj
+    )
     pulled = pa.concat_tables(
-        [
-            pa.table(b)
-            for b in corpus_ds.limit(sample_rows)
-            .select_columns([id_col, vec_col])
-            .iter_batches(batch_format="pyarrow")
-        ]
+        [pa.table(b) for b in samp_ds.iter_batches(batch_format="pyarrow")]
     )
     order = pa.compute.sort_indices(pulled[id_col])
-    sample = _to_matrix(pulled.take(order)[vec_col])
-    m = _normalize(sample)
+    m = _normalize(_to_matrix(pulled.take(order)[vec_col]))
     rng = np.random.default_rng(seed)
-    cent = m[rng.choice(m.shape[0], size=min(n_lists, m.shape[0]), replace=False)]
+    k = min(n_lists, m.shape[0])
+    cent = m[rng.choice(m.shape[0], size=k, replace=False)]
+
     for _ in range(iters):
-        assign = (m @ cent.T).argmax(axis=1)
-        for c in range(cent.shape[0]):
-            members = m[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
+        qcent = np.round(cent * _IVF_ASSIGN_SCALE).astype(np.int64)
+        cref = ray.put(qcent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            qcent_ = ray.get(cref)
+            bm = _normalize(_to_matrix(batch[vec_col]))
+            qv = np.round(bm * _IVF_ASSIGN_SCALE).astype(np.int64)
+            assign = (qv @ qcent_.T).argmax(axis=1)  # exact ints: no ulp flap
+            fp = np.round(bm * _IVF_FP_SCALE).astype(np.int64)
+            ks, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((ks.size, fp.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, fp)
+            counts = np.bincount(inv, minlength=ks.size).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(ks.astype(np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                }
+            )
+
+        sums = np.zeros((k, cent.shape[1]), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in proj.map_batches(partial, batch_format="pyarrow").take_all():
+            sums[r["c"]] += np.asarray(r["s"], dtype=np.int64)
+            counts[r["c"]] += r["n"]
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = (sums[nz] / _IVF_FP_SCALE) / counts[nz, None]
+        cent = _normalize(new)
     return cent
 
 
@@ -361,6 +410,18 @@ def _bucket_pairs_recursive(
             out.append((ii[ia[keep]], ids[j0 + ib[keep]], s[keep]))
 
 
+def _EMPTY_PAIRS_DF() -> pd.DataFrame:
+    """Typed empty (id_a, id_b, cos_sim) frame — untyped [] columns become
+    null-typed Arrow blocks and trip the executor schema-divergence warning."""
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype=np.int64),
+            "id_b": pd.Series(dtype=np.int64),
+            "cos_sim": pd.Series(dtype=np.float64),
+        }
+    )
+
+
 def near_dup_embeddings(
     corpus_ds,
     threshold: float = 0.98,
@@ -410,13 +471,13 @@ def near_dup_embeddings(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="mergesort")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            return _EMPTY_PAIRS_DF()
         ids = g["vec_id"].to_numpy()
         m = np.stack(g["vec"].to_numpy())
         chunks: list = []
         _bucket_pairs_recursive(ids, m, threshold, max_bucket, 0, chunks)
         if not chunks:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            return _EMPTY_PAIRS_DF()
         a = np.concatenate([c[0] for c in chunks])
         b = np.concatenate([c[1] for c in chunks])
         s = np.concatenate([c[2] for c in chunks])

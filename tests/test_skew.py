@@ -134,3 +134,42 @@ def test_matcher_chunking_direct(monkeypatch):
             t["distance_m"].to_pylist(), t["similarity"].to_pylist())
     )
     assert key(chunked) == key(baseline)
+
+
+def test_auto_salt_dense_cell(ray_session):
+    """salt=None (default): the skew pre-pass must detect the one-hot-cell
+    corpus (~all rows in one bucket → ratio ≈ num_buckets > 4), pick
+    salt > 1, and still match the brute-force oracle exactly."""
+    import ray.data
+
+    from overmatch_ray.pipelines.conflate import _auto_salt, conflate
+
+    osm, ovt, (ox, oy, vx, vy, names) = _dense_corpus()
+    osm_ds = ray.data.from_arrow(osm).repartition(5)
+    picked = _auto_salt(osm_ds, num_buckets=8)
+    assert picked > 1, "dense one-cell corpus must trip the skew threshold"
+
+    got = conflate(
+        osm_ds, ray.data.from_arrow(ovt).repartition(3), num_buckets=8
+    ).take_all()
+    dist = np.hypot(ox[:, None] - vx[None, :], oy[:, None] - vy[None, :])
+    ia, ib = np.nonzero(dist <= 100.0)
+    sims = ratio_pairs(names[ia], names[ib]) / 100.0
+    keep = sims >= 0.6
+    expected = {
+        (f"node/{a}", ovt["id"][b].as_py()) for a, b in zip(ia[keep], ib[keep])
+    }
+    got_keys = {(r["osm_id"], r["overture_id"]) for r in got}
+    assert len(got) == len(got_keys), "auto-salting introduced duplicates"
+    assert got_keys == expected
+
+
+def test_auto_salt_uniform_corpus_stays_one(ray_session):
+    """A spatially uniform corpus must NOT salt (no pointless ×S index
+    replication)."""
+    import ray.data
+
+    from overmatch_ray.pipelines.conflate import _auto_salt, synth_osm_dataset
+
+    ds = synth_osm_dataset(4000, override_num_blocks=4)
+    assert _auto_salt(ds, num_buckets=8) == 1

@@ -249,6 +249,26 @@ class TestDedupClusters:
         }
         assert dist == expected
 
+    def test_broadcast_path_long_chain(self, ray_session):
+        """Worst case for label propagation: one 20k-node path (diameter =
+        n) plus shuffled ids — the contraction kernel must still converge
+        and label every node with the chain's min id."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import dedup_clusters
+
+        n = 20_000
+        perm = (np.arange(n, dtype=np.int64) * 2654435761) % (1 << 31)
+        pairs = pa.table(
+            {
+                "id_a": pa.array(np.minimum(perm[:-1], perm[1:])),
+                "id_b": pa.array(np.maximum(perm[:-1], perm[1:])),
+            }
+        )
+        out = dedup_clusters(ray.data.from_arrow(pairs)).take_all()
+        assert len(out) == n
+        assert {r["cluster_id"] for r in out} == {int(perm.min())}
+
 
 class TestSplitAssign:
     def test_partitioning_invariant_and_fractions(self, ray_session):
@@ -437,6 +457,31 @@ class TestIvf:
         r1, r4 = recall(1), recall(4)
         assert r4 >= r1
         assert r4 >= 0.85, f"IVF 4-probe recall {r4} too low"
+
+    def test_centroids_bit_identical_across_parallelism(self, ray_session):
+        """Distributed Lloyd with fixed-point partial sums: centroids must
+        be BIT-identical for the same corpus at different block splits
+        (float partial sums would differ with batch boundaries)."""
+        import ray.data
+
+        from overmatch_ray.stages.knn import train_ivf_centroids
+
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((900, 24))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(900), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        a = train_ivf_centroids(
+            ray.data.from_arrow(t).repartition(2), n_lists=8, sample_rows=200
+        )
+        b = train_ivf_centroids(
+            ray.data.from_arrow(t).repartition(13), n_lists=8, sample_rows=200
+        )
+        assert a.shape == (8, 24)
+        assert np.array_equal(a, b), "centroids differ across parallelism"
 
 
 class TestWinnowing:
