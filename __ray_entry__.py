@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": ro.q_langid_docs,
         "lsh_knn": ro.q_lsh_knn,
         "ivf_knn": ro.q_ivf_knn,
+        "pq_knn": ro.q_pq_knn,
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,

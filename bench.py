@@ -47,10 +47,14 @@ def _gen_inputs(sf_dir: str, cache: str) -> dict:
 
     os.makedirs(cache, exist_ok=True)
     # 2× the orders count: large enough that compute, not fixed shuffle
-    # coordination, dominates both parallelism levels
-    n_osm = 2 * ray.data.read_parquet(
+    # coordination, dominates both parallelism levels. GRAFT_SCALE (≥1)
+    # multiplies the geo corpus for the scale-probe run (VERDICT r2 #8):
+    # per-bucket groups grow ∝ scale at a fixed num_buckets, which is
+    # exactly the bucket-sizing stress the probe demonstrates.
+    scale = float(os.environ.get("GRAFT_SCALE", "1"))
+    n_osm = int(scale * 2 * ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
-    ).count()
+    ).count())
     # 16× the documents count at 64-160 px: decode compute (~2 ms/image)
     # dominates actor startup, so the image stage scales with the pool
     n_img = 16 * ray.data.read_parquet(
@@ -100,7 +104,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.images import decode_validate, dedup_exact
     from overmatch_ray.stages.tiles import build_tiles
 
-    cache = f"/tmp/overmatch_bench/v6-{_sf_of(sf_dir)}"
+    scale = float(os.environ.get("GRAFT_SCALE", "1"))
+    cache = f"/tmp/overmatch_bench/v6-{_sf_of(sf_dir)}" + (
+        f"-x{scale:g}" if scale != 1 else ""
+    )
     meta = _gen_inputs(sf_dir, cache)
     n_osm, n_img = meta["n_osm"], meta["n_img"]
 
@@ -150,13 +157,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).materialize()
         return dedup_exact(validated.repartition(2 * num_cpus)).count()
 
+    # GRAFT_STAGES: comma-list subset of
+    # conflate,images,postmatch,textdedup,pricing_summary,priority_revenue
+    # (default all) — the scale probe runs only the shuffle-bound stages
+    stages_env = os.environ.get("GRAFT_STAGES", "")
+    stages = set(s.strip() for s in stages_env.split(",") if s.strip()) or None
+
+    def want(name):
+        return stages is None or name in stages
+
     if os.environ.get("GRAFT_WARM", "1") != "0":
         # steady-state mode (used by --scaling): one untimed pass first so
         # worker startup / actor spin-up / page cache are excluded
-        run_conflate()
-        run_images()
-        run_postmatch()
-        run_textdedup()
+        if want("conflate") or want("postmatch"):
+            run_conflate()
+        if want("images"):
+            run_images()
+        if want("postmatch"):
+            run_postmatch()
+        if want("textdedup"):
+            run_textdedup()
+
+    # sample peak object-store usage (plasma primary copies) in the
+    # background — the scale probe records it against the 30% store cap
+    import threading
+
+    store_total = ray.cluster_resources().get("object_store_memory", 0)
+    peak = {"bytes": 0.0}
+    stop_sampler = threading.Event()
+
+    def _sample_store():
+        while not stop_sampler.is_set():
+            avail = ray.available_resources().get(
+                "object_store_memory", store_total
+            )
+            used = store_total - avail
+            if used > peak["bytes"]:
+                peak["bytes"] = used
+            stop_sampler.wait(0.25)
+
+    threading.Thread(target=_sample_store, daemon=True).start()
 
     timings: dict[str, float] = {}
     # this shared host has bursty CPU-steal (±3x on identical runs); the
@@ -174,21 +214,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(best, 3)
         return result
 
-    n_matches = timed("conflate", run_conflate)
-    n_unique = timed("images", run_images)
-    n_merged, n_tiles = timed("postmatch", run_postmatch)
-    n_dedup_pairs = timed("textdedup", run_textdedup)
-    timed("pricing_summary", lambda: q_pricing_summary(sf_dir).to_pandas())
-    timed("priority_revenue", lambda: q_priority_revenue(sf_dir).to_pandas())
+    n_matches = timed("conflate", run_conflate) if want("conflate") else None
+    n_unique = timed("images", run_images) if want("images") else None
+    if want("postmatch"):
+        if "ds" not in matches_mat:
+            run_conflate()
+        n_merged, n_tiles = timed("postmatch", run_postmatch)
+    else:
+        n_merged = n_tiles = None
+    n_dedup_pairs = (
+        timed("textdedup", run_textdedup) if want("textdedup") else None
+    )
+    if want("pricing_summary"):
+        timed("pricing_summary", lambda: q_pricing_summary(sf_dir).to_pandas())
+    if want("priority_revenue"):
+        timed("priority_revenue", lambda: q_priority_revenue(sf_dir).to_pandas())
 
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()
     total = round(sum(timings.values()), 3)
     headline = (
-        timings["conflate"] + timings["images"] + timings["postmatch"]
-        + timings["textdedup"]
+        timings.get("conflate", 0.0) + timings.get("images", 0.0)
+        + timings.get("postmatch", 0.0) + timings.get("textdedup", 0.0)
     )
+    stop_sampler.set()
     result = {
         "metric": "pipeline throughput (features+images+docs processed/sec)",
         "value": total,
@@ -207,7 +257,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "throughput_rows_per_sec": round(
             (n_osm + n_img + n_docs) / max(headline, 1e-9), 1
         ),
+        "peak_object_store_gb": round(peak["bytes"] / 2**30, 2),
     }
+    if scale != 1:
+        result["scale"] = scale
     ray.shutdown()
     return result
 

@@ -194,12 +194,27 @@ def q_ivf_knn(sf_dir: str):
         [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
             batch_format="pyarrow")]
     )
-    # deterministic training subset (id filter, not limit()) so centroids —
-    # and therefore the returned rows — are identical run-to-run at any SF
-    cents = train_ivf_centroids(
-        emb.filter(expr="vec_id < 20000"), n_lists=16
-    )
+    # distributed fixed-point Lloyd: centroids are bit-identical at any
+    # parallelism, so training on the FULL corpus is deterministic
+    cents = train_ivf_centroids(emb, n_lists=16)
     return ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents)
+
+
+def q_pq_knn(sf_dir: str):
+    """Product-quantization (ADC) ANN top-k over the embeddings table —
+    the compressed-corpus scale path next to LSH and IVF
+    (stages.knn.pq_topk; approximate, recall pinned by tests, so
+    rows-only)."""
+    from ..stages.knn import pq_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
+    )
+    return pq_topk(emb, queries, k=5, m_sub=8, n_centroids=64)
 
 
 def q_winnow_pairs(sf_dir: str):

@@ -77,20 +77,28 @@ def brute_force_topk(
     return _merge_topk(corpus_ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
-def _merge_topk(partials, k: int):
-    """Shared per-query top-k reduction for the ANN variants: tiny
-    groupby over O(queries × k × blocks) partial rows."""
+def _merge_topk(partials, k: int, num_buckets: int = 16):
+    """Shared per-query top-k reduction for the ANN variants: a tiny
+    shuffle over O(queries × k × blocks) partial rows. Bucketed (one task
+    merges every query that hashed to its bucket) rather than per-query
+    ``map_groups``, so a large query set doesn't pay ~1 ms of scheduler
+    overhead per query (CLAUDE.md high-cardinality rule)."""
+    from .groupops import bucketed_group_apply
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            ["query_id", "cos_sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         g["cos_sim"] = np.round(g["cos_sim"], 6)
         return g
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return bucketed_group_apply(
+        partials, ["query_id"], merge_bucket, num_buckets=num_buckets
+    )
 
 
 def _probe_partial(
@@ -277,6 +285,197 @@ def ivf_topk(
     return _merge_topk(
         corpus_ds.map_batches(partial, batch_format="pyarrow"), k
     )
+
+
+# --- product quantization (ADC) --------------------------------------------
+
+
+def _pq_split(m_total: np.ndarray, m_sub: int) -> "list[np.ndarray]":
+    """Split (n, d) into ``m_sub`` contiguous subspace views. d need not be
+    divisible by m_sub — the last subspace takes the remainder."""
+    d = m_total.shape[1]
+    step = d // m_sub
+    bounds = [i * step for i in range(m_sub)] + [d]
+    return [m_total[:, bounds[j] : bounds[j + 1]] for j in range(m_sub)]
+
+
+def _pq_encode(bm: np.ndarray, qcb: "list[np.ndarray]") -> np.ndarray:
+    """(n, m_sub) uint8 codes: per subspace, nearest codebook entry by
+    exact INTEGER L2 argmin (both sides quantized at 2^15) so encoding is
+    bit-stable at any batch split."""
+    qv = np.round(bm * _IVF_ASSIGN_SCALE).astype(np.int64)
+    subs = _pq_split(qv, len(qcb))
+    codes = np.empty((bm.shape[0], len(qcb)), dtype=np.uint8)
+    for j, (vs, cb) in enumerate(zip(subs, qcb)):
+        # argmin |v - c|^2 = argmin (|c|^2 - 2 v·c) — exact int64
+        cnorm = (cb * cb).sum(axis=1)
+        codes[:, j] = np.argmin(cnorm[None, :] - 2 * (vs @ cb.T), axis=1)
+    return codes
+
+
+def train_pq_codebooks(
+    corpus_ds,
+    m_sub: int = 8,
+    n_centroids: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 23,
+) -> "list[np.ndarray]":
+    """Per-subspace k-means codebooks for product quantization, trained
+    with the SAME distributed fixed-point Lloyd machinery as
+    ``train_ivf_centroids`` (deterministic hash-sample init; int64
+    partial sums quantized per vector at 2^31 → codebooks bit-identical
+    at any parallelism; integer-L2 assignment → no ulp flap). All
+    ``m_sub`` subspaces train in the same ``iters`` passes. Returns a list
+    of (n_centroids, d_sub) float arrays over UNIT-NORMALIZED vectors, so
+    ADC inner-product sums approximate cosine directly."""
+    import ray
+
+    from .splits import sample_deterministic
+
+    proj = corpus_ds.select_columns([id_col, vec_col]).materialize()
+    total = proj.count()
+    if total == 0:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    frac = min(1.0, sample_rows / max(total, 1))
+    samp_ds = (
+        sample_deterministic(proj, id_col, frac, salt="pq-init:")
+        if frac < 1.0
+        else proj
+    )
+    pulled = pa.concat_tables(
+        [pa.table(b) for b in samp_ds.iter_batches(batch_format="pyarrow")]
+    )
+    order = pa.compute.sort_indices(pulled[id_col])
+    m = _normalize(_to_matrix(pulled.take(order)[vec_col]))
+    rng = np.random.default_rng(seed)
+    kc = min(n_centroids, m.shape[0])
+    init_rows = rng.choice(m.shape[0], size=kc, replace=False)
+    books = [s[init_rows].copy() for s in _pq_split(m, m_sub)]
+    d_subs = [b.shape[1] for b in books]
+
+    for _ in range(iters):
+        qcb = [np.round(b * _IVF_ASSIGN_SCALE).astype(np.int64) for b in books]
+        cref = ray.put(qcb)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            qcb_ = ray.get(cref)
+            bm = _normalize(_to_matrix(batch[vec_col]))
+            codes = _pq_encode(bm, qcb_)
+            fp = np.round(bm * _IVF_FP_SCALE).astype(np.int64)
+            fsubs = _pq_split(fp, len(qcb_))
+            sub_col, c_col, n_col, s_col = [], [], [], []
+            for j, fs in enumerate(fsubs):
+                ks, inv = np.unique(codes[:, j], return_inverse=True)
+                sums = np.zeros((ks.size, fs.shape[1]), dtype=np.int64)
+                np.add.at(sums, inv, fs)
+                counts = np.bincount(inv, minlength=ks.size).astype(np.int64)
+                sub_col.append(np.full(ks.size, j, dtype=np.int64))
+                c_col.append(ks.astype(np.int64))
+                n_col.append(counts)
+                s_col.extend(sums.tolist())
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(sub_col)),
+                    "c": pa.array(np.concatenate(c_col)),
+                    "n": pa.array(np.concatenate(n_col)),
+                    "s": pa.array(s_col, pa.list_(pa.int64())),
+                }
+            )
+
+        sums = [np.zeros((kc, d), dtype=np.int64) for d in d_subs]
+        counts = np.zeros((m_sub, kc), dtype=np.int64)
+        for r in proj.map_batches(partial, batch_format="pyarrow").take_all():
+            sums[r["sub"]][r["c"]] += np.asarray(r["s"], dtype=np.int64)
+            counts[r["sub"], r["c"]] += r["n"]
+        for j in range(m_sub):
+            nz = counts[j] > 0
+            books[j][nz] = (sums[j][nz] / _IVF_FP_SCALE) / counts[j][nz, None]
+    return books
+
+
+def pq_topk(
+    corpus_ds,
+    queries: pa.Table,
+    k: int = 5,
+    m_sub: int = 8,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: "list[np.ndarray] | None" = None,
+    rerank: int = 8,
+):
+    """PQ/ADC approximate top-k: corpus vectors compress to ``m_sub``
+    uint8 codes (×d·8/m_sub memory reduction — the standard billion-scale
+    ANN storage layout); each query scores a batch by summing per-subspace
+    lookup-table entries instead of a full matmul, then EXACT-re-ranks the
+    ADC shortlist of ``rerank``·k candidates (the textbook two-stage PQ
+    search: ADC error ~ quantization MSE swamps the tiny sim differences
+    WITHIN a tight cluster, so pure-ADC ranking has poor recall@k even
+    when its recall@(10k) is perfect — measured in tests). Per-batch cost:
+    integer encode + m_sub table gathers + O(rerank·k·d) exact dot
+    products per query; full-matmul cost only at ``rerank`` ≈ n/k.
+    Codebooks broadcast once; only per-query partial top-k rows shuffle.
+    ``rerank=1`` ranks by raw ADC scores (then ``cos_sim`` is the ADC
+    approximation, not the exact cosine)."""
+    import ray
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus_ds, m_sub, n_centroids, vec_col, id_col
+        )
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[id_col].to_numpy(zero_copy_only=False))
+    qsubs = _pq_split(qm, len(codebooks))
+    # (nq, m_sub, n_centroids) ADC lookup tables: q_sub · c
+    lut = np.stack([qs @ cb.T for qs, cb in zip(qsubs, codebooks)], axis=1)
+    qcb = [np.round(b * _IVF_ASSIGN_SCALE).astype(np.int64) for b in codebooks]
+    qref = ray.put((qids, qm, lut, qcb))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, lut_, qcb_ = ray.get(qref)
+        bm = _normalize(_to_matrix(batch[vec_col]))
+        cids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        codes = _pq_encode(bm, qcb_)  # (n, m_sub)
+        # ADC scores (nq, n): sum over subspaces of LUT[q, j, codes[:, j]]
+        sims = np.zeros((qids_.shape[0], bm.shape[0]))
+        for j in range(codes.shape[1]):
+            sims += lut_[:, j, :][:, codes[:, j]]
+        sims[qids_[:, None] == cids[None, :]] = -np.inf
+        if rerank > 1:
+            r = min(max(rerank, 1) * k, sims.shape[1])
+            cand = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )[:, :r]  # (nq, r) shortlist by ADC
+            exact = np.einsum("qd,qrd->qr", qm_, bm[cand])
+            exact[~np.isfinite(np.take_along_axis(sims, cand, axis=1))] = -np.inf
+            kk = min(k, r)
+            sub_order = np.lexsort(
+                (np.take_along_axis(
+                    np.broadcast_to(cids, sims.shape), cand, axis=1
+                ), -exact),
+                axis=1,
+            )[:, :kk]
+            order = np.take_along_axis(cand, sub_order, axis=1)
+            rows_s = np.take_along_axis(exact, sub_order, axis=1).ravel()
+        else:
+            kk = min(k, sims.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )[:, :kk]
+            rows_s = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids_, kk)[keep]),
+                "neighbor_id": pa.array(cids[order.ravel()][keep]),
+                "cos_sim": pa.array(rows_s[keep]),
+            }
+        )
+
+    return _merge_topk(corpus_ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
 # --- hyperplane LSH --------------------------------------------------------
