@@ -34,16 +34,41 @@ def _install_ray_schema_warning_filter() -> None:
     class _F(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:
             msg = record.getMessage()
-            # drop only the empty-schema variant ("new schema: ." — a
-            # 0-column bundle); keep warnings where both schemas are real
+            # drop only the empty-schema variants (a 0-column bundle,
+            # rendered "new schema: ." for Arrow blocks and
+            # "PandasBlockSchema(names=[], types=[])" for pandas blocks);
+            # keep warnings where both schemas are real
             return not (
                 "RefBundle with a different schema" in msg
-                and "new schema: ." in msg
+                and (
+                    "new schema: ." in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])"
+                    in msg
+                )
             )
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_F())
+
+    class _HashF(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            # read-PLANNING-time only: ray.data.read_parquet unifies the
+            # on-disk file schemas, and pandas-written parquet (the driver's
+            # read-only testdata) embeds a b'pandas' metadata dict that is
+            # unhashable in this pyarrow build. Every block OUR stages emit
+            # is metadata-free (sources.read_parquet_clean strips at the
+            # read; bucketed_group_apply emits clean Arrow), so the shuffle
+            # schema-dedup early exit still works on the data path — this
+            # drops only the cosmetic planning warning we cannot fix without
+            # writing to the read-only inputs.
+            return "Failed to hash the schemas (for deduplication)" not in (
+                record.getMessage()
+            )
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_HashF())
 
 
 _install_ray_schema_warning_filter()

@@ -261,8 +261,11 @@ def flagship_matches(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     deterministic synthesizer, then the full conflation join."""
     from ..synth import osm_block, overture_block
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    n = cust.count()
+    from ..sources import read_parquet_clean
+
+    # raw count first (parquet-metadata fast path), clean read for the data
+    n = ray.data.read_parquet(f"{sf_dir}/customer.parquet").count()
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def to_osm(batch: pa.Table) -> pa.Table:
         idx = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)

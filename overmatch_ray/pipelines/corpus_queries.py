@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from ..sources import read_parquet_clean as _rpq
 from ray.data.aggregate import Count
 
 from .queries import ORACLE_SQL, _read
@@ -601,7 +603,7 @@ def q_doc_splits(sf_dir: str):
     (stages.splits — md5-hex-threshold rule, partitioning-invariant)."""
     from ..stages.splits import split_assign
 
-    docs = ray.data.read_parquet(
+    docs = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     return split_assign(
@@ -626,7 +628,7 @@ def q_doc_sample(sf_dir: str):
     """Deterministic 20% sample of documents (stages.splits rule)."""
     from ..stages.splits import sample_deterministic
 
-    docs = ray.data.read_parquet(
+    docs = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return sample_deterministic(docs, "doc_id", 0.2)

@@ -26,7 +26,9 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -329,7 +331,11 @@ def _customers_semi(sf_dir: str, urgent_only: bool, anti: bool):
     from ..stages.joins import semi_join_filter, semi_join_shuffled
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    if _read(sf_dir, "orders", ["o_custkey"]).count() <= SEMI_JOIN_BROADCAST_LIMIT:
+    # raw read (no metadata-strip stage) so count() stays the parquet-
+    # metadata fast path — no data pass to choose the join strategy
+    if ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).count() <= SEMI_JOIN_BROADCAST_LIMIT:
         keys = _custkeys_with_orders(sf_dir, urgent_only=urgent_only)
         return semi_join_filter(cust, keys, "c_custkey", anti=anti)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])

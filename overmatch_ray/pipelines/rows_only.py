@@ -11,6 +11,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..sources import read_parquet_clean as _rpq
+
 
 def q_conflate_matches(sf_dir: str):
     """The flagship J1 conflation join (tested against tests/reference_oracle)."""
@@ -39,8 +41,9 @@ def _images_ds(sf_dir: str):
     """Deterministic image corpus sized by the documents table (graft axis)."""
     from ..synth import images_block
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n = docs.count()
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # raw read for the size: parquet-metadata fast count, no data pass
+    n = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
 
     def to_images(batch: pa.Table) -> pa.Table:
         idx = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -94,7 +97,7 @@ def q_langid_docs(sf_dir: str):
     from ..stages.textstats import langid_batch
 
     return (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(langid_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "lang_pred"])
     )
@@ -105,7 +108,7 @@ def q_lsh_knn(sf_dir: str):
     exact brute-force knn_topk."""
     from ..stages.knn import lsh_topk
 
-    emb = ray.data.read_parquet(
+    emb = _rpq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     queries = pa.concat_tables(
@@ -187,7 +190,7 @@ def q_ivf_knn(sf_dir: str):
     tests, so rows-only)."""
     from ..stages.knn import ivf_topk, train_ivf_centroids
 
-    emb = ray.data.read_parquet(
+    emb = _rpq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     queries = pa.concat_tables(
@@ -207,7 +210,7 @@ def q_pq_knn(sf_dir: str):
     rows-only)."""
     from ..stages.knn import pq_topk
 
-    emb = ray.data.read_parquet(
+    emb = _rpq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     queries = pa.concat_tables(
@@ -235,7 +238,7 @@ def q_embedding_norm_quantiles(sf_dir: str):
     from ..stages.groupops import histogram_quantiles
     from ..stages.knn import _to_matrix
 
-    emb = ray.data.read_parquet(
+    emb = _rpq(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     )
 

@@ -22,6 +22,36 @@ import pyarrow as pa
 import ray.data
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path, *, columns=None, **kw):
+    """``ray.data.read_parquet`` that emits metadata-free block schemas.
+
+    Pandas-written parquet embeds a ``b'pandas'`` schema-metadata dict;
+    ``pa.Schema`` with metadata is unhashable in this pyarrow build, which
+    defeats Ray's shuffle schema-dedup early exit (``unify_schemas`` falls
+    back to a full unify per bundle) and logs "Failed to hash the schemas"
+    warnings from every read task. Passing an explicit stripped (and
+    column-projected) ``schema=`` from the first file's footer removes the
+    metadata at the source — one footer read, no extra pipeline stage. If
+    the footer probe fails (directory layouts, mixed schemas), fall back to
+    a plain read plus a zero-copy strip stage fused into the read."""
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    try:
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(first).remove_metadata()
+        sch = pa.schema([full.field(c) for c in columns]) if columns else full
+        return ray.data.read_parquet(path, columns=columns, schema=sch, **kw)
+    except Exception:
+        ds = ray.data.read_parquet(path, columns=columns, **kw)
+        return ds.map_batches(
+            _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+
 def _flatten_features(batch: pa.Table, col: str, extra_props: tuple[str, ...]) -> pa.Table:
     """One JSON Feature string per row → the engine's flat point schema."""
     ids, types, names, hns, lons, lats = [], [], [], [], [], []
@@ -231,7 +261,7 @@ def read_images(path: str, columns: list[str] | None = None) -> "ray.data.Datase
 
         return ray.data.read_lance(path, columns=columns)
     except ImportError:
-        return ray.data.read_parquet(path, columns=columns)
+        return read_parquet_clean(path, columns=columns)
 
 
 def read_overture_places(
@@ -264,7 +294,7 @@ def read_overture_places(
                     & (pc.field("lat") >= ymin) & (pc.field("lat") <= ymax))
     if operating_status is not None:
         expr = conj(expr, pc.field("operating_status") == operating_status)
-    ds = ray.data.read_parquet(path, columns=columns, filter=expr)
+    ds = read_parquet_clean(path, columns=columns, filter=expr)
     if categories:
         cats = set(categories)
 

@@ -94,12 +94,22 @@ def bucketed_group_apply(ds, key_cols: list[str], fn, num_buckets: int = 64):
         b = (hash_columns(batch, key_cols) % _U64(num_buckets)).astype(np.int64)
         return batch.append_column("__gbucket", pa.array(b))
 
+    def run_bucket(g: pd.DataFrame):
+        out = fn(g.drop(columns="__gbucket"))
+        if isinstance(out, pd.DataFrame):
+            # hand Ray a metadata-free Arrow block: pandas→arrow conversion
+            # (Ray's or from_pandas) attaches a b'pandas' schema-metadata
+            # dict that is unhashable in this pyarrow build and defeats the
+            # shuffle schema-dedup early exit downstream
+            out = pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
+        return out
+
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__gbucket")
-        .map_groups(
-            lambda g: fn(g.drop(columns="__gbucket")), batch_format="pandas"
-        )
+        .map_groups(run_bucket, batch_format="pandas")
     )
 
 

@@ -158,8 +158,12 @@ def write_pmtiles(
             batch["tx"].to_numpy(zero_copy_only=False),
             batch["ty"].to_numpy(zero_copy_only=False),
         )
-        return batch.select(["zoom", "tx", "ty", "mvt"]).append_column(
-            "tile_id", pa.array(tid.view(np.int64))
+        # strip schema metadata (pandas-block conversions attach a b'pandas'
+        # dict that makes pa.Schema unhashable → Ray sort logs a hash warning)
+        return (
+            batch.select(["zoom", "tx", "ty", "mvt"])
+            .append_column("tile_id", pa.array(tid.view(np.int64)))
+            .replace_schema_metadata(None)
         )
 
     ordered = tiles_ds.map_batches(add_id, batch_format="pyarrow").sort("tile_id")

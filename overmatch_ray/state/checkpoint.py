@@ -164,4 +164,6 @@ def read_partitioned(out_dir: str):
         os.path.join(out_dir, f"part-{k}.parquet")
         for k in sorted(sink.completed_partitions(), key=str)
     ]
-    return ray.data.read_parquet(files)
+    from ..sources import read_parquet_clean
+
+    return read_parquet_clean(files)
