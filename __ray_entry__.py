@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": rq.q_props_extract,
         "yearly_orders": rq.q_yearly_orders,
         "purchase_attribution": rq.q_purchase_attribution,
+        "error_window_events": rq.q_error_window_events,
         "value_quantiles": rq.q_value_quantiles,
         "type_value_quantiles": rq.q_type_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
@@ -82,6 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dedup": cq.q_prefix_dedup,
         "doc_splits": cq.q_doc_splits,
         "doc_sample": cq.q_doc_sample,
+        "doc_stratified_sample": cq.q_doc_stratified_sample,
+        "redact_pii": cq.q_redact_pii,
+        "repetition_stats": cq.q_repetition_stats,
+        "decontaminate": cq.q_decontaminate,
+        "pack_sequences": cq.q_pack_sequences,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
         "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
         "knn_topk": cq.q_knn_topk,

@@ -639,3 +639,219 @@ ORACLE_SQL["doc_sample"] = """
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
 """
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination over the derived corpus: the 40
+    perturbed copies (doc_id ≥ 100000) play the EVAL SET; every original
+    document sharing a word 8-gram with them is flagged contaminated
+    (stages.decontam.decontaminate — benchmark grams broadcast once,
+    corpus side a pure map)."""
+    from ..stages.decontam import decontaminate
+
+    corpus = _derived_corpus(sf_dir)
+    bench = corpus.filter(expr="doc_id >= 100000")
+    train = corpus.filter(expr="doc_id < 100000")
+    return decontaminate(train, bench, n=8)
+
+
+_LEAD8 = " || ' ' || ".join(
+    f"lead(tok, {i}) OVER w" for i in range(1, 8)
+)
+ORACLE_SQL["decontaminate"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xtra token' FROM documents
+  WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus),
+sh AS (
+  SELECT doc_id, tok || ' ' || {_LEAD8} AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 100000),
+hits AS (SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id < 100000 AND g IN (SELECT g FROM bench))
+SELECT c.doc_id, c.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM corpus c WHERE c.doc_id < 100000
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (top-word fraction,
+    duplicated-bigram fraction) — stages.textstats.repetition_stats_batch,
+    a pure vectorized map stage."""
+    from ..stages.textstats import repetition_stats_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(repetition_stats_batch, batch_format="pyarrow")
+        .select_columns(
+            [
+                "doc_id",
+                "n_words",
+                "n_unique_words",
+                "top_word_frac",
+                "dup_2gram_frac",
+            ]
+        )
+    )
+
+
+ORACLE_SQL["repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+w AS (SELECT doc_id, sum(c) AS n, count(*) AS u, max(c) AS mx
+      FROM wc GROUP BY 1),
+big AS (SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS g
+        FROM toks QUALIFY g IS NOT NULL),
+b AS (SELECT doc_id, count(*) AS t2, count(DISTINCT g) AS u2
+      FROM big GROUP BY 1)
+SELECT w.doc_id,
+       CAST(w.n AS BIGINT) AS n_words,
+       CAST(w.u AS BIGINT) AS n_unique_words,
+       round(w.mx * 1.0 / w.n, 6) AS top_word_frac,
+       round(coalesce(1.0 - b.u2 * 1.0 / b.t2, 0.0), 6) AS dup_2gram_frac
+FROM w LEFT JOIN b USING (doc_id)
+"""
+
+
+def _pii_corpus(sf_dir: str):
+    """documents with deterministic synthetic PII appended (emails /
+    phones / IPv4 by doc_id residue) — SQL-expressible so the redaction
+    oracle sees the identical input."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:
+                t += f" contact user{i}@example.com"
+            if i % 11 == 0:
+                t += f" call +1-555-{i % 10000:04d}"
+            if i % 13 == 0:
+                t += f" from 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256}"
+            out.append(t)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return base.map_batches(inject, batch_format="pyarrow")
+
+
+_PII_CORPUS_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+         ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrub over the injected corpus: RE2 kernels count + replace
+    emails → IPv4 → phones in pinned order (stages.pii.redact_pii;
+    DuckDB's regex engine is also RE2, so the oracle shares the exact
+    pattern strings)."""
+    from ..stages.pii import redact_pii
+
+    return redact_pii(_pii_corpus(sf_dir)).select_columns(
+        ["doc_id", "clean_text", "n_emails", "n_ips", "n_phones"]
+    )
+
+
+# identical RE2 patterns as stages.pii; counts taken against the text as
+# each rule sees it (post prior replacements), mirroring the engine
+ORACLE_SQL["redact_pii"] = """
+WITH pii AS (%s),
+s1 AS (SELECT doc_id, text AS t0,
+              regexp_replace(text,
+                '[A-Za-z0-9._%%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t1
+       FROM pii),
+s2 AS (SELECT *, regexp_replace(t1,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                '<IP>', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\\+[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\\b',
+                      '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(t0,
+           '[A-Za-z0-9._%%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t1,
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+       len(regexp_extract_all(t2,
+           '\\+[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phones
+FROM s2
+""" % _PII_CORPUS_SQL
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Class-balanced deterministic sampling: per-LANGUAGE keep fractions
+    (downsample the dominant language, keep the rest whole) — the corpus
+    re-balancing step of a training-data pipeline
+    (stages.splits.stratified_sample)."""
+    from ..stages.splits import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5}, default_fraction=1.0
+    )
+
+
+# floor(0.1·16^8) = 0x19999999, floor(0.5·16^8) = 0x80000000; 'g' sorts
+# after every hex digit, so ELSE 'g' keeps non-listed groups whole
+ORACLE_SQL["doc_stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '19999999'
+                WHEN 'de' THEN '80000000'
+                ELSE 'g' END
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Token-budget shard assignment for training export: documents in
+    doc_id order fill 2048-token shards; a row's shard is the exclusive
+    prefix sum of token counts divided by the budget — computed as a
+    distributed two-phase scan (per-range totals → driver prefix of range
+    OFFSETS only → in-range cumsum), never a sequential pass
+    (stages.splits.pack_sequences)."""
+    from ..stages.splits import pack_sequences
+    from ..stages.textstats import token_count_batch
+
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, range_size=128)
+
+
+ORACLE_SQL["pack_sequences"] = """
+SELECT doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048) AS BIGINT) AS shard_id
+FROM (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+"""

@@ -431,6 +431,57 @@ ASOF LEFT JOIN
 """
 
 
+def q_error_window_events(sf_dir: str):
+    """Interval (range-containment) join — each non-error event attributed
+    to every 30-minute incident window opened by an 'error' event of the
+    same user (stages.joins.interval_join: granule co-shuffle, intervals
+    replicated ≤2×, one equi-merge + range filter per bucket)."""
+    from ..stages.joins import interval_join
+
+    MIN30_US = 1800 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type != 'error'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["event_type"], "error"))
+        end = pc.add(f["ts"].cast(pa.int64()), MIN30_US).cast(
+            pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "window_id": f["event_id"],
+                "w_user": f["user_id"],
+                "w_start": f["ts"],
+                "w_end": end,
+            }
+        )
+
+    windows = ev.map_batches(to_windows, batch_format="pyarrow")
+    out = interval_join(
+        left,
+        windows,
+        on="ts",
+        start_col="w_start",
+        end_col="w_end",
+        by="user_id",
+        right_by="w_user",
+        granule=MIN30_US,
+    )
+    return out.select_columns(["event_id", "window_id"])
+
+
+ORACLE_SQL["error_window_events"] = """
+SELECT e.event_id AS event_id, w.event_id AS window_id
+FROM events e JOIN events w
+  ON e.user_id = w.user_id
+ AND w.event_type = 'error'
+ AND e.event_type != 'error'
+ AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 30 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7. top_orders — global top-k (O2/O3)
 # ---------------------------------------------------------------------------

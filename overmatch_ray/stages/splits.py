@@ -73,6 +73,121 @@ def split_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds,
+    id_col: str,
+    group_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.0,
+    salt: str = "",
+):
+    """Per-group deterministic sampling: each row is kept iff
+    ``md5(salt + str(id))[:8] < hex_bound(fraction_of_its_group)`` — the
+    ``sample_deterministic`` rule with a group-dependent threshold
+    (class-balanced corpus downsampling: e.g. keep 5% of English but 100%
+    of low-resource languages). Same 100-TB properties as the flat rule:
+    no RNG, no shuffle, partitioning/retry-invariant, and a group's sample
+    at a smaller fraction is a strict subset of its larger-fraction sample
+    (so re-balancing never resamples disjoint rows)."""
+    bounds = {g: _hex_bound(f) for g, f in fractions.items()}
+    default_bound = _hex_bound(default_fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        mask = [
+            hashlib.md5((salt + str(k)).encode()).hexdigest()[:8]
+            < bounds.get(g, default_bound)
+            for k, g in zip(keys, groups)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    range_size: int = 1 << 20,
+    num_buckets: int = 32,
+):
+    """Token-budget shard assignment for training export (sequence
+    packing): rows ordered by ``id_col`` fill shards of ``budget`` tokens;
+    a row's shard is ``floor(exclusive_prefix_sum(weight) / budget)`` —
+    i.e. the shard its first token lands in when documents are
+    concatenated in id order (the standard pre-tokenized-corpus layout).
+
+    Distributed two-phase scan (never a single sequential pass):
+
+    1. rows map to contiguous id ranges (``id // range_size``); one tiny
+       ``groupby(range).sum(weight)`` yields per-range totals — O(#ranges)
+       on the driver, rows never leave the cluster;
+    2. the driver prefix-sums range totals into per-range offsets
+       (broadcast as a dict — #ranges entries, not rows);
+    3. a bucketed group apply sorts each range's rows by id and adds the
+       integer in-range cumsum to the range offset. Integer weights ⇒
+       bit-exact at any parallelism.
+
+    At 100 TB: #ranges = max_id / range_size — size ``range_size`` so that
+    stays ≈1e5–1e6 (a few MB of offsets) while each range's rows still fit
+    a task (~``range_size`` rows upper bound)."""
+    import numpy as np
+    import pandas as pd
+
+    from .groupops import bucketed_group_apply
+
+    def tag_range(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__range", pa.array(ids // np.int64(range_size))
+        )
+
+    tagged = ds.map_batches(tag_range, batch_format="pyarrow")
+    # phase 1: per-range totals (tiny — one row per range)
+    totals = tagged.groupby("__range").sum(weight_col).take_all()
+    scol = f"sum({weight_col})"
+    totals.sort(key=lambda r: r["__range"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["__range"])] = acc
+        acc += int(r[scol])
+
+    # broadcast the offsets once (ray.put), not per-task closure pickle —
+    # #ranges can be ~1e6 entries at scale
+    import ray
+
+    offsets_ref = ray.put(offsets)
+    cache: dict = {}
+
+    # phase 3: in-range exclusive cumsum + broadcast offset
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        if "o" not in cache:
+            cache["o"] = ray.get(offsets_ref)
+        offs = cache["o"]
+        g = g.sort_values(id_col, kind="mergesort")
+        out = []
+        for rid, sub in g.groupby("__range", sort=True):
+            w = sub[weight_col].to_numpy().astype(np.int64)
+            prefix = np.cumsum(w) - w + offs[int(rid)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        weight_col: w,
+                        "shard_id": prefix // np.int64(budget),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        tagged, ["__range"], assign, num_buckets=num_buckets
+    )
+
+
 def sample_deterministic(ds, id_col: str, fraction: float, salt: str = ""):
     """Keep a deterministic ``fraction`` of rows — same md5-hex-threshold
     rule as ``split_assign`` (partitioning/retry-invariant; disjoint

@@ -126,3 +126,56 @@ def fingerprint_batch(
     return batch.append_column("fingerprint", pa.array(fp)).append_column(
         "prefix_key", pa.array(prefix, pa.string())
     )
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (vectorized):
+
+    - ``n_words`` / ``n_unique_words`` (single-space tokens, matching the
+      ``string_split(text, ' ')`` oracle tokenizer used engine-wide)
+    - ``top_word_frac`` — count of the most frequent word / n_words (a
+      high value ⇒ degenerate repeated-token text)
+    - ``dup_2gram_frac`` — 1 − distinct-bigram/total-bigram ratio (the
+      "fraction of duplicated 2-grams" repetition rule; 0 for docs with
+      fewer than 2 tokens)
+
+    Pure map stage: token explode + two pandas groupbys per batch, no
+    shuffle, no state.
+    """
+    import pandas as pd
+
+    _, offsets, flat = _split_tokens(batch[text_col])
+    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+    toks = np.asarray(flat.to_pandas(), dtype=object)
+
+    df = pd.DataFrame({"d": doc_idx, "w": toks})
+    wc = df.groupby(["d", "w"], sort=False).size()
+    by_doc = wc.groupby(level=0)
+    mx = np.zeros(len(n_tok), dtype=np.int64)
+    uniq = np.zeros(len(n_tok), dtype=np.int64)
+    mx[by_doc.max().index.to_numpy()] = by_doc.max().to_numpy()
+    uniq[by_doc.size().index.to_numpy()] = by_doc.size().to_numpy()
+
+    # bigrams: adjacent flat tokens within the same document
+    if len(toks) > 1:
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        grams = toks[:-1][same_doc] + " " + toks[1:][same_doc]
+        gdoc = doc_idx[:-1][same_doc]
+        gdf = pd.DataFrame({"d": gdoc, "g": grams})
+        u2s = gdf.groupby("d", sort=False)["g"].nunique()
+        u2 = np.zeros(len(n_tok), dtype=np.int64)
+        u2[u2s.index.to_numpy()] = u2s.to_numpy()
+    else:
+        u2 = np.zeros(len(n_tok), dtype=np.int64)
+    t2 = np.maximum(n_tok - 1, 0)
+
+    top_frac = np.round(mx / np.maximum(n_tok, 1), 6)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup2 = np.where(t2 > 0, 1.0 - u2 / np.maximum(t2, 1), 0.0)
+    return (
+        batch.append_column("n_words", pa.array(n_tok))
+        .append_column("n_unique_words", pa.array(uniq))
+        .append_column("top_word_frac", pa.array(top_frac))
+        .append_column("dup_2gram_frac", pa.array(np.round(dup2, 6)))
+    )

@@ -1,0 +1,343 @@
+"""Round-3 training-data-pipeline operators: stratified sampling, sequence
+packing (token-budget shard assignment), PII redaction, repetition stats,
+benchmark decontamination, interval join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestStratifiedSample:
+    def test_per_group_fractions_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.splits import (
+            sample_deterministic,
+            stratified_sample,
+        )
+
+        n = 6000
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(
+                    ["en", "de", "fr"][i % 3] for i in range(n)
+                ),
+            }
+        )
+
+        def ids(nblocks):
+            return {
+                r["doc_id"]
+                for r in stratified_sample(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "doc_id",
+                    "lang",
+                    {"en": 0.1, "de": 0.5},
+                    default_fraction=1.0,
+                ).take_all()
+            }
+
+        a = ids(2)
+        assert ids(9) == a, "partitioning must not matter"
+        by_lang = {"en": 0, "de": 0, "fr": 0}
+        langs = t["lang"].to_pylist()
+        for i in a:
+            by_lang[langs[i]] += 1
+        assert abs(by_lang["en"] / (n / 3) - 0.1) < 0.03
+        assert abs(by_lang["de"] / (n / 3) - 0.5) < 0.05
+        assert by_lang["fr"] == n / 3, "default 1.0 keeps every row"
+        # per-group membership must agree with the flat rule at the same
+        # fraction (same md5 threshold ⇒ rebalancing nests)
+        flat10 = {
+            r["doc_id"]
+            for r in sample_deterministic(
+                ray.data.from_arrow(t), "doc_id", 0.1
+            ).take_all()
+        }
+        assert {i for i in a if langs[i] == "en"} == {
+            i for i in flat10 if langs[i] == "en"
+        }
+
+
+class TestPackSequences:
+    def test_matches_sequential_reference(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.splits import pack_sequences
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        ids = np.arange(n, dtype=np.int64)
+        w = rng.integers(1, 400, n).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(w)})
+        budget = 2048
+        expect = (np.cumsum(w) - w) // budget
+
+        for nblocks, rs, nb in [(3, 1 << 20, 8), (11, 256, 32), (5, 64, 4)]:
+            out = pack_sequences(
+                ray.data.from_arrow(t).repartition(nblocks),
+                "doc_id",
+                "n_tokens",
+                budget,
+                range_size=rs,
+                num_buckets=nb,
+            ).take_all()
+            got = {r["doc_id"]: r["shard_id"] for r in out}
+            assert len(got) == n
+            assert all(got[i] == expect[i] for i in range(n)), (
+                f"shard mismatch at range_size={rs}"
+            )
+
+    def test_sparse_noncontiguous_ids(self, ray_session):
+        """Gaps and id ranges with no rows must not shift the prefix."""
+        import ray.data
+
+        from overmatch_ray.stages.splits import pack_sequences
+
+        ids = np.array([5, 100, 101, 9000, 9001, 70000], dtype=np.int64)
+        w = np.array([10, 20, 30, 40, 50, 60], dtype=np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(w)})
+        out = pack_sequences(
+            ray.data.from_arrow(t), "doc_id", "n_tokens", 64, range_size=128
+        ).take_all()
+        expect = (np.cumsum(w) - w) // 64
+        got = {r["doc_id"]: r["shard_id"] for r in out}
+        assert got == {int(i): int(e) for i, e in zip(ids, expect)}
+
+
+class TestRedactPii:
+    def test_patterns_and_order(self):
+        from overmatch_ray.stages.pii import redact_pii_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail bob.smith+x@foo-bar.org now",
+                        "server at 10.2.3.4 and 255.255.255.255",
+                        "call +1-555-0042 or +44-123-4567",
+                        "clean text no pii",
+                    ]
+                ),
+            }
+        )
+        out = redact_pii_batch(t)
+        clean = out["clean_text"].to_pylist()
+        assert clean[0] == "mail <EMAIL> now"
+        assert clean[1] == "server at <IP> and <IP>"
+        assert clean[2] == "call <PHONE> or <PHONE>"
+        assert clean[3] == "clean text no pii"
+        assert out["n_emails"].to_pylist() == [1, 0, 0, 0]
+        assert out["n_ips"].to_pylist() == [0, 2, 0, 0]
+        assert out["n_phones"].to_pylist() == [0, 0, 2, 0]
+
+    def test_phone_never_rematches_redacted_ip(self):
+        from overmatch_ray.stages.pii import redact_pii_batch
+
+        t = pa.table(
+            {"text": pa.array(["ip 1.222.333.4444 stays an ip match"])}
+        )
+        out = redact_pii_batch(t)
+        assert out["n_phones"].to_pylist() == [0]
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self):
+        from overmatch_ray.stages.textstats import repetition_stats_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a a a a",          # one word repeated
+                        "x y x y x",        # alternating
+                        "unique words only here",
+                    ]
+                ),
+            }
+        )
+        out = repetition_stats_batch(t)
+        assert out["n_words"].to_pylist() == [4, 5, 4]
+        assert out["n_unique_words"].to_pylist() == [1, 2, 4]
+        assert out["top_word_frac"].to_pylist() == [1.0, 0.6, 0.25]
+        # doc0 bigrams: 'a a' ×3 → 1 distinct of 3 → dup 2/3
+        # doc1 bigrams: x y, y x, x y, y x → 2 distinct of 4 → 0.5
+        d = out["dup_2gram_frac"].to_pylist()
+        assert d[0] == round(1 - 1 / 3, 6)
+        assert d[1] == 0.5 and d[2] == 0.0
+
+    def test_boundary_bigrams_not_cross_doc(self):
+        from overmatch_ray.stages.textstats import repetition_stats_batch
+
+        t = pa.table({"text": pa.array(["p q", "q p"])})
+        out = repetition_stats_batch(t)
+        assert out["dup_2gram_frac"].to_pylist() == [0.0, 0.0]
+
+
+class TestDecontaminate:
+    def test_overlap_flags(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.decontam import decontaminate
+
+        words = [f"w{i}" for i in range(40)]
+        corpus = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(words[:20]),        # contains bench 8-gram
+                        " ".join(words[20:40]),      # disjoint
+                        " ".join(reversed(words[:20])),  # same words, wrong order
+                    ]
+                ),
+            }
+        )
+        bench = pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array(["pre " + " ".join(words[5:13]) + " post"]),
+            }
+        )
+        out = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(
+                ray.data.from_arrow(corpus), ray.data.from_arrow(bench), n=8
+            ).take_all()
+        }
+        assert out == {0: True, 1: False, 2: False}
+
+    def test_short_docs_never_flagged(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.decontam import decontaminate
+
+        corpus = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b c"])}
+        )
+        bench = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c"])}
+        )
+        out = decontaminate(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench), n=8
+        ).take_all()
+        assert out[0]["contaminated"] is False or out[0]["contaminated"] == False  # noqa: E712
+
+
+class TestIntervalJoin:
+    def _run(self, left, right, ray_session_unused=None, **kw):
+        import ray.data
+
+        from overmatch_ray.stages.joins import interval_join
+
+        return interval_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), **kw
+        ).take_all()
+
+    def test_boundaries_and_multi_granule(self, ray_session):
+        left = pa.table(
+            {
+                "lid": pa.array([0, 1, 2, 3], pa.int64()),
+                "x": pa.array([10, 99, 100, 250], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "rid": pa.array([7, 8], pa.int64()),
+                "s": pa.array([10, 240], pa.int64()),
+                "e": pa.array([100, 260], pa.int64()),  # [10,100) spans 10 granules at g=10
+            }
+        )
+        rows = self._run(
+            left, right, on="x", start_col="s", end_col="e", granule=10
+        )
+        got = {(r["lid"], r["rid"]) for r in rows}
+        # x=10 in [10,100); x=99 in [10,100); x=100 NOT (end exclusive);
+        # x=250 in [240,260)
+        assert got == {(0, 7), (1, 7), (3, 8)}
+        # no duplicate pairs despite the ×10 interval replication
+        assert len(rows) == len(got)
+
+    def test_by_key_and_empty_interval(self, ray_session):
+        left = pa.table(
+            {
+                "lid": pa.array([0, 1], pa.int64()),
+                "u": pa.array([1, 2], pa.int64()),
+                "x": pa.array([50, 50], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "rid": pa.array([7, 8, 9], pa.int64()),
+                "ru": pa.array([1, 2, 1], pa.int64()),
+                "s": pa.array([0, 0, 60], pa.int64()),
+                "e": pa.array([100, 100, 60], pa.int64()),  # rid=9 empty
+            }
+        )
+        rows = self._run(
+            left,
+            right,
+            on="x",
+            start_col="s",
+            end_col="e",
+            by="u",
+            right_by="ru",
+            granule=30,
+        )
+        got = {(r["lid"], r["rid"]) for r in rows}
+        assert got == {(0, 7), (1, 8)}
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import interval_join
+
+        rng = np.random.default_rng(3)
+        n = 2000
+        left = pa.table(
+            {
+                "lid": pa.array(np.arange(n, dtype=np.int64)),
+                "u": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+                "x": pa.array(rng.integers(0, 10_000, n).astype(np.int64)),
+            }
+        )
+        m = 300
+        s = rng.integers(0, 10_000, m).astype(np.int64)
+        right = pa.table(
+            {
+                "rid": pa.array(np.arange(m, dtype=np.int64)),
+                "ru": pa.array(rng.integers(0, 20, m).astype(np.int64)),
+                "s": pa.array(s),
+                "e": pa.array(s + rng.integers(1, 500, m).astype(np.int64)),
+            }
+        )
+
+        def run(nblocks, nb):
+            rows = interval_join(
+                ray.data.from_arrow(left).repartition(nblocks),
+                ray.data.from_arrow(right).repartition(max(1, nblocks // 2)),
+                on="x",
+                start_col="s",
+                end_col="e",
+                by="u",
+                right_by="ru",
+                granule=256,
+                num_buckets=nb,
+            ).take_all()
+            return sorted((r["lid"], r["rid"]) for r in rows)
+
+        a = run(3, 16)
+        assert a == run(9, 64)
+        # brute-force reference
+        lx = left.to_pandas()
+        rx = right.to_pandas()
+        ref = sorted(
+            (int(l.lid), int(r.rid))
+            for l in lx.itertuples()
+            for r in rx.itertuples()
+            if l.u == r.ru and r.s <= l.x < r.e
+        )
+        assert a == ref
