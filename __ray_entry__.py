@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": cq.q_redact_pii,
         "repetition_stats": cq.q_repetition_stats,
         "decontaminate": cq.q_decontaminate,
+        "global_shuffle": cq.q_global_shuffle,
+        "term_idf": cq.q_term_idf,
         "pack_sequences": cq.q_pack_sequences,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
         "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,

@@ -641,6 +641,62 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
 """
 
 
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global training shuffle: each document's position
+    when the corpus is ordered by md5(doc_id)
+    (stages.splits.global_shuffle_rank — 256-range distributed scan,
+    reproducible at any parallelism unlike random_shuffle)."""
+    from ..stages.splits import global_shuffle_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return global_shuffle_rank(docs, "doc_id")
+
+
+ORACLE_SQL["global_shuffle"] = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+         AS shuffle_rank
+FROM documents
+"""
+
+
+def q_term_idf(sf_dir: str):
+    """Corpus vocabulary statistics: per-word document frequency + IDF
+    (stages.textstats.term_doc_freq — per-batch combiner, one
+    vocabulary-bounded shuffle)."""
+    import math
+
+    from ..stages.textstats import term_doc_freq
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    df = term_doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["sum(df_partial)"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "word": batch["word"],
+                "df": pa.array(d),
+                "idf": pa.array(np.round(np.log(n_docs / d), 6)),
+            }
+        )
+
+    return df.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["term_idf"] = """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+df AS (SELECT word, count(*) AS df FROM words GROUP BY 1)
+SELECT word, CAST(df AS BIGINT) AS df,
+       round(ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS idf
+FROM df
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination over the derived corpus: the 40
     perturbed copies (doc_id ≥ 100000) play the EVAL SET; every original

@@ -204,3 +204,62 @@ def sample_deterministic(ds, id_col: str, fraction: float, salt: str = ""):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def global_shuffle_rank(ds, id_col: str, salt: str = "", num_buckets: int = 32):
+    """Deterministic global training-data shuffle: every row gets
+    ``shuffle_rank`` = its position when the corpus is ordered by
+    ``md5(salt + str(id))`` (full 32-hex-digit string — effectively
+    collision-free, so the order is total and reproducible at any
+    parallelism, unlike ``random_shuffle``).
+
+    Distributed two-phase scan, mirroring ``pack_sequences``: rows map to
+    256 hash ranges by their first two hex digits (uniform by
+    construction — md5 IS the balancer, no skew possible), one tiny
+    ``groupby(range).count()`` gives range sizes, the driver prefix-sums
+    256 offsets, and each range sorts its own rows by digest. Nothing
+    sequential ever sees more than one range."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    from .groupops import bucketed_group_apply
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].to_pylist()
+        digests = [
+            _hl.md5((salt + str(k)).encode()).hexdigest() for k in keys
+        ]
+        rng = [int(d[:2], 16) for d in digests]
+        return batch.append_column(
+            "__digest", pa.array(digests, pa.string())
+        ).append_column("__range", pa.array(rng, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    totals = tagged.groupby("__range").count().take_all()
+    totals.sort(key=lambda r: r["__range"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["__range"])] = acc
+        acc += int(r["count()"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rid, sub in g.groupby("__range", sort=True):
+            sub = sub.sort_values("__digest", kind="mergesort")
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        "shuffle_rank": offsets[int(rid)]
+                        + np.arange(len(sub), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        tagged, ["__range"], rank, num_buckets=num_buckets
+    )

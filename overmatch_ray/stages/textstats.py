@@ -179,3 +179,31 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("top_word_frac", pa.array(top_frac))
         .append_column("dup_2gram_frac", pa.array(np.round(dup2, 6)))
     )
+
+
+def term_doc_freq(ds, text_col: str = "text"):
+    """Inverted-index document-frequency aggregation: (word, df) where df
+    counts the documents containing the word. Each document is one row, so
+    per-document dedup happens entirely inside the batch (partial
+    combiner); only (word, partial_count) rows — vocabulary-bounded, not
+    corpus-bounded — cross the one shuffle."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, offsets, flat = _split_tokens(batch[text_col])
+        n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+        df = pd.DataFrame(
+            {"d": doc_idx, "word": np.asarray(flat.to_pandas(), dtype=object)}
+        ).drop_duplicates(["d", "word"])
+        counts = df["word"].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+                "df_partial": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "word"
+    ).sum("df_partial")

@@ -341,3 +341,62 @@ class TestIntervalJoin:
             if l.u == r.ru and r.s <= l.x < r.e
         )
         assert a == ref
+
+
+class TestGlobalShuffle:
+    def test_total_order_and_invariance(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from overmatch_ray.stages.splits import global_shuffle_rank
+
+        n = 3000
+        t = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+
+        def run(nblocks, nb):
+            return {
+                r["doc_id"]: r["shuffle_rank"]
+                for r in global_shuffle_rank(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "doc_id",
+                    num_buckets=nb,
+                ).take_all()
+            }
+
+        a = run(3, 16)
+        assert run(11, 64) == a
+        assert sorted(a.values()) == list(range(n)), "must be a permutation"
+        order = sorted(range(n), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        assert all(a[doc] == pos for pos, doc in enumerate(order))
+        # salt produces a different permutation
+        b = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in global_shuffle_rank(
+                ray.data.from_arrow(t), "doc_id", salt="epoch2"
+            ).take_all()
+        }
+        assert b != a and sorted(b.values()) == list(range(n))
+
+
+class TestTermDocFreq:
+    def test_cross_batch_sum(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.textstats import term_doc_freq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    ["a b a", "b c", "a", "c c c"]
+                ),
+            }
+        )
+        out = {
+            r["word"]: r["sum(df_partial)"]
+            for r in term_doc_freq(
+                ray.data.from_arrow(t).repartition(4)
+            ).take_all()
+        }
+        assert out == {"a": 2, "b": 2, "c": 2}
