@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dedup": ro.q_phash_dedup,
         "image_neardup_pairs": ro.q_image_neardup_pairs,
         "image_cells": ro.q_image_cells,
+        "caption_consistency": ro.q_caption_consistency,
         "minhash_pairs": ro.q_minhash_pairs,
         "simhash_pairs": ro.q_simhash_pairs,
         "winnow_pairs": ro.q_winnow_pairs,

@@ -128,6 +128,15 @@ def q_image_cells(sf_dir: str):
     return ds.groupby("bucket").aggregate(Count(alias_name="n_images"))
 
 
+def q_caption_consistency(sf_dir: str):
+    """Cross-modal QA: duplicate-pixel image groups (same phash) with
+    conflicting captions (stages.images.caption_consistency; approximate
+    phash grouping — semantics pinned by tests, so rows-only)."""
+    from ..stages.images import caption_consistency
+
+    return caption_consistency(_images_ds(sf_dir))
+
+
 def q_marked_counters(sf_dir: str):
     """A3: global marked counters over the tracking-enriched flagship
     output (deterministic tracking fixture: every 10th element marked)."""

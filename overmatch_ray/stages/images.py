@@ -345,3 +345,53 @@ def sample_frames(videos_ds, stride: int = 5, max_frames: int = 8,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def caption_consistency(
+    images_ds,
+    id_col: str = "image_id",
+    key: str = "phash",
+    caption_col: str = "caption",
+    num_buckets: int = 64,
+):
+    """Cross-modal QA for an image+caption table: inside each group of
+    visually-identical images (same perceptual hash), count distinct
+    captions — groups with ``n_captions > 1`` carry conflicting labels
+    (the standard pre-training consistency sweep over a web-scraped
+    image-caption corpus, where mirrors of one image often ship different
+    alt-texts).
+
+    Plan: a cheap ``groupby(phash).count()`` finds duplicate groups first;
+    their keys (dup groups are a small fraction of a deduped-ish corpus)
+    broadcast into a semi-join filter so only dup-group rows — captions
+    included — enter the one bucketed shuffle. Output: one row per
+    duplicate phash group (representative min id, sizes, consistency
+    flag)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .groupops import bucketed_group_apply
+    from .joins import semi_join_filter
+
+    counts = images_ds.groupby(key).aggregate(Count(alias_name="__n"))
+    dup_keys = {
+        r[key] for r in counts.filter(expr="__n >= 2").take_all()
+    }  # bounded: duplicate GROUPS only, not rows
+    dups = semi_join_filter(
+        images_ds.select_columns([id_col, key, caption_col]), dup_keys, key
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(key)
+            .agg(
+                image_id=(id_col, "min"),
+                n_images=(id_col, "size"),
+                n_captions=(caption_col, "nunique"),
+            )
+            .reset_index()
+        )
+        agg["consistent"] = agg["n_captions"] == 1
+        return agg
+
+    return bucketed_group_apply(dups, [key], per_bucket, num_buckets)

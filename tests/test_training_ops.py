@@ -400,3 +400,30 @@ class TestTermDocFreq:
             ).take_all()
         }
         assert out == {"a": 2, "b": 2, "c": 2}
+
+
+class TestCaptionConsistency:
+    def test_groups_and_flags(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.images import caption_consistency
+
+        t = pa.table(
+            {
+                "image_id": pa.array(["a", "b", "c", "d", "e", "f"]),
+                "phash": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+                "caption": pa.array(
+                    ["same cap", "same cap", "x", "y", "x", "solo"]
+                ),
+            }
+        )
+        rows = caption_consistency(
+            ray.data.from_arrow(t).repartition(3)
+        ).take_all()
+        by_hash = {r["phash"]: r for r in rows}
+        # phash 3 is a singleton → not a dup group at all
+        assert set(by_hash) == {1, 2}
+        assert by_hash[1]["consistent"] and by_hash[1]["n_captions"] == 1
+        assert by_hash[1]["n_images"] == 2 and by_hash[1]["image_id"] == "a"
+        assert not by_hash[2]["consistent"] and by_hash[2]["n_captions"] == 2
+        assert by_hash[2]["n_images"] == 3 and by_hash[2]["image_id"] == "c"
