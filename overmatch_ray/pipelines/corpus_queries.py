@@ -697,6 +697,27 @@ FROM df
 """
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM document scoring (median token log-probability under the
+    corpus unigram model — stages.textstats.lm_score; median selection
+    keeps float parity independent of accumulation order)."""
+    from ..stages.textstats import lm_score
+
+    return lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+ORACLE_SQL["lm_score"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS (SELECT sum(c) AS t FROM tf)
+SELECT doc_id,
+       round(median(ln(tf.c / total.t)), 6) AS median_logprob
+FROM toks JOIN tf USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination over the derived corpus: the 40
     perturbed copies (doc_id ≥ 100000) play the EVAL SET; every original

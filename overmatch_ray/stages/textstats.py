@@ -207,3 +207,73 @@ def term_doc_freq(ds, text_col: str = "text"):
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "word"
     ).sum("df_partial")
+
+
+def corpus_term_logprobs(ds, text_col: str = "text"):
+    """Unigram LM estimation pass: corpus-wide term frequencies (per-batch
+    value_counts combiner → one vocabulary-bounded shuffle), returned as a
+    {word: ln(tf/total)} dict — vocabulary-sized, built for broadcast."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, flat = _split_tokens(batch[text_col])
+        counts = pd.Series(
+            np.asarray(flat.to_pandas(), dtype=object)
+        ).value_counts()
+        return pa.table(
+            {
+                "word": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+                "tf_partial": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("tf_partial")
+        .take_all()
+    )  # vocabulary-bounded (natural-language vocab ≈1e6-1e8 at any corpus size)
+    total = float(sum(r["sum(tf_partial)"] for r in rows))
+    return {r["word"]: float(np.log(r["sum(tf_partial)"] / total)) for r in rows}
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style unigram-LM document scoring: each document's MEDIAN
+    token log-probability under the corpus unigram model (rare-word-heavy
+    documents score low). Median, not mean, on purpose: it selects (or
+    midpoints) concrete double values, so the result is independent of
+    accumulation order — bit-parity with the SQL oracle's ``median()``
+    needs no float-summation caveats.
+
+    Two passes: the vocabulary-bounded estimation shuffle above, then a
+    broadcast of the logprob table (ray.put once) into a pure map stage."""
+    import pandas as pd
+    import ray
+
+    lp = corpus_term_logprobs(ds, text_col=text_col)
+    lp_ref = ray.put(lp)
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "lp" not in cache:
+            cache["lp"] = pd.Series(ray.get(lp_ref))
+        _, offsets, flat = _split_tokens(batch[text_col])
+        n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+        toks = pd.Series(np.asarray(flat.to_pandas(), dtype=object))
+        vals = toks.map(cache["lp"]).to_numpy(dtype=np.float64)
+        med = (
+            pd.DataFrame({"d": doc_idx, "v": vals})
+            .groupby("d", sort=True)["v"]
+            .median()
+        )
+        out = np.full(len(n_tok), np.nan)
+        out[med.index.to_numpy()] = med.to_numpy()
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "median_logprob": pa.array(np.round(out, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

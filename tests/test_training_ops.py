@@ -427,3 +427,32 @@ class TestCaptionConsistency:
         assert by_hash[1]["n_images"] == 2 and by_hash[1]["image_id"] == "a"
         assert not by_hash[2]["consistent"] and by_hash[2]["n_captions"] == 2
         assert by_hash[2]["n_images"] == 3 and by_hash[2]["image_id"] == "c"
+
+
+class TestLmScore:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        import ray.data
+
+        from overmatch_ray.stages.textstats import lm_score
+
+        # corpus: 6 tokens total; tf: a=3, b=2, c=1
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a b", "a b c"]),
+            }
+        )
+        out = {
+            r["doc_id"]: r["median_logprob"]
+            for r in lm_score(ray.data.from_arrow(t).repartition(2)).take_all()
+        }
+        lp = {
+            "a": math.log(3 / 6),
+            "b": math.log(2 / 6),
+            "c": math.log(1 / 6),
+        }
+        # doc0 tokens [a,a,b] → median = lp[a]; doc1 [a,b,c] → median = lp[b]
+        assert out[0] == round(lp["a"], 6)
+        assert out[1] == round(lp["b"], 6)
