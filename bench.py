@@ -145,6 +145,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).repartition(max(16, num_cpus))
         return minhash_lsh_pairs(docs, threshold=0.5).count()
 
+    def run_corpusprep():
+        # the round-3 training-data scrub chain over documents: PII
+        # redaction (RE2 map) → benchmark decontamination (broadcast gram
+        # set) → token-budget sequence packing (two-phase scan)
+        from overmatch_ray.pipelines.corpus_queries import (
+            q_decontaminate,
+            q_pack_sequences,
+            q_redact_pii,
+        )
+
+        n = q_redact_pii(sf_dir).count()
+        n += q_decontaminate(sf_dir).count()
+        n += q_pack_sequences(sf_dir).count()
+        return n
+
     def run_images():
         img_ds = ray.data.read_parquet(os.path.join(cache, "images"))
         # materialize the tiny projected output between the actor pool and
@@ -157,9 +172,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).materialize()
         return dedup_exact(validated.repartition(2 * num_cpus)).count()
 
-    # GRAFT_STAGES: comma-list subset of
-    # conflate,images,postmatch,textdedup,pricing_summary,priority_revenue
-    # (default all) — the scale probe runs only the shuffle-bound stages
+    # GRAFT_STAGES: comma-list subset of conflate,images,postmatch,
+    # textdedup,corpusprep,pricing_summary,priority_revenue (default all)
+    # — the scale probe runs only the shuffle-bound stages
     stages_env = os.environ.get("GRAFT_STAGES", "")
     stages = set(s.strip() for s in stages_env.split(",") if s.strip()) or None
 
@@ -225,6 +240,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_dedup_pairs = (
         timed("textdedup", run_textdedup) if want("textdedup") else None
     )
+    if want("corpusprep"):
+        timed("corpusprep", run_corpusprep)
     if want("pricing_summary"):
         timed("pricing_summary", lambda: q_pricing_summary(sf_dir).to_pandas())
     if want("priority_revenue"):

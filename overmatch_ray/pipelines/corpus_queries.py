@@ -697,6 +697,40 @@ FROM df
 """
 
 
+def _langid_oracle_sql() -> str:
+    """langid_docs oracle generated FROM the engine's marker table
+    (stages.textstats.LANG_MARKERS) so the two can never drift: per-doc
+    marker counts per language, strict argmax, ties/zero → 'und'."""
+    from ..stages.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    counts = ", ".join(
+        "sum(CASE WHEN tok IN ({vals}) THEN 1 ELSE 0 END) AS {lang}".format(
+            vals=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    mx = "greatest({})".format(", ".join(langs))
+    n_at_max = " + ".join(f"CAST({lg} = mx AS INT)" for lg in langs)
+    pick = " ".join(
+        f"WHEN {lg} = mx THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT doc_id, {counts} FROM toks GROUP BY 1),
+m AS (SELECT *, {mx} AS mx FROM s)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'und'
+            WHEN {n_at_max} > 1 THEN 'und'
+            {pick} END AS lang_pred
+FROM m
+"""
+
+
+ORACLE_SQL["langid_docs"] = _langid_oracle_sql()
+
+
 def q_lm_score(sf_dir: str):
     """Unigram-LM document scoring (median token log-probability under the
     corpus unigram model — stages.textstats.lm_score; median selection
