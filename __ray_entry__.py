@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": ro.q_lsh_knn,
         "ivf_knn": ro.q_ivf_knn,
         "pq_knn": ro.q_pq_knn,
+        "nsw_knn": ro.q_nsw_knn,
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,

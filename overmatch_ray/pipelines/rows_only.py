@@ -229,6 +229,27 @@ def q_pq_knn(sf_dir: str):
     return pq_topk(emb, queries, k=5, m_sub=8, n_centroids=64)
 
 
+def q_nsw_knn(sf_dir: str):
+    """Graph ANN (HNSW-class) top-k over the embeddings table: per-IVF-
+    list navigable small-world graphs built as a one-shuffle index
+    artifact, queried by deterministic beam search
+    (stages.graphann.build_nsw_index / nsw_topk; approximate, recall +
+    exact-coverage limit pinned by tests, so rows-only)."""
+    from ..stages.graphann import build_nsw_index, nsw_topk
+    from ..stages.knn import train_ivf_centroids
+
+    emb = _rpq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
+    )
+    cents = train_ivf_centroids(emb, n_lists=16)
+    index = build_nsw_index(emb, cents, M=8)
+    return nsw_topk(index, queries, cents, k=5, nprobe=4, ef=48)
+
+
 def q_winnow_pairs(sf_dir: str):
     """Rolling-hash winnowing fingerprints → near-dup candidate pairs
     (SWA winnowing; fingerprint-set Jaccard is an estimate, so rows-only —

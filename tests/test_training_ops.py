@@ -456,3 +456,107 @@ class TestLmScore:
         # doc0 tokens [a,a,b] → median = lp[a]; doc1 [a,b,c] → median = lp[b]
         assert out[0] == round(lp["a"], 6)
         assert out[1] == round(lp["b"], 6)
+
+
+def _rand_emb(n, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                rng.normal(size=(n, d)).tolist(), pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+class TestGraphAnn:
+    def _brute(self, t, queries, k):
+        from overmatch_ray.stages.knn import _normalize, _to_matrix
+
+        m = _normalize(_to_matrix(t["embedding"]))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        qm = _normalize(_to_matrix(queries["embedding"]))
+        qids = queries["vec_id"].to_numpy(zero_copy_only=False)
+        out = {}
+        for qi in range(len(qids)):
+            sims = m @ qm[qi]
+            sims[ids == qids[qi]] = -np.inf
+            order = np.lexsort((ids, -sims))[:k]
+            out[int(qids[qi])] = set(ids[order].tolist())
+        return out
+
+    def test_full_beam_full_probe_equals_brute_force(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.graphann import build_nsw_index, nsw_topk
+        from overmatch_ray.stages.knn import train_ivf_centroids
+
+        t = _rand_emb(400)
+        ds = ray.data.from_arrow(t).repartition(4)
+        cents = train_ivf_centroids(ds, n_lists=4)
+        index = build_nsw_index(ds, cents, M=6)
+        q = t.slice(0, 8)
+        rows = nsw_topk(
+            index, q, cents, k=5, nprobe=4, ef=10_000
+        ).take_all()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert got == self._brute(t, q, 5)
+
+    def test_recall_and_determinism(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.graphann import build_nsw_index, nsw_topk
+        from overmatch_ray.stages.knn import train_ivf_centroids
+
+        t = _rand_emb(1000, seed=9)
+        q = t.slice(0, 20)
+        brute = self._brute(t, q, 5)
+
+        def run(nblocks, nb):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            cents = train_ivf_centroids(ds, n_lists=8)
+            index = build_nsw_index(ds, cents, M=8, num_buckets=nb)
+            rows = nsw_topk(index, q, cents, k=5, nprobe=4, ef=64).take_all()
+            return sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
+            )
+
+        a = run(3, 8)
+        assert a == run(7, 32), "index+search must be partitioning-invariant"
+        got = {}
+        for qid, _, nid in a:
+            got.setdefault(qid, set()).add(nid)
+        hits = sum(len(got.get(qid, set()) & nb) for qid, nb in brute.items())
+        recall = hits / (len(brute) * 5)
+        assert recall >= 0.8, f"nsw recall {recall} too low"
+
+    def test_ef_raises_reached_set(self, ray_session):
+        """Within a fixed probed-list set, a larger beam must reach at
+        least as good a candidate pool (recall monotone in ef)."""
+        import ray.data
+
+        from overmatch_ray.stages.graphann import build_nsw_index, nsw_topk
+        from overmatch_ray.stages.knn import train_ivf_centroids
+
+        t = _rand_emb(800, seed=11)
+        q = t.slice(0, 10)
+        ds = ray.data.from_arrow(t)
+        cents = train_ivf_centroids(ds, n_lists=4)
+        index = build_nsw_index(ds, cents, M=4).materialize()
+        brute = self._brute(t, q, 5)
+
+        def recall(ef):
+            rows = nsw_topk(index, q, cents, k=5, nprobe=4, ef=ef).take_all()
+            got = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return sum(
+                len(got.get(qid, set()) & nb) for qid, nb in brute.items()
+            ) / (len(brute) * 5)
+
+        r_small, r_big = recall(8), recall(256)
+        assert r_big >= r_small
+        assert r_big >= 0.9, f"big-beam recall {r_big} too low"
