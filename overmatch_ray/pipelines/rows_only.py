@@ -229,6 +229,20 @@ def q_pq_knn(sf_dir: str):
     return pq_topk(emb, queries, k=5, m_sub=8, n_centroids=64)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct counts over the events table
+    (stages.groupops.approx_distinct — fixed 2^12-register partials per
+    batch, registers not rows cross the shuffle; ~1.6% standard error,
+    accuracy pinned by tests, so rows-only)."""
+    from ..stages.groupops import approx_distinct
+
+    rows = []
+    for col in ("user_id", "event_id"):
+        ds = _rpq(f"{sf_dir}/events.parquet", columns=[col])
+        rows.append({"column": col, "n_distinct_est": approx_distinct(ds, col)})
+    return pa.Table.from_pylist(rows)
+
+
 def q_nsw_knn(sf_dir: str):
     """Graph ANN (HNSW-class) top-k over the embeddings table: per-IVF-
     list navigable small-world graphs built as a one-shuffle index

@@ -277,3 +277,80 @@ def group_pair_indices(
     if not ia_all:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(ia_all), np.concatenate(ib_all)
+
+
+# --- HyperLogLog (approximate distinct count) ------------------------------
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros for uint64 (6 shift steps —
+    no float rounding, unlike a log2-based scan which miscounts near
+    powers of two at >53-bit magnitudes)."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    zero = x == 0
+    for shift in (32, 16, 8, 4, 2, 1):
+        z = (x >> np.uint64(64 - shift)) == 0
+        n[z] += shift
+        x = np.where(z, x << np.uint64(shift), x)
+    n[zero] = 64
+    return n
+
+
+def _hll_registers(h: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Register maxima for one batch of uint64 hashes: index = top p bits,
+    rho = 1 + leading-zero count of the remaining 64-p bits (capped at
+    64-p+1 when the suffix is all zeros)."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # suffix in the high bits
+    rho = np.minimum(_clz64(rest) + 1, 64 - p + 1)
+    regs = np.zeros(m, dtype=np.int8)
+    np.maximum.at(regs, idx, rho.astype(np.int8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = _HLL_P) -> int:
+    """Approximate COUNT(DISTINCT col) via a distributed HyperLogLog:
+    each batch collapses to its 2^p register maxima (emitted as
+    (register, rho) rows — a FIXED-size partial regardless of batch
+    rows), one ``groupby(register).max()`` merges them (registers, never
+    rows, cross the shuffle), and the driver folds 2^p rows into the
+    estimate. Deterministic: splitmix64/FNV hashing, max is
+    order-invariant. Standard error ≈ 1.04/√2^p (~1.6% at p=12)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, [col])
+        regs = _hll_registers(h, p)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "reg": pa.array(nz.astype(np.int64)),
+                "rho": pa.array(regs[nz].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .max("rho")
+        .take_all()
+    )
+    regs = np.zeros(1 << p, dtype=np.int8)
+    for r in rows:
+        regs[r["reg"]] = r["max(rho)"]
+    return int(round(hll_estimate(regs)))

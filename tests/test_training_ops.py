@@ -560,3 +560,37 @@ class TestGraphAnn:
         r_small, r_big = recall(8), recall(256)
         assert r_big >= r_small
         assert r_big >= 0.9, f"big-beam recall {r_big} too low"
+
+
+class TestApproxDistinct:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import approx_distinct
+
+        n, dup = 50_000, 4
+        t = pa.table(
+            {"k": pa.array(np.arange(n * dup, dtype=np.int64) % n)}
+        )
+        a = approx_distinct(ray.data.from_arrow(t).repartition(3), "k")
+        b = approx_distinct(ray.data.from_arrow(t).repartition(17), "k")
+        assert a == b, "register max is order-invariant → same estimate"
+        assert abs(a - n) / n < 0.05, f"estimate {a} off from {n}"
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import approx_distinct
+
+        t = pa.table({"k": pa.array(np.arange(150, dtype=np.int64))})
+        est = approx_distinct(ray.data.from_arrow(t), "k")
+        assert abs(est - 150) <= 3
+
+    def test_string_keys(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import approx_distinct
+
+        t = pa.table({"k": pa.array([f"user-{i%997}" for i in range(5000)])})
+        est = approx_distinct(ray.data.from_arrow(t), "k")
+        assert abs(est - 997) / 997 < 0.06
