@@ -594,3 +594,55 @@ class TestApproxDistinct:
         t = pa.table({"k": pa.array([f"user-{i%997}" for i in range(5000)])})
         est = approx_distinct(ray.data.from_arrow(t), "k")
         assert abs(est - 997) / 997 < 0.06
+
+
+class TestTrainingExportComposition:
+    def test_pack_then_resumable_shard_sink(self, ray_session, tmp_path):
+        """End-to-end training export: token counts → pack_sequences shard
+        assignment → resumable shard-partitioned parquet sink; a rerun
+        skips completed shards, and the read-back equals the assignment."""
+        import ray.data
+
+        from overmatch_ray.state.checkpoint import (
+            read_partitioned,
+            write_partitioned_resumable,
+        )
+        from overmatch_ray.stages.splits import pack_sequences
+
+        rng = np.random.default_rng(21)
+        n = 1200
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "n_tokens": pa.array(
+                    rng.integers(1, 300, n).astype(np.int64)
+                ),
+            }
+        )
+        packed = pack_sequences(
+            ray.data.from_arrow(t), "doc_id", "n_tokens", budget=4096
+        )
+        out = str(tmp_path / "shards")
+        scheme = "pack_sequences:budget=4096:v1"
+        receipts = write_partitioned_resumable(
+            packed, out, "shard_id", scheme=scheme
+        ).take_all()
+        n_shards = len(receipts)
+        assert n_shards >= 2
+        # rerun: everything already complete → zero new receipts
+        again = write_partitioned_resumable(
+            pack_sequences(
+                ray.data.from_arrow(t), "doc_id", "n_tokens", budget=4096
+            ),
+            out,
+            "shard_id",
+            scheme=scheme,
+        ).take_all()
+        assert again == []
+        back = {
+            r["doc_id"]: r["shard_id"]
+            for r in read_partitioned(out).take_all()
+        }
+        w = t["n_tokens"].to_numpy(zero_copy_only=False)
+        expect = (np.cumsum(w) - w) // 4096
+        assert back == {i: int(e) for i, e in enumerate(expect)}
