@@ -482,7 +482,11 @@ def interval_join(
 
     def _int64(col: "pa.ChunkedArray"):
         t = col.type
-        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        if pa.types.is_date32(t):
+            # 32-bit day count: widen through int32 (a direct int64 cast
+            # is rejected for date32)
+            col = col.cast(pa.int32())
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
             col = col.cast(pa.int64())
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
 

@@ -646,3 +646,74 @@ class TestTrainingExportComposition:
         w = t["n_tokens"].to_numpy(zero_copy_only=False)
         expect = (np.cumsum(w) - w) // 4096
         assert back == {i: int(e) for i, e in enumerate(expect)}
+
+
+class TestEdgeCases:
+    def test_caption_consistency_no_dups(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.images import caption_consistency
+
+        t = pa.table(
+            {
+                "image_id": pa.array(["a", "b"]),
+                "phash": pa.array([1, 2], pa.int64()),
+                "caption": pa.array(["x", "y"]),
+            }
+        )
+        assert caption_consistency(ray.data.from_arrow(t)).take_all() == []
+
+    def test_interval_join_empty_right(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import interval_join
+
+        left = pa.table(
+            {"lid": pa.array([1], pa.int64()), "x": pa.array([5], pa.int64())}
+        )
+        right = pa.table(
+            {
+                "rid": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "e": pa.array([], pa.int64()),
+            }
+        )
+        out = interval_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="x",
+            start_col="s",
+            end_col="e",
+            granule=10,
+        ).take_all()
+        assert out == []
+
+    def test_interval_join_date32(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from overmatch_ray.stages.joins import interval_join
+
+        left = pa.table(
+            {
+                "lid": pa.array([1, 2], pa.int64()),
+                "x": pa.array([dt.date(2024, 1, 15), dt.date(2024, 3, 1)]),
+            }
+        )
+        right = pa.table(
+            {
+                "rid": pa.array([7], pa.int64()),
+                "s": pa.array([dt.date(2024, 1, 1)]),
+                "e": pa.array([dt.date(2024, 2, 1)]),
+            }
+        )
+        out = interval_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="x",
+            start_col="s",
+            end_col="e",
+            granule=31,
+        ).take_all()
+        assert [(r["lid"], r["rid"]) for r in out] == [(1, 7)]
