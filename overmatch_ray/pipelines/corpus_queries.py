@@ -697,6 +697,33 @@ FROM df
 """
 
 
+_HH_DENOM = 100  # keep literal in sync with the SQL oracle below
+
+
+def q_heavy_tokens(sf_dir: str):
+    """EXACT frequent tokens: every token with count >= ceil(N/denom)
+    via the two-pass Misra-Gries sketch (stages.groupops.heavy_hitters) —
+    sketch-sized shuffles only, never a full token groupby. The integer
+    ceil-threshold keeps Ray/DuckDB parity exact."""
+    from ..stages.groupops import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(
+        _read(sf_dir, "documents", ["text"]), "text", denom=_HH_DENOM
+    )
+
+
+ORACLE_SQL["heavy_tokens"] = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS item
+  FROM documents WHERE text IS NOT NULL),
+n AS (SELECT count(*) AS n FROM tok)
+SELECT item, count(*) AS cnt
+FROM tok
+GROUP BY item
+HAVING count(*) >= (SELECT (n + {_HH_DENOM} - 1) // {_HH_DENOM} FROM n)
+"""
+
+
 def _langid_oracle_sql() -> str:
     """langid_docs oracle generated FROM the engine's marker table
     (stages.textstats.LANG_MARKERS) so the two can never drift: per-doc

@@ -354,3 +354,130 @@ def approx_distinct(ds, col: str, p: int = _HLL_P) -> int:
     for r in rows:
         regs[r["reg"]] = r["max(rho)"]
     return int(round(hll_estimate(regs)))
+
+
+def _mg_compress(counts: np.ndarray, k: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Misra-Gries compress of exact (item, count) pairs down to <= k
+    counters: subtract the (k+1)-th largest count from every count and keep
+    the positive ones. Returns (keep_indices, residual_counts). The
+    per-item decrement d satisfies d*(k+1) <= sum(top k+1 counts) <= N, so
+    every item undercounts by <= N/(k+1) — the standard mergeable-summary
+    bound (Agarwal et al., "Mergeable Summaries", PODS'12)."""
+    if counts.size <= k:
+        return np.arange(counts.size), counts
+    d = np.partition(counts, counts.size - (k + 1))[counts.size - (k + 1)]
+    keep = np.flatnonzero(counts > d)
+    return keep, counts[keep] - d
+
+
+def heavy_hitters(ds, col: str, denom: int = 1000, k: "int | None" = None):
+    """EXACT frequent items: every non-null value of ``col`` whose count is
+    >= ceil(N / denom) (N = non-null rows), with its exact count — the
+    integer-threshold form keeps Ray/SQL oracle parity free of
+    float-vs-DECIMAL rounding.
+
+    Two sketch-bounded passes instead of a full groupby(col) (whose shuffle
+    would move every row at 100 TB):
+
+    1. CANDIDATES: each batch collapses to an exact value_counts compressed
+       by Misra-Gries to <= k counters (``k`` defaults to 2*denom), so each
+       partial is sketch-sized regardless of batch rows; one
+       groupby(item).sum merges residuals. Total decrement per item across
+       all batches is <= N/(k+1), so pruning at
+       ``sum(residual) >= threshold - N//(k+1)`` provably keeps every true
+       heavy hitter while bounding the candidate set to ~2*denom items.
+    2. VERIFY: the candidate set is broadcast into a per-batch is_in +
+       value_counts; one candidate-bounded groupby.sum yields exact counts,
+       filtered at the threshold.
+
+    Three narrow scans of the input (N-count, candidates, verify) — scans
+    stream and re-execute; only sketch-sized rows ever cross a shuffle.
+    Returns a pyarrow Table (item, cnt) with ``item`` in the column's type.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if k is None:
+        k = 2 * denom
+    if k + 1 <= denom:
+        raise ValueError(f"need k+1 > denom for the MG guarantee ({k=}, {denom=})")
+
+    item_type = ds.schema().base_schema.field(col).type
+
+    def _nonnull(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        return pa.table({"n": pa.array([len(c) - c.null_count], pa.int64())})
+
+    n_total = ds.map_batches(_nonnull, batch_format="pyarrow").sum("n") or 0
+    empty = pa.table({"item": pa.array([], item_type),
+                      "cnt": pa.array([], pa.int64())})
+    if n_total == 0:
+        return empty
+    threshold = (n_total + denom - 1) // denom
+    cutoff = max(threshold - n_total // (k + 1), 1)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[col].combine_chunks().drop_null())
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep, resid = _mg_compress(counts, k)
+        return pa.table({
+            "item": vc.field("values").take(pa.array(keep, pa.int64())),
+            "mg": pa.array(resid.astype(np.int64)),
+        })
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["sum(mg)"], cutoff))
+
+    cand_rows = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("mg"))
+        .map_batches(prune, batch_format="pyarrow")
+        .take_all()  # bounded: <= N/cutoff ~ 2*denom candidates
+    )
+    if not cand_rows:
+        return empty
+    cand_arr = pa.array([r["item"] for r in cand_rows], item_type)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        c = batch[col].combine_chunks().drop_null()
+        vc = pc.value_counts(c.filter(pc.is_in(c, value_set=cand_arr)))
+        return pa.table({
+            "item": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("cnt"))
+        .take_all()  # bounded by the candidate set
+    )
+    rows = [r for r in rows if r["sum(cnt)"] >= threshold]
+    return pa.table({
+        "item": pa.array([r["item"] for r in rows], item_type),
+        "cnt": pa.array([r["sum(cnt)"] for r in rows], pa.int64()),
+    })
+
+
+def heavy_hitter_tokens(ds, text_col: str = "text", denom: int = 1000,
+                        k: "int | None" = None):
+    """Frequent TOKENS over a text column: single-space tokenization
+    (parity with SQL string_split + unnest, empty tokens preserved)
+    exploded inside map_batches, then the exact two-pass Misra-Gries
+    ``heavy_hitters``. The explode is re-streamed per pass rather than
+    materialized — at corpus scale recomputing a narrow split is cheaper
+    than parking a token-sized intermediate in the object store."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(
+            batch[text_col].combine_chunks().drop_null(), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        return pa.table({"item": lst.values})
+
+    return heavy_hitters(
+        ds.map_batches(explode, batch_format="pyarrow"), "item",
+        denom=denom, k=k,
+    )

@@ -596,6 +596,126 @@ class TestApproxDistinct:
         assert abs(est - 997) / 997 < 0.06
 
 
+class TestHeavyHitters:
+    """Two-pass Misra-Gries frequent items (stages.groupops.heavy_hitters):
+    EXACT above ceil(N/denom), verified against a brute-force count."""
+
+    @staticmethod
+    def _skewed(n_hot=10, hot_count=2000, n_tail=40_000):
+        # 10 hot items x2000 + 40k singletons: vocab (40_010) >> k (200),
+        # so the MG compression path is genuinely exercised.
+        items = np.concatenate(
+            [np.repeat(np.arange(n_hot, dtype=np.int64), hot_count),
+             np.arange(100_000, 100_000 + n_tail, dtype=np.int64)]
+        )
+        # deterministic interleave so hot items spread across batches
+        order = np.argsort(items % 7919, kind="stable")
+        return pa.table({"v": pa.array(items[order])})
+
+    @staticmethod
+    def _exact(t, denom):
+        vals = t["v"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        thr = (len(vals) + denom - 1) // denom
+        keep = cnt >= thr
+        return {int(u): int(c) for u, c in zip(uniq[keep], cnt[keep])}
+
+    def test_exact_vs_bruteforce_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import heavy_hitters
+
+        t = self._skewed()
+        want = self._exact(t, denom=100)
+        assert len(want) == 10  # all hot, no tail
+        for parts in (3, 17):
+            out = heavy_hitters(
+                ray.data.from_arrow(t).repartition(parts), "v", denom=100
+            )
+            got = dict(
+                zip(out["item"].to_pylist(), out["cnt"].to_pylist())
+            )
+            assert got == want, f"parts={parts}"
+
+    def test_threshold_boundary(self, ray_session):
+        """Items exactly at / one below ceil(N/denom) are kept / dropped."""
+        import ray.data
+
+        from overmatch_ray.stages.groupops import heavy_hitters
+
+        # N = 1000, denom = 10 -> threshold 100 exactly
+        items = np.concatenate(
+            [np.repeat(1, 100), np.repeat(2, 99),
+             np.arange(1000, 1801, dtype=np.int64)]
+        )
+        t = pa.table({"v": pa.array(items.astype(np.int64))})
+        assert len(t) == 1000
+        out = heavy_hitters(ray.data.from_arrow(t).repartition(5), "v",
+                            denom=10, k=40)
+        got = dict(zip(out["item"].to_pylist(), out["cnt"].to_pylist()))
+        assert got == {1: 100}
+
+    def test_string_items_and_nulls(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import heavy_hitters
+
+        vals = (["spam"] * 50 + ["ham"] * 30 + [None] * 20
+                + [f"t{i}" for i in range(120)])
+        t = pa.table({"v": pa.array(vals, pa.string())})
+        # N (non-null) = 200, denom 8 -> threshold 25
+        out = heavy_hitters(ray.data.from_arrow(t).repartition(4), "v",
+                            denom=8, k=32)
+        got = dict(zip(out["item"].to_pylist(), out["cnt"].to_pylist()))
+        assert got == {"spam": 50, "ham": 30}
+        assert out.schema.field("item").type == pa.string()
+
+    def test_empty_input_typed_empty(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import heavy_hitters
+
+        t = pa.table({"v": pa.array([], pa.int64())})
+        out = heavy_hitters(ray.data.from_arrow(t), "v", denom=10)
+        assert len(out) == 0
+        assert out.schema.field("item").type == pa.int64()
+        assert out.schema.field("cnt").type == pa.int64()
+
+    def test_token_variant_matches_python(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from overmatch_ray.stages.groupops import heavy_hitter_tokens
+
+        texts = [
+            " ".join(f"w{(i * 31 + j) % 23}" for j in range(1 + i % 9))
+            for i in range(400)
+        ] + [None]
+        toks = collections.Counter(
+            tok for s in texts if s is not None for tok in s.split(" ")
+        )
+        n = sum(toks.values())
+        denom = 30
+        thr = (n + denom - 1) // denom
+        want = {k: v for k, v in toks.items() if v >= thr}
+        assert want  # nontrivial
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(6)
+        out = heavy_hitter_tokens(ds, "text", denom=denom)
+        got = dict(zip(out["item"].to_pylist(), out["cnt"].to_pylist()))
+        assert got == want
+
+    def test_k_validation(self, ray_session):
+        import pytest
+
+        from overmatch_ray.stages.groupops import heavy_hitters
+
+        with pytest.raises(ValueError):
+            heavy_hitters(None, "v", denom=100, k=50)
+
+
 class TestTrainingExportComposition:
     def test_pack_then_resumable_shard_sink(self, ray_session, tmp_path):
         """End-to-end training export: token counts → pack_sequences shard
