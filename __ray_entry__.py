@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_quantiles": rq.q_type_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
+        "subword_counts": cq.q_subword_counts,
         "doc_quality": cq.q_doc_quality,
         "lang_distribution": cq.q_lang_distribution,
         "prefix_dedup": cq.q_prefix_dedup,

@@ -58,6 +58,33 @@ FROM documents
 """
 
 
+def q_subword_counts(sf_dir: str):
+    """BPE-ish subword-unit counts (stages.textstats.subword_count_batch —
+    one RE2 match-count kernel per batch; both engines run RE2 on the
+    same pattern, so parity is exact by construction)."""
+    from ..stages.textstats import subword_count_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(subword_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_subwords"])
+    )
+
+
+def _subword_oracle_sql() -> str:
+    from ..stages.textstats import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+ORACLE_SQL["subword_counts"] = _subword_oracle_sql()
+
+
 def q_doc_quality(sf_dir: str):
     from ..stages.textstats import quality_batch
 

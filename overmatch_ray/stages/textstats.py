@@ -62,6 +62,24 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n))
 
 
+# BPE-style pre-tokenizer (GPT-2 family shape, minus the \s+(?!\S)
+# lookahead RE2 forbids): contraction suffixes, space-prefixed letter /
+# digit / punctuation runs, residual whitespace runs. Both pyarrow and
+# DuckDB execute RE2, so one pattern string gives exact oracle parity.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document BPE-ish subword-unit count: non-overlapping RE2 match
+    count of ``BPE_SPLIT_PATTERN`` — one vectorized kernel straight over
+    the Arrow string buffer, no per-row Python and no token explosion."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = pc.cast(pc.count_substring_regex(col, BPE_SPLIT_PATTERN), pa.int64())
+    return batch.append_column("n_subwords", n)
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / stopword / alpha heuristics → quality columns (vectorized)."""
     lst, offsets, flat = _split_tokens(batch[text_col])

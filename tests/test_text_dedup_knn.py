@@ -44,6 +44,44 @@ class TestTextStats:
         assert fp[0] == fp[1] and fp[0] != fp[3]
         assert out["prefix_key"].to_pylist()[0].startswith("the quick brown")
 
+    def test_subword_count_tricky_inputs(self):
+        """BPE-ish subword counts equal the DuckDB RE2 oracle on tricky
+        inputs (contractions, unicode letters/digits, punctuation runs,
+        leading/trailing whitespace, empty string)."""
+        from overmatch_ray.stages.textstats import (
+            BPE_SPLIT_PATTERN,
+            subword_count_batch,
+        )
+
+        texts = [
+            "Hello world, it's 2026!",
+            "  leading  spaces\tand\nnewlines  ",
+            "naïve café 北京 123abc",
+            "",
+            "don't stop-me now...",
+            "x1y2z3",
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = subword_count_batch(t)["n_subwords"].to_pylist()
+        # independent oracle: DuckDB runs the same RE2 pattern
+        import duckdb
+
+        pat = BPE_SPLIT_PATTERN.replace("'", "''")
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT len(regexp_extract_all(t, '{pat}')) "
+                "FROM (SELECT unnest($texts) AS t)",
+                params={"texts": texts},
+            ).fetchall()
+        ]
+        assert out == want
+        assert out[3] == 0  # empty string
+        assert out[0] == 7  # Hello| world|,| it|'s| 2026|!
+
 
 class TestDedup:
     def test_exact(self, ray_session):
