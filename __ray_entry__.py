@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": cq.q_global_shuffle,
         "term_idf": cq.q_term_idf,
         "heavy_tokens": cq.q_heavy_tokens,
+        "lang_heavy_tokens": cq.q_lang_heavy_tokens,
         "lm_score": cq.q_lm_score,
         "pack_sequences": cq.q_pack_sequences,
         "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,

@@ -751,6 +751,45 @@ HAVING count(*) >= (SELECT (n + {_HH_DENOM} - 1) // {_HH_DENOM} FROM n)
 """
 
 
+_GHH_DENOM = 60  # keep literal in sync with the SQL oracle below
+
+
+def q_lang_heavy_tokens(sf_dir: str):
+    """Per-LANGUAGE exact frequent tokens: grouped Misra-Gries
+    (stages.groupops.grouped_heavy_hitters) over the token explode with
+    the doc's lang carried via list_parent_indices — per-group threshold
+    ceil(N_lang/denom), sketch-sized shuffles only."""
+    from ..stages.groupops import grouped_heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        txt = t["text"].combine_chunks()
+        lst = pc.split_pattern(txt, " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lang = t["lang"].combine_chunks().take(pc.list_parent_indices(lst))
+        return pa.table({"lang": lang, "item": lst.values})
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return grouped_heavy_hitters(ds, "lang", "item", denom=_GHH_DENOM)
+
+
+ORACLE_SQL["lang_heavy_tokens"] = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS item
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+n AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1)
+SELECT t.lang, t.item, count(*) AS cnt
+FROM tok t JOIN n USING (lang)
+GROUP BY t.lang, t.item, n.n
+HAVING count(*) >= (n.n + {_GHH_DENOM} - 1) // {_GHH_DENOM}
+"""
+
+
 def _langid_oracle_sql() -> str:
     """langid_docs oracle generated FROM the engine's marker table
     (stages.textstats.LANG_MARKERS) so the two can never drift: per-doc

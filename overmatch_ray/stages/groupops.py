@@ -460,6 +460,138 @@ def heavy_hitters(ds, col: str, denom: int = 1000, k: "int | None" = None):
     })
 
 
+def grouped_heavy_hitters(ds, group_col: str, col: str, denom: int = 1000,
+                          k: "int | None" = None):
+    """Per-GROUP exact frequent items: for each group g, every non-null
+    value of ``col`` whose count within g is >= ceil(N_g / denom), with
+    its exact count. Same two-pass Misra-Gries plan as ``heavy_hitters``
+    applied per group — the MG bound holds per group because compression
+    runs on each group's counters separately, so the per-group undercount
+    is <= N_g/(k+1) and pruning at ``cutoff_g = thr_g - N_g//(k+1)``
+    provably keeps every true per-group heavy hitter.
+
+    Documented contract: GROUP CARDINALITY is bounded (thresholds and the
+    candidate sets are broadcast dicts; the per-batch Python loop is over
+    groups present in the batch, never rows). Rows with a null group or
+    null item are excluded, matching the SQL oracle's WHERE clause.
+    Returns a pyarrow Table (group_col, item, cnt)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if k is None:
+        k = 2 * denom
+    if k + 1 <= denom:
+        raise ValueError(f"need k+1 > denom for the MG guarantee ({k=}, {denom=})")
+
+    sch = ds.schema().base_schema
+    grp_type = sch.field(group_col).type
+    item_type = sch.field(col).type
+    empty = pa.table({group_col: pa.array([], grp_type),
+                      "item": pa.array([], item_type),
+                      "cnt": pa.array([], pa.int64())})
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[col]))
+        return batch.select([group_col, col]).filter(m)
+
+    # pass 0: per-group non-null row counts (group-cardinality-bounded)
+    def n_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_valid(batch)[group_col].combine_chunks())
+        return pa.table({"grp": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    n_rows = (
+        ds.map_batches(n_partial, batch_format="pyarrow")
+        .groupby("grp").aggregate(Sum("n_part")).take_all()
+    )
+    if not n_rows:
+        return empty
+    n_by_grp = {r["grp"]: r["sum(n_part)"] for r in n_rows}
+    thr = {g: (n + denom - 1) // denom for g, n in n_by_grp.items()}
+    cutoff = {g: max(thr[g] - n_by_grp[g] // (k + 1), 1) for g in thr}
+
+    def _pair_counts(batch: pa.Table) -> "tuple[pa.Table, np.ndarray]":
+        t = _valid(batch)
+        agg = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return agg, agg["count_all"].to_numpy(zero_copy_only=False)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        agg, counts = _pair_counts(batch)
+        grps = agg[group_col].to_numpy(zero_copy_only=False)
+        if counts.size == 0:
+            return pa.table({"grp": pa.array([], grp_type),
+                             "item": pa.array([], item_type),
+                             "mg": pa.array([], pa.int64())})
+        keep_parts = []
+        resid_parts = []
+        for g in pd.unique(grps):
+            idx = np.flatnonzero(grps == g)
+            kp, resid = _mg_compress(counts[idx], k)
+            keep_parts.append(idx[kp])
+            resid_parts.append(resid)
+        keep = np.concatenate(keep_parts)
+        take = pa.array(keep, pa.int64())
+        return pa.table({
+            "grp": agg[group_col].take(take),
+            "item": agg[col].take(take),
+            "mg": pa.array(np.concatenate(resid_parts).astype(np.int64)),
+        })
+
+    def prune(batch: pa.Table) -> pa.Table:
+        cuts = pa.array(
+            [cutoff.get(g, 1) for g in batch["grp"].to_pylist()], pa.int64()
+        )  # sketch-sized rows: the pylist loop is over merged counters
+        return batch.filter(pc.greater_equal(batch["sum(mg)"], cuts))
+
+    cand_rows = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby(["grp", "item"]).aggregate(Sum("mg"))
+        .map_batches(prune, batch_format="pyarrow")
+        .take_all()  # bounded: <= ~2*denom per group
+    )
+    if not cand_rows:
+        return empty
+    cands: dict = {}
+    for r in cand_rows:
+        cands.setdefault(r["grp"], []).append(r["item"])
+    cand_arrs = {g: pa.array(v, item_type) for g, v in cands.items()}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = _valid(batch)
+        gcol = t[group_col].combine_chunks()
+        icol = t[col].combine_chunks()
+        parts = []
+        for g, arr in cand_arrs.items():
+            gm = pc.equal(gcol, pa.scalar(g, grp_type))
+            items = icol.filter(pc.and_(
+                pc.fill_null(gm, False), pc.is_in(icol, value_set=arr)))
+            if len(items) == 0:
+                continue
+            vc = pc.value_counts(items)
+            parts.append(pa.table({
+                "grp": pa.array([g] * len(vc), grp_type),
+                "item": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }))
+        if not parts:
+            return pa.table({"grp": pa.array([], grp_type),
+                             "item": pa.array([], item_type),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    rows = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .groupby(["grp", "item"]).aggregate(Sum("cnt"))
+        .take_all()  # bounded by the candidate sets
+    )
+    rows = [r for r in rows if r["sum(cnt)"] >= thr[r["grp"]]]
+    return pa.table({
+        group_col: pa.array([r["grp"] for r in rows], grp_type),
+        "item": pa.array([r["item"] for r in rows], item_type),
+        "cnt": pa.array([r["sum(cnt)"] for r in rows], pa.int64()),
+    })
+
+
 def heavy_hitter_tokens(ds, text_col: str = "text", denom: int = 1000,
                         k: "int | None" = None):
     """Frequent TOKENS over a text column: single-space tokenization

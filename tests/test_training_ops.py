@@ -716,6 +716,96 @@ class TestHeavyHitters:
             heavy_hitters(None, "v", denom=100, k=50)
 
 
+class TestGroupedHeavyHitters:
+    """Per-group exact frequent items (groupops.grouped_heavy_hitters)."""
+
+    @staticmethod
+    def _corpus():
+        # group A: 2 hot (x800, x500) + 8k singleton tail
+        # group B: 1 hot (x300) + 2k singleton tail; different hot skew
+        # group C: tiny group, everything above its threshold
+        g, v = [], []
+        g += ["A"] * (800 + 500 + 8000)
+        v += [1] * 800 + [2] * 500 + list(range(10_000, 18_000))
+        g += ["B"] * (300 + 2000)
+        v += [7] * 300 + list(range(50_000, 52_000))
+        g += ["C"] * 12
+        v += [9] * 7 + [11] * 5
+        items = np.array(v, dtype=np.int64)
+        grps = np.array(g)
+        order = np.argsort((items * 2654435761) % 7919, kind="stable")
+        return pa.table({"g": pa.array(grps[order]),
+                         "v": pa.array(items[order])})
+
+    @staticmethod
+    def _exact(t, denom):
+        import collections
+
+        per = collections.defaultdict(collections.Counter)
+        for g, v in zip(t["g"].to_pylist(), t["v"].to_pylist()):
+            if g is not None and v is not None:
+                per[g][v] += 1
+        out = {}
+        for g, c in per.items():
+            n = sum(c.values())
+            thr = (n + denom - 1) // denom
+            for item, cnt in c.items():
+                if cnt >= thr:
+                    out[(g, item)] = cnt
+        return out
+
+    def test_exact_vs_bruteforce_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import grouped_heavy_hitters
+
+        t = self._corpus()
+        want = self._exact(t, denom=50)
+        # groups have different thresholds: C's tiny N keeps everything
+        assert ("C", 9) in want and ("C", 11) in want
+        assert ("A", 1) in want and ("B", 7) in want
+        for parts in (3, 13):
+            out = grouped_heavy_hitters(
+                ray.data.from_arrow(t).repartition(parts), "g", "v", denom=50
+            )
+            got = {
+                (g, i): c
+                for g, i, c in zip(out["g"].to_pylist(),
+                                   out["item"].to_pylist(),
+                                   out["cnt"].to_pylist())
+            }
+            assert got == want, f"parts={parts}"
+
+    def test_nulls_excluded_both_columns(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import grouped_heavy_hitters
+
+        t = pa.table({
+            "g": pa.array(["x"] * 40 + [None] * 10 + ["x"] * 10),
+            "v": pa.array([1] * 40 + [1] * 10 + [None] * 10, pa.int64()),
+        })
+        # valid rows: 40 of (x,1); N_x=40, denom 4 -> thr 10
+        out = grouped_heavy_hitters(ray.data.from_arrow(t), "g", "v",
+                                    denom=4, k=16)
+        got = {(g, i): c for g, i, c in zip(out["g"].to_pylist(),
+                                            out["item"].to_pylist(),
+                                            out["cnt"].to_pylist())}
+        assert got == {("x", 1): 40}
+
+    def test_empty_typed(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import grouped_heavy_hitters
+
+        t = pa.table({"g": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+        out = grouped_heavy_hitters(ray.data.from_arrow(t), "g", "v")
+        assert len(out) == 0
+        assert out.schema.field("g").type == pa.string()
+        assert out.schema.field("item").type == pa.int64()
+
+
 class TestTrainingExportComposition:
     def test_pack_then_resumable_shard_sink(self, ray_session, tmp_path):
         """End-to-end training export: token counts → pack_sequences shard
