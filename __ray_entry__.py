@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,
+        "corpus_pipeline": ro.q_corpus_pipeline,
     }
 
 

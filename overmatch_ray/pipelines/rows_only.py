@@ -294,3 +294,44 @@ def q_embedding_norm_quantiles(sf_dir: str):
         emb.map_batches(norms, batch_format="pyarrow"), "norm",
         [0.05, 0.5, 0.95],
     )
+
+
+def q_corpus_pipeline(sf_dir: str):
+    """The text-axis nightly end-to-end (pipelines.run_all.corpus_stages):
+    quality/langid filter → exact+minhash dedup → decontaminate+PII scrub
+    → split/pack → resumable shard sink, run into a fresh tempdir; returns
+    one receipt row per stage (stage, n_rows) — the full composition is
+    pinned by tests/test_sources_and_lifecycle.py::TestCorpusStages."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .run_all import corpus_stages, run_pipeline
+
+    def mod97(b: pa.Table) -> pa.Table:
+        rem = pc.subtract(
+            b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 97), 97)
+        )
+        return b.filter(pc.equal(rem, 0))
+
+    bench = _rpq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mod97, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="overmatch_corpus_")
+    try:
+        receipts = run_pipeline(
+            corpus_stages(sf_dir, out, benchmark_ds=bench, budget=4096),
+            {}, out,
+        )
+        rows = []
+        for r in receipts:
+            n = r.get("n_rows", r.get("n_clean", r.get("n_unique",
+                                                       r.get("n_kept"))))
+            rows.append({"stage": r["stage"], "n_rows": int(n)})
+        return pa.table({
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -143,3 +143,195 @@ def flagship_stages(
         ("pmtiles", s_pmtiles),
         ("matches_sink", s_matches_sink),
     ]
+
+
+def corpus_stages(
+    sf_dir: str,
+    out_dir: str,
+    benchmark_ds=None,
+    budget: int = 4096,
+    fractions: "dict[str, float] | None" = None,
+    lsh_threshold: float = 0.5,
+    num_buckets: int = 32,
+) -> "list[Stage]":
+    """The text-axis nightly: the full training-corpus prep chain as
+    declarative resumable stages —
+
+        filter (quality + langid) → dedup (exact fingerprint + minhash-LSH
+        near-dup clusters) → scrub (decontaminate + PII redaction) →
+        split_pack (train/val/test + per-split token-budget shards) →
+        shards_sink (resumable split-shard-partitioned parquet)
+
+    Same contract as ``flagship_stages``: every stage fetches inputs via
+    ``_ensure_*`` providers so a resumed run (receipted stages skipped,
+    empty ctx) rebuilds lazy inputs without re-running receipted sinks.
+    ``benchmark_ds`` is the eval set for decontamination (None → stage
+    records skipped). The near-dup DROP set is collected on the driver —
+    bounded by the pair graph, same contract as ``dedup_clusters``'s
+    broadcast path; swap in ``joins.semi_join_shuffled`` if a corpus's
+    near-dup fraction is ever corpus-scale."""
+    import pandas as pd
+    import pyarrow as pa
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    def _ensure_docs(ctx: dict):
+        if "docs" not in ctx:
+            from ..sources import read_parquet_clean
+            from ..stages.textstats import langid_batch, quality_batch
+
+            ds = read_parquet_clean(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            ctx["n_in"] = ds.count()
+            ds = (
+                ds.map_batches(quality_batch, batch_format="pyarrow")
+                .filter(expr="quality_keep == True")
+                .map_batches(langid_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "text", "lang_pred", "n_tokens"])
+            )
+            ctx["docs"] = ds.materialize()
+        return ctx["docs"]
+
+    def _ensure_unique(ctx: dict):
+        if "unique" not in ctx:
+            from ..stages.dedup import dedup_clusters, minhash_lsh_pairs
+            from ..stages.groupops import bucketed_group_apply
+            from ..stages.joins import semi_join_filter
+            from ..stages.textstats import fingerprint_batch
+
+            fp = _ensure_docs(ctx).map_batches(
+                fingerprint_batch, batch_format="pyarrow"
+            )
+
+            def keep_min_id(g: pd.DataFrame) -> pd.DataFrame:
+                return g.sort_values(
+                    ["fingerprint", "doc_id"], kind="mergesort"
+                ).drop_duplicates("fingerprint", keep="first")
+
+            exact = bucketed_group_apply(
+                fp, ["fingerprint"], keep_min_id, num_buckets=num_buckets
+            ).drop_columns(["fingerprint", "prefix_key"]).materialize()
+            ctx["n_after_exact"] = exact.count()
+
+            pairs = minhash_lsh_pairs(exact, threshold=lsh_threshold)
+            clusters = dedup_clusters(pairs, num_buckets=num_buckets)
+            drop = {
+                r["doc_id"]
+                for r in clusters.take_all()  # bounded by the pair graph
+                if r["doc_id"] != r["cluster_id"]
+            }
+            ctx["unique"] = (
+                semi_join_filter(exact, drop, "doc_id", anti=True).materialize()
+                if drop
+                else exact
+            )
+        return ctx["unique"]
+
+    def _ensure_clean(ctx: dict):
+        if "clean" not in ctx:
+            from ..stages.pii import redact_pii
+
+            ds = _ensure_unique(ctx)
+            if benchmark_ds is not None:
+                import ray
+
+                from ..stages.decontam import benchmark_gram_set, doc_ngram_hashes
+
+                bench_ref = ray.put(benchmark_gram_set(benchmark_ds, n=8))
+                cache: dict = {}
+
+                def drop_contaminated(batch: pa.Table) -> pa.Table:
+                    import numpy as np
+
+                    if "b" not in cache:
+                        cache["b"] = ray.get(bench_ref)
+                    d_idx, grams = doc_ngram_hashes(batch, "text", 8)
+                    bad = np.zeros(batch.num_rows, dtype=bool)
+                    if grams.size and cache["b"].size:
+                        hit = np.isin(grams, cache["b"])
+                        bad[np.unique(d_idx[hit])] = True
+                    return batch.filter(pa.array(~bad))
+
+                ds = ds.map_batches(drop_contaminated, batch_format="pyarrow")
+            ctx["clean"] = redact_pii(ds).materialize()
+        return ctx["clean"]
+
+    def _ensure_packed(ctx: dict):
+        if "packed" not in ctx:
+            from ..stages.joins import bucket_hash_join
+            from ..stages.splits import pack_sequences, split_assign
+
+            tagged = split_assign(_ensure_clean(ctx), "doc_id").materialize()
+            parts = []
+            for split in fractions:
+                sub = tagged.filter(expr=f"split == '{split}'")
+                shards = pack_sequences(
+                    sub.select_columns(["doc_id", "n_tokens"]),
+                    "doc_id", "n_tokens", budget=budget,
+                    num_buckets=num_buckets,
+                ).drop_columns(["n_tokens"])
+
+                def rename(batch: pa.Table, _s=split) -> pa.Table:
+                    return batch.rename_columns(["__rid", "shard_id"])
+
+                joined = bucket_hash_join(
+                    sub,
+                    shards.map_batches(rename, batch_format="pyarrow"),
+                    left_on="doc_id", right_on="__rid",
+                    num_buckets=num_buckets,
+                ).drop_columns(["__rid"])
+
+                def add_part(batch: pa.Table, _s=split) -> pa.Table:
+                    ids = batch["shard_id"].to_pylist()
+                    return batch.append_column(
+                        "part",
+                        pa.array([f"{_s}-{i:05d}" for i in ids], pa.string()),
+                    )
+
+                parts.append(
+                    joined.map_batches(add_part, batch_format="pyarrow")
+                )
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.union(p)
+            ctx["packed"] = ds.materialize()
+        return ctx["packed"]
+
+    def s_filter(ctx: dict) -> dict:
+        n_kept = _ensure_docs(ctx).count()
+        return {"n_in": ctx.get("n_in"), "n_kept": n_kept}
+
+    def s_dedup(ctx: dict) -> dict:
+        n = _ensure_unique(ctx).count()
+        return {"n_after_exact": ctx.get("n_after_exact"), "n_unique": n}
+
+    def s_scrub(ctx: dict) -> dict:
+        n = _ensure_clean(ctx).count()
+        return {"n_clean": n, "decontaminated": benchmark_ds is not None}
+
+    def s_split_pack(ctx: dict) -> dict:
+        return {"n_rows": _ensure_packed(ctx).count()}
+
+    def s_shards_sink(ctx: dict) -> dict:
+        from ..state.checkpoint import write_partitioned_resumable
+
+        receipts = write_partitioned_resumable(
+            _ensure_packed(ctx),
+            os.path.join(out_dir, "shards"),
+            "part",
+            scheme=f"corpus-pack:budget={budget}:v1",
+        ).take_all()
+        return {
+            "n_partitions": len(receipts),
+            "n_rows": sum(r["rows"] for r in receipts),
+        }
+
+    return [
+        ("filter", s_filter),
+        ("dedup", s_dedup),
+        ("scrub", s_scrub),
+        ("split_pack", s_split_pack),
+        ("shards_sink", s_shards_sink),
+    ]

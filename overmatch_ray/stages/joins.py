@@ -442,7 +442,11 @@ def bucket_hash_join(
         for n, dt in int_restore.items():
             if n in out.columns and out[n].dtype.kind == "f":
                 out[n] = out[n].astype(dt)
-        return out
+        # metadata-free Arrow block (pandas metadata is unhashable in this
+        # pyarrow build and defeats downstream shuffle schema-dedup)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 

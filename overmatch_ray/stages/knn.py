@@ -609,14 +609,15 @@ def _bucket_pairs_recursive(
             out.append((ii[ia[keep]], ids[j0 + ib[keep]], s[keep]))
 
 
-def _EMPTY_PAIRS_DF() -> pd.DataFrame:
-    """Typed empty (id_a, id_b, cos_sim) frame — untyped [] columns become
-    null-typed Arrow blocks and trip the executor schema-divergence warning."""
-    return pd.DataFrame(
+def _EMPTY_PAIRS_DF() -> pa.Table:
+    """Typed empty (id_a, id_b, cos_sim) block — untyped [] columns become
+    null-typed Arrow blocks and trip the executor schema-divergence warning;
+    Arrow (not pandas) so no pandas schema metadata rides into shuffles."""
+    return pa.table(
         {
-            "id_a": pd.Series(dtype=np.int64),
-            "id_b": pd.Series(dtype=np.int64),
-            "cos_sim": pd.Series(dtype=np.float64),
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
         }
     )
 
@@ -681,7 +682,11 @@ def near_dup_embeddings(
         b = np.concatenate([c[1] for c in chunks])
         s = np.concatenate([c[2] for c in chunks])
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": np.round(s, 6)})
+        # metadata-free Arrow block: the output feeds dedup_pairs' shuffle
+        return pa.table(
+            {"id_a": pa.array(lo), "id_b": pa.array(hi),
+             "cos_sim": pa.array(np.round(s, 6))}
+        )
 
     from .groupops import dedup_pairs
 
