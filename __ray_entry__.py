@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn": ro.q_pq_knn,
         "nsw_knn": ro.q_nsw_knn,
         "approx_distinct": ro.q_approx_distinct,
+        "type_distinct_users": ro.q_type_distinct_users,
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,

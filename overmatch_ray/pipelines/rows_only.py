@@ -335,3 +335,13 @@ def q_corpus_pipeline(sf_dir: str):
         })
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def q_type_distinct_users(sf_dir: str):
+    """Per-event-type approximate distinct users (grouped HyperLogLog —
+    stages.groupops.approx_distinct_by; ~1.6% standard error at p=12, so
+    rows-only; accuracy + partition-invariance pinned by tests)."""
+    from ..stages.groupops import approx_distinct_by
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_by(ev, "event_type", "user_id")

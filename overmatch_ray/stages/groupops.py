@@ -356,6 +356,69 @@ def approx_distinct(ds, col: str, p: int = _HLL_P) -> int:
     return int(round(hll_estimate(regs)))
 
 
+def approx_distinct_by(ds, group_col: str, col: str, p: int = _HLL_P):
+    """Per-GROUP approximate COUNT(DISTINCT col): one HyperLogLog per
+    group, all maintained in a single vectorized pass — per batch the
+    groups are dictionary-encoded and every (group, register) pair maps to
+    one slot of a composite dense array (``code * 2^p + register``), so
+    ``np.maximum.at`` folds the whole batch at once; only NONZERO
+    (group, register, rho) rows are emitted (≤ distinct values in the
+    batch, never 2^p per group). One ``groupby([group, register]).max``
+    merges partials — registers, never rows, cross the shuffle — and the
+    driver folds ≤ |groups|·2^p rows into per-group estimates (bounded
+    group cardinality, same contract as the grouped heavy hitters).
+
+    Rows with a null group or null value are excluded (SQL
+    COUNT(DISTINCT) semantics — unlike the global ``approx_distinct``,
+    which hashes nulls as empty strings). Deterministic at any
+    parallelism (max is order-invariant). Returns a pyarrow Table
+    (group_col, n_distinct_est)."""
+    import pyarrow.compute as pc
+
+    grp_type = ds.schema().base_schema.field(group_col).type
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[col]))
+        t = batch.select([group_col, col]).filter(valid)
+        if t.num_rows == 0:
+            return pa.table({"grp": pa.array([], grp_type),
+                             "reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = hash_columns(t, [col])
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = np.minimum(_clz64(h << np.uint64(p)) + 1, 64 - p + 1)
+        regs = np.zeros(len(enc.dictionary) * m, dtype=np.int8)
+        np.maximum.at(regs, codes * m + idx, rho.astype(np.int8))
+        nz = np.flatnonzero(regs)
+        return pa.table({
+            "grp": enc.dictionary.take(pa.array(nz // m, pa.int64())),
+            "reg": pa.array(nz % m),
+            "rho": pa.array(regs[nz].astype(np.int64)),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "reg"])
+        .max("rho")
+        .take_all()  # bounded: <= |groups| * 2^p sketch rows
+    )
+    per_grp: dict = {}
+    for r in rows:
+        per_grp.setdefault(r["grp"], np.zeros(m, dtype=np.int8))[r["reg"]] = (
+            r["max(rho)"]
+        )
+    grps = sorted(per_grp)
+    return pa.table({
+        group_col: pa.array(grps, grp_type),
+        "n_distinct_est": pa.array(
+            [int(round(hll_estimate(per_grp[g]))) for g in grps], pa.int64()
+        ),
+    })
+
+
 def _mg_compress(counts: np.ndarray, k: int) -> "tuple[np.ndarray, np.ndarray]":
     """Misra-Gries compress of exact (item, count) pairs down to <= k
     counters: subtract the (k+1)-th largest count from every count and keep

@@ -596,6 +596,71 @@ class TestApproxDistinct:
         assert abs(est - 997) / 997 < 0.06
 
 
+class TestApproxDistinctBy:
+    """Grouped HyperLogLog (groupops.approx_distinct_by)."""
+
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import approx_distinct_by
+
+        # group A: 20k distinct, B: 3k distinct (x4 dup), C: 37 distinct
+        g = ["A"] * 20_000 + ["B"] * 12_000 + ["C"] * 370
+        v = (list(range(20_000)) + list(range(100_000, 103_000)) * 4
+             + list(range(500_000, 500_037)) * 10)
+        t = pa.table({"g": pa.array(g), "v": pa.array(np.array(v, np.int64))})
+        truth = {"A": 20_000, "B": 3_000, "C": 37}
+        prev = None
+        for parts in (3, 17):
+            out = approx_distinct_by(
+                ray.data.from_arrow(t).repartition(parts), "g", "v"
+            )
+            got = dict(zip(out["g"].to_pylist(),
+                           out["n_distinct_est"].to_pylist()))
+            assert set(got) == set(truth)
+            for grp, n in truth.items():
+                assert abs(got[grp] - n) / n < 0.05, (grp, got[grp], n)
+            if prev is not None:
+                assert got == prev  # register max is order-invariant
+            prev = got
+
+    def test_single_group_matches_global(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import (
+            approx_distinct,
+            approx_distinct_by,
+        )
+
+        t = pa.table({
+            "g": pa.array(["only"] * 5000),
+            "v": pa.array([f"user-{i % 997}" for i in range(5000)]),
+        })
+        ds = ray.data.from_arrow(t)
+        grouped = approx_distinct_by(ds, "g", "v")
+        assert grouped["n_distinct_est"].to_pylist() == [
+            approx_distinct(ds, "v")
+        ]
+
+    def test_nulls_excluded(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import approx_distinct_by
+
+        t = pa.table({
+            "g": pa.array(["x"] * 50 + [None] * 30),
+            "v": pa.array(
+                [float(i) for i in range(40)] + [None] * 10
+                + [999.0] * 30
+            ),
+        })
+        out = approx_distinct_by(ray.data.from_arrow(t), "g", "v")
+        got = dict(zip(out["g"].to_pylist(), out["n_distinct_est"].to_pylist()))
+        # null group rows gone entirely; null values in 'x' not counted
+        assert set(got) == {"x"}
+        assert abs(got["x"] - 40) <= 1
+
+
 class TestHeavyHitters:
     """Two-pass Misra-Gries frequent items (stages.groupops.heavy_hitters):
     EXACT above ceil(N/denom), verified against a brute-force count."""
