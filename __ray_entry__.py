@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": cq.q_embedding_neardup,
         "cell_assign": cq.q_cell_assign,
         "distance_join_100m": cq.q_distance_join_100m,
+        "spatial_knn": cq.q_spatial_knn,
+        "dbscan_clusters": cq.q_dbscan_clusters,
+        "track_lengths": cq.q_track_lengths,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -1059,3 +1059,205 @@ FROM (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents)
 """
+
+
+# ---------------------------------------------------------------------------
+# spatial neighborhood operators (stages/spatial.py)
+# ---------------------------------------------------------------------------
+
+
+def _formula_points(ds, key_col: str, thin_sql_mod: tuple[int, int] | None = None,
+                    md5_frac: float | None = None):
+    """(id, lon, lat) points from integer keys via the shared formula.
+    Thinning options (both SQL-reproducible): keep ⇔ (key*2654435761) % m
+    < t, or keep ⇔ md5(str(key))[:8] < hex_bound(md5_frac). The md5 form
+    is the one to use when the DOWNSTREAM op is density-sensitive — an
+    affine map mod m is periodic along the formula lattice (step
+    multiplier % m), so it never produces dense runs."""
+    import hashlib
+
+    bound = f"{int(md5_frac * 16**8):08x}" if md5_frac is not None else None
+
+    def pts(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if thin_sql_mod is not None:
+            m, t = thin_sql_mod
+            key = key[(key * 2654435761) % m < t]
+        if bound is not None:
+            keep = np.fromiter(
+                (hashlib.md5(str(k).encode()).hexdigest()[:8] < bound
+                 for k in key),
+                dtype=bool, count=key.size,
+            )
+            key = key[keep]
+        lon, lat = _formula_coords(key)
+        return pa.table(
+            {"id": pa.array(key), "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    return ds.map_batches(pts, batch_format="pyarrow")
+
+
+def q_spatial_knn(sf_dir: str):
+    """Bounded-radius k-nearest-neighbor join (stages.spatial.
+    spatial_knn_join): each customer point's 3 nearest thinned order
+    points within 100 m, rank 1-based, (distance, id) tie-break — the
+    oracle is a row_number() window over the inequality join."""
+    from ..stages.spatial import spatial_knn_join
+
+    cust = _formula_points(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    orders = _formula_points(
+        _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey", (4, 1)
+    )
+    out = spatial_knn_join(cust, orders, k=3, radius_m=100.0)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cust_id", "order_id", "dist_m", "knn_rank"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+ORACLE_SQL["spatial_knn"] = f"""
+WITH a AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer),
+b AS (
+  SELECT o_orderkey AS id, {_MERC} * radians(-77.05 + (o_orderkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((o_orderkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM orders WHERE (o_orderkey * 2654435761) % 4 < 1),
+cand AS (
+  SELECT a.id AS cust_id, b.id AS order_id,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM a JOIN b
+    ON b.x BETWEEN a.x - 100 AND a.x + 100
+   AND b.y BETWEEN a.y - 100 AND a.y + 100
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100)
+SELECT cust_id, order_id, round(d, 1) AS dist_m,
+       CAST(row_number() OVER (PARTITION BY cust_id ORDER BY d, order_id)
+            AS BIGINT) AS knn_rank
+FROM cand
+QUALIFY knn_rank <= 3
+"""
+
+
+def q_dbscan_clusters(sf_dir: str):
+    """Grid DBSCAN over thinned customer formula points (eps 25 m,
+    min_pts 4): (id, cluster_id, role) with min-label-deterministic
+    border assignment (stages.spatial.dbscan_points); the oracle rebuilds
+    core/border/noise with a recursive-CTE min-label propagation."""
+    from ..stages.spatial import dbscan_points
+
+    pts = _formula_points(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", md5_frac=0.4
+    )
+    return dbscan_points(pts, eps_m=25.0, min_pts=4)
+
+
+ORACLE_SQL["dbscan_clusters"] = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < '66666666'),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b
+    ON b.x BETWEEN a.x - 25 AND a.x + 25
+   AND b.y BETWEEN a.y - 25 AND a.y + 25 AND a.id <> b.id
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 25),
+deg AS (SELECT id_a AS id, count(*) AS n FROM pairs GROUP BY 1),
+core AS (SELECT id FROM deg WHERE n + 1 >= 4),
+core_edges AS (
+  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+  JOIN core ca ON ca.id = p.id_a JOIN core cb ON cb.id = p.id_b),
+reach(id, lbl) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.u, reach.lbl FROM core_edges e JOIN reach ON reach.id = e.v),
+core_cluster AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT p.id_a AS id, min(cc.cluster_id) AS cluster_id
+  FROM pairs p JOIN core_cluster cc ON cc.id = p.id_b
+  WHERE p.id_a NOT IN (SELECT id FROM core)
+  GROUP BY 1)
+SELECT p.id,
+       COALESCE(cc.cluster_id, b.cluster_id, -1) AS cluster_id,
+       CASE WHEN cc.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN core_cluster cc ON cc.id = p.id
+LEFT JOIN border b ON b.id = p.id
+"""
+
+
+def q_track_lengths(sf_dir: str):
+    """Per-user GPS track length: events as pings (formula coords from
+    event_id), ordered by (ts, event_id) within user; leg distances are
+    floored to integer DECIMETERS so the per-user sum is an integer —
+    exact, summation-order-free oracle parity (same trick as the
+    integer-cent money aggregates). One bucketed shuffle
+    (stages.groupops.bucketed_group_apply), vectorized across all users
+    in a bucket."""
+    from ..geo import mercator_xy
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(add_xy, batch_format="pyarrow")
+
+    def track_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        d = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        leg_dm = np.floor(d * 10).astype(np.int64)
+        leg_dm = np.where(u[1:] == u[:-1], leg_dm, 0)  # no cross-user legs
+        users, starts = np.unique(u, return_index=True)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        cum = np.concatenate([[0], np.cumsum(leg_dm)])
+        dm = cum[ends - 1] - cum[starts]
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_pings": (ends - starts).astype(np.int64),
+                "track_m": dm / 10.0,
+            }
+        )
+
+    return bucketed_group_apply(pts, ["user_id"], track_bucket, num_buckets=16)
+
+
+ORACLE_SQL["track_lengths"] = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_MERC} * radians(-77.05 + (event_id % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((event_id // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM events),
+lagd AS (
+  SELECT user_id, x, y, lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+legs AS (
+  SELECT user_id,
+         CAST(floor(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * 10)
+              AS BIGINT) AS leg_dm
+  FROM lagd WHERE px IS NOT NULL),
+counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pings FROM pts GROUP BY 1),
+sums AS (SELECT user_id, sum(leg_dm) AS dm FROM legs GROUP BY 1)
+SELECT c.user_id, c.n_pings, coalesce(s.dm, 0) / 10.0 AS track_m
+FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
+"""

@@ -233,9 +233,24 @@ def semi_join_shuffled(
         else:
             mask = pc.fill_null(mask, False)
         out = left.filter(mask)
-        # left_on never went through a lossy path (it is __semi_key's twin
-        # on left rows) — emit the original left schema
-        return out.select(l_names)
+        # Emit the original left schema, TYPES included: the union's
+        # right-side rows carry nulls in every left payload column, and
+        # Ray's groupby shuffle can take a pandas path that upcasts those
+        # int columns to float64. A chained semi join would then hash the
+        # float column via the string fallback while the right keys hash
+        # as integers — different buckets, rows silently dropped.
+        out = out.select(l_names)
+        cols = {}
+        for n, t in zip(l_schema.names, l_schema.types):
+            col = out[n]
+            if not col.type.equals(t):
+                if pa.types.is_integer(t) and pa.types.is_floating(col.type):
+                    col = pc.if_else(
+                        pc.is_nan(col), pa.scalar(None, col.type), col
+                    )
+                col = col.cast(t)
+            cols[n] = col
+        return pa.table(cols)
 
     return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pyarrow")
 

@@ -1,0 +1,359 @@
+"""Spatial neighborhood operators over the 256 m EPSG:3857 cell grid:
+bounded-radius pair generation, k-nearest-neighbor join, and grid DBSCAN.
+
+All three reuse the conflation join's partitioning (SURVEY.md §2.4-J1,
+reference ``scripts/match.py`` neighborhood semantics): probe rows carry
+their OWN cell, candidate rows are replicated to the k-ring-1 (9 cells),
+so every pair within ``radius_m ≤ CELL_SIZE_M`` meets in exactly one
+(probe-cell, replica-cell) coincidence — an equi-join on ``cell``,
+bucketed by ``hash(cell) % B`` so the shuffle has a bounded group count.
+
+Scale notes:
+- ONE all-to-all per operator core (the bucketed cell co-shuffle); the
+  candidate side pays the ×9 replication, so call with the NARROW side as
+  ``right_ds`` (CLAUDE.md rule).
+- Per-bucket work is numpy searchsorted + vectorized distance; top-k for
+  the kNN join happens INSIDE the bucket (a probe's whole disk lives in
+  its own cell group), so no second shuffle.
+- DBSCAN's label step reuses ``dedup.dedup_clusters`` (driver union-find
+  under a 2M-edge bound, distributed min-label propagation above), and
+  its core/border joins are `semi_join_shuffled` / `bucket_hash_join` —
+  ids, never payloads, cross those shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..cell import cell_id, kring1_cells
+from ..geo import mercator_xy
+from .cellindex import bucket_of
+
+
+def _auto_buckets(num_buckets: int | None) -> int:
+    if num_buckets is not None:
+        return num_buckets
+    import ray as _ray
+
+    return max(16, 2 * int(_ray.cluster_resources().get("CPU", 32)))
+
+
+def _encode_side(id_col: str, lon_col: str, lat_col: str, num_buckets: int,
+                 side: int, replicate: bool):
+    """map_batches kernel → (id, x, y, cell, bucket, side); candidate side
+    (side=1) is replicated to its 9 k-ring-1 cells."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x, y = mercator_xy(lon, lat)
+        if replicate:
+            cells = kring1_cells(cell_id(x, y)).ravel()
+            rep = np.repeat(np.arange(ids.size), 9)
+            ids, x, y = ids[rep], x[rep], y[rep]
+        else:
+            cells = cell_id(x, y)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, num_buckets)),
+                "side": pa.array(np.full(ids.size, side, np.int8)),
+            }
+        )
+
+    return _enc
+
+
+def _pairs_empty(topk: bool, emit_dist: bool) -> pd.DataFrame:
+    cols = {
+        "id_a": pd.Series(dtype=np.int64),
+        "id_b": pd.Series(dtype=np.int64),
+    }
+    if emit_dist:
+        cols["dist_m"] = pd.Series(dtype=np.float64)
+    if topk:
+        cols["knn_rank"] = pd.Series(dtype=np.int64)
+    return pd.DataFrame(cols)
+
+
+def _bucket_pairs_fn(radius_m: float, k: int | None, exclude_self: bool,
+                     round_to: int | None, emit_dist: bool = True):
+    """Per-bucket kernel: probe rows (side 0) vs cell-sorted candidates
+    (side 1) via searchsorted; distance filter; optional in-bucket top-k
+    with deterministic (distance, id) tie-break.
+
+    ``emit_dist=False`` drops dist_m INSIDE the kernel rather than via a
+    downstream ``select_columns`` — Dataset.schema() after
+    select_columns-on-map_groups can report the pre-projection columns
+    while the blocks carry the projected ones, and schema-trusting
+    consumers (semi_join_shuffled's union alignment) then corrupt the
+    shuffle. Emitting the final shape here keeps blocks and schema in
+    agreement."""
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        if a.empty or b.empty:
+            return _pairs_empty(k is not None, emit_dist)
+        bc = b["cell"].to_numpy()
+        ac = a["cell"].to_numpy()
+        lo = np.searchsorted(bc, ac, "left")
+        hi = np.searchsorted(bc, ac, "right")
+        counts = hi - lo
+        ai = np.repeat(np.arange(len(a)), counts)
+        bi = (
+            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        ax = a["x"].to_numpy()[ai]
+        ay = a["y"].to_numpy()[ai]
+        bx = b["x"].to_numpy()[bi]
+        by = b["y"].to_numpy()[bi]
+        ida = a["id"].to_numpy()[ai]
+        idb = b["id"].to_numpy()[bi]
+        # sqrt((dx)^2+(dy)^2) term-for-term == the DuckDB oracle expression
+        d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+        m = d <= radius_m
+        if exclude_self:
+            m &= ida != idb
+        out = pd.DataFrame(
+            {"id_a": ida[m], "id_b": idb[m], "dist_m": d[m]}
+        )
+        if k is not None:
+            out = out.sort_values(
+                ["id_a", "dist_m", "id_b"], kind="mergesort"
+            ).reset_index(drop=True)
+            rank = out.groupby("id_a").cumcount().to_numpy() + 1
+            out = out[rank <= k].reset_index(drop=True)
+            out["knn_rank"] = rank[rank <= k]
+        if round_to is not None:
+            out["dist_m"] = np.round(out["dist_m"].to_numpy(), round_to)
+        if not emit_dist:
+            out = out.drop(columns=["dist_m"])
+        return out
+
+    return join_bucket
+
+
+def _pair_plan(left_ds, right_ds, radius_m, *, left_id, right_id, lon_col,
+               lat_col, num_buckets, k, exclude_self, round_to,
+               emit_dist=True):
+    from .. import CELL_SIZE_M
+
+    if radius_m > CELL_SIZE_M:
+        raise ValueError(
+            f"radius {radius_m} m exceeds the {CELL_SIZE_M} m cell edge; "
+            "the k-ring-1 neighborhood would miss pairs"
+        )
+    nb = _auto_buckets(num_buckets)
+    probe = left_ds.map_batches(
+        _encode_side(left_id, lon_col, lat_col, nb, 0, replicate=False),
+        batch_format="pyarrow",
+    )
+    cand = right_ds.map_batches(
+        _encode_side(right_id, lon_col, lat_col, nb, 1, replicate=True),
+        batch_format="pyarrow",
+    )
+    return (
+        probe.union(cand)
+        .groupby("bucket")
+        .map_groups(
+            _bucket_pairs_fn(radius_m, k, exclude_self, round_to, emit_dist),
+            batch_format="pandas",
+        )
+    )
+
+
+def radius_pairs(
+    left_ds,
+    right_ds,
+    radius_m: float,
+    *,
+    left_id: str = "id",
+    right_id: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+    exclude_self: bool = False,
+    round_to: int | None = None,
+    emit_dist: bool = True,
+):
+    """All (left, right) pairs with planar EPSG:3857 distance ≤ radius_m
+    → (id_a, id_b, dist_m). ``exclude_self`` drops id_a == id_b (for
+    self-joins, where each unordered pair then appears in BOTH directions
+    — exactly what neighbor counting wants). ``emit_dist=False`` projects
+    dist_m away inside the kernel (see ``_bucket_pairs_fn``)."""
+    return _pair_plan(
+        left_ds, right_ds, radius_m,
+        left_id=left_id, right_id=right_id, lon_col=lon_col, lat_col=lat_col,
+        num_buckets=num_buckets, k=None, exclude_self=exclude_self,
+        round_to=round_to, emit_dist=emit_dist,
+    )
+
+
+def spatial_knn_join(
+    left_ds,
+    right_ds,
+    k: int,
+    radius_m: float,
+    *,
+    left_id: str = "id",
+    right_id: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+    round_to: int | None = 1,
+):
+    """Bounded-radius k-nearest-neighbor join: for each left point, its k
+    nearest right points within ``radius_m`` (ties broken by right id —
+    fully deterministic) → (id_a, id_b, dist_m, knn_rank), knn_rank 1-based.
+
+    Top-k runs INSIDE the cell-join bucket — a probe's entire ≤radius disk
+    shares its own-cell group, so no per-probe second shuffle. SQL analog:
+    ``row_number() OVER (PARTITION BY a.id ORDER BY dist, b.id) <= k``."""
+    return _pair_plan(
+        left_ds, right_ds, radius_m,
+        left_id=left_id, right_id=right_id, lon_col=lon_col, lat_col=lat_col,
+        num_buckets=num_buckets, k=k, exclude_self=False, round_to=round_to,
+    )
+
+
+def dbscan_points(
+    ds,
+    eps_m: float,
+    min_pts: int,
+    *,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+):
+    """Grid DBSCAN over points: (id, cluster_id, role) with role ∈
+    {core, border, noise}; noise has cluster_id = -1. Deterministic
+    variant: cluster_id = the smallest core id in the density-connected
+    component, and a border point joins the MINIMUM cluster id among its
+    core neighbors (classic DBSCAN leaves border assignment order-
+    dependent; min-label makes it partitioning-invariant).
+
+    min_pts counts the point itself (standard), and must be ≥ 2 (core
+    status is derived from the ε-pair graph, which an isolated point
+    never enters).
+
+    Plan: ε-pair self-join (one cell co-shuffle) → per-point degree
+    (groupby count) → core-core edges (two shuffled semi joins) →
+    connected components (``dedup_clusters``: min-label) → border = min
+    core-neighbor cluster (one hash join + groupby min) → noise = anti
+    semi join. Every post-pair stage moves (id, id)/(id, label) rows
+    only — never point payloads."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .dedup import dedup_clusters
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    if min_pts < 2:
+        raise ValueError("min_pts must be >= 2 (point itself is counted)")
+
+    pairs = radius_pairs(
+        ds, ds, eps_m,
+        left_id=id_col, right_id=id_col, lon_col=lon_col, lat_col=lat_col,
+        num_buckets=num_buckets, exclude_self=True, emit_dist=False,
+    ).materialize()
+
+    # degree (neighbors excluding self); core ⇔ degree + 1 >= min_pts
+    deg = pairs.groupby("id_a").aggregate(Count(alias_name="n"))
+
+    def core_only(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = n + 1 >= min_pts
+        return pa.table({"id": pa.array(
+            batch["id_a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        )})
+
+    core = deg.map_batches(core_only, batch_format="pyarrow").materialize()
+
+    def as_noise(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster_id": pa.array(np.full(n, -1, np.int64)),
+            "role": pa.array(["noise"] * n, pa.string()),
+        })
+
+    if core.count() == 0:  # no dense region anywhere → everything is noise
+        return ds.select_columns([id_col]).map_batches(
+            as_noise, batch_format="pyarrow"
+        )
+
+    # core-core ε-edges; self-edges keep isolated cores as singleton clusters
+    cc_edges = semi_join_shuffled(
+        semi_join_shuffled(pairs, core, "id_a", "id"), core, "id_b", "id"
+    )
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({"id_a": pa.array(ids), "id_b": pa.array(ids)})
+
+    cc_edges = cc_edges.union(
+        core.map_batches(self_edges, batch_format="pyarrow")
+    )
+    core_clusters = dedup_clusters(cc_edges)  # (doc_id, cluster_id)
+
+    def as_assign(role: str):
+        def _shape(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = "doc_id" if "doc_id" in batch.column_names else "id_a"
+            cl = ("cluster_id" if "cluster_id" in batch.column_names
+                  else "min(cluster_id)")
+            return pa.table({
+                id_col: batch[key].cast(pa.int64()),
+                "cluster_id": batch[cl].cast(pa.int64()),
+                "role": pa.array([role] * n, pa.string()),
+            })
+
+        return _shape
+
+    core_assign = core_clusters.map_batches(
+        as_assign("core"), batch_format="pyarrow"
+    )
+
+    # border: non-core with ≥1 core neighbor → min core-neighbor cluster.
+    # Materialized (ids only) because the no-border case is legitimate and
+    # an EMPTY map_groups product reports schema()=None, which the hash
+    # join (rightly) refuses to consume.
+    border_cand = semi_join_shuffled(
+        pairs, core, "id_a", "id", anti=True
+    ).materialize()
+    if border_cand.count() > 0:
+        border_assign = (
+            bucket_hash_join(
+                border_cand, core_clusters, left_on="id_b", right_on="doc_id"
+            )
+            .groupby("id_a")
+            .min("cluster_id")
+            .map_batches(as_assign("border"), batch_format="pyarrow")
+        )
+    else:
+        border_assign = ray.data.from_arrow(
+            pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+            })
+        )
+
+    assigned = core_assign.union(border_assign).materialize()
+
+    points = ds.select_columns([id_col])
+    noise = semi_join_shuffled(points, assigned, id_col, id_col, anti=True)
+
+    return assigned.union(
+        noise.map_batches(as_noise, batch_format="pyarrow")
+    )
