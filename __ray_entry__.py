@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn": cq.q_spatial_knn,
         "dbscan_clusters": cq.q_dbscan_clusters,
         "track_lengths": cq.q_track_lengths,
+        "bbox_join": cq.q_bbox_join,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -1261,3 +1261,71 @@ sums AS (SELECT user_id, sum(leg_dm) AS dm FROM legs GROUP BY 1)
 SELECT c.user_id, c.n_pings, coalesce(s.dm, 0) / 10.0 AS track_m
 FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
+
+
+def _formula_boxes(ds, key_col: str, wmod: int, hmod: int):
+    """(id, xmin, ymin, xmax, ymax) planar boxes from PURE INTEGER
+    arithmetic: center (11·(k%1000), 14·((k//1000)%1000)) m — the formula
+    lattice's approximate planar pitch — half-extents (1 + k % wmod,
+    1 + k % hmod) m. Every edge is an integer-valued double, so engine
+    and oracle agree bit-exactly with no trig in the loop (raw mercator
+    edges differ from DuckDB's radians/ln/tan by ulps, which a value-hash
+    compare of raw doubles would see)."""
+
+    def boxes(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (11 * (key % 1000)).astype(np.float64)
+        y = (14 * ((key // 1000) % 1000)).astype(np.float64)
+        hw = (1 + key % wmod).astype(np.float64)
+        hh = (1 + key % hmod).astype(np.float64)
+        return pa.table(
+            {
+                "id": pa.array(key),
+                "xmin": pa.array(x - hw),
+                "ymin": pa.array(y - hh),
+                "xmax": pa.array(x + hw),
+                "ymax": pa.array(y + hh),
+            }
+        )
+
+    return ds.map_batches(boxes, batch_format="pyarrow")
+
+
+def q_bbox_join(sf_dir: str):
+    """2D box-intersection join (stages.spatial.bbox_intersection_join,
+    PBSM canonical-cell dedup): part boxes × customer boxes, closed-
+    interval overlap, output (part_id, cust_id, overlap_m2)."""
+    from ..stages.spatial import bbox_intersection_join
+
+    parts = _formula_boxes(
+        _read(sf_dir, "part", ["p_partkey"]), "p_partkey", 13, 11
+    )
+    custs = _formula_boxes(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", 13, 11
+    )
+    out = bbox_intersection_join(parts, custs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["part_id", "cust_id", "overlap_m2"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+_BOX_SQL = """
+  SELECT {k} AS id,
+         CAST(11 * ({k} % 1000) - (1 + {k} % 13) AS DOUBLE) AS xmin,
+         CAST(14 * (({k} // 1000) % 1000) - (1 + {k} % 11) AS DOUBLE) AS ymin,
+         CAST(11 * ({k} % 1000) + (1 + {k} % 13) AS DOUBLE) AS xmax,
+         CAST(14 * (({k} // 1000) % 1000) + (1 + {k} % 11) AS DOUBLE) AS ymax
+  FROM {t}"""
+
+ORACLE_SQL["bbox_join"] = f"""
+WITH a AS ({_BOX_SQL.format(k='p_partkey', t='part')}),
+b AS ({_BOX_SQL.format(k='c_custkey', t='customer')})
+SELECT a.id AS part_id, b.id AS cust_id,
+       (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+     * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS overlap_m2
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+ AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""

@@ -225,6 +225,149 @@ def spatial_knn_join(
     )
 
 
+_BIAS = np.uint64(1 << 31)
+
+
+def _pack_ij(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """(ix, iy) grid coords → uint64 cell id (cell.py layout)."""
+    return ((ix.astype(np.uint64) + _BIAS) << np.uint64(32)) | (
+        iy.astype(np.uint64) + _BIAS
+    )
+
+
+def _cover_side(id_col: str, num_buckets: int, side: int, cell_size: float,
+                max_cover: int = 4096):
+    """map_batches kernel: replicate each box (id, xmin, ymin, xmax, ymax)
+    to EVERY grid cell it touches. Both join sides get the full cover —
+    the canonical-cell dedup rule needs the intersection's min-corner cell
+    present in both sides' covers."""
+
+    def _cover(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xmin = batch["xmin"].to_numpy(zero_copy_only=False)
+        ymin = batch["ymin"].to_numpy(zero_copy_only=False)
+        xmax = batch["xmax"].to_numpy(zero_copy_only=False)
+        ymax = batch["ymax"].to_numpy(zero_copy_only=False)
+        ix0 = np.floor(xmin / cell_size).astype(np.int64)
+        ix1 = np.floor(xmax / cell_size).astype(np.int64)
+        iy0 = np.floor(ymin / cell_size).astype(np.int64)
+        iy1 = np.floor(ymax / cell_size).astype(np.int64)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        if counts.size and counts.max() > max_cover:
+            raise ValueError(
+                f"a box covers {counts.max()} cells (> {max_cover}); "
+                "increase cell_size or pre-split giant geometries"
+            )
+        tot = int(counts.sum())
+        row = np.repeat(np.arange(ids.size), counts)
+        start = np.concatenate([[0], np.cumsum(counts)[:-1]]) if ids.size else (
+            np.empty(0, np.int64)
+        )
+        local = np.arange(tot) - np.repeat(start, counts)
+        cix = ix0[row] + local % np.maximum(nx[row], 1)
+        ciy = iy0[row] + local // np.maximum(nx[row], 1)
+        cells = _pack_ij(cix, ciy)
+        return pa.table(
+            {
+                "id": pa.array(ids[row]),
+                "xmin": pa.array(xmin[row]),
+                "ymin": pa.array(ymin[row]),
+                "xmax": pa.array(xmax[row]),
+                "ymax": pa.array(ymax[row]),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, num_buckets)),
+                "side": pa.array(np.full(row.size, side, np.int8)),
+            }
+        )
+
+    return _cover
+
+
+def bbox_intersection_join(
+    left_ds,
+    right_ds,
+    *,
+    left_id: str = "id",
+    right_id: str = "id",
+    num_buckets: int | None = None,
+    cell_size: float | None = None,
+):
+    """2D box-intersection join (PBSM / partition-based spatial merge):
+    boxes as (id, xmin, ymin, xmax, ymax) in EPSG:3857 planar meters,
+    CLOSED-interval overlap semantics — exactly the SQL inequality join
+    ``a.xmin <= b.xmax AND b.xmin <= a.xmax AND a.ymin <= b.ymax AND
+    b.ymin <= a.ymax``. Output (id_a, id_b, overlap_m2).
+
+    Each box replicates to the grid cells it touches (bounded by box
+    extent / cell_size, guarded); candidates meet via the bucketed cell
+    equi-join; a pair found in several shared cells is emitted ONCE by the
+    canonical-cell rule — keep it only in the cell containing the
+    intersection's min corner (that cell is in both covers by
+    construction). One all-to-all; no post-shuffle dedup pass."""
+    from .. import CELL_SIZE_M
+
+    cs = float(cell_size if cell_size is not None else CELL_SIZE_M)
+    nb = _auto_buckets(num_buckets)
+    left = left_ds.map_batches(
+        _cover_side(left_id, nb, 0, cs), batch_format="pyarrow"
+    )
+    right = right_ds.map_batches(
+        _cover_side(right_id, nb, 1, cs), batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype=np.int64),
+            "id_b": pd.Series(dtype=np.int64),
+            "overlap_m2": pd.Series(dtype=np.float64),
+        })
+        if a.empty or b.empty:
+            return empty
+        bc = b["cell"].to_numpy()
+        ac = a["cell"].to_numpy()
+        lo = np.searchsorted(bc, ac, "left")
+        hi = np.searchsorted(bc, ac, "right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty
+        ai = np.repeat(np.arange(len(a)), counts)
+        bi = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        axmin = a["xmin"].to_numpy()[ai]
+        aymin = a["ymin"].to_numpy()[ai]
+        axmax = a["xmax"].to_numpy()[ai]
+        aymax = a["ymax"].to_numpy()[ai]
+        bxmin = b["xmin"].to_numpy()[bi]
+        bymin = b["ymin"].to_numpy()[bi]
+        bxmax = b["xmax"].to_numpy()[bi]
+        bymax = b["ymax"].to_numpy()[bi]
+        ox = np.minimum(axmax, bxmax) - np.maximum(axmin, bxmin)
+        oy = np.minimum(aymax, bymax) - np.maximum(aymin, bymin)
+        m = (ox >= 0) & (oy >= 0)
+        # canonical cell: the one holding the intersection's min corner
+        ccell = _pack_ij(
+            np.floor(np.maximum(axmin, bxmin) / cs).astype(np.int64),
+            np.floor(np.maximum(aymin, bymin) / cs).astype(np.int64),
+        ).view(np.int64)
+        m &= ccell == ac[ai]
+        return pd.DataFrame(
+            {
+                "id_a": a["id"].to_numpy()[ai][m],
+                "id_b": b["id"].to_numpy()[bi][m],
+                "overlap_m2": (ox * oy)[m],
+            }
+        )
+
+    return (
+        left.union(right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 def dbscan_points(
     ds,
     eps_m: float,

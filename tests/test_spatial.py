@@ -229,3 +229,123 @@ class TestChainedSemiJoinTypes:
         }
         got = set(zip(*(s2.to_pandas()[c] for c in ("id_a", "id_b"))))
         assert got == exp
+
+
+class TestBboxIntersectionJoin:
+    def _toy_boxes(self, n, seed, span=2000.0, wmax=60.0):
+        rng = np.random.RandomState(seed)
+        cx = rng.rand(n) * span
+        cy = rng.rand(n) * span
+        hw = 1 + rng.rand(n) * wmax
+        hh = 1 + rng.rand(n) * wmax
+        return pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "xmin": pa.array(cx - hw),
+            "ymin": pa.array(cy - hh),
+            "xmax": pa.array(cx + hw),
+            "ymax": pa.array(cy + hh),
+        })
+
+    def _brute(self, a, b):
+        ad, bd = a.to_pandas(), b.to_pandas()
+        out = set()
+        for _, ra in ad.iterrows():
+            for _, rb in bd.iterrows():
+                if (ra.xmin <= rb.xmax and rb.xmin <= ra.xmax
+                        and ra.ymin <= rb.ymax and rb.ymin <= ra.ymax):
+                    out.add((int(ra.id), int(rb.id)))
+        return out
+
+    def test_vs_brute_force_each_pair_once(self, ray_session):
+        """cell_size smaller than box extents → every box covers MANY
+        cells; the canonical-cell rule must still emit each pair exactly
+        once (counted, not set-compared)."""
+        import ray.data
+
+        from overmatch_ray.stages.spatial import bbox_intersection_join
+
+        a, b = self._toy_boxes(120, 1), self._toy_boxes(150, 2)
+        exp = self._brute(a, b)
+        for cs in (40.0, 256.0):
+            got = bbox_intersection_join(
+                ray.data.from_arrow(a).repartition(4),
+                ray.data.from_arrow(b).repartition(3),
+                cell_size=cs,
+            ).to_pandas()
+            assert len(got) == len(exp), cs  # once per pair, no dups
+            assert set(zip(got.id_a, got.id_b)) == exp
+            ov = got.set_index(["id_a", "id_b"]).overlap_m2
+            ad = a.to_pandas().set_index("id")
+            bd = b.to_pandas().set_index("id")
+            for (i, j), v in ov.items():
+                ra, rb = ad.loc[i], bd.loc[j]
+                expect = (min(ra.xmax, rb.xmax) - max(ra.xmin, rb.xmin)) * (
+                    min(ra.ymax, rb.ymax) - max(ra.ymin, rb.ymin)
+                )
+                assert v == pytest.approx(expect)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import bbox_intersection_join
+
+        a, b = self._toy_boxes(100, 3), self._toy_boxes(100, 4)
+        prev = None
+        for parts in (2, 9):
+            got = (
+                bbox_intersection_join(
+                    ray.data.from_arrow(a).repartition(parts),
+                    ray.data.from_arrow(b).repartition(parts),
+                )
+                .to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            if prev is not None:
+                assert got.equals(prev)
+            prev = got
+
+    def test_giant_box_guard(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import bbox_intersection_join
+
+        big = pa.table({
+            "id": pa.array([0], pa.int64()),
+            "xmin": pa.array([0.0]), "ymin": pa.array([0.0]),
+            "xmax": pa.array([1e9]), "ymax": pa.array([1e9]),
+        })
+        ds = ray.data.from_arrow(big)
+        with pytest.raises(Exception, match="covers"):
+            bbox_intersection_join(ds, ds, cell_size=256.0).materialize()
+
+
+class TestTrackLengths:
+    def test_vs_pandas_and_partition_invariance(self, ray_session):
+        """q_track_lengths' engine plan vs a straight pandas groupby of the
+        same decimeter-leg definition."""
+        import ray.data
+
+        from overmatch_ray.pipelines.corpus_queries import q_track_lengths
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        from overmatch_ray.geo import mercator_xy
+
+        ev = pq.read_table(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        lon = -77.05 + (ev.event_id % 1000) * 1e-4
+        lat = 38.85 + ((ev.event_id // 1000) % 1000) * 1e-4
+        x, y = mercator_xy(lon.to_numpy(), lat.to_numpy())
+        ev = ev.assign(x=x, y=y).sort_values(["user_id", "ts", "event_id"])
+        exp = {}
+        for uid, g in ev.groupby("user_id"):
+            d = np.sqrt(np.diff(g.x.to_numpy()) ** 2 + np.diff(g.y.to_numpy()) ** 2)
+            exp[uid] = (len(g), int(np.floor(d * 10).sum()) / 10.0)
+        got = q_track_lengths(sf).to_pandas().set_index("user_id").sort_index()
+        assert len(got) == len(exp)
+        for uid, (n, m) in exp.items():
+            assert got.loc[uid, "n_pings"] == n
+            assert got.loc[uid, "track_m"] == m
