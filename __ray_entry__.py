@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": cq.q_dbscan_clusters,
         "track_lengths": cq.q_track_lengths,
         "bbox_join": cq.q_bbox_join,
+        "cell_heatmap": cq.q_cell_heatmap,
+        "speeding_events": cq.q_speeding_events,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -1329,3 +1329,100 @@ FROM a JOIN b
   ON a.xmin <= b.xmax AND b.xmin <= a.xmax
  AND a.ymin <= b.ymax AND b.ymin <= a.ymax
 """
+
+
+def q_cell_heatmap(sf_dir: str):
+    """Sparse-grid heatmap: per-cell customer counts convolved with a 3×3
+    binomial kernel (stages.spatial.kernel_smooth_counts) — 9 rows per
+    non-empty cell cross the shuffle, integer weights → exact parity."""
+    from ..stages.spatial import kernel_smooth_counts
+
+    return kernel_smooth_counts(q_cell_assign(sf_dir))
+
+
+ORACLE_SQL["cell_heatmap"] = f"""
+WITH pts AS (
+  SELECT {_COORD_SQL.format(k='c_custkey')} FROM customer),
+proj AS (
+  SELECT CAST(floor({_MERC} * radians(lon) / 256.0) AS BIGINT) AS cell_x,
+         CAST(floor({_MERC} * ln(tan(pi()/4 + radians(lat)/2)) / 256.0) AS BIGINT)
+             AS cell_y
+  FROM pts),
+counts AS (SELECT cell_x, cell_y, count(*) AS n FROM proj GROUP BY 1, 2),
+k(dx, dy, w) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),(0,1,2),
+                        (1,-1,1),(1,0,2),(1,1,1))
+SELECT c.cell_x + k.dx AS cell_x, c.cell_y + k.dy AS cell_y,
+       CAST(sum(k.w * c.n) AS BIGINT) AS heat
+FROM counts c CROSS JOIN k GROUP BY 1, 2
+"""
+
+
+def q_speeding_events(sf_dir: str):
+    """Movement-anomaly flags: per-user consecutive-ping speed (integer
+    decimeter legs / integer microsecond gaps — both exact, so the float
+    division is bit-identical cross-engine) above 0.5 m/s. Same bucketed
+    single-shuffle plan as track_lengths, keeping per-leg rows."""
+    from ..geo import mercator_xy
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(add_xy, batch_format="pyarrow")
+
+    def speed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        t_us = g["ts"].astype("int64").to_numpy()
+        d = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        leg_dm = np.floor(d * 10)
+        dt_us = np.diff(t_us)
+        same = (u[1:] == u[:-1]) & (dt_us > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            speed = (leg_dm / 10.0) / (dt_us / 1000000.0)
+        keep = same & (speed > 0.5)
+        return pd.DataFrame(
+            {
+                "user_id": u[1:][keep],
+                "event_id": g["event_id"].to_numpy()[1:][keep],
+                "speed_mps": speed[keep],
+            }
+        )
+
+    return bucketed_group_apply(pts, ["user_id"], speed_bucket, num_buckets=16)
+
+
+ORACLE_SQL["speeding_events"] = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_MERC} * radians(-77.05 + (event_id % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((event_id // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM events),
+lagd AS (
+  SELECT user_id, event_id, x, y, ts,
+         lag(x) OVER w AS px, lag(y) OVER w AS py, lag(ts) OVER w AS pts_
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+legs AS (
+  SELECT user_id, event_id,
+         (CAST(floor(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * 10)
+               AS BIGINT) / 10.0)
+         / (CAST(epoch_us(ts) - epoch_us(pts_) AS BIGINT) / 1000000.0) AS speed_mps
+  FROM lagd
+  WHERE px IS NOT NULL AND epoch_us(ts) - epoch_us(pts_) > 0)
+SELECT user_id, event_id, speed_mps FROM legs WHERE speed_mps > 0.5
+"""

@@ -225,6 +225,59 @@ def spatial_knn_join(
     )
 
 
+# 3x3 binomial kernel for cell-count smoothing (integer weights → exact
+# cross-engine parity of the smoothed sums)
+_KERNEL3 = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+            (0, -1, 2), (0, 0, 4), (0, 1, 2),
+            (1, -1, 1), (1, 0, 2), (1, 1, 1)]
+
+
+def kernel_smooth_counts(counts_ds, x_col: str = "cell_x",
+                         y_col: str = "cell_y", n_col: str = "n",
+                         out_col: str = "heat"):
+    """Heatmap smoothing over a per-cell count grid: 3×3 binomial kernel
+    (1-2-1 ⊗ 1-2-1) as a raster convolution WITHOUT a raster — each
+    (cell, count) row replicates to its 9 neighbors carrying w·count,
+    then one groupby sums. The shuffle moves 9 rows per NON-EMPTY cell
+    (sparse-grid convolution), never a dense raster; weights are integers
+    so the result is exact at any partitioning. Output cells include
+    empty cells that have non-empty neighbors — exactly the CROSS JOIN
+    kernel-table SQL analog."""
+    from ray.data.aggregate import Sum
+
+    def splat(batch: pa.Table) -> pa.Table:
+        cx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = np.array([k[0] for k in _KERNEL3], np.int64)
+        dy = np.array([k[1] for k in _KERNEL3], np.int64)
+        w = np.array([k[2] for k in _KERNEL3], np.int64)
+        return pa.table(
+            {
+                x_col: pa.array((cx[:, None] + dx[None, :]).ravel()),
+                y_col: pa.array((cy[:, None] + dy[None, :]).ravel()),
+                "wn": pa.array((n[:, None] * w[None, :]).ravel()),
+            }
+        )
+
+    out = (
+        counts_ds.map_batches(splat, batch_format="pyarrow")
+        .groupby([x_col, y_col])
+        .aggregate(Sum("wn", alias_name=out_col))
+    )
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                x_col: batch[x_col].cast(pa.int64()),
+                y_col: batch[y_col].cast(pa.int64()),
+                out_col: batch[out_col].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")
+
+
 _BIAS = np.uint64(1 << 31)
 
 

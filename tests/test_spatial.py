@@ -349,3 +349,55 @@ class TestTrackLengths:
         for uid, (n, m) in exp.items():
             assert got.loc[uid, "n_pings"] == n
             assert got.loc[uid, "track_m"] == m
+
+
+class TestKernelSmoothCounts:
+    def test_tiny_grid_manual(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import kernel_smooth_counts
+
+        counts = pa.table({
+            "cell_x": pa.array([0, 1], pa.int64()),
+            "cell_y": pa.array([0, 0], pa.int64()),
+            "n": pa.array([1, 10], pa.int64()),
+        })
+        got = (
+            kernel_smooth_counts(ray.data.from_arrow(counts))
+            .to_pandas()
+            .set_index(["cell_x", "cell_y"])["heat"]
+            .to_dict()
+        )
+        # kernel 1-2-1/2-4-2/1-2-1: heat(0,0)=4*1+2*10=24, heat(1,0)=2*1+4*10=42,
+        # heat(-1,0)=2, heat(2,0)=20, corners (−1,±1)=1 … (2,±1)=10
+        assert got[(0, 0)] == 24
+        assert got[(1, 0)] == 42
+        assert got[(-1, 0)] == 2
+        assert got[(2, 0)] == 20
+        assert got[(-1, 1)] == 1 and got[(2, -1)] == 10
+        assert got[(0, 1)] == 2 * 1 + 1 * 10  # (0,0) w=2 + (1,0) diag w=1
+        assert sum(got.values()) == 16 * 11  # kernel mass conservation
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import kernel_smooth_counts
+
+        rng = np.random.RandomState(7)
+        t = pa.table({
+            "cell_x": pa.array(rng.randint(0, 30, 500).astype(np.int64)),
+            "cell_y": pa.array(rng.randint(0, 30, 500).astype(np.int64)),
+            "n": pa.array(rng.randint(1, 9, 500).astype(np.int64)),
+        })
+        prev = None
+        for parts in (2, 11):
+            got = (
+                kernel_smooth_counts(ray.data.from_arrow(t).repartition(parts))
+                .to_pandas()
+                .sort_values(["cell_x", "cell_y"])
+                .reset_index(drop=True)
+            )
+            if prev is not None:
+                assert got.equals(prev)
+            prev = got
+        assert got.heat.sum() == 16 * t["n"].to_numpy().sum()
