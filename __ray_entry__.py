@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_join": cq.q_bbox_join,
         "cell_heatmap": cq.q_cell_heatmap,
         "speeding_events": cq.q_speeding_events,
+        "linestring_lengths": cq.q_linestring_lengths,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

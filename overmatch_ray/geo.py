@@ -106,6 +106,30 @@ def parse_wkb_points(blobs) -> tuple[np.ndarray, np.ndarray]:
     return coords[:, 0].copy(), coords[:, 1].copy()
 
 
+_WKB_LINESTRING = 2
+
+
+def wkb_linestring(coords: np.ndarray) -> bytes:
+    """Encode an (N,2) float64 coordinate array as WKB LINESTRING."""
+    coords = np.asarray(coords, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, _WKB_LINESTRING, len(coords))
+        + coords.astype("<f8").tobytes()
+    )
+
+
+def parse_wkb_linestring(blob: bytes) -> np.ndarray:
+    """Decode WKB LINESTRING → (N,2) float64 coordinate array."""
+    byte_order, geom_type, npts = struct.unpack_from("<BII", blob, 0)
+    if geom_type != _WKB_LINESTRING:
+        raise ValueError(f"not a WKB linestring (type={geom_type})")
+    return (
+        np.frombuffer(blob, dtype="<f8", count=npts * 2, offset=9)
+        .reshape(npts, 2)
+        .copy()
+    )
+
+
 def wkb_polygon(rings: list[np.ndarray]) -> bytes:
     """Encode a polygon. ``rings[0]`` is the exterior, rest are holes; each
     ring is an (N,2) float64 array of (lon,lat), closed or open (we close)."""

@@ -1426,3 +1426,71 @@ legs AS (
   WHERE px IS NOT NULL AND epoch_us(ts) - epoch_us(pts_) > 0)
 SELECT user_id, event_id, speed_mps FROM legs WHERE speed_mps > 0.5
 """
+
+
+def q_linestring_lengths(sf_dir: str):
+    """Geometry-payload path: synthesize 4-vertex WKB LINESTRINGs on the
+    integer planar lattice (one blob per part key), ship the binary
+    column through the object store, then PARSE the WKB back and measure
+    polyline length (integer-decimeter legs). The oracle recomputes the
+    same vertices arithmetically — parity proves the encode→parse round
+    trip, not just the math."""
+    from ..geo import parse_wkb_linestring, wkb_linestring
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for k in key:
+            ki = k + 7 * np.arange(4, dtype=np.int64)
+            coords = np.stack(
+                [(11 * (ki % 1000)).astype(np.float64),
+                 (14 * ((ki // 1000) % 1000)).astype(np.float64)], axis=1
+            )
+            blobs.append(wkb_linestring(coords))
+        return pa.table(
+            {"id": pa.array(key), "wkb": pa.array(blobs, pa.large_binary())}
+        )
+
+    def measure(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n_v = np.empty(ids.size, np.int64)
+        dm = np.empty(ids.size, np.int64)
+        for i, blob in enumerate(batch["wkb"].to_pylist()):
+            c = parse_wkb_linestring(blob)
+            n_v[i] = len(c)
+            seg = np.sqrt(np.diff(c[:, 0]) ** 2 + np.diff(c[:, 1]) ** 2)
+            dm[i] = int(np.floor(seg * 10).sum())
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "n_vertices": pa.array(n_v),
+                "length_m": pa.array(dm / 10.0),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        measure, batch_format="pyarrow"
+    )
+
+
+def _linestring_oracle_sql() -> str:
+    legs = []
+    for i in range(3):
+        a, b = 7 * i, 7 * (i + 1)
+        dx = f"(11 * ((p_partkey + {b}) % 1000) - 11 * ((p_partkey + {a}) % 1000))"
+        dy = (f"(14 * (((p_partkey + {b}) // 1000) % 1000) "
+              f"- 14 * (((p_partkey + {a}) // 1000) % 1000))")
+        legs.append(
+            f"CAST(floor(sqrt(CAST({dx} * {dx} + {dy} * {dy} AS DOUBLE)) * 10) AS BIGINT)"
+        )
+    total = " + ".join(legs)
+    return f"""
+SELECT p_partkey AS id, CAST(4 AS BIGINT) AS n_vertices,
+       ({total}) / 10.0 AS length_m
+FROM part
+"""
+
+
+ORACLE_SQL["linestring_lengths"] = _linestring_oracle_sql()

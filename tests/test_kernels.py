@@ -224,3 +224,25 @@ class TestHistogramQuantiles:
         c = pa.table({"v": pa.array([3.5] * 100)})
         oc = histogram_quantiles(ray.data.from_arrow(c), "v", [0.5])
         assert oc["q"].to_pylist() == [3.5]
+
+
+class TestWkbLinestring:
+    def test_roundtrip(self):
+        import numpy as np
+
+        from overmatch_ray.geo import parse_wkb_linestring, wkb_linestring
+
+        coords = np.array([[0.0, 0.0], [11.0, 14.0], [-3.5, 2.25], [1e7, -1e7]])
+        blob = wkb_linestring(coords)
+        assert blob[0] == 1 and blob[1:5] == (2).to_bytes(4, "little")
+        back = parse_wkb_linestring(blob)
+        assert np.array_equal(back, coords)
+
+    def test_type_guard(self):
+        import numpy as np
+        import pytest
+
+        from overmatch_ray.geo import parse_wkb_linestring, wkb_point
+
+        with pytest.raises(ValueError, match="linestring"):
+            parse_wkb_linestring(wkb_point(1.0, 2.0))
