@@ -1494,3 +1494,75 @@ FROM part
 
 
 ORACLE_SQL["linestring_lengths"] = _linestring_oracle_sql()
+
+
+def q_triangle_pip_join(sf_dir: str):
+    """Distributed polygon-containment join (triangle case): part-derived
+    lattice triangles × customer lattice points, closed half-plane sign
+    tests (stages.spatial.triangle_point_join). All vertex/point coords
+    are integer-valued doubles → exact sign parity with the SQL oracle."""
+    from ..stages.spatial import triangle_point_join
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def tris(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = (11 * (k % 1000)).astype(np.float64)
+        y0 = (14 * ((k // 1000) % 1000)).astype(np.float64)
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "ax": pa.array(x0), "ay": pa.array(y0),
+                "bx": pa.array(x0 + (5 + k % 41)), "by": pa.array(y0 - (3 + k % 23)),
+                "cx": pa.array(x0 - (4 + k % 29)), "cy": pa.array(y0 + (6 + k % 37)),
+            }
+        )
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "x": pa.array((11 * (k % 1000)).astype(np.float64)),
+                "y": pa.array((14 * ((k // 1000) % 1000)).astype(np.float64)),
+            }
+        )
+
+    return triangle_point_join(
+        part.map_batches(tris, batch_format="pyarrow"),
+        cust.map_batches(pts, batch_format="pyarrow"),
+    )
+
+
+ORACLE_SQL["triangle_pip_join"] = """
+WITH t AS (
+  SELECT p_partkey AS id,
+         CAST(11 * (p_partkey % 1000) AS DOUBLE) AS ax,
+         CAST(14 * ((p_partkey // 1000) % 1000) AS DOUBLE) AS ay,
+         CAST(11 * (p_partkey % 1000) + 5 + p_partkey % 41 AS DOUBLE) AS bx,
+         CAST(14 * ((p_partkey // 1000) % 1000) - (3 + p_partkey % 23) AS DOUBLE) AS by,
+         CAST(11 * (p_partkey % 1000) - (4 + p_partkey % 29) AS DOUBLE) AS cx,
+         CAST(14 * ((p_partkey // 1000) % 1000) + 6 + p_partkey % 37 AS DOUBLE) AS cy
+  FROM part),
+tb AS (
+  SELECT *, least(least(ax, bx), cx) AS xmin, greatest(greatest(ax, bx), cx) AS xmax,
+         least(least(ay, by), cy) AS ymin, greatest(greatest(ay, by), cy) AS ymax
+  FROM t),
+p AS (
+  SELECT c_custkey AS id,
+         CAST(11 * (c_custkey % 1000) AS DOUBLE) AS x,
+         CAST(14 * ((c_custkey // 1000) % 1000) AS DOUBLE) AS y
+  FROM customer)
+SELECT t.id AS tri_id, p.id AS pt_id
+FROM tb t JOIN p
+  ON p.x BETWEEN t.xmin AND t.xmax
+ AND p.y BETWEEN t.ymin AND t.ymax
+WHERE ((((t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax)) >= 0
+    AND ((t.cx - t.bx) * (p.y - t.by) - (t.cy - t.by) * (p.x - t.bx)) >= 0
+    AND ((t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx)) >= 0)
+   OR (((t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax)) <= 0
+    AND ((t.cx - t.bx) * (p.y - t.by) - (t.cy - t.by) * (p.x - t.bx)) <= 0
+    AND ((t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx)) <= 0))
+  AND ((t.bx - t.ax) * (t.cy - t.ay) - (t.by - t.ay) * (t.cx - t.ax)) <> 0
+"""

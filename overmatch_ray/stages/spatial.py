@@ -421,6 +421,152 @@ def bbox_intersection_join(
     )
 
 
+def triangle_point_join(
+    tri_ds,
+    pts_ds,
+    *,
+    tri_id: str = "id",
+    pt_id: str = "id",
+    num_buckets: int | None = None,
+    cell_size: float | None = None,
+):
+    """Distributed polygon-containment join, triangle case: triangles as
+    (id, ax, ay, bx, by, cx, cy), points as (id, x, y), both in planar
+    meters. CLOSED containment via three integer-exact cross-product sign
+    tests (all ≥ 0 or all ≤ 0, zero-area triangles match nothing) — the
+    same half-plane SQL an oracle can express. Output (tri_id, pt_id).
+
+    Partitioning: triangles replicate to their bbox's cell cover (PBSM,
+    guarded), points carry their ONE own cell — so a (triangle, point)
+    pair meets in exactly one group and needs no dedup rule. Extends the
+    broadcast-only division-polygon PIP (S4/M23, reference
+    scripts/get_divisions.py semantics) to polygon sets too large to
+    broadcast; general polygons ride the same plan with
+    ``geo.PackedPolygon.contains`` as the residual test."""
+    from .. import CELL_SIZE_M
+
+    cs = float(cell_size if cell_size is not None else CELL_SIZE_M)
+    nb = _auto_buckets(num_buckets)
+
+    def tri_cover(batch: pa.Table) -> pa.Table:
+        ids = batch[tri_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = batch["ax"].to_numpy(zero_copy_only=False)
+        ay = batch["ay"].to_numpy(zero_copy_only=False)
+        bx = batch["bx"].to_numpy(zero_copy_only=False)
+        by = batch["by"].to_numpy(zero_copy_only=False)
+        cx = batch["cx"].to_numpy(zero_copy_only=False)
+        cy = batch["cy"].to_numpy(zero_copy_only=False)
+        xmin = np.minimum(np.minimum(ax, bx), cx)
+        xmax = np.maximum(np.maximum(ax, bx), cx)
+        ymin = np.minimum(np.minimum(ay, by), cy)
+        ymax = np.maximum(np.maximum(ay, by), cy)
+        ix0 = np.floor(xmin / cs).astype(np.int64)
+        ix1 = np.floor(xmax / cs).astype(np.int64)
+        iy0 = np.floor(ymin / cs).astype(np.int64)
+        iy1 = np.floor(ymax / cs).astype(np.int64)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        if counts.size and counts.max() > 4096:
+            raise ValueError(
+                f"a triangle bbox covers {counts.max()} cells (> 4096)"
+            )
+        tot = int(counts.sum())
+        row = np.repeat(np.arange(ids.size), counts)
+        start = (np.concatenate([[0], np.cumsum(counts)[:-1]]) if ids.size
+                 else np.empty(0, np.int64))
+        local = np.arange(tot) - np.repeat(start, counts)
+        cells = _pack_ij(
+            ix0[row] + local % np.maximum(nx[row], 1),
+            iy0[row] + local // np.maximum(nx[row], 1),
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids[row]),
+                "ax": pa.array(ax[row]), "ay": pa.array(ay[row]),
+                "bx": pa.array(bx[row]), "by": pa.array(by[row]),
+                "cx": pa.array(cx[row]), "cy": pa.array(cy[row]),
+                "px": pa.array(np.zeros(row.size)),
+                "py": pa.array(np.zeros(row.size)),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, nb)),
+                "side": pa.array(np.full(row.size, 1, np.int8)),
+            }
+        )
+
+    def pt_own(batch: pa.Table) -> pa.Table:
+        ids = batch[pt_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        cells = _pack_ij(
+            np.floor(x / cs).astype(np.int64), np.floor(y / cs).astype(np.int64)
+        )
+        z = np.zeros(ids.size)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "ax": pa.array(z), "ay": pa.array(z),
+                "bx": pa.array(z), "by": pa.array(z),
+                "cx": pa.array(z), "cy": pa.array(z),
+                "px": pa.array(x),
+                "py": pa.array(y),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, nb)),
+                "side": pa.array(np.full(ids.size, 0, np.int8)),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        t = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        if p.empty or t.empty:
+            return pd.DataFrame({
+                "tri_id": pd.Series(dtype=np.int64),
+                "pt_id": pd.Series(dtype=np.int64),
+            })
+        tc = t["cell"].to_numpy()
+        pc_ = p["cell"].to_numpy()
+        lo = np.searchsorted(tc, pc_, "left")
+        hi = np.searchsorted(tc, pc_, "right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return pd.DataFrame({
+                "tri_id": pd.Series(dtype=np.int64),
+                "pt_id": pd.Series(dtype=np.int64),
+            })
+        pi = np.repeat(np.arange(len(p)), counts)
+        ti = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        px = p["px"].to_numpy()[pi]
+        py = p["py"].to_numpy()[pi]
+        ax = t["ax"].to_numpy()[ti]
+        ay = t["ay"].to_numpy()[ti]
+        bx = t["bx"].to_numpy()[ti]
+        by = t["by"].to_numpy()[ti]
+        cx = t["cx"].to_numpy()[ti]
+        cy = t["cy"].to_numpy()[ti]
+        d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inside = (
+            ((d1 >= 0) & (d2 >= 0) & (d3 >= 0))
+            | ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
+        ) & (area2 != 0)
+        return pd.DataFrame(
+            {
+                "tri_id": t["id"].to_numpy()[ti][inside],
+                "pt_id": p["id"].to_numpy()[pi][inside],
+            }
+        )
+
+    return (
+        pts_ds.map_batches(pt_own, batch_format="pyarrow")
+        .union(tri_ds.map_batches(tri_cover, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 def dbscan_points(
     ds,
     eps_m: float,

@@ -401,3 +401,53 @@ class TestKernelSmoothCounts:
                 assert got.equals(prev)
             prev = got
         assert got.heat.sum() == 16 * t["n"].to_numpy().sum()
+
+
+class TestTrianglePointJoin:
+    def test_vs_brute_force_multi_cell(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import triangle_point_join
+
+        rng = np.random.RandomState(5)
+        nt, npts = 80, 400
+        ax = rng.rand(nt) * 1500
+        ay = rng.rand(nt) * 1500
+        tris = pa.table({
+            "id": pa.array(np.arange(nt, dtype=np.int64)),
+            "ax": pa.array(ax), "ay": pa.array(ay),
+            "bx": pa.array(ax + rng.randn(nt) * 120),
+            "by": pa.array(ay + rng.randn(nt) * 120),
+            "cx": pa.array(ax + rng.randn(nt) * 120),
+            "cy": pa.array(ay + rng.randn(nt) * 120),
+        })
+        pts = pa.table({
+            "id": pa.array(np.arange(npts, dtype=np.int64)),
+            "x": pa.array(rng.rand(npts) * 1500),
+            "y": pa.array(rng.rand(npts) * 1500),
+        })
+        td, pd_ = tris.to_pandas(), pts.to_pandas()
+        exp = set()
+        for _, t in td.iterrows():
+            for _, p in pd_.iterrows():
+                d1 = (t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax)
+                d2 = (t.cx - t.bx) * (p.y - t.by) - (t.cy - t.by) * (p.x - t.bx)
+                d3 = (t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx)
+                a2 = (t.bx - t.ax) * (t.cy - t.ay) - (t.by - t.ay) * (t.cx - t.ax)
+                if a2 != 0 and ((d1 >= 0 and d2 >= 0 and d3 >= 0)
+                                or (d1 <= 0 and d2 <= 0 and d3 <= 0)):
+                    exp.add((int(t.id), int(p.id)))
+        assert exp  # scenario non-degenerate
+        prev = None
+        for cs, parts in ((64.0, 3), (256.0, 7)):
+            got = triangle_point_join(
+                ray.data.from_arrow(tris).repartition(parts),
+                ray.data.from_arrow(pts).repartition(parts),
+                cell_size=cs,
+            ).to_pandas()
+            pairs = set(zip(got.tri_id, got.pt_id))
+            assert len(got) == len(pairs)  # no duplicate emissions
+            assert pairs == exp
+            if prev is not None:
+                assert pairs == prev
+            prev = pairs
