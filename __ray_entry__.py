@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speeding_events": cq.q_speeding_events,
         "linestring_lengths": cq.q_linestring_lengths,
         "triangle_pip_join": cq.q_triangle_pip_join,
+        "tile_pyramid": cq.q_tile_pyramid,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -160,6 +160,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         n += q_pack_sequences(sf_dir).count()
         return n
 
+    def run_spatial():
+        # the round-3 spatial neighborhood family over the same geo corpus:
+        # bounded-radius kNN self-join (in-bucket top-k) + grid DBSCAN
+        import numpy as np
+        import pyarrow as pa
+
+        from overmatch_ray.stages.spatial import dbscan_points, spatial_knn_join
+
+        nb = max(16, num_cpus)
+        raw = ray.data.read_parquet(
+            os.path.join(cache, "osm"), columns=["osm_id", "lon", "lat"]
+        ).repartition(nb)
+
+        def to_pts(batch: pa.Table) -> pa.Table:
+            ids = np.fromiter(
+                (int(s.split("/", 1)[1]) for s in batch["osm_id"].to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            return pa.table(
+                {"id": pa.array(ids), "lon": batch["lon"], "lat": batch["lat"]}
+            )
+
+        pts = raw.map_batches(to_pts, batch_format="pyarrow").materialize()
+        n = spatial_knn_join(
+            pts, pts, k=3, radius_m=100.0, num_buckets=2 * num_cpus
+        ).count()
+        n += dbscan_points(
+            pts, eps_m=50.0, min_pts=5, num_buckets=2 * num_cpus
+        ).count()
+        return n
+
     def run_images():
         img_ds = ray.data.read_parquet(os.path.join(cache, "images"))
         # materialize the tiny projected output between the actor pool and
@@ -173,8 +204,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return dedup_exact(validated.repartition(2 * num_cpus)).count()
 
     # GRAFT_STAGES: comma-list subset of conflate,images,postmatch,
-    # textdedup,corpusprep,pricing_summary,priority_revenue (default all)
-    # — the scale probe runs only the shuffle-bound stages
+    # textdedup,corpusprep,spatial,pricing_summary,priority_revenue
+    # (default all) — the scale probe runs only the shuffle-bound stages
     stages_env = os.environ.get("GRAFT_STAGES", "")
     stages = set(s.strip() for s in stages_env.split(",") if s.strip()) or None
 
@@ -242,6 +273,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     if want("corpusprep"):
         timed("corpusprep", run_corpusprep)
+    if want("spatial"):
+        timed("spatial", run_spatial)
     if want("pricing_summary"):
         timed("pricing_summary", lambda: q_pricing_summary(sf_dir).to_pandas())
     if want("priority_revenue"):

@@ -1566,3 +1566,83 @@ WHERE ((((t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax)) >= 0
     AND ((t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx)) <= 0))
   AND ((t.bx - t.ax) * (t.cy - t.ay) - (t.by - t.ay) * (t.cx - t.ax)) <> 0
 """
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile occupancy in TWO shuffles: z14 counts (shuffle #1
+    moves ≤ one row per point), then each z14 tile SPLATS up the pyramid
+    (z ∈ {8, 10, 12, 14} via integer >> rollup) and a second groupby sums
+    — shuffle #2 moves tiles × levels, ≪ points. The S15 '-zg' pyramid
+    statistics pass as a standalone operator."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tiles import tile_xy
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def t14(batch: pa.Table) -> pa.Table:
+        lon, lat = _formula_coords(
+            batch["c_custkey"].to_numpy(zero_copy_only=False)
+        )
+        tx, ty = tile_xy(lon, lat, 14)
+        return pa.table({"tx": pa.array(tx), "ty": pa.array(ty)})
+
+    counts14 = (
+        ds.map_batches(t14, batch_format="pyarrow")
+        .groupby(["tx", "ty"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    levels = [(8, 64), (10, 16), (12, 4), (14, 1)]
+
+    def splat(batch: pa.Table) -> pa.Table:
+        tx = batch["tx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch["ty"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zs, ds_ = (np.array([z for z, _ in levels], np.int64),
+                   np.array([d for _, d in levels], np.int64))
+        return pa.table(
+            {
+                "z": pa.array(np.tile(zs, tx.size)),
+                "tx": pa.array((tx[:, None] // ds_[None, :]).ravel()),
+                "ty": pa.array((ty[:, None] // ds_[None, :]).ravel()),
+                "wn": pa.array(np.repeat(n, len(levels))),
+            }
+        )
+
+    out = (
+        counts14.map_batches(splat, batch_format="pyarrow")
+        .groupby(["z", "tx", "ty"])
+        .aggregate(Sum("wn", alias_name="n"))
+    )
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "z": batch["z"].cast(pa.int64()),
+                "tx": batch["tx"].cast(pa.int64()),
+                "ty": batch["ty"].cast(pa.int64()),
+                "n": batch["n"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")
+
+
+ORACLE_SQL["tile_pyramid"] = """
+WITH pts AS (
+  SELECT -77.05 + (c_custkey % 1000) * 1e-4 AS lon,
+         38.85 + ((c_custkey // 1000) % 1000) * 1e-4 AS lat
+  FROM customer),
+t14 AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                    / 2.0 * 16384) AS BIGINT) AS ty,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2),
+levels(z, d) AS (VALUES (CAST(8 AS BIGINT), CAST(64 AS BIGINT)),
+                        (10, 16), (12, 4), (14, 1))
+SELECT l.z, t.tx // l.d AS tx, t.ty // l.d AS ty, CAST(sum(t.n) AS BIGINT) AS n
+FROM t14 t CROSS JOIN levels l
+GROUP BY 1, 2, 3
+"""

@@ -205,8 +205,19 @@ def semi_join_shuffled(
     def align_left(batch: pa.Table) -> pa.Table:
         # left rows carry their OWN key in __semi_key too: the column is
         # then populated on both sides, so pandas never null-pad-upcasts it
-        # to float64 (which silently corrupts int keys above 2^53)
-        return batch.append_column("__semi_key", batch[left_on].cast(key_type))
+        # to float64 (which silently corrupts int keys above 2^53).
+        # Null-fill any l_schema column missing from the actual block —
+        # Dataset.schema() can report stale pre-projection columns after
+        # select_columns-on-map_groups, and a left/right block mismatch
+        # inside the groupby shuffle silently corrupts the join.
+        cols = {}
+        for n, t in zip(l_schema.names, l_schema.types):
+            cols[n] = (batch[n] if n in batch.column_names
+                       else pa.nulls(batch.num_rows, t))
+        cols["__bucket"] = batch["__bucket"]
+        cols["__side"] = batch["__side"]
+        cols["__semi_key"] = batch[left_on].cast(key_type)
+        return pa.table(cols)
 
     def align_right(batch: pa.Table) -> pa.Table:
         cols = {n: pa.nulls(batch.num_rows, t) for n, t in zip(l_schema.names, l_schema.types)}
