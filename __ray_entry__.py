@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linestring_lengths": cq.q_linestring_lengths,
         "triangle_pip_join": cq.q_triangle_pip_join,
         "tile_pyramid": cq.q_tile_pyramid,
+        "price_key_corr": cq.q_price_key_corr,
+        "mm_pack": cq.q_mm_pack,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

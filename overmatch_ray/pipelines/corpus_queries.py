@@ -1646,3 +1646,98 @@ SELECT l.z, t.tx // l.d AS tx, t.ty // l.d AS ty, CAST(sum(t.n) AS BIGINT) AS n
 FROM t14 t CROSS JOIN levels l
 GROUP BY 1, 2, 3
 """
+
+
+def q_price_key_corr(sf_dir: str):
+    """Distributed EXACT Pearson correlation (stages.groupops.exact_corr):
+    order key bucket (o_orderkey % 1000) vs totalprice in integer cents —
+    Python-int moment partials, driver combine, HUGEINT-parity float
+    finish. One row: (n_orders, corr_key_price)."""
+    from ..stages.groupops import exact_corr
+    from .queries import _cents
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array(k % 1000),
+                "y": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    n, corr = exact_corr(ds.map_batches(to_ints, batch_format="pyarrow"), "x", "y")
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "corr_key_price": pa.array([corr], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["price_key_corr"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(o_orderkey % 1000 AS HUGEINT)) AS sx,
+         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT)) AS sy,
+         sum(CAST(o_orderkey % 1000 AS HUGEINT)
+             * CAST(o_orderkey % 1000 AS HUGEINT)) AS sxx,
+         sum(CAST(o_orderkey % 1000 AS HUGEINT)
+             * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)) AS sxy,
+         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT)
+             * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)) AS syy
+  FROM orders)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_key_price
+FROM m
+"""
+
+
+def q_mm_pack(sf_dir: str):
+    """Multimodal sequence packing: documents where every third doc
+    carries an image patch-token cost (576, ViT-L/14 @ 336px) on top of
+    its text tokens; shards fill a 4096-token budget in doc_id order via
+    the distributed two-phase scan (stages.splits.pack_sequences over the
+    combined weight)."""
+    from ..stages.splits import pack_sequences
+    from ..stages.textstats import token_count_batch
+
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(did),
+             "mm_tokens": pa.array(nt + 576 * (did % 3 == 0))}
+        )
+
+    return pack_sequences(
+        docs.map_batches(weight, batch_format="pyarrow"),
+        "doc_id", "mm_tokens", budget=4096, range_size=128,
+    )
+
+
+ORACLE_SQL["mm_pack"] = """
+SELECT doc_id, mm_tokens,
+       CAST(floor(coalesce(sum(mm_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 4096) AS BIGINT) AS shard_id
+FROM (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT)
+             + 576 * CAST(doc_id % 3 = 0 AS BIGINT) AS mm_tokens
+      FROM documents)
+"""

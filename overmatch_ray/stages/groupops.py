@@ -14,6 +14,7 @@ Deterministic hashing only (splitmix64 / crc32) — never Python ``hash``
 
 from __future__ import annotations
 
+import json
 import zlib
 
 import numpy as np
@@ -676,3 +677,41 @@ def heavy_hitter_tokens(ds, text_col: str = "text", denom: int = 1000,
         ds.map_batches(explode, batch_format="pyarrow"), "item",
         denom=denom, k=k,
     )
+
+
+def exact_corr(ds, x_col: str, y_col: str) -> "tuple[int, float]":
+    """Distributed EXACT Pearson correlation of two integer columns:
+    per-batch moment partials (n, Σx, Σy, Σx², Σxy, Σy²) summed with
+    PYTHON ints (arbitrary precision — Σy² of cent-valued money overflows
+    int64 at ~10⁵ rows), combined on the driver (one 6-tuple per batch,
+    never rows). The final float expression mirrors the SQL
+    ``CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(...))``
+    evaluation order, so the double is bit-identical to an oracle that
+    sums in HUGEINT — exact at any partitioning. Returns (n, corr)."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64).tolist()
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64).tolist()
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        syy = sum(v * v for v in y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        return pa.table({
+            "m": pa.array([json.dumps([len(x), sx, sy, sxx, sxy, syy])],
+                          pa.string()),
+        })
+
+    n = sx = sy = sxx = sxy = syy = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b["m"].to_pylist():
+            pn, px, py_, pxx, pxy, pyy = json.loads(s)
+            n += pn; sx += px; sy += py_; sxx += pxx; sxy += pxy; syy += pyy
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return n, float("nan")
+    return n, float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))

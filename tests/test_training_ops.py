@@ -992,3 +992,39 @@ class TestEdgeCases:
             granule=31,
         ).take_all()
         assert [(r["lid"], r["rid"]) for r in out] == [(1, 7)]
+
+
+class TestExactCorr:
+    def test_matches_numpy_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.groupops import exact_corr
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 1000, 20_000).astype(np.int64)
+        # cent-scale y correlated with x: Σy² ≈ 2e19 — overflows int64,
+        # which is exactly why the partials sum in Python ints
+        y = (x * 31_000 + rng.randint(0, 20_000_000, 20_000)).astype(np.int64)
+        t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+        assert float(y.astype(object).dot(y.astype(object))) > 2**63
+        expected = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+        prev = None
+        for parts in (2, 13):
+            n, c = exact_corr(ray.data.from_arrow(t).repartition(parts), "x", "y")
+            assert n == 20_000
+            assert c == pytest.approx(expected, abs=1e-12)
+            if prev is not None:
+                assert c == prev  # bit-identical across partitionings
+            prev = c
+
+    def test_degenerate_returns_nan(self, ray_session):
+        import math
+
+        import ray.data
+
+        from overmatch_ray.stages.groupops import exact_corr
+
+        t = pa.table({"x": pa.array([5, 5, 5], pa.int64()),
+                      "y": pa.array([1, 2, 3], pa.int64())})
+        n, c = exact_corr(ray.data.from_arrow(t), "x", "y")
+        assert n == 3 and math.isnan(c)
