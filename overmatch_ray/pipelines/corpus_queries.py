@@ -1741,3 +1741,81 @@ FROM (SELECT doc_id,
              + 576 * CAST(doc_id % 3 = 0 AS BIGINT) AS mm_tokens
       FROM documents)
 """
+
+
+def q_snap_to_segments(sf_dir: str):
+    """Map-matching: snap customer lattice points to their nearest
+    part-derived lattice segment within 50 m
+    (stages.spatial.snap_points_to_segments). Nearest by decimeter-floored
+    distance with seg-id tie-break — deterministic and SQL-mirrored; all
+    inputs integer-valued doubles, so the clamped-projection math is
+    bit-identical cross-engine."""
+    from ..stages.spatial import snap_points_to_segments
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def segs(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = (11 * (k % 1000)).astype(np.float64)
+        y0 = (14 * ((k // 1000) % 1000)).astype(np.float64)
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "ax": pa.array(x0), "ay": pa.array(y0),
+                "bx": pa.array(x0 + (10 + k % 53)),
+                "by": pa.array(y0 - (5 + k % 31)),
+            }
+        )
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "x": pa.array((11 * (k % 1000)).astype(np.float64)),
+                "y": pa.array((14 * ((k // 1000) % 1000)).astype(np.float64)),
+            }
+        )
+
+    return snap_points_to_segments(
+        cust.map_batches(pts, batch_format="pyarrow"),
+        part.map_batches(segs, batch_format="pyarrow"),
+        radius_m=50.0,
+    )
+
+
+ORACLE_SQL["snap_to_segments"] = """
+WITH s AS (
+  SELECT p_partkey AS id,
+         CAST(11 * (p_partkey % 1000) AS DOUBLE) AS ax,
+         CAST(14 * ((p_partkey // 1000) % 1000) AS DOUBLE) AS ay,
+         CAST(11 * (p_partkey % 1000) + 10 + p_partkey % 53 AS DOUBLE) AS bx,
+         CAST(14 * ((p_partkey // 1000) % 1000) - (5 + p_partkey % 31) AS DOUBLE) AS by
+  FROM part),
+p AS (
+  SELECT c_custkey AS id,
+         CAST(11 * (c_custkey % 1000) AS DOUBLE) AS x,
+         CAST(14 * ((c_custkey // 1000) % 1000) AS DOUBLE) AS y
+  FROM customer),
+cand AS (
+  SELECT p.id AS pt_id, s.id AS seg_id, p.x, p.y, s.ax, s.ay, s.bx, s.by,
+         CASE WHEN (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay) > 0
+              THEN least(greatest(((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                                  / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)), 0.0), 1.0)
+              ELSE 0.0 END AS t
+  FROM p JOIN s
+    ON p.x BETWEEN least(s.ax, s.bx) - 50 AND greatest(s.ax, s.bx) + 50
+   AND p.y BETWEEN least(s.ay, s.by) - 50 AND greatest(s.ay, s.by) + 50),
+d AS (
+  SELECT pt_id, seg_id, t,
+         sqrt((x - (ax + t * (bx - ax))) * (x - (ax + t * (bx - ax)))
+            + (y - (ay + t * (by - ay))) * (y - (ay + t * (by - ay)))) AS rawd
+  FROM cand),
+r AS (
+  SELECT pt_id, seg_id, floor(rawd * 10) / 10.0 AS dist_m, t,
+         row_number() OVER (PARTITION BY pt_id
+                            ORDER BY floor(rawd * 10) / 10.0, seg_id) AS rn
+  FROM d WHERE rawd <= 50.0)
+SELECT pt_id, seg_id, dist_m, t FROM r WHERE rn = 1
+"""

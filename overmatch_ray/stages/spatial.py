@@ -567,6 +567,157 @@ def triangle_point_join(
     )
 
 
+def snap_points_to_segments(
+    pts_ds,
+    seg_ds,
+    radius_m: float,
+    *,
+    pt_id: str = "id",
+    seg_id: str = "id",
+    num_buckets: int | None = None,
+    cell_size: float | None = None,
+):
+    """Map-matching primitive: snap each point to its nearest line
+    segment within ``radius_m``. Points as (id, x, y); segments as
+    (id, ax, ay, bx, by), planar meters. Distance = point-to-segment with
+    clamped projection (t ∈ [0,1]); nearest wins with (distance, seg id)
+    tie-break → one row (pt_id, seg_id, dist_m, t) per matched point,
+    dist_m floored to decimeters (exact cross-engine, track_lengths
+    trick); t is the clamped projection parameter.
+
+    Partitioning: segments replicate to their bbox cell cover EXPANDED by
+    ``radius_m`` (so any cell whose points can be within radius holds a
+    replica; requires radius ≤ cell edge — guarded); points carry their
+    ONE cell, so a point's entire candidate set shares one group and the
+    per-point argmin is global without a second shuffle — same argument
+    as the kNN join's in-bucket top-k."""
+    from .. import CELL_SIZE_M
+
+    cs = float(cell_size if cell_size is not None else CELL_SIZE_M)
+    if radius_m > cs:
+        raise ValueError(
+            f"radius {radius_m} m exceeds the {cs} m cell edge; the "
+            "expanded cover would miss candidates"
+        )
+    nb = _auto_buckets(num_buckets)
+
+    def seg_cover(batch: pa.Table) -> pa.Table:
+        ids = batch[seg_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = batch["ax"].to_numpy(zero_copy_only=False)
+        ay = batch["ay"].to_numpy(zero_copy_only=False)
+        bx = batch["bx"].to_numpy(zero_copy_only=False)
+        by = batch["by"].to_numpy(zero_copy_only=False)
+        ix0 = np.floor((np.minimum(ax, bx) - radius_m) / cs).astype(np.int64)
+        ix1 = np.floor((np.maximum(ax, bx) + radius_m) / cs).astype(np.int64)
+        iy0 = np.floor((np.minimum(ay, by) - radius_m) / cs).astype(np.int64)
+        iy1 = np.floor((np.maximum(ay, by) + radius_m) / cs).astype(np.int64)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        if counts.size and counts.max() > 4096:
+            raise ValueError(
+                f"a segment + radius covers {counts.max()} cells (> 4096)"
+            )
+        tot = int(counts.sum())
+        row = np.repeat(np.arange(ids.size), counts)
+        start = (np.concatenate([[0], np.cumsum(counts)[:-1]]) if ids.size
+                 else np.empty(0, np.int64))
+        local = np.arange(tot) - np.repeat(start, counts)
+        cells = _pack_ij(
+            ix0[row] + local % np.maximum(nx[row], 1),
+            iy0[row] + local // np.maximum(nx[row], 1),
+        )
+        z = np.zeros(row.size)
+        return pa.table(
+            {
+                "id": pa.array(ids[row]),
+                "ax": pa.array(ax[row]), "ay": pa.array(ay[row]),
+                "bx": pa.array(bx[row]), "by": pa.array(by[row]),
+                "px": pa.array(z), "py": pa.array(z),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, nb)),
+                "side": pa.array(np.full(row.size, 1, np.int8)),
+            }
+        )
+
+    def pt_own(batch: pa.Table) -> pa.Table:
+        ids = batch[pt_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        cells = _pack_ij(
+            np.floor(x / cs).astype(np.int64), np.floor(y / cs).astype(np.int64)
+        )
+        z = np.zeros(ids.size)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "ax": pa.array(z), "ay": pa.array(z),
+                "bx": pa.array(z), "by": pa.array(z),
+                "px": pa.array(x), "py": pa.array(y),
+                "cell": pa.array(cells.view(np.int64)),
+                "bucket": pa.array(bucket_of(cells, nb)),
+                "side": pa.array(np.full(ids.size, 0, np.int8)),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        s = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        empty = pd.DataFrame({
+            "pt_id": pd.Series(dtype=np.int64),
+            "seg_id": pd.Series(dtype=np.int64),
+            "dist_m": pd.Series(dtype=np.float64),
+            "t": pd.Series(dtype=np.float64),
+        })
+        if p.empty or s.empty:
+            return empty
+        sc = s["cell"].to_numpy()
+        pc_ = p["cell"].to_numpy()
+        lo = np.searchsorted(sc, pc_, "left")
+        hi = np.searchsorted(sc, pc_, "right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty
+        pi = np.repeat(np.arange(len(p)), counts)
+        si = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        px = p["px"].to_numpy()[pi]
+        py = p["py"].to_numpy()[pi]
+        ax = s["ax"].to_numpy()[si]
+        ay = s["ay"].to_numpy()[si]
+        bx = s["bx"].to_numpy()[si]
+        by = s["by"].to_numpy()[si]
+        # clamped projection — expression order mirrored in the SQL oracle
+        tnum = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+        tden = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(tden > 0, np.clip(tnum / tden, 0.0, 1.0), 0.0)
+        dx = px - (ax + t * (bx - ax))
+        dy = py - (ay + t * (by - ay))
+        d = np.sqrt(dx * dx + dy * dy)
+        m = d <= radius_m
+        out = pd.DataFrame(
+            {
+                "pt_id": p["id"].to_numpy()[pi][m],
+                "seg_id": s["id"].to_numpy()[si][m],
+                "dist_m": np.floor(d[m] * 10) / 10.0,
+                "t": t[m],
+            }
+        )
+        # per-point argmin with (dist, seg_id) tie-break — global because
+        # the point's whole candidate set is in this group
+        out = out.sort_values(
+            ["pt_id", "dist_m", "seg_id"], kind="mergesort"
+        ).drop_duplicates("pt_id", keep="first")
+        return out.reset_index(drop=True)
+
+    return (
+        pts_ds.map_batches(pt_own, batch_format="pyarrow")
+        .union(seg_ds.map_batches(seg_cover, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 def dbscan_points(
     ds,
     eps_m: float,

@@ -451,3 +451,82 @@ class TestTrianglePointJoin:
             if prev is not None:
                 assert pairs == prev
             prev = pairs
+
+
+class TestSnapPointsToSegments:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import snap_points_to_segments
+
+        rng = np.random.RandomState(9)
+        ns, npts, radius = 60, 300, 50.0
+        ax = rng.rand(ns) * 1200
+        ay = rng.rand(ns) * 1200
+        segs = pa.table({
+            "id": pa.array(np.arange(ns, dtype=np.int64)),
+            "ax": pa.array(ax), "ay": pa.array(ay),
+            "bx": pa.array(ax + rng.randn(ns) * 150),
+            "by": pa.array(ay + rng.randn(ns) * 150),
+        })
+        pts = pa.table({
+            "id": pa.array(np.arange(npts, dtype=np.int64)),
+            "x": pa.array(rng.rand(npts) * 1200),
+            "y": pa.array(rng.rand(npts) * 1200),
+        })
+
+        sd, pd_ = segs.to_pandas(), pts.to_pandas()
+        exp = {}
+        for _, p in pd_.iterrows():
+            best = None
+            for _, s in sd.iterrows():
+                den = (s.bx - s.ax) ** 2 + (s.by - s.ay) ** 2
+                t = (min(max(((p.x - s.ax) * (s.bx - s.ax)
+                              + (p.y - s.ay) * (s.by - s.ay)) / den, 0.0), 1.0)
+                     if den > 0 else 0.0)
+                d = np.hypot(p.x - (s.ax + t * (s.bx - s.ax)),
+                             p.y - (s.ay + t * (s.by - s.ay)))
+                if d <= radius:
+                    key = (np.floor(d * 10) / 10.0, int(s.id))
+                    if best is None or key < best[:2]:
+                        best = (*key, t)
+            if best is not None:
+                exp[int(p.id)] = best
+        assert 0 < len(exp) < npts  # some matched, some out of range
+        prev = None
+        for parts in (3, 8):
+            got = (
+                snap_points_to_segments(
+                    ray.data.from_arrow(pts).repartition(parts),
+                    ray.data.from_arrow(segs).repartition(parts),
+                    radius_m=radius,
+                )
+                .to_pandas()
+                .set_index("pt_id")
+                .sort_index()
+            )
+            assert set(got.index) == set(exp)
+            for pid, (dm, sid, t) in exp.items():
+                assert got.loc[pid, "seg_id"] == sid, pid
+                assert got.loc[pid, "dist_m"] == dm
+                assert got.loc[pid, "t"] == pytest.approx(t, abs=1e-12)
+            if prev is not None:
+                assert got.equals(prev)
+            prev = got
+
+    def test_radius_guard(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import snap_points_to_segments
+
+        pts = ray.data.from_arrow(pa.table({
+            "id": pa.array([0], pa.int64()),
+            "x": pa.array([0.0]), "y": pa.array([0.0]),
+        }))
+        segs = ray.data.from_arrow(pa.table({
+            "id": pa.array([0], pa.int64()),
+            "ax": pa.array([0.0]), "ay": pa.array([0.0]),
+            "bx": pa.array([1.0]), "by": pa.array([1.0]),
+        }))
+        with pytest.raises(ValueError, match="cell edge"):
+            snap_points_to_segments(pts, segs, radius_m=500.0)
