@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_key_corr": cq.q_price_key_corr,
         "mm_pack": cq.q_mm_pack,
         "snap_to_segments": cq.q_snap_to_segments,
+        "user_retention": cq.q_user_retention,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -1819,3 +1819,69 @@ r AS (
   FROM d WHERE rawd <= 50.0)
 SELECT pt_id, seg_id, dist_m, t FROM r WHERE rn = 1
 """
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each active day offset. Plan: distinct (user, day) via groupby →
+    per-user min day → bucketed hash join (ids only) → (cohort, offset)
+    count — every shuffle moves one row per user-day, never raw events."""
+    from ..stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def user_day(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"user_id": pa.array(u), "day": pa.array(day)})
+
+    ud = (
+        ds.map_batches(user_day, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="nn"))
+        .map_batches(
+            lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                                "day": b["day"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    fd = ud.groupby("user_id").min("day").map_batches(
+        lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                            "cohort_day": b["min(day)"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(ud, fd, left_on="user_id", right_on="user_id")
+
+    def offs(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = batch["cohort_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"cohort_day": pa.array(cd), "day_offset": pa.array(day - cd)}
+        )
+
+    out = (
+        joined.map_batches(offs, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "cohort_day": b["cohort_day"].cast(pa.int64()),
+            "day_offset": b["day_offset"].cast(pa.int64()),
+            "n_users": b["n_users"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["user_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+fd AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+SELECT f.cohort_day, u.day - f.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud u JOIN fd f ON u.user_id = f.user_id
+GROUP BY 1, 2
+"""
