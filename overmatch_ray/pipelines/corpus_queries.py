@@ -1885,3 +1885,78 @@ SELECT f.cohort_day, u.day - f.cohort_day AS day_offset,
 FROM ud u JOIN fd f ON u.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Global peak session concurrency (interval sweep): sessions are
+    [ts, ts + (60 + event_id % 600) s); boundaries (+1 start, −1 end)
+    sorted by (t, delta) — ends before starts at the same instant —
+    running-sum max, plus the first instant attaining it.
+
+    Distributed two-phase scan (pack_sequences' construction over TIME
+    ranges): per-6h-range delta sums → driver prefix of RANGE OFFSETS
+    only → per-range sorted cumsum + offset → one (max, first-t) row per
+    range → driver picks the global (max, min t). No sequential global
+    sort; ranges are independent."""
+    from ..stages.groupops import bucketed_group_apply
+
+    RANGE_US = 6 * 3600 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t0 = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t1 = t0 + (60 + eid % 600) * 1_000_000
+        t = np.concatenate([t0, t1])
+        d = np.concatenate(
+            [np.ones(eid.size, np.int64), -np.ones(eid.size, np.int64)]
+        )
+        return pa.table(
+            {"rng": pa.array(t // RANGE_US), "t": pa.array(t), "d": pa.array(d)}
+        )
+
+    b = ds.map_batches(bounds, batch_format="pyarrow").materialize()
+
+    # phase 1: per-range delta totals → exclusive prefix offsets (driver
+    # holds #ranges scalars, never rows)
+    totals = {
+        r["rng"]: r["sum(d)"]
+        for r in b.groupby("rng").sum("d").take_all()
+    }
+    offsets, acc = {}, 0
+    for rng in sorted(totals):
+        offsets[rng] = acc
+        acc += totals[rng]
+
+    def range_max(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rng, gr in g.groupby("rng"):
+            gr = gr.sort_values(["t", "d"], kind="mergesort")
+            cum = offsets[int(rng)] + gr["d"].to_numpy().cumsum()
+            i = int(np.argmax(cum))
+            out.append((int(cum[i]), int(gr["t"].to_numpy()[i])))
+        return pd.DataFrame(out, columns=["mx", "t_at"]).astype(np.int64)
+
+    parts = bucketed_group_apply(b, ["rng"], range_max, num_buckets=16).take_all()
+    peak, at = max(((p["mx"], -p["t_at"]) for p in parts))
+    return pa.table(
+        {
+            "peak_concurrency": pa.array([int(peak)], pa.int64()),
+            "at_us": pa.array([int(-at)], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["peak_concurrency"] = """
+WITH b AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + (60 + event_id % 600) * 1000000, -1 FROM events),
+r AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM b)
+SELECT CAST(c AS BIGINT) AS peak_concurrency, CAST(t AS BIGINT) AS at_us
+FROM r ORDER BY c DESC, t ASC LIMIT 1
+"""
