@@ -1960,3 +1960,78 @@ r AS (
 SELECT CAST(c AS BIGINT) AS peak_concurrency, CAST(t AS BIGINT) AS at_us
 FROM r ORDER BY c DESC, t ASC LIMIT 1
 """
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Nightly change-data-capture: diff two deterministic order snapshots
+    (old = keys % 89 ≠ 0, new = keys % 97 ≠ 0 with every 7th price bumped
+    one cent-hundred) → (o_orderkey, change_type ∈ added/removed/changed).
+    One bucketed outer hash join on integer-cent values; unchanged rows
+    are filtered in the classify kernel, so output ≪ input."""
+    from ..stages.joins import bucket_hash_join
+    from .queries import _cents
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def snap(which: str):
+        def _s(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+            if which == "old":
+                keep = k % 89 != 0
+                return pa.table({"id_old": pa.array(k[keep]),
+                                 "v_old": pa.array(v[keep])})
+            keep = k % 97 != 0
+            v = v + 100 * (k % 7 == 0)
+            return pa.table({"id_new": pa.array(k[keep]),
+                             "v_new": pa.array(v[keep])})
+
+        return _s
+
+    old = ds.map_batches(snap("old"), batch_format="pyarrow")
+    new = ds.map_batches(snap("new"), batch_format="pyarrow")
+    joined = bucket_hash_join(old, new, "id_old", "id_new", how="outer")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has_old = pc.is_valid(batch["id_old"]).to_numpy(zero_copy_only=False)
+        has_new = pc.is_valid(batch["id_new"]).to_numpy(zero_copy_only=False)
+        vo = pc.fill_null(batch["v_old"], -1).to_numpy(zero_copy_only=False)
+        vn = pc.fill_null(batch["v_new"], -1).to_numpy(zero_copy_only=False)
+        ko = pc.fill_null(batch["id_old"], 0).to_numpy(zero_copy_only=False)
+        kn = pc.fill_null(batch["id_new"], 0).to_numpy(zero_copy_only=False)
+        typ = np.where(
+            ~has_old, "added", np.where(~has_new, "removed", np.where(
+                vo != vn, "changed", ""))
+        )
+        keep = typ != ""
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.where(has_old, ko, kn)[keep].astype(np.int64)
+                ),
+                "change_type": pa.array(typ[keep], pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+ORACLE_SQL["snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 89 <> 0),
+new AS (
+  SELECT o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         + 100 * CAST(o_orderkey % 7 = 0 AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT COALESCE(o.id, n.id) AS o_orderkey,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.v <> n.v
+"""
