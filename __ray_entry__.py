@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": cq.q_user_retention,
         "peak_concurrency": cq.q_peak_concurrency,
         "snapshot_diff": cq.q_snapshot_diff,
+        "duplicate_spans": cq.q_duplicate_spans,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -2035,3 +2035,70 @@ SELECT COALESCE(o.id, n.id) AS o_orderkey,
 FROM old o FULL OUTER JOIN new n ON o.id = n.id
 WHERE o.id IS NULL OR n.id IS NULL OR o.v <> n.v
 """
+
+
+def q_duplicate_spans(sf_dir: str):
+    """Span-level exact dedup (stages.dedup.duplicate_spans): documents ∪
+    planted partial copies (doc_id+200000 = tokens 10..59 of each doc_id
+    < 15) → maximal shared token runs ≥ 20 tokens with 0-based offsets.
+    The oracle re-derives spans with string-exact 8-gram equality +
+    gaps-and-islands — pinning both the hashing and the diagonal merge."""
+    from ..stages.dedup import duplicate_spans
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], pa.scalar(15))
+        f = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": pc.add(f["doc_id"], pa.scalar(200000, pa.int64())),
+                "text": pa.array(
+                    [" ".join(t.split(" ")[10:60]) for t in
+                     f["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    corpus = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    return duplicate_spans(corpus, min_tokens=20, k=8)
+
+
+def _duplicate_spans_oracle_sql() -> str:
+    k, min_tokens = 8, 20
+    min_run = min_tokens - k + 1
+    leads = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, k))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(text, ' ')[11:60], ' ')
+  FROM documents WHERE doc_id < 15),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus),
+grams AS (
+  SELECT doc_id, pos, tok || ' ' || {leads} AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, {k - 1}) OVER w IS NOT NULL),
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g
+  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+isl AS (
+  SELECT da, db, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+             AS grp
+  FROM m)
+SELECT da AS doc_a, db AS doc_b,
+       min(pa) AS start_a, min(pb) AS start_b,
+       CAST(count(*) + {k - 1} AS BIGINT) AS length_tokens
+FROM isl GROUP BY da, db, diag, grp
+HAVING count(*) >= {min_run}
+"""
+
+
+ORACLE_SQL["duplicate_spans"] = _duplicate_spans_oracle_sql()

@@ -623,3 +623,130 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
 
     keyed = with_hash.map_batches(rename, batch_format="pyarrow")
     return near_dup_pairs(keyed, max_hamming=max_hamming, bands=4)
+
+
+# --- exact duplicate-substring spans ---------------------------------------
+
+
+def duplicate_spans(
+    docs_ds,
+    min_tokens: int = 20,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    max_group: int = 1000,
+):
+    """EXACT duplicate-substring spans ≥ ``min_tokens`` tokens, the
+    span-level cousin of suffix-array dedup ("Deduplicating Training Data
+    Makes Language Models Better"): instead of dropping whole near-dup
+    docs, report exactly WHICH token ranges are copied so a scrubber can
+    cut the span. Output one row per maximal shared run:
+    (doc_a, doc_b, start_a, start_b, length_tokens), 0-based token
+    offsets; doc_a < doc_b, or doc_a == doc_b with start_a < start_b
+    (internal repetition).
+
+    Plan — two bucketed shuffles, the ngram-pairs shape:
+    1. every position's rolling k-gram hash (one row per token position,
+       vectorized off the shared FNV token sweep) co-shuffles by hash;
+       per-group all (i<j) position pairs are emitted (groups over
+       ``max_group`` positions are boilerplate stop-grams — skipped, same
+       contract as the Jaccard stop-shingle cap);
+    2. pairs co-shuffle by (doc_a, doc_b); per bucket a diagonal
+       gaps-and-islands merge (sort by diagonal pa−pb, runs of
+       consecutive pa) turns k-gram matches into maximal spans;
+       length = run + k − 1, filtered to ≥ min_tokens.
+
+    Matches are by 64-bit k-gram hash — a collision could fabricate a
+    span (probability ~n²/2⁶⁴; the oracle query pins string-exact
+    equality on the driver corpus)."""
+    from .groupops import bucketed_group_apply
+
+    if min_tokens < k:
+        raise ValueError("min_tokens must be >= k")
+    min_run = min_tokens - k + 1
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ths = _token_hashes_batch(batch[text_col].to_pylist())
+        hs, ds_, ps = [], [], []
+        for i, th in enumerate(ths):
+            if th.size >= k:
+                g = _ordered_kgrams(th, k)
+                hs.append(g)
+                ds_.append(np.full(g.size, ids[i], np.int64))
+                ps.append(np.arange(g.size, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs).view(np.int64)),
+                "doc": pa.array(np.concatenate(ds_)),
+                "pos": pa.array(np.concatenate(ps)),
+            }
+        )
+
+    grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc", "pos"], kind="mergesort")
+        h = g["h"].to_numpy()
+        doc = g["doc"].to_numpy()
+        pos = g["pos"].to_numpy()
+        _, starts, counts = np.unique(h, return_index=True, return_counts=True)
+        da, pa_, db, pb = [], [], [], []
+        for s, c in zip(starts, counts):
+            if c < 2 or c > max_group:
+                continue
+            i, j = np.triu_indices(c, 1)
+            da.append(doc[s + i]); pa_.append(pos[s + i])
+            db.append(doc[s + j]); pb.append(pos[s + j])
+        if not da:
+            return pd.DataFrame({
+                "da": pd.Series(dtype=np.int64), "pa": pd.Series(dtype=np.int64),
+                "db": pd.Series(dtype=np.int64), "pb": pd.Series(dtype=np.int64),
+            })
+        return pd.DataFrame({
+            "da": np.concatenate(da), "pa": np.concatenate(pa_),
+            "db": np.concatenate(db), "pb": np.concatenate(pb),
+        })
+
+    pairs = bucketed_group_apply(grams, ["h"], pair_bucket,
+                                 num_buckets=num_buckets)
+
+    def span_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "start_a": pd.Series(dtype=np.int64),
+                "start_b": pd.Series(dtype=np.int64),
+                "length_tokens": pd.Series(dtype=np.int64),
+            })
+        g = g.assign(diag=g["pa"].to_numpy() - g["pb"].to_numpy())
+        g = g.sort_values(["da", "db", "diag", "pa"], kind="mergesort")
+        da = g["da"].to_numpy(); db = g["db"].to_numpy()
+        pa_ = g["pa"].to_numpy(); pb = g["pb"].to_numpy()
+        diag = g["diag"].to_numpy()
+        new_run = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_run[1:] = (
+                (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+                | (diag[1:] != diag[:-1]) | (np.diff(pa_) != 1)
+            )
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        run_len = np.bincount(run_id)
+        keep = run_len >= min_run
+        return pd.DataFrame({
+            "doc_a": da[starts][keep],
+            "doc_b": db[starts][keep],
+            "start_a": pa_[starts][keep],
+            "start_b": pb[starts][keep],
+            "length_tokens": (run_len[keep] + k - 1).astype(np.int64),
+        })
+
+    return bucketed_group_apply(pairs, ["da", "db"], span_bucket,
+                                num_buckets=num_buckets)

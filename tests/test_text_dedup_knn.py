@@ -654,3 +654,75 @@ class TestWinnowing:
         ).take_all()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (0, 1) in got and not any(2 in p for p in got)
+
+
+class TestDuplicateSpans:
+    """Span-level exact dedup (dedup.duplicate_spans) vs a brute-force
+    O(n²·m²) diagonal scan on a constructed corpus."""
+
+    def _brute(self, docs, k, min_tokens):
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        grams = {
+            d: [" ".join(tt[i:i + k]) for i in range(len(tt) - k + 1)]
+            for d, tt in toks.items()
+        }
+        out = set()
+        ids = sorted(docs)
+        for ai, a in enumerate(ids):
+            for b in ids[ai:]:
+                matches = {
+                    (i, j)
+                    for i, ga in enumerate(grams[a])
+                    for j, gb in enumerate(grams[b])
+                    if ga == gb and (a < b or i < j)
+                }
+                bydiag = {}
+                for i, j in sorted(matches):
+                    bydiag.setdefault(i - j, []).append(i)
+                for diag, pas in bydiag.items():
+                    pas.sort()
+                    run_start = pas[0]
+                    prev = pas[0]
+                    for p in pas[1:] + [None]:
+                        if p is None or p != prev + 1:
+                            ln = prev - run_start + k
+                            if ln >= min_tokens:
+                                out.add((a, b, run_start, run_start - diag, ln))
+                            if p is not None:
+                                run_start = p
+                        prev = p if p is not None else prev
+        return out
+
+    def test_vs_brute_force_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.dedup import duplicate_spans
+
+        words = [f"w{i}" for i in range(400)]
+        shared = " ".join(words[100:160])  # 60-token shared passage
+        docs = {
+            1: " ".join(words[0:80]) + " " + shared,
+            2: shared + " " + " ".join(words[200:260]),
+            3: " ".join(words[300:350]),                      # no overlap
+            4: " ".join(words[0:30]) + " " + " ".join(words[0:30]),  # self-rep
+        }
+        exp = self._brute(docs, k=8, min_tokens=20)
+        assert any(a == 1 and b == 2 for a, b, *_ in exp)  # cross-doc span
+        assert any(a == b == 4 for a, b, *_ in exp)        # internal repeat
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in sorted(docs)], pa.string()),
+        })
+        prev = None
+        for parts in (1, 4):
+            got = duplicate_spans(
+                ray.data.from_arrow(t).repartition(parts),
+                min_tokens=20, k=8,
+            ).to_pandas()
+            rows = set(map(tuple, got[["doc_a", "doc_b", "start_a",
+                                       "start_b", "length_tokens"]]
+                           .itertuples(index=False)))
+            assert rows == exp
+            if prev is not None:
+                assert rows == prev
+            prev = rows
