@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": cq.q_peak_concurrency,
         "snapshot_diff": cq.q_snapshot_diff,
         "duplicate_spans": cq.q_duplicate_spans,
+        "user_trips": cq.q_user_trips,
+        "price_quartiles": cq.q_price_quartiles,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -2102,3 +2102,150 @@ HAVING count(*) >= {min_run}
 
 
 ORACLE_SQL["duplicate_spans"] = _duplicate_spans_oracle_sql()
+
+
+def q_user_trips(sf_dir: str):
+    """Trip segmentation: a user's pings split into trips at >30 min gaps
+    (gaps-and-islands), each trip reporting ping count and decimeter-exact
+    track length. Single bucketed shuffle; islands labeled by a vectorized
+    per-user cumulative break count — windows, geo and sessionization in
+    one plan."""
+    from ..geo import mercator_xy
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(add_xy, batch_format="pyarrow")
+
+    def trips_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t_us = g["ts"].astype("int64").to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = u[1:] != u[:-1]
+        gap = np.zeros(len(g), bool)
+        gap[1:] = ~first[1:] & (np.diff(t_us) > 1_800_000_000)
+        brk = first | gap
+        c = np.cumsum(brk)
+        ustart = np.flatnonzero(first)
+        per_user_base = np.repeat(c[ustart], np.diff(
+            np.concatenate([ustart, [len(g)]])
+        ))
+        trip = c - per_user_base  # 0-based island index within user
+        d = np.zeros(len(g))
+        d[1:] = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        leg_dm = np.where(brk, 0, np.floor(d * 10)).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "trip_id": trip, "leg_dm": leg_dm})
+        out = df.groupby(["user_id", "trip_id"], as_index=False).agg(
+            n_pings=("leg_dm", "size"), dm=("leg_dm", "sum")
+        )
+        out["track_m"] = out.pop("dm") / 10.0
+        out["n_pings"] = out["n_pings"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(pts, ["user_id"], trips_bucket, num_buckets=16)
+
+
+ORACLE_SQL["user_trips"] = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_MERC} * radians(-77.05 + (event_id % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((event_id // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM events),
+o AS (
+  SELECT user_id, ts, event_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS trip_id
+  FROM o)
+SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       coalesce(sum(CASE WHEN brk = 0 THEN
+           CAST(floor(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * 10)
+                AS BIGINT) ELSE 0 END), 0) / 10.0 AS track_m
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_price_quartiles(sf_dir: str):
+    """Global NTILE(4) by (totalprice cents, key) WITHOUT a global sort:
+    value-range two-phase scan — per-range counts → driver prefix of
+    range OFFSETS → per-range (value, id) sort gives each row its exact
+    global 0-based rank; the SQL NTILE closed form (first n%k tiles get
+    one extra row) maps rank → quartile. Deterministic total order via
+    the id tie-break."""
+    from ..stages.groupops import bucketed_group_apply
+    from .queries import _cents
+
+    RANGE_C = 1 << 16  # cents per range bucket
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def vals(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"o_orderkey": pa.array(k), "v": pa.array(v),
+             "rng": pa.array(v // RANGE_C)}
+        )
+
+    t = ds.map_batches(vals, batch_format="pyarrow").materialize()
+    counts = {r["rng"]: r["count()"] for r in t.groupby("rng").count().take_all()}
+    offsets, acc = {}, 0
+    for rng in sorted(counts):
+        offsets[rng] = acc
+        acc += counts[rng]
+    n, k_tiles = acc, 4
+    base, rem = divmod(n, k_tiles)
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        cut = rem * (base + 1)
+        return np.where(
+            rank < cut, rank // max(base + 1, 1),
+            rem + (rank - cut) // max(base, 1),
+        ).astype(np.int64) + 1
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rng, gr in g.groupby("rng"):
+            gr = gr.sort_values(["v", "o_orderkey"], kind="mergesort")
+            rank = offsets[int(rng)] + np.arange(len(gr), dtype=np.int64)
+            out.append(pd.DataFrame({
+                "o_orderkey": gr["o_orderkey"].to_numpy(),
+                "quartile": tile_of(rank),
+            }))
+        return (pd.concat(out) if out else
+                pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                              "quartile": pd.Series(dtype=np.int64)}))
+
+    return bucketed_group_apply(t, ["rng"], rank_bucket, num_buckets=16)
+
+
+ORACLE_SQL["price_quartiles"] = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                    o_orderkey) AS BIGINT) AS quartile
+FROM orders
+"""
