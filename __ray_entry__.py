@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": cq.q_duplicate_spans,
         "user_trips": cq.q_user_trips,
         "price_quartiles": cq.q_price_quartiles,
+        "bm25_search": cq.q_bm25_search,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

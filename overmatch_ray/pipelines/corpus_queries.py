@@ -2249,3 +2249,52 @@ SELECT o_orderkey,
                     o_orderkey) AS BIGINT) AS quartile
 FROM orders
 """
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-10 for the fixed query [hash, join, scan]
+    (stages.textstats.bm25_topk — streaming corpus stats + per-batch
+    local top-k, driver merges k·#batches candidates). Float parity with
+    the oracle is by mirrored literal expressions and query-order
+    summation."""
+    from ..stages.textstats import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["hash", "join", "scan"], k=10,
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ["hash", "join", "scan"]
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, {tf_cols}
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_cols}
+  FROM tf)
+SELECT doc_id, ({contribs}) AS score
+FROM tf, stats
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+ORACLE_SQL["bm25_search"] = _bm25_oracle_sql()

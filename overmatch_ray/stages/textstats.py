@@ -295,3 +295,79 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(docs_ds, query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 retrieval (Lucene/Robertson idf, k1=1.2, b=0.75): score every
+    document against a fixed term list, return the global top-k by
+    (score DESC, id ASC).
+
+    Two passes, both streaming: (1) corpus stats — per-batch partial
+    (n_docs, total_tokens, df per term) tuples, folded on the driver
+    (one small row per batch, never documents); (2) a vectorized scoring
+    map (term tf via the shared FNV token hashes — string equality modulo
+    64-bit collisions) emitting each batch's LOCAL top-k; the driver
+    merges ≤ k·#batches candidate rows. Per-term score contributions are
+    added in QUERY ORDER with literal constants, so the float result is
+    bit-identical to a SQL oracle writing the same expressions."""
+    from .dedup import _token_hashes, _token_hashes_batch
+
+    term_hashes = [int(_token_hashes(t)[0]) for t in query_terms]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        ths = _token_hashes_batch(batch[text_col].to_pylist())
+        n = len(ths)
+        tot = sum(int(th.size) for th in ths)
+        dfs = [
+            sum(1 for th in ths if np.any(th == np.uint64(h)))
+            for h in term_hashes
+        ]
+        cols = {"n": pa.array([n], pa.int64()),
+                "tot": pa.array([tot], pa.int64())}
+        for i, d in enumerate(dfs):
+            cols[f"df{i}"] = pa.array([d], pa.int64())
+        return pa.table(cols)
+
+    n_docs = tot_tokens = 0
+    dfs = [0] * len(term_hashes)
+    for b in docs_ds.map_batches(stats_partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        n_docs += int(pc.sum(b["n"]).as_py() or 0)
+        tot_tokens += int(pc.sum(b["tot"]).as_py() or 0)
+        for i in range(len(term_hashes)):
+            dfs[i] += int(pc.sum(b[f"df{i}"]).as_py() or 0)
+    if n_docs == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = float(tot_tokens) / float(n_docs)
+    n_f = float(n_docs)
+    idfs = [np.log((n_f - df + 0.5) / (df + 0.5) + 1) for df in dfs]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ths = _token_hashes_batch(batch[text_col].to_pylist())
+        dl = np.array([th.size for th in ths], np.float64)
+        score = np.zeros(len(ths))
+        with np.errstate(invalid="ignore"):
+            norm = 1.0 - 0.75 + 0.75 * dl / avgdl
+        for h, idf in zip(term_hashes, idfs):
+            tf = np.array(
+                [np.count_nonzero(th == np.uint64(h)) for th in ths],
+                np.float64,
+            )
+            contrib = idf * (tf * 2.2) / (tf + 1.2 * norm)
+            score = score + np.where(tf > 0, contrib, 0.0)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score": pa.array(score[order])})
+
+    cand = docs_ds.map_batches(score_topk, batch_format="pyarrow")
+    rows = sorted(
+        ((r["score"], r[id_col]) for r in cand.take_all()),
+        key=lambda sr: (-sr[0], sr[1]),
+    )[:k]
+    return pa.table({
+        id_col: pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[0] for r in rows], pa.float64()),
+    })

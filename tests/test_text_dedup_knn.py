@@ -726,3 +726,34 @@ class TestDuplicateSpans:
             if prev is not None:
                 assert rows == prev
             prev = rows
+
+
+class TestBm25:
+    def test_ranking_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.textstats import bm25_topk
+
+        filler = " ".join(f"w{i}" for i in range(50))
+        docs = {
+            1: "hash join scan hash join scan " + filler,   # all terms, high tf
+            2: "hash " + filler,                            # one term
+            3: filler,                                      # no terms
+            4: "join scan " + filler,
+        }
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in sorted(docs)], pa.string()),
+        })
+        prev = None
+        for parts in (1, 3):
+            out = bm25_topk(ray.data.from_arrow(t).repartition(parts),
+                            ["hash", "join", "scan"], k=3)
+            ids = out["doc_id"].to_pylist()
+            scores = out["score"].to_pylist()
+            assert ids[0] == 1                      # stuffed doc wins
+            assert 3 not in ids                     # termless doc can't place
+            assert scores == sorted(scores, reverse=True)
+            if prev is not None:
+                assert (ids, scores) == prev        # bit-identical
+            prev = (ids, scores)
