@@ -746,7 +746,6 @@ def dbscan_points(
     semi join. Every post-pair stage moves (id, id)/(id, label) rows
     only — never point payloads."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from .dedup import dedup_clusters
     from .joins import bucket_hash_join, semi_join_shuffled
@@ -760,11 +759,25 @@ def dbscan_points(
         num_buckets=num_buckets, exclude_self=True, emit_dist=False,
     ).materialize()
 
-    # degree (neighbors excluding self); core ⇔ degree + 1 >= min_pts
-    deg = pairs.groupby("id_a").aggregate(Count(alias_name="n"))
+    # degree (neighbors excluding self); core ⇔ degree + 1 >= min_pts.
+    # Partial-combined per batch: a point's pairs are emitted by its own
+    # cell's group, so per-batch value counts collapse the degree shuffle
+    # from |pairs| rows to ~|points| rows before the groupby.
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids, cnt = np.unique(
+            batch["id_a"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"id_a": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        pairs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("id_a")
+        .sum("n")
+    )
 
     def core_only(batch: pa.Table) -> pa.Table:
-        n = batch["n"].to_numpy(zero_copy_only=False)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False)
         keep = n + 1 >= min_pts
         return pa.table({"id": pa.array(
             batch["id_a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
