@@ -2298,3 +2298,56 @@ LIMIT 10
 
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle_sql()
+
+
+def q_user_rolling_spend(sf_dir: str):
+    """Rolling window FRAME aggregate: per user, the 7-row trailing sum of
+    event value in integer cents, ordered by (ts, event_id). One bucketed
+    shuffle; the frame sum is a vectorized cumsum difference — exact ints,
+    so parity holds regardless of how the oracle slides its frame."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "vc": pa.array(np.round(v * 100).astype(np.int64)),
+            }
+        )
+
+    pts = ds.map_batches(cents, batch_format="pyarrow")
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        vc = g["vc"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(vc)])
+        idx = np.arange(len(g))
+        ustart = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        base = np.repeat(ustart, np.diff(np.concatenate([ustart, [len(g)]])))
+        lo = np.maximum(idx - 6, base)  # frame start, clamped to user start
+        roll = cum[idx + 1] - cum[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "rolling_cents": roll.astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(pts, ["user_id"], roll_bucket, num_buckets=16)
+
+
+ORACLE_SQL["user_rolling_spend"] = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rolling_cents
+FROM events
+"""
