@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quartiles": cq.q_price_quartiles,
         "bm25_search": cq.q_bm25_search,
         "user_rolling_spend": cq.q_user_rolling_spend,
+        "triangle_count": cq.q_triangle_count,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)
