@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": cq.q_bm25_search,
         "user_rolling_spend": cq.q_user_rolling_spend,
         "triangle_count": cq.q_triangle_count,
+        "funnel_counts": cq.q_funnel_counts,
+        "pagerank": cq.q_pagerank,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -2518,3 +2518,181 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac
   ON ac.u = ab.u AND ac.v = bc.v
 """
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel: users who did view → click → purchase in strict
+    timestamp order ((ts, event_id) total order). One bucketed shuffle;
+    per-user vectorized: first view, first click after it, first purchase
+    after that. Output one row (n_view, n_view_click,
+    n_view_click_purchase)."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        res = []
+        for _, gr in g.groupby("user_id"):
+            et = gr["event_type"].to_numpy()
+            iv = np.flatnonzero(et == "view")
+            if iv.size == 0:
+                continue
+            s1 = 1
+            ic = np.flatnonzero(et == "click")
+            ic = ic[ic > iv[0]]
+            s2 = 1 if ic.size else 0
+            s3 = 0
+            if s2:
+                ip = np.flatnonzero(et == "purchase")
+                s3 = 1 if (ip > ic[0]).any() else 0
+            res.append((s1, s2, s3))
+        if not res:
+            return pd.DataFrame({
+                "v": pd.Series(dtype=np.int64),
+                "vc": pd.Series(dtype=np.int64),
+                "vcp": pd.Series(dtype=np.int64),
+            })
+        a = np.array(res, np.int64)
+        return pd.DataFrame({"v": [a[:, 0].sum()], "vc": [a[:, 1].sum()],
+                             "vcp": [a[:, 2].sum()]}).astype(np.int64)
+
+    parts = bucketed_group_apply(ds, ["user_id"], funnel_bucket,
+                                 num_buckets=16).take_all()
+    v = sum(p["v"] for p in parts)
+    vc = sum(p["vc"] for p in parts)
+    vcp = sum(p["vcp"] for p in parts)
+    return pa.table(
+        {
+            "n_view": pa.array([int(v)], pa.int64()),
+            "n_view_click": pa.array([int(vc)], pa.int64()),
+            "n_view_click_purchase": pa.array([int(vcp)], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["funnel_counts"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fv AS (SELECT user_id, min(rn) AS r1 FROM o WHERE event_type = 'view' GROUP BY 1),
+fc AS (
+  SELECT o.user_id, min(rn) AS r2 FROM o JOIN fv ON o.user_id = fv.user_id
+  WHERE o.event_type = 'click' AND o.rn > fv.r1 GROUP BY 1),
+fp AS (
+  SELECT o.user_id FROM o JOIN fc ON o.user_id = fc.user_id
+  WHERE o.event_type = 'purchase' AND o.rn > fc.r2 GROUP BY o.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_view_click_purchase
+"""
+
+
+_PR_SCALE = 1_000_000_000_000
+_PR_BASE = 150_000_000_000  # floor(0.15 * SCALE)
+_PR_ITERS = 5
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative PageRank with INTEGER-QUANTIZED updates (rank scaled to
+    1e12; contribution floor((r·85) / (100·outdeg))) so every iteration
+    is exact integer arithmetic — reproducible at any parallelism and
+    oracle-checkable (the SQL unrolls the 5 iterations as chained CTEs;
+    plain recursive CTEs cannot aggregate over the recursive reference).
+    Directed graph from order keys (k%500 → k·31%500, distinct, no self
+    loops); dangling mass is dropped by definition on both sides.
+
+    Plan per iteration: broadcast the rank map (node-bounded state, same
+    ≤2M-node contract as dedup_clusters' driver path; swap in a
+    bucket_hash_join on src above it) → per-batch contributions →
+    per-batch partial sums → one groupby(dst) sum — the only shuffle."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    N = 500
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = k % N
+        v = (k * 31) % N
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    e = (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="m"))
+        .map_batches(
+            lambda b: pa.table({"u": b["u"].cast(pa.int64()),
+                                "v": b["v"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    outdeg = {
+        r["u"]: r["count()"] for r in e.groupby("u").count().take_all()
+    }
+    nodes = sorted(
+        set(outdeg) | {r["v"] for r in e.groupby("v").count().take_all()}
+    )
+    ranks = {n: _PR_SCALE for n in nodes}
+
+    for _ in range(_PR_ITERS):
+        ref = _ray.put((ranks, outdeg))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            rmap, dmap = _ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            c = np.array(
+                [(rmap[x] * 85) // (100 * dmap[x]) for x in u], np.int64
+            )
+            vv, inv = np.unique(v, return_inverse=True)
+            s = np.zeros(vv.size, np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({"dst": pa.array(vv.astype(np.int64)),
+                             "c": pa.array(s)})
+
+        sums = {
+            r["dst"]: r["sum(c)"]
+            for r in e.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").sum("c").take_all()
+        }
+        ranks = {n: _PR_BASE + int(sums.get(n, 0)) for n in nodes}
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank_scaled": pa.array([ranks[n] for n in nodes], pa.int64()),
+        }
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    prev = "pr0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+pr{i} AS (
+  SELECT n.node, {_PR_BASE} + COALESCE(s.c, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM((p.r * 85) // (100 * od.d)) AS c
+    FROM e JOIN {prev} p ON p.node = e.u JOIN od ON od.node = e.u
+    GROUP BY e.v) s ON s.node = n.node)""")
+        prev = f"pr{i}"
+    return f"""
+WITH raw AS (
+  SELECT o_orderkey % 500 AS u, (o_orderkey * 31) % 500 AS v
+  FROM orders WHERE o_orderkey % 500 <> (o_orderkey * 31) % 500),
+e AS (SELECT DISTINCT u, v FROM raw),
+od AS (SELECT u AS node, count(*) AS d FROM e GROUP BY 1),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(iters)}
+SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev}
+"""
+
+
+ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
