@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": cq.q_triangle_count,
         "funnel_counts": cq.q_funnel_counts,
         "pagerank": cq.q_pagerank,
+        "rollup_revenue": cq.q_rollup_revenue,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

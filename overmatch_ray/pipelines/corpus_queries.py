@@ -2696,3 +2696,72 @@ SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev}
 
 
 ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) in ONE shuffle: each row splats
+    to its 3 rollup levels — (p, s), (p, NULL), (NULL, NULL) — with a
+    per-batch partial combine before the groupby, so the all-to-all moves
+    ≤ 3 × distinct-group rows per block, never 3 × input. Integer-cent
+    sums → exact parity with DuckDB's ROLLUP."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _cents
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def splat(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        p = batch["o_orderpriority"].to_pylist()
+        s = batch["o_orderstatus"].to_pylist()
+        v = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        df = pd_.DataFrame({
+            "p": np.concatenate([p, p, [None] * len(p)]),
+            "s": np.concatenate([s, [None] * len(p), [None] * len(p)]),
+            "v": np.concatenate([v, v, v]),
+        })
+        # NULL rollup keys ride the shuffle as a \x00 sentinel: Ray's
+        # sort-based groupby cannot range-partition nullable string keys
+        # (np.searchsorted over None); restored to NULL post-aggregate.
+        df[["p", "s"]] = df[["p", "s"]].fillna("\x00ALL")
+        g = df.groupby(["p", "s"], as_index=False, sort=False)["v"].sum()
+        return pa.table({
+            "o_orderpriority": pa.array(g["p"], pa.string()),
+            "o_orderstatus": pa.array(g["s"], pa.string()),
+            "pv": pa.array(g["v"].to_numpy().astype(np.int64)),
+        })
+
+    out = (
+        ds.map_batches(splat, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("pv", alias_name="cents"))
+    )
+    def finish(b: pa.Table) -> pa.Table:
+        def unsent(col):
+            return pa.array(
+                [None if x == "\x00ALL" else x for x in col.to_pylist()],
+                pa.string(),
+            )
+
+        return pa.table({
+            "o_orderpriority": unsent(b["o_orderpriority"]),
+            "o_orderstatus": unsent(b["o_orderstatus"]),
+            "revenue": pa.array(
+                b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+                / 100.0
+            ),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["rollup_revenue"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
