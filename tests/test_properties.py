@@ -103,3 +103,90 @@ class TestTagProperties:
         for k in ("addr:country", "addr:full", "source"):
             assert k not in tags
         assert all(isinstance(v, str) for v in tags.values())
+
+
+class TestSpatialKernelProperties:
+    """Hypothesis properties for the spatial pair kernel (driver-side —
+    the encode + per-bucket fns composed exactly as the Dataset plan
+    composes them, single bucket): the k-ring coincidence argument must
+    find EVERY ≤radius pair for arbitrary geometry, and in-bucket top-k
+    must match a brute-force (distance, id) ranking."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=-80.0, max_value=-70.0,
+                          allow_nan=False, allow_infinity=False),
+                st.floats(min_value=35.0, max_value=45.0,
+                          allow_nan=False, allow_infinity=False),
+            ),
+            min_size=2, max_size=40,
+        ),
+        st.floats(min_value=1.0, max_value=255.0),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_radius_pairs_complete(self, pts, radius):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from overmatch_ray.geo import mercator_xy
+        from overmatch_ray.stages.spatial import _bucket_pairs_fn, _encode_side
+
+        lon = np.array([p[0] for p in pts])
+        lat = np.array([p[1] for p in pts])
+        t = pa.table({
+            "id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+        })
+        probe = _encode_side("id", "lon", "lat", 1, 0, replicate=False)(t)
+        cand = _encode_side("id", "lon", "lat", 1, 1, replicate=True)(t)
+        g = pd.concat([probe.to_pandas(), cand.to_pandas()])
+        got = _bucket_pairs_fn(radius, None, False, None)(g)
+        x, y = mercator_xy(lon, lat)
+        D = np.sqrt((x[:, None] - x[None, :]) ** 2
+                    + (y[:, None] - y[None, :]) ** 2)
+        exp = {(i, j) for i in range(len(pts)) for j in range(len(pts))
+               if D[i, j] <= radius}
+        assert set(zip(got.id_a, got.id_b)) == exp
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=-80.0, max_value=-79.99,
+                          allow_nan=False, allow_infinity=False),
+                st.floats(min_value=35.0, max_value=35.01,
+                          allow_nan=False, allow_infinity=False),
+            ),
+            min_size=3, max_size=30,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_knn_topk_matches_brute(self, pts, k):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from overmatch_ray.geo import mercator_xy
+        from overmatch_ray.stages.spatial import _bucket_pairs_fn, _encode_side
+
+        radius = 200.0
+        lon = np.array([p[0] for p in pts])
+        lat = np.array([p[1] for p in pts])
+        t = pa.table({
+            "id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+        })
+        probe = _encode_side("id", "lon", "lat", 1, 0, replicate=False)(t)
+        cand = _encode_side("id", "lon", "lat", 1, 1, replicate=True)(t)
+        g = pd.concat([probe.to_pandas(), cand.to_pandas()])
+        got = _bucket_pairs_fn(radius, k, False, 1)(g)
+        x, y = mercator_xy(lon, lat)
+        D = np.sqrt((x[:, None] - x[None, :]) ** 2
+                    + (y[:, None] - y[None, :]) ** 2)
+        for i in range(len(pts)):
+            cand_i = sorted((D[i, j], j) for j in range(len(pts))
+                            if D[i, j] <= radius)[:k]
+            mine = got[got.id_a == i].sort_values("knn_rank")
+            assert list(mine.id_b) == [j for _, j in cand_i]
