@@ -424,7 +424,6 @@ def q_distance_join_100m(sf_dir: str):
     thinned order points, planar EPSG:3857 distance ≤ 100 m — executed with
     the engine's cell co-shuffle (k-ring replication), checked by DuckDB's
     inequality join."""
-    from .. import CELL_SIZE_M
     from ..cell import cell_id, kring1_cells
     from ..geo import mercator_xy
 
@@ -691,8 +690,6 @@ def q_term_idf(sf_dir: str):
     """Corpus vocabulary statistics: per-word document frequency + IDF
     (stages.textstats.term_doc_freq — per-batch combiner, one
     vocabulary-bounded shuffle)."""
-    import math
-
     from ..stages.textstats import term_doc_freq
 
     n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
