@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": cq.q_funnel_counts,
         "pagerank": cq.q_pagerank,
         "rollup_revenue": cq.q_rollup_revenue,
+        "cube_revenue": cq.q_cube_revenue,
+        "type_value_corr": cq.q_type_value_corr,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

@@ -2762,3 +2762,144 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(priority, status): the ROLLUP splat with the fourth
+    (NULL, status) level added — still one shuffle, still ≤ 4 × distinct
+    groups per block after the per-batch partial combine."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _cents
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def splat(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        p = np.asarray(batch["o_orderpriority"].to_pylist(), object)
+        s = np.asarray(batch["o_orderstatus"].to_pylist(), object)
+        v = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        sent = np.full(len(p), "\x00ALL", object)
+        df = pd_.DataFrame({
+            "p": np.concatenate([p, p, sent, sent]),
+            "s": np.concatenate([s, sent, s, sent]),
+            "v": np.concatenate([v, v, v, v]),
+        })
+        g = df.groupby(["p", "s"], as_index=False, sort=False)["v"].sum()
+        return pa.table({
+            "o_orderpriority": pa.array(g["p"], pa.string()),
+            "o_orderstatus": pa.array(g["s"], pa.string()),
+            "pv": pa.array(g["v"].to_numpy().astype(np.int64)),
+        })
+
+    out = (
+        ds.map_batches(splat, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("pv", alias_name="cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        def unsent(col):
+            return pa.array(
+                [None if x == "\x00ALL" else x for x in col.to_pylist()],
+                pa.string(),
+            )
+
+        return pa.table({
+            "o_orderpriority": unsent(b["o_orderpriority"]),
+            "o_orderstatus": unsent(b["o_orderstatus"]),
+            "revenue": pa.array(
+                b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+                / 100.0
+            ),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["cube_revenue"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_type_value_corr(sf_dir: str):
+    """GROUPED exact correlation: per event type, Pearson corr between
+    value-cents and hour-of-day — per-batch per-group Python-int moment
+    partials (JSON rows, group-cardinality bounded), folded on the
+    driver; identical HUGEINT-parity float finish as `exact_corr`."""
+    import json as _json
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ((t_us // 3_600_000_000) % 24).astype(np.int64)
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rows = {}
+        for g, x, y in zip(et, hour.tolist(), vc.tolist()):
+            m = rows.setdefault(g, [0, 0, 0, 0, 0, 0])
+            m[0] += 1; m[1] += x; m[2] += y
+            m[3] += x * x; m[4] += x * y; m[5] += y * y
+        return pa.table({
+            "g": pa.array(list(rows), pa.string()),
+            "m": pa.array([_json.dumps(v) for v in rows.values()], pa.string()),
+        })
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, mjson in zip(b["g"].to_pylist(), b["m"].to_pylist()):
+            m = _json.loads(mjson)
+            a = acc.setdefault(g, [0] * 6)
+            for i in range(6):
+                a[i] += m[i]
+    out_g, out_n, out_c = [], [], []
+    for g in sorted(acc):
+        n, sx, sy, sxx, sxy, syy = acc[g]
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        out_g.append(g)
+        out_n.append(n)
+        out_c.append(
+            float("nan") if vx == 0 or vy == 0
+            else float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        )
+    return pa.table({
+        "event_type": pa.array(out_g, pa.string()),
+        "n_events": pa.array(out_n, pa.int64()),
+        "corr_hour_value": pa.array(out_c, pa.float64()),
+    })
+
+
+ORACLE_SQL["type_value_corr"] = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST((epoch_us(ts) // 3600000000) % 24 AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST((epoch_us(ts) // 3600000000) % 24 AS HUGEINT)
+             * CAST((epoch_us(ts) // 3600000000) % 24 AS HUGEINT)) AS sxx,
+         sum(CAST((epoch_us(ts) // 3600000000) % 24 AS HUGEINT)
+             * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sxy,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS syy
+  FROM events GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_hour_value
+FROM m
+"""
