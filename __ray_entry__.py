@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_validate": ro.q_images_validate,
         "phash_dedup": ro.q_phash_dedup,
         "image_neardup_pairs": ro.q_image_neardup_pairs,
+        "image_dedup_clusters": ro.q_image_dedup_clusters,
         "image_cells": ro.q_image_cells,
         "caption_consistency": ro.q_caption_consistency,
         "minhash_pairs": ro.q_minhash_pairs,

@@ -345,3 +345,39 @@ def q_type_distinct_users(sf_dir: str):
 
     ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return approx_distinct_by(ev, "event_type", "user_id")
+
+
+def q_image_dedup_clusters(sf_dir: str):
+    """Image near-dup CLUSTER formation: the banded-Hamming phash pair
+    graph (near_dup_pairs, max_hamming 6) fed through the shared
+    connected-components step (dedup_clusters min-label) — keep
+    cluster_id, drop the rest, exactly the corpus-dedup final step but on
+    the image modality. String image ids ride as their numeric suffix
+    (img-%012d) and are restored after."""
+    from ..stages.dedup import dedup_clusters
+    from ..stages.images import near_dup_pairs
+
+    import numpy as np
+    import pyarrow as pa
+
+    pairs = near_dup_pairs(_images_ds(sf_dir), max_hamming=6)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        a = [int(s.rsplit("-", 1)[1]) for s in batch["id_a"].to_pylist()]
+        b = [int(s.rsplit("-", 1)[1]) for s in batch["id_b"].to_pylist()]
+        return pa.table({
+            "id_a": pa.array(np.asarray(a, np.int64)),
+            "id_b": pa.array(np.asarray(b, np.int64)),
+        })
+
+    clusters = dedup_clusters(pairs.map_batches(to_int, batch_format="pyarrow"))
+
+    def restore(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_pylist()
+        c = batch["cluster_id"].to_pylist()
+        return pa.table({
+            "image_id": pa.array([f"img-{i:012d}" for i in d], pa.string()),
+            "cluster_id": pa.array([f"img-{i:012d}" for i in c], pa.string()),
+        })
+
+    return clusters.map_batches(restore, batch_format="pyarrow")

@@ -189,3 +189,28 @@ class TestFrameSample:
         # tail corruption past the sampling window: fully valid result
         assert sorted(r["frame_index"] for r in per_vid["tail"]) == [0, 5, 10]
         assert all(r["error"] is None for r in per_vid["tail"])
+
+
+class TestImageDedupClusters:
+    def test_pairs_consistent_and_deterministic(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import (
+            q_image_dedup_clusters,
+            q_image_neardup_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pairs = q_image_neardup_pairs(sf).to_pandas()
+        cl = q_image_dedup_clusters(sf).to_pandas()
+        cmap = dict(zip(cl.image_id, cl.cluster_id))
+        assert len(cl) > 0
+        # every paired image is clustered, and pair endpoints agree
+        for a, b in zip(pairs.id_a, pairs.id_b):
+            assert cmap[a] == cmap[b]
+        # cluster label = lexicographically smallest member (img-%012d
+        # preserves numeric order)
+        for img, c in cmap.items():
+            assert c <= img
+        cl2 = q_image_dedup_clusters(sf).to_pandas()
+        assert cl.sort_values("image_id").reset_index(drop=True).equals(
+            cl2.sort_values("image_id").reset_index(drop=True)
+        )
