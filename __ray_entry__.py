@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dedup": ro.q_phash_dedup,
         "image_neardup_pairs": ro.q_image_neardup_pairs,
         "image_dedup_clusters": ro.q_image_dedup_clusters,
+        "tile_mosaic": ro.q_tile_mosaic,
         "image_cells": ro.q_image_cells,
         "caption_consistency": ro.q_caption_consistency,
         "minhash_pairs": ro.q_minhash_pairs,

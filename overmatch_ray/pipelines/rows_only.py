@@ -381,3 +381,41 @@ def q_image_dedup_clusters(sf_dir: str):
         })
 
     return clusters.map_batches(restore, batch_format="pyarrow")
+
+
+def q_tile_mosaic(sf_dir: str):
+    """Axes A+B composition: a per-tile image MOSAIC MANIFEST — for every
+    z12 slippy tile holding images, the 4 deterministic representatives
+    ordered by (phash, image_id). Projection + tile assignment in one
+    map, a single bucketed group-apply picks representatives
+    (vectorized head-per-tile, no per-tile dispatch). The manifest is
+    what a tile-rendering service prefetches; byte-determinism at any
+    parallelism is the invariant (same contract as the tile encoder)."""
+    from ..stages.groupops import bucketed_group_apply
+    from ..stages.tiles import tile_xy
+
+    def to_tiles(batch: pa.Table) -> pa.Table:
+        tx, ty = tile_xy(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            12,
+        )
+        return pa.table(
+            {
+                "tx": pa.array(tx),
+                "ty": pa.array(ty),
+                "image_id": batch["image_id"],
+                "phash": batch["phash"],
+            }
+        )
+
+    imgs = _images_ds(sf_dir).map_batches(to_tiles, batch_format="pyarrow")
+
+    def pick(g):
+        g = g.sort_values(["tx", "ty", "phash", "image_id"], kind="mergesort")
+        r = g.groupby(["tx", "ty"]).cumcount()
+        out = g[r < 4].copy()
+        out["mosaic_rank"] = (r[r < 4] + 1).astype("int64")
+        return out[["tx", "ty", "mosaic_rank", "image_id", "phash"]]
+
+    return bucketed_group_apply(imgs, ["tx", "ty"], pick, num_buckets=32)

@@ -214,3 +214,23 @@ class TestImageDedupClusters:
         assert cl.sort_values("image_id").reset_index(drop=True).equals(
             cl2.sort_values("image_id").reset_index(drop=True)
         )
+
+
+class TestTileMosaic:
+    def test_deterministic_and_capped(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import q_tile_mosaic
+
+        sf = "/root/testdata/sf0.001"
+        a = q_tile_mosaic(sf).to_pandas().sort_values(
+            ["tx", "ty", "mosaic_rank"]).reset_index(drop=True)
+        b = q_tile_mosaic(sf).to_pandas().sort_values(
+            ["tx", "ty", "mosaic_rank"]).reset_index(drop=True)
+        assert a.equals(b)
+        assert len(a) > 0
+        per_tile = a.groupby(["tx", "ty"]).size()
+        assert per_tile.max() <= 4
+        # within a tile, representatives are the (phash, id)-smallest
+        for (_, _), g in a.groupby(["tx", "ty"]):
+            keys = list(zip(g.phash, g.image_id))
+            assert keys == sorted(keys)
+            assert list(g.mosaic_rank) == list(range(1, len(g) + 1))
