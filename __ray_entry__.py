@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": cq.q_rollup_revenue,
         "cube_revenue": cq.q_cube_revenue,
         "type_value_corr": cq.q_type_value_corr,
+        "click_purchase_users": cq.q_click_purchase_users,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         # non-SQL-expressible (rows-only; pinned by the test suite)

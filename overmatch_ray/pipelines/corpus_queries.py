@@ -2903,3 +2903,41 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_hour_value
 FROM m
 """
+
+
+def q_click_purchase_users(sf_dir: str):
+    """INTERSECT set op: distinct users with BOTH a click and a purchase —
+    per-side distinct (groupby) + one shuffled semi join; the set-op
+    family's missing member next to union (everywhere), EXCEPT
+    (anti joins) and DISTINCT (exact_dedup)."""
+    from ..stages.joins import semi_join_shuffled
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(which: str):
+        def _s(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            f = batch.filter(pc_.equal(batch["event_type"], which))
+            u = np.unique(f["user_id"].to_numpy(zero_copy_only=False))
+            return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+        return _s
+
+    clicks = (
+        ds.map_batches(side("click"), batch_format="pyarrow")
+        .groupby("user_id").count()
+        .map_batches(
+            lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    purchases = ds.map_batches(side("purchase"), batch_format="pyarrow")
+    return semi_join_shuffled(clicks, purchases, "user_id", "user_id")
+
+
+ORACLE_SQL["click_purchase_users"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
