@@ -1936,6 +1936,11 @@ def q_peak_concurrency(sf_dir: str):
         return pd.DataFrame(out, columns=["mx", "t_at"]).astype(np.int64)
 
     parts = bucketed_group_apply(b, ["rng"], range_max, num_buckets=16).take_all()
+    if not parts:  # no sessions at all
+        return pa.table({
+            "peak_concurrency": pa.array([0], pa.int64()),
+            "at_us": pa.array([0], pa.int64()),
+        })
     peak, at = max(((p["mx"], -p["t_at"]) for p in parts))
     return pa.table(
         {
