@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup_pairs": ro.q_image_neardup_pairs,
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "tile_mosaic": ro.q_tile_mosaic,
+        "dirty_tiles": ro.q_dirty_tiles,
         "image_cells": ro.q_image_cells,
         "caption_consistency": ro.q_caption_consistency,
         "minhash_pairs": ro.q_minhash_pairs,

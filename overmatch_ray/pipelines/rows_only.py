@@ -419,3 +419,30 @@ def q_tile_mosaic(sf_dir: str):
         return out[["tx", "ty", "mosaic_rank", "image_id", "phash"]]
 
     return bucketed_group_apply(imgs, ["tx", "ty"], pick, num_buckets=32)
+
+
+def q_dirty_tiles(sf_dir: str):
+    """Incremental tiling: the dirty-tile set between the flagship tile
+    pyramid and the pyramid of a perturbed corpus (every 5th customer key
+    dropped) — only these tiles need republishing
+    (stages.tiles.dirty_tiles; manifest-hash diff, payloads never
+    shuffle)."""
+    from ..stages.tiles import build_tiles, dirty_tiles
+    from .conflate import flagship_matches
+
+    old = build_tiles(flagship_matches(sf_dir), zooms=[8, 12], max_per_tile=200)
+
+    def thin(batch: pa.Table) -> pa.Table:
+        # key-derived (partition-invariant) rule: drop osm ids whose
+        # numeric suffix ≡ 0 (mod 5) → some tiles change, most don't
+        suf = np.array(
+            [int(s.rsplit("/", 1)[1]) for s in batch["osm_id"].to_pylist()],
+            np.int64,
+        )
+        return batch.filter(pa.array(suf % 5 != 0))
+
+    new_feats = flagship_matches(sf_dir).map_batches(
+        thin, batch_format="pyarrow"
+    )
+    new = build_tiles(new_feats, zooms=[8, 12], max_per_tile=200)
+    return dirty_tiles(old, new)

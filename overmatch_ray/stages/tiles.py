@@ -166,3 +166,78 @@ def auto_max_zoom(
         if counts.max() * scale <= max_per_tile:
             return z
     return zmax
+
+
+def dirty_tiles(old_tiles_ds, new_tiles_ds, num_buckets: int = 32):
+    """Incremental tiling: diff two tile pyramids → (zoom, tx, ty,
+    change_type ∈ added/removed/changed). Content equality = sha256 of
+    the canonical sorted-JSON payload (byte-deterministic by the tile
+    encoder's contract), so a nightly rebuild republishes ONLY dirty
+    tiles — the incremental answer to the reference's full-pyramid
+    rebuild (scripts/build_pmtiles.py regenerates everything nightly).
+
+    One bucketed outer hash join on the packed (zoom, tx, ty) key; both
+    sides are tile MANIFEST rows (key + content hash), never tile
+    payloads, so the shuffle is O(#tiles) × 16 B. The key packs into 49
+    bits (z ≤ 21, guarded): the join's per-bucket pandas merge upcasts
+    int64 to float64, and only ≤2^53 keys survive that exactly (the
+    63-bit packing silently zeroed low ty bits — caught by the
+    brute-force test)."""
+    import hashlib
+
+    from .joins import bucket_hash_join
+
+    def manifest(side: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            z = batch["zoom"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tx = batch["tx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ty = batch["ty"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if z.size and z.max() > 21:
+                raise ValueError("dirty_tiles packs (z,tx,ty) into 49 bits "
+                                 "(z <= 21): keys must stay float64-exact "
+                                 "through the join's pandas merge")
+            key = (z << np.int64(44)) | (tx << np.int64(22)) | ty
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.sha256(t).digest()[:8], "big") >> 1
+                    for t in batch["tile"].to_pylist()
+                ],
+                np.int64,
+            )
+            return pa.table({f"key_{side}": pa.array(key),
+                             f"h_{side}": pa.array(hs)})
+
+        return _m
+
+    old_m = old_tiles_ds.map_batches(manifest("old"), batch_format="pyarrow")
+    new_m = new_tiles_ds.map_batches(manifest("new"), batch_format="pyarrow")
+    joined = bucket_hash_join(
+        old_m, new_m, left_on="key_old", right_on="key_new", how="outer",
+        num_buckets=num_buckets,
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has_old = pc.is_valid(batch["key_old"]).to_numpy(zero_copy_only=False)
+        has_new = pc.is_valid(batch["key_new"]).to_numpy(zero_copy_only=False)
+        ko = pc.fill_null(batch["key_old"], 0).to_numpy(zero_copy_only=False)
+        kn = pc.fill_null(batch["key_new"], 0).to_numpy(zero_copy_only=False)
+        ho = pc.fill_null(batch["h_old"], -1).to_numpy(zero_copy_only=False)
+        hn = pc.fill_null(batch["h_new"], -2).to_numpy(zero_copy_only=False)
+        typ = np.where(
+            ~has_old, "added",
+            np.where(~has_new, "removed", np.where(ho != hn, "changed", "")),
+        )
+        keep = typ != ""
+        key = np.where(has_old, ko, kn)[keep].astype(np.int64)
+        return pa.table(
+            {
+                "zoom": pa.array(key >> np.int64(44)),
+                "tx": pa.array((key >> np.int64(22)) & np.int64((1 << 22) - 1)),
+                "ty": pa.array(key & np.int64((1 << 22) - 1)),
+                "change_type": pa.array(typ[keep], pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

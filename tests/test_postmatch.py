@@ -758,3 +758,57 @@ class TestAdviceR2Regressions:
         # one deterministic winner regardless of arrival order: the
         # full-payload sort makes merge_asof pick the LAST row = max payload
         assert picks == {3.0}
+
+
+class TestDirtyTiles:
+    def test_classification_and_determinism(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from overmatch_ray.stages.tiles import build_tiles, dirty_tiles
+
+        rng = np.random.RandomState(11)
+        n = 400
+        feats = pa.table({
+            "osm_id": pa.array([f"node/{i}" for i in range(n)]),
+            "lon": pa.array(-77.05 + rng.rand(n) * 0.4),
+            "lat": pa.array(38.85 + rng.rand(n) * 0.3),
+        })
+        old_ds = ray.data.from_arrow(feats).repartition(3)
+        # new corpus: the western strip vanishes entirely (removed tiles),
+        # a modulo-thinning changes others, and a new eastern strip of
+        # points appears (added tiles)
+        lon = feats["lon"].to_numpy()
+        keep = (lon > -76.9) & (np.arange(n) % 7 != 0)
+        extra = pa.table({
+            "osm_id": pa.array([f"node/{n + i}" for i in range(40)]),
+            "lon": pa.array(-76.55 + rng.rand(40) * 0.05),
+            "lat": pa.array(38.9 + rng.rand(40) * 0.05),
+        })
+        import pyarrow as pa_
+        new_tbl = pa_.concat_tables([feats.filter(pa.array(keep)), extra])
+        new_ds = ray.data.from_arrow(new_tbl).repartition(4)
+        old_t = build_tiles(old_ds, zooms=[8, 12], max_per_tile=50).materialize()
+        new_t = build_tiles(new_ds, zooms=[8, 12], max_per_tile=50).materialize()
+        d = dirty_tiles(old_t, new_t).to_pandas()
+        ot = old_t.to_pandas().set_index(["zoom", "tx", "ty"])
+        nt = new_t.to_pandas().set_index(["zoom", "tx", "ty"])
+        exp = {}
+        for k in set(ot.index) | set(nt.index):
+            if k not in nt.index:
+                exp[k] = "removed"
+            elif k not in ot.index:
+                exp[k] = "added"
+            elif bytes(ot.loc[k, "tile"]) != bytes(nt.loc[k, "tile"]):
+                exp[k] = "changed"
+        got = {(z, x, y): c for z, x, y, c in
+               zip(d.zoom, d.tx, d.ty, d.change_type)}
+        assert got == exp
+        assert {"changed", "removed", "added"} <= set(got.values())
+        # unchanged tiles never appear
+        assert len(d) < len(ot) + len(nt)
+        d2 = dirty_tiles(old_t, new_t).to_pandas()
+        assert sorted(map(tuple, d.itertuples(index=False))) == sorted(
+            map(tuple, d2.itertuples(index=False))
+        )
