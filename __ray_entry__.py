@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marked_counters": ro.q_marked_counters,
         "pmtiles_archive": ro.q_pmtiles_archive,
         "corpus_pipeline": ro.q_corpus_pipeline,
+        "s2_cells": ro.q_s2_cells,
     }
 
 

@@ -13,6 +13,12 @@ numpy; no H3/S2 library exists in this environment.
 
 Cell id layout: ``((ix + 2^31) << 32) | (iy + 2^31)`` with
 ``ix = floor(x / cell_size)`` — invertible, order-free, and hash-friendly.
+
+Real S2 cell ids (the north star's "S2 level-14") live in
+``overmatch_ray/s2.py`` — a pure-numpy implementation of the public S2
+encoding, used for interop/lineage ids (`s2_cells` query). This square
+grid stays the JOIN index because its k-ring-1 ⊇ 100 m guarantee is what
+the conflation equi-join relies on.
 """
 
 from __future__ import annotations

@@ -446,3 +446,47 @@ def q_dirty_tiles(sf_dir: str):
     )
     new = build_tiles(new_feats, zooms=[8, 12], max_per_tile=200)
     return dirty_tiles(old, new)
+
+
+def q_s2_cells(sf_dir: str):
+    """S2 cell encode + hierarchy rollup — the north star's literal
+    "S2 level-14" index (overmatch_ray/s2.py, pure-numpy Hilbert-curve
+    encoder; no SQL analog, so rows-only; conformance pinned by
+    tests/test_s2.py against an independent per-level walk). Events map to
+    formula coords, encode to level-14 cells in one vectorized
+    map_batches, aggregate per cell (the ONLY shuffle), then attach the
+    level-9 ancestor token via the pure bit-op parent — no re-encode, no
+    second scan. Top-50 cells by count, deterministic tie-break."""
+    from .corpus_queries import _formula_coords
+    from .. import s2
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        cell = s2.lnglat_to_cell(lon, lat, level=14)
+        return pa.table({"s2_l14": pa.array(cell.view(np.int64))})
+
+    l14 = (
+        ev.map_batches(encode, batch_format="pyarrow")
+        .groupby("s2_l14")
+        .count()
+    )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        c14 = batch["s2_l14"].to_numpy(zero_copy_only=False).view(np.uint64)
+        par = s2.cell_parent(c14, 9)
+        return pa.table(
+            {
+                "s2_token": pa.array(s2.cell_token(c14), pa.string()),
+                "s2_l9_token": pa.array(s2.cell_token(par), pa.string()),
+                "n_events": batch["count()"],
+            }
+        )
+
+    return (
+        l14.map_batches(tokenize, batch_format="pyarrow")
+        .sort(["n_events", "s2_token"], descending=[True, False])
+        .limit(50)
+    )
