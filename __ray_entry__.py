@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmtiles_archive": ro.q_pmtiles_archive,
         "corpus_pipeline": ro.q_corpus_pipeline,
         "s2_cells": ro.q_s2_cells,
+        "simplified_tracks": ro.q_simplified_tracks,
     }
 
 

@@ -490,3 +490,67 @@ def q_s2_cells(sf_dir: str):
         .sort(["n_events", "s2_token"], descending=[True, False])
         .limit(50)
     )
+
+
+def q_simplified_tracks(sf_dir: str):
+    """Per-user GPS-track Douglas-Peucker simplification at 30 m — the
+    tippecanoe-simplification analog as a standalone operator
+    (stages.spatial.douglas_peucker_mask; no SQL analog, so rows-only;
+    error-bound + invariance pinned by tests/test_spatial.py). One
+    bucketed shuffle: tracks sort (ts, event_id) inside the kernel, the
+    DP mask and the summary come out of the same pass. simp_dm is the
+    simplified-polyline length floored to integer decimeters per leg
+    (summation-order-free, the track_lengths trick)."""
+    import pandas as pd
+
+    from ..geo import mercator_xy
+    from ..stages.groupops import bucketed_group_apply
+    from ..stages.spatial import douglas_peucker_mask
+    from .corpus_queries import _formula_coords
+
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(add_xy, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        keys = g["user_id"].to_numpy()
+        x = g["x"].to_numpy(dtype=np.float64)
+        y = g["y"].to_numpy(dtype=np.float64)
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        n_points = (ends - starts).astype(np.int64)
+        n_kept = np.zeros(len(uniq), np.int64)
+        simp_dm = np.zeros(len(uniq), np.int64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            keep = douglas_peucker_mask(x[s:e], y[s:e], tol_m=30.0)
+            kx, ky = x[s:e][keep], y[s:e][keep]
+            n_kept[gi] = keep.sum()
+            d = np.sqrt(np.diff(kx) ** 2 + np.diff(ky) ** 2)
+            simp_dm[gi] = int(np.floor(d * 10).astype(np.int64).sum())
+        return pd.DataFrame(
+            {
+                "user_id": uniq,
+                "n_points": n_points,
+                "n_kept": n_kept,
+                "simp_dm": simp_dm,
+            }
+        )
+
+    return bucketed_group_apply(
+        pts, ["user_id"], per_bucket, num_buckets=32
+    ).sort("user_id")

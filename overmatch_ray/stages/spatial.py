@@ -863,3 +863,93 @@ def dbscan_points(
     return assigned.union(
         noise.map_batches(as_noise, batch_format="pyarrow")
     )
+
+
+def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, tol_m: float) -> np.ndarray:
+    """Ramer–Douglas–Peucker keep-mask for ONE polyline (planar meters).
+
+    Segment-clamped distance variant (same kernel as
+    ``snap_points_to_segments``): a point survives iff its distance to the
+    anchor CHORD exceeds ``tol_m`` (strict — points exactly at the
+    tolerance are dropped). Endpoints always kept. Guarantee: every
+    dropped point lies within ``tol_m`` of the edge of the simplified
+    polyline that spans it — the chord only becomes an edge when no
+    interior point exceeds the tolerance (pinned by tests).
+
+    The analog of tippecanoe's per-zoom geometry simplification
+    (reference tiling sink, SURVEY.md §2.1-S15) as a standalone operator;
+    per-polyline iterative stack, distances vectorized per split — no
+    per-point Python in the inner loop.
+    """
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    tol2 = float(tol_m) * float(tol_m)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        px, py = x[a + 1 : b], y[a + 1 : b]
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        ll = dx * dx + dy * dy
+        if ll == 0.0:
+            d2 = (px - x[a]) ** 2 + (py - y[a]) ** 2
+        else:
+            t = np.clip(((px - x[a]) * dx + (py - y[a]) * dy) / ll, 0.0, 1.0)
+            d2 = (px - (x[a] + t * dx)) ** 2 + (py - (y[a] + t * dy)) ** 2
+        im = int(np.argmax(d2))  # first max — deterministic tie-break
+        if d2[im] > tol2:
+            m = a + 1 + im
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+def simplify_tracks(
+    ds,
+    tol_m: float,
+    *,
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    num_buckets: int = 64,
+):
+    """Per-key polyline simplification: one bucketed shuffle
+    (``groupops.bucketed_group_apply`` — never per-key map_groups), tracks
+    sorted by ``order_cols`` inside the kernel, DP mask per track. Emits
+    the KEPT points as (key, seq, x, y) — ``seq`` is the 0-based position
+    in the ORIGINAL track, so downstream can interleave or diff. Output is
+    a deterministic function of the input rows at any parallelism."""
+    from .groupops import bucketed_group_apply
+
+    order = list(order_cols or [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        keep = np.zeros(len(keys), dtype=bool)
+        seq = np.zeros(len(keys), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            keep[s:e] = douglas_peucker_mask(x[s:e], y[s:e], tol_m)
+            seq[s:e] = np.arange(e - s)
+        return pd.DataFrame(
+            {
+                key_col: keys[keep],
+                "seq": seq[keep],
+                x_col: x[keep],
+                y_col: y[keep],
+            }
+        )
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, num_buckets=num_buckets)

@@ -530,3 +530,105 @@ class TestSnapPointsToSegments:
         }))
         with pytest.raises(ValueError, match="cell edge"):
             snap_points_to_segments(pts, segs, radius_m=500.0)
+
+
+class TestDouglasPeucker:
+    def test_endpoints_and_spike(self):
+        from overmatch_ray.stages.spatial import douglas_peucker_mask
+
+        x = np.array([0.0, 1, 2, 3, 4])
+        y = np.array([0.0, 0.1, 3, 0.1, 0])
+        assert list(douglas_peucker_mask(x, y, 1.0)) == [
+            True, False, True, False, True]
+        assert list(douglas_peucker_mask(x, y, 5.0)) == [
+            True, False, False, False, True]
+        # degenerate: 0, 1, 2 points
+        assert list(douglas_peucker_mask(x[:0], y[:0], 1.0)) == []
+        assert list(douglas_peucker_mask(x[:1], y[:1], 1.0)) == [True]
+        assert list(douglas_peucker_mask(x[:2], y[:2], 1.0)) == [True, True]
+
+    def test_error_bound_guarantee(self):
+        # every DROPPED point is within tol of the kept edge spanning it
+        from overmatch_ray.stages.spatial import douglas_peucker_mask
+
+        rng = np.random.default_rng(42)
+        for tol in (5.0, 50.0):
+            x = np.cumsum(rng.uniform(0, 30, 300))
+            y = np.cumsum(rng.normal(0, 20, 300))
+            keep = douglas_peucker_mask(x, y, tol)
+            kept_idx = np.flatnonzero(keep)
+            assert keep[0] and keep[-1]
+            for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+                if b - a < 2:
+                    continue
+                px, py = x[a + 1 : b], y[a + 1 : b]
+                dx, dy = x[b] - x[a], y[b] - y[a]
+                ll = dx * dx + dy * dy
+                t = np.clip(((px - x[a]) * dx + (py - y[a]) * dy) / ll, 0, 1)
+                d = np.hypot(px - (x[a] + t * dx), py - (y[a] + t * dy))
+                assert (d <= tol).all()
+
+    def test_collinear_collapses_duplicates_survive_shape(self):
+        from overmatch_ray.stages.spatial import douglas_peucker_mask
+
+        x = np.arange(100.0)
+        y = np.zeros(100)
+        assert douglas_peucker_mask(x, y, 0.5).sum() == 2
+        # identical points (zero-length chord branch)
+        x2 = np.zeros(5)
+        y2 = np.zeros(5)
+        assert douglas_peucker_mask(x2, y2, 0.5).sum() == 2
+
+    def test_simplify_tracks_stage_partition_invariance(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.spatial import (
+            douglas_peucker_mask, simplify_tracks)
+
+        rng = np.random.default_rng(3)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "user_id": np.repeat(np.arange(12), 50),
+                "t": np.tile(np.arange(50), 12),
+                "x": np.cumsum(rng.uniform(0, 40, n)),
+                "y": np.cumsum(rng.normal(0, 25, n)),
+            }
+        )
+        want_frames = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values("t")
+            keep = douglas_peucker_mask(
+                g["x"].to_numpy(), g["y"].to_numpy(), 30.0)
+            w = g[keep].copy()
+            w["seq"] = np.flatnonzero(keep)
+            want_frames.append(w[["user_id", "seq", "x", "y"]])
+        want = pd.concat(want_frames).reset_index(drop=True)
+
+        for nblocks in (1, 7):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            got = (
+                simplify_tracks(
+                    ds, 30.0, key_col="user_id", order_cols=["t"],
+                    num_buckets=8)
+                .to_pandas()
+                .sort_values(["user_id", "seq"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got, want.sort_values(
+                    ["user_id", "seq"], kind="mergesort"
+                ).reset_index(drop=True),
+                check_dtype=False,
+            )
+
+    def test_query_runs_and_is_consistent(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import q_simplified_tracks
+
+        df = q_simplified_tracks("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == df["user_id"].nunique() > 0
+        assert (df["n_kept"] >= 2).all()
+        assert (df["n_kept"] <= df["n_points"]).all()
+        # sf0.001 tracks are exactly collinear (constant lat) → 2 kept
+        assert (df["n_kept"] == 2).all()
