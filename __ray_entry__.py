@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_users": cq.q_click_purchase_users,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
+        "hop_distances": cq.q_hop_distances,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

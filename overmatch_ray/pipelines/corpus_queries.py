@@ -2946,3 +2946,146 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
+
+
+_HOP_ITERS = 4
+
+
+def q_hop_distances(sf_dir: str):
+    """Multi-source bounded-hop shortest paths (Bellman-Ford, K=4
+    relaxations): dist(s, n) = min total weight over ≤K-hop paths — the
+    distributed SSSP building block. Same deterministic order-key graph as
+    pagerank, integer edge weights w = 1 + (u·7 + v·13) % 97 so every
+    relaxation is exact integer arithmetic at any parallelism; oracle
+    unrolls the K iterations as chained CTEs (recursive CTEs cannot
+    aggregate over the recursive reference).
+
+    Plan per iteration: broadcast the current dist map (node-bounded
+    state — ≤ sources × nodes rows, the same ≤2M driver-state contract as
+    pagerank/dedup_clusters; swap to a bucket_hash_join on u above it) →
+    per-batch edge relaxations with an in-batch (src, v) min combine →
+    one groupby min — the ONLY shuffle per iteration."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    N = 500
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = k % N
+        # v mixes k beyond (k mod N) so nodes get MULTIPLE out-edges — a
+        # pure function of (k mod N) would make the graph functional and
+        # the ×31 fixed points (all multiples of 100) isolated
+        v = (k * 31 + (k // N) * 7) % N
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    e = (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="m"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"].cast(pa.int64()),
+                    "v": b["v"].cast(pa.int64()),
+                    "w": pa.array(
+                        1
+                        + (
+                            b["u"].cast(pa.int64()).to_numpy() * 7
+                            + b["v"].cast(pa.int64()).to_numpy() * 13
+                        )
+                        % 97
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    sources = np.arange(0, N, 100, dtype=np.int64)  # 5 sources
+    S = len(sources)
+    INF = np.int64(1) << np.int64(62)
+    dist = np.full((S, N), INF, dtype=np.int64)
+    dist[np.arange(S), sources] = 0
+
+    for _ in range(_HOP_ITERS):
+        ref = _ray.put(dist)
+
+        def relax(batch: pa.Table) -> pa.Table:
+            dmat = _ray.get(ref)  # (S, N) dense, zero-copy from plasma
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            # in-batch combine: scatter-min into a dense (S, N) partial so
+            # the shuffle moves ≤ S·N rows per block, never S·edges
+            out = np.full((S, N), INF, dtype=np.int64)
+            du = dmat[:, u]  # (S, E)
+            for si in range(S):  # S=5 vectorized sweeps, no per-edge loop
+                ok = du[si] < INF
+                np.minimum.at(out[si], v[ok], du[si][ok] + w[ok])
+            si, node = np.nonzero(out < INF)
+            return pa.table(
+                {
+                    "src": pa.array(sources[si]),
+                    "node": pa.array(node.astype(np.int64)),
+                    "dist": pa.array(out[si, node]),
+                }
+            )
+
+        improved = (
+            e.map_batches(relax, batch_format="pyarrow")
+            .groupby(["src", "node"])
+            .min("dist")
+            .take_all()
+        )
+        new = dist.copy()
+        for r in improved:
+            si = int(r["src"]) // 100
+            d = int(r["min(dist)"])
+            if d < new[si, int(r["node"])]:
+                new[si, int(r["node"])] = d
+        dist = new
+
+    si, node = np.nonzero(dist < INF)
+    return pa.table(
+        {
+            "src": pa.array(sources[si]),
+            "node": pa.array(node.astype(np.int64)),
+            "dist": pa.array(dist[si, node]),
+        }
+    )
+
+
+def _hop_oracle_sql() -> str:
+    prev = "d0"
+    iters = []
+    for i in range(1, _HOP_ITERS + 1):
+        iters.append(f"""
+d{i} AS (
+  SELECT src, node, MIN(dist) AS dist FROM (
+    SELECT src, node, dist FROM {prev}
+    UNION ALL
+    SELECT p.src, e.v AS node, p.dist + e.w AS dist
+    FROM {prev} p JOIN e ON e.u = p.node) GROUP BY src, node)""")
+        prev = f"d{i}"
+    return f"""
+WITH raw AS (
+  SELECT o_orderkey % 500 AS u,
+         (o_orderkey * 31 + (o_orderkey // 500) * 7) % 500 AS v
+  FROM orders
+  WHERE o_orderkey % 500 <> (o_orderkey * 31 + (o_orderkey // 500) * 7) % 500),
+e AS (SELECT u, v, 1 + (u * 7 + v * 13) % 97 AS w
+      FROM (SELECT DISTINCT u, v FROM raw)),
+srcs AS (SELECT UNNEST([0, 100, 200, 300, 400]) AS s),
+d0 AS (SELECT s AS src, s AS node, 0 AS dist FROM srcs),
+{",".join(iters)}
+SELECT src, node, CAST(dist AS BIGINT) AS dist FROM {prev}
+ORDER BY src, node
+"""
+
+
+ORACLE_SQL["hop_distances"] = _hop_oracle_sql()
