@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pipeline": ro.q_corpus_pipeline,
         "s2_cells": ro.q_s2_cells,
         "simplified_tracks": ro.q_simplified_tracks,
+        "aspect_batches": ro.q_aspect_batches,
     }
 
 

@@ -554,3 +554,94 @@ def q_simplified_tracks(sf_dir: str):
     return bucketed_group_apply(
         pts, ["user_id"], per_bucket, num_buckets=32
     ).sort("user_id")
+
+
+_ASPECT_BUCKETS = [("1:1", 1.0), ("4:3", 4 / 3), ("3:4", 3 / 4),
+                   ("16:9", 16 / 9), ("9:16", 9 / 16)]
+
+
+def q_aspect_batches(sf_dir: str):
+    """Vision-training batch prep: aspect-ratio bucketing + fixed-size
+    batch packing. Each image goes to the aspect bucket minimizing
+    |log(w/h) − log(bucket ratio)| (first-min tie-break), then images
+    within a bucket pack into training batches of 32 in image_id order —
+    per-bucket EXACT ranks via the id-range two-phase scan
+    (per-(bucket, range) counts → driver offsets → in-range sort), the
+    price_quartiles plan; no global sort, shuffle moves (bucket, range)
+    groups. Metadata-only image synth (synth.images_meta_block) — pixel
+    bytes never enter this pipeline. Rows-only (w/h derive from splitmix
+    synth, not SQL-expressible); packing parity + invariance pinned by
+    tests."""
+    import pandas as pd
+
+    from ..stages.groupops import bucketed_group_apply
+    from ..synth import images_meta_block
+
+    B = 32
+    RANGE = 256  # id-suffix granule for the two-phase scan
+    names = [n for n, _ in _ASPECT_BUCKETS]
+    logs = np.log(np.array([r for _, r in _ASPECT_BUCKETS]))
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        idx = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = images_meta_block(idx)
+        w = t["w"].to_numpy().astype(np.float64)
+        h = t["h"].to_numpy().astype(np.float64)
+        d = np.abs(np.log(w / h)[:, None] - logs[None, :])
+        ab = np.argmin(d, axis=1).astype(np.int64)  # first-min tie-break
+        return pa.table(
+            {
+                "suffix": pa.array(idx),
+                "abucket": pa.array(ab),
+                "rng": pa.array(idx // RANGE),
+            }
+        )
+
+    t = docs.map_batches(meta, batch_format="pyarrow").materialize()
+    counts = {
+        (r["abucket"], r["rng"]): r["count()"]
+        for r in t.groupby(["abucket", "rng"]).count().take_all()
+    }
+    offsets: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for ab, rng in sorted(counts):
+        offsets[(ab, rng)] = acc.get(ab, 0)
+        acc[ab] = acc.get(ab, 0) + counts[(ab, rng)]
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (ab, rng), gr in g.groupby(["abucket", "rng"]):
+            gr = gr.sort_values("suffix", kind="mergesort")
+            rank = offsets[(int(ab), int(rng))] + np.arange(
+                len(gr), dtype=np.int64
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "image_id": [
+                            f"img-{i:012d}" for i in gr["suffix"].to_numpy()
+                        ],
+                        "aspect_bucket": names[int(ab)],
+                        "batch_id": rank // B,
+                        "pos_in_batch": rank % B,
+                    }
+                )
+            )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                {
+                    "image_id": pd.Series(dtype=str),
+                    "aspect_bucket": pd.Series(dtype=str),
+                    "batch_id": pd.Series(dtype=np.int64),
+                    "pos_in_batch": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+
+    return bucketed_group_apply(
+        t, ["abucket", "rng"], rank_bucket, num_buckets=16
+    ).sort(["aspect_bucket", "batch_id", "pos_in_batch"])

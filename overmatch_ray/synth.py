@@ -362,3 +362,22 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
             "lat": pa.array(lat),
         }
     )
+
+
+def images_meta_block(idx: np.ndarray, min_px: int = 16, max_px: int = 64) -> pa.Table:
+    """Metadata-only projection of ``images_block`` — identical
+    (image_id, w, h) columns WITHOUT rendering pixels, for pipelines that
+    only consume shape metadata (aspect bucketing). Must stay formula-
+    identical to images_block; pinned by a test."""
+    idx = np.asarray(idx, dtype=np.int64)
+    content_idx = np.where((idx % 17 == 0) & (idx > 0), idx - 1, idx)
+    span = _U64(max(max_px - min_px + 1, 1))
+    w = (min_px + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(50)) % span)).astype(np.int64)
+    h = (min_px + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(51)) % span)).astype(np.int64)
+    return pa.table(
+        {
+            "image_id": pa.array([f"img-{i:012d}" for i in idx], pa.string()),
+            "w": pa.array(w.astype(np.int32), pa.int32()),
+            "h": pa.array(h.astype(np.int32), pa.int32()),
+        }
+    )

@@ -234,3 +234,61 @@ class TestTileMosaic:
             keys = list(zip(g.phash, g.image_id))
             assert keys == sorted(keys)
             assert list(g.mosaic_rank) == list(range(1, len(g) + 1))
+
+
+class TestAspectBatches:
+    def test_meta_block_matches_full_synth(self):
+        import numpy as np
+
+        from overmatch_ray.synth import images_block, images_meta_block
+
+        idx = np.arange(0, 120, dtype=np.int64)
+        full = images_block(idx).select(["image_id", "w", "h"])
+        meta = images_meta_block(idx)
+        assert full.equals(meta)
+
+    def test_query_matches_direct_computation(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from overmatch_ray.pipelines.rows_only import (
+            _ASPECT_BUCKETS, q_aspect_batches)
+        from overmatch_ray.synth import images_meta_block
+
+        sf = "/root/testdata/sf0.001"
+        got = q_aspect_batches(sf).to_pandas().reset_index(drop=True)
+
+        idx = np.sort(
+            pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+                "doc_id"
+            ].to_numpy(zero_copy_only=False)
+        )
+        t = images_meta_block(idx)
+        w = t["w"].to_numpy().astype(float)
+        h = t["h"].to_numpy().astype(float)
+        logs = np.log(np.array([r for _, r in _ASPECT_BUCKETS]))
+        ab = np.argmin(np.abs(np.log(w / h)[:, None] - logs[None, :]), axis=1)
+        frames = []
+        for bi, (name, _) in enumerate(_ASPECT_BUCKETS):
+            ids = idx[ab == bi]
+            rank = np.arange(len(ids), dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "image_id": [f"img-{i:012d}" for i in ids],
+                        "aspect_bucket": name,
+                        "batch_id": rank // 32,
+                        "pos_in_batch": rank % 32,
+                    }
+                )
+            )
+        want = (
+            pd.concat(frames)
+            .sort_values(
+                ["aspect_bucket", "batch_id", "pos_in_batch"],
+                kind="mergesort",
+            )
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
