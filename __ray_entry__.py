@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cells": ro.q_s2_cells,
         "simplified_tracks": ro.q_simplified_tracks,
         "aspect_batches": ro.q_aspect_batches,
+        "track_hulls": ro.q_track_hulls,
     }
 
 

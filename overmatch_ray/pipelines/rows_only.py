@@ -645,3 +645,34 @@ def q_aspect_batches(sf_dir: str):
     return bucketed_group_apply(
         t, ["abucket", "rng"], rank_bucket, num_buckets=16
     ).sort(["aspect_bucket", "batch_id", "pos_in_batch"])
+
+
+def q_track_hulls(sf_dir: str):
+    """Per-user convex-hull footprint of the GPS track
+    (stages.spatial.hull_by — monotone chain per key over one bucketed
+    shuffle; no SQL analog in stock DuckDB, so rows-only; hull-property +
+    direct-recompute parity pinned by tests). One row per hull vertex
+    (CCW, seq 0 = lexicographic min) with the doubled shoelace area."""
+    from ..geo import mercator_xy
+    from ..stages.spatial import hull_by
+    from .corpus_queries import _formula_coords
+
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(add_xy, batch_format="pyarrow")
+    return hull_by(
+        pts, key_col="user_id", id_col="event_id", num_buckets=32
+    ).sort(["user_id", "seq"])

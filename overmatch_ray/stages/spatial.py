@@ -953,3 +953,104 @@ def simplify_tracks(
         )
 
     return bucketed_group_apply(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def convex_hull_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull of ONE point set (planar).
+    Returns indices into the input, CCW starting from the lexicographically
+    smallest (x, y) point; strictly convex (collinear boundary points
+    dropped). Duplicates are collapsed before the chain walk, so output
+    indices are unique; n<3 distinct points return what exists."""
+    pts = np.column_stack([x, y])
+    order = np.lexsort((y, x))
+    keep = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        d = np.diff(pts[order], axis=0)
+        keep[1:] = (d != 0).any(axis=1)
+    order = order[keep]
+    n = len(order)
+    if n <= 2:
+        return order
+    xs, ys = x[order], y[order]
+
+    def chain(idx_range):
+        out: list[int] = []
+        for i in idx_range:
+            while len(out) >= 2:
+                ax, ay = xs[out[-2]], ys[out[-2]]
+                bx, by = xs[out[-1]], ys[out[-1]]
+                cross = (bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax)
+                if cross <= 0:  # clockwise or collinear → drop
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    hull_local = lower[:-1] + upper[:-1]
+    return order[np.array(hull_local, dtype=np.int64)]
+
+
+def hull_by(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    num_buckets: int = 32,
+):
+    """Per-key convex hull footprints over one bucketed shuffle: rows sort
+    (key, x, y, id) inside the kernel for determinism, monotone chain per
+    key, output one row per hull VERTEX (key, seq CCW from the
+    lexicographic minimum, point id, x, y) plus the doubled shoelace area
+    `area2` on every row (integer-exact when coordinates are integers;
+    floats stay floats). Composes with dbscan_points for cluster
+    footprints."""
+    from .groupops import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, x_col, y_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        ids = g[id_col].to_numpy()
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        frames = []
+        for k, s, e in zip(uniq, starts, ends):
+            hi = s + convex_hull_xy(x[s:e], y[s:e])
+            hx, hy = x[hi], y[hi]
+            area2 = float(
+                np.dot(hx, np.roll(hy, -1)) - np.dot(np.roll(hx, -1), hy)
+            ) if len(hi) >= 3 else 0.0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: k,
+                        "seq": np.arange(len(hi), dtype=np.int64),
+                        id_col: ids[hi],
+                        x_col: hx,
+                        y_col: hy,
+                        "area2": area2,
+                    }
+                )
+            )
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=np.int64),
+                    "seq": pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=np.int64),
+                    x_col: pd.Series(dtype=np.float64),
+                    y_col: pd.Series(dtype=np.float64),
+                    "area2": pd.Series(dtype=np.float64),
+                }
+            )
+        )
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, num_buckets=num_buckets)

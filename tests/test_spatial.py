@@ -632,3 +632,75 @@ class TestDouglasPeucker:
         assert (df["n_kept"] <= df["n_points"]).all()
         # sf0.001 tracks are exactly collinear (constant lat) → 2 kept
         assert (df["n_kept"] == 2).all()
+
+
+class TestConvexHull:
+    def test_hull_properties_random(self):
+        from overmatch_ray.stages.spatial import convex_hull_xy
+
+        rng = np.random.default_rng(11)
+        for n in (3, 10, 200):
+            x = rng.uniform(-100, 100, n)
+            y = rng.uniform(-100, 100, n)
+            hi = convex_hull_xy(x, y)
+            hx, hy = x[hi], y[hi]
+            m = len(hi)
+            assert m >= 3
+            # strictly convex CCW: every consecutive triple turns left
+            for k in range(m):
+                ax, ay = hx[k], hy[k]
+                bx, by = hx[(k + 1) % m], hy[(k + 1) % m]
+                cx, cy = hx[(k + 2) % m], hy[(k + 2) % m]
+                assert (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0
+            # all points inside or on the hull (left of every edge)
+            for k in range(m):
+                ax, ay = hx[k], hy[k]
+                bx, by = hx[(k + 1) % m], hy[(k + 1) % m]
+                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                assert (cross >= -1e-9).all()
+            # starts at lexicographic minimum
+            lex = np.lexsort((y, x))[0]
+            assert hi[0] == lex
+
+    def test_hull_query_matches_direct(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from overmatch_ray.geo import mercator_xy
+        from overmatch_ray.pipelines.corpus_queries import _formula_coords
+        from overmatch_ray.pipelines.rows_only import q_track_hulls
+        from overmatch_ray.stages.spatial import convex_hull_xy
+
+        sf = "/root/testdata/sf0.001"
+        got = q_track_hulls(sf).to_pandas().reset_index(drop=True)
+
+        t = pq.read_table(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        ).to_pandas()
+        lon, lat = _formula_coords(t["event_id"].to_numpy())
+        t["x"], t["y"] = mercator_xy(lon, lat)
+        frames = []
+        for uid, g in t.groupby("user_id"):
+            g = g.sort_values(
+                ["x", "y", "event_id"], kind="mergesort"
+            ).reset_index(drop=True)
+            hi = convex_hull_xy(g["x"].to_numpy(), g["y"].to_numpy())
+            hx, hy = g["x"].to_numpy()[hi], g["y"].to_numpy()[hi]
+            area2 = (
+                float(np.dot(hx, np.roll(hy, -1)) - np.dot(np.roll(hx, -1), hy))
+                if len(hi) >= 3 else 0.0
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "seq": np.arange(len(hi), dtype=np.int64),
+                        "event_id": g["event_id"].to_numpy()[hi],
+                        "x": hx,
+                        "y": hy,
+                        "area2": area2,
+                    }
+                )
+            )
+        want = pd.concat(frames).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
