@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         "hop_distances": cq.q_hop_distances,
+        "pareto_orders": cq.q_pareto_orders,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -3089,3 +3089,61 @@ ORDER BY src, node
 
 
 ORACLE_SQL["hop_distances"] = _hop_oracle_sql()
+
+
+def q_pareto_orders(sf_dir: str):
+    """2D skyline (Pareto front, both dims maximized) over orders:
+    the orders no other order beats on BOTH totalprice and orderdate
+    (stages.groupops.skyline_2d). Scale story: per-block fronts are the
+    combiner — skyline(A∪B) ⊆ skyline(A) ∪ skyline(B) — so blocks shrink
+    to ~O(log n) rows locally and NO groupby shuffle happens at all; the
+    single-partition final pass sees only the union of the tiny local
+    fronts. Integer cents + µs timestamps → exact oracle parity."""
+    from ..stages.groupops import skyline_2d
+    from .queries import _cents
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k),
+                "price_cents": pa.array(p),
+                "date_us": pa.array(d.astype("datetime64[us]").view(np.int64)),
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
+
+    out = skyline_2d(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "price_cents",
+        "date_us",
+        keep_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select_columns(
+        ["o_orderkey", "price_cents", "o_orderdate"]
+    ).sort(["price_cents", "o_orderkey"])
+
+
+ORACLE_SQL["pareto_orders"] = """
+WITH v AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_cents,
+         o_orderdate
+  FROM orders),
+g AS (SELECT price_cents, max(o_orderdate) AS gmax FROM v GROUP BY 1),
+s AS (SELECT price_cents, gmax,
+             max(gmax) OVER (ORDER BY price_cents DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pb
+      FROM g),
+k AS (SELECT price_cents, gmax FROM s WHERE pb IS NULL OR gmax > pb)
+SELECT v.o_orderkey, v.price_cents, v.o_orderdate
+FROM v JOIN k
+  ON v.price_cents = k.price_cents AND v.o_orderdate = k.gmax
+ORDER BY v.price_cents, v.o_orderkey
+"""

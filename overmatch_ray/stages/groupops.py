@@ -715,3 +715,52 @@ def exact_corr(ds, x_col: str, y_col: str) -> "tuple[int, float]":
     if vx == 0 or vy == 0:
         return n, float("nan")
     return n, float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+
+
+def skyline_2d_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Maximal-vector (skyline / Pareto front) keep-mask, both dims
+    MAXIMIZED, integer or float: row i survives iff no row j has
+    x_j ≥ x_i AND y_j ≥ y_i with at least one strict. Exact duplicates of
+    a surviving point all survive (neither dominates the other).
+
+    O(n log n): per-x-group max y, then a strict running-best sweep in
+    descending x — a group survives iff its max-y strictly beats every
+    higher-x group's max-y; within a surviving group exactly the max-y
+    rows survive."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    ux, inv = np.unique(x, return_inverse=True)  # ascending unique x
+    gmax = np.full(len(ux), -np.inf)
+    np.maximum.at(gmax, inv, y)
+    # best y among STRICTLY higher x: suffix max shifted by one
+    suf = np.concatenate([
+        np.maximum.accumulate(gmax[::-1])[::-1][1:], [-np.inf]
+    ])
+    alive = gmax > suf
+    keep = alive[inv] & (y == gmax[inv])
+    return keep
+
+
+def skyline_2d(ds, x_col: str, y_col: str, keep_cols: list[str] | None = None):
+    """Distributed 2D skyline: per-block Pareto fronts (the combiner —
+    skyline(A∪B) ⊆ skyline(A) ∪ skyline(B), so local-then-global is
+    EXACT) shrink each block to ~O(log n) rows, then one single-partition
+    final pass. No groupby shuffle at all; the reduce moves only the
+    union of the tiny local fronts."""
+    cols = list(dict.fromkeys([x_col, y_col] + (keep_cols or [])))
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        m = skyline_2d_mask(
+            batch[x_col].to_numpy(zero_copy_only=False),
+            batch[y_col].to_numpy(zero_copy_only=False),
+        )
+        return batch.filter(pa.array(m))
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow")
+    )

@@ -246,3 +246,54 @@ class TestWkbLinestring:
 
         with pytest.raises(ValueError, match="linestring"):
             parse_wkb_linestring(wkb_point(1.0, 2.0))
+
+
+class TestSkyline2D:
+    def test_mask_vs_brute_force(self):
+        import numpy as np
+
+        from overmatch_ray.stages.groupops import skyline_2d_mask
+
+        rng = np.random.default_rng(9)
+        for n, hi in ((1, 2), (50, 8), (400, 10**6)):
+            x = rng.integers(0, hi, n)
+            y = rng.integers(0, hi, n)
+            m = skyline_2d_mask(x, y)
+            dom = (
+                (x[:, None] <= x[None, :])
+                & (y[:, None] <= y[None, :])
+                & ((x[:, None] < x[None, :]) | (y[:, None] < y[None, :]))
+            )
+            assert (m == ~dom.any(axis=1)).all()
+        assert list(skyline_2d_mask(np.array([]), np.array([]))) == []
+
+    def test_duplicates_of_front_point_all_survive(self):
+        import numpy as np
+
+        from overmatch_ray.stages.groupops import skyline_2d_mask
+
+        x = np.array([5, 5, 3, 1])
+        y = np.array([7, 7, 9, 1])
+        assert list(skyline_2d_mask(x, y)) == [True, True, True, False]
+
+    def test_combiner_exactness_any_split(self):
+        import numpy as np
+
+        from overmatch_ray.stages.groupops import skyline_2d_mask
+
+        rng = np.random.default_rng(13)
+        x = rng.integers(0, 30, 300)
+        y = rng.integers(0, 30, 300)
+        want = skyline_2d_mask(x, y)
+        for parts in (2, 7):
+            cand = np.concatenate([
+                lo + np.flatnonzero(
+                    skyline_2d_mask(x[lo:hi], y[lo:hi]))
+                for lo, hi in zip(
+                    range(0, 300, 300 // parts),
+                    list(range(300 // parts, 300, 300 // parts)) + [300],
+                )
+            ])
+            got = np.zeros(300, bool)
+            got[cand[skyline_2d_mask(x[cand], y[cand])]] = True
+            assert (got == want).all()
