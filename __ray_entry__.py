@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_filter": cq.q_pip_filter,
         "hop_distances": cq.q_hop_distances,
         "pareto_orders": cq.q_pareto_orders,
+        "weighted_sample": cq.q_weighted_sample,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -3147,3 +3147,31 @@ FROM v JOIN k
   ON v.price_cents = k.price_cents AND v.o_orderdate = k.gmax
 ORDER BY v.price_cents, v.o_orderkey
 """
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES
+    Efraimidis–Spirakis: top-k by ln(md5-uniform)/weight —
+    stages.splits.weighted_sample_topk): 100 documents sampled with
+    probability ∝ n_chars. No RNG, partitioning-invariant; per-block
+    top-k is an exact combiner so the corpus never sort-shuffles. The
+    oracle mirrors the key expression literally (hex-prefix → BIGINT →
+    identical division and ln; np.log/libm parity, the bm25 precedent);
+    output carries no float column, so hash parity only requires the
+    same k rows to win."""
+    from ..stages.splits import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample_topk(ds, "doc_id", "n_chars", k=100, salt="ws:")
+    return out.select_columns(["doc_id", "n_chars"]).sort("doc_id")
+
+
+ORACLE_SQL["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) + 1) / 4294967296.0) / n_chars AS pri
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY pri DESC, doc_id LIMIT 100
+"""

@@ -263,3 +263,68 @@ def global_shuffle_rank(ds, id_col: str, salt: str = "", num_buckets: int = 32):
     return bucketed_group_apply(
         tagged, ["__range"], rank, num_buckets=num_buckets
     )
+
+
+def weighted_sample_topk(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+):
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row gets a uniform
+    u = (int(md5(salt+id)[:8], 16) + 1) / 2^32 and priority key
+    ln(u) / weight; the global top-k by key IS a weighted sample — row
+    inclusion probability proportional to weight, reproducible at any
+    parallelism (md5 rule, same family as split_assign). Rows with
+    weight ≤ 0 are excluded.
+
+    Plan: per-block local top-k is an exact combiner (the global top-k is
+    a subset of the union of block top-ks), so blocks shrink to ≤k rows
+    before the single-partition final pass — no sort shuffle of the
+    corpus. Oracle-mirrorable: DuckDB
+    ``ln((CAST(CAST('0x'||substr(md5(salt||id),1,8) AS ...)) + 1) / 4294967296.0) / w``
+    with the identical literal expression (np.log/libm parity, the bm25
+    precedent)."""
+    import numpy as np
+
+    def key_of(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].to_pylist()
+        u = np.array(
+            [
+                int(hashlib.md5((salt + str(x)).encode()).hexdigest()[:8], 16)
+                for x in keys
+            ],
+            dtype=np.float64,
+        )
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = np.where(w > 0, np.log((u + 1.0) / 4294967296.0) / w, -np.inf)
+        batch = batch.append_column("__pri", pa.array(pri))
+        return batch.filter(pa.array(np.isfinite(pri)))  # weight<=0 excluded
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        pri = batch["__pri"].to_numpy(zero_copy_only=False)
+        idx = np.argpartition(-pri, k - 1)[:k]
+        return batch.take(pa.array(np.sort(idx)))
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["__pri", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(
+            df.drop(columns="__pri"), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(key_of, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )

@@ -1028,3 +1028,51 @@ class TestExactCorr:
                       "y": pa.array([1, 2, 3], pa.int64())})
         n, c = exact_corr(ray.data.from_arrow(t), "x", "y")
         assert n == 3 and math.isnan(c)
+
+
+class TestWeightedSample:
+    def test_inclusion_proportional_to_weight_and_invariance(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.splits import weighted_sample_topk
+
+        n = 4000
+        df = pd.DataFrame({
+            "id": np.arange(n),
+            # two weight classes, 10:1
+            "w": np.where(np.arange(n) % 2 == 0, 100, 10),
+        })
+
+        def direct(k):
+            u = np.array([
+                int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:8], 16)
+                for i in df["id"]], dtype=np.float64)
+            pri = np.log((u + 1) / 4294967296.0) / df["w"].to_numpy()
+            order = np.lexsort((df["id"].to_numpy(), -pri))
+            return set(df["id"].to_numpy()[order[:k]])
+
+        want = direct(400)
+        for nblocks in (1, 9):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            got = weighted_sample_topk(ds, "id", "w", k=400, salt="s:")
+            ids = set(got.to_pandas()["id"])
+            assert ids == want, nblocks
+        # heavy class should dominate the sample ~10:1
+        heavy = sum(1 for i in want if i % 2 == 0)
+        assert heavy > 300
+
+    def test_zero_weight_rows_never_sampled(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.splits import weighted_sample_topk
+
+        df = pd.DataFrame({"id": np.arange(10), "w": [0] * 8 + [5, 5]})
+        got = weighted_sample_topk(
+            ray.data.from_pandas(df), "id", "w", k=5).to_pandas()
+        assert set(got["id"]) == {8, 9}
