@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_distances": cq.q_hop_distances,
         "pareto_orders": cq.q_pareto_orders,
         "weighted_sample": cq.q_weighted_sample,
+        "priority_status_assoc": cq.q_priority_status_assoc,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

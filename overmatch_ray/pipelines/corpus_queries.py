@@ -3175,3 +3175,61 @@ WITH keyed AS (
 SELECT doc_id, n_chars FROM keyed
 ORDER BY pri DESC, doc_id LIMIT 100
 """
+
+
+def q_priority_status_assoc(sf_dir: str):
+    """Categorical association (feature-selection primitive): the
+    priority × status contingency table with expected counts and
+    per-cell chi-square contributions. One groupby shuffle (cell counts,
+    pre-combined); the 15-cell table is driver-bounded (cardinality
+    product, the quantile value-counts contract). Float finish mirrors
+    the SQL literally — the squared deviation is cast to DOUBLE before
+    squaring on BOTH sides (obs·n − rt·ct exceeds int64 when squared) and
+    outputs are FLOORED to 6 dp (floor, not round: np.round is half-even,
+    DuckDB round is half-away)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    cells = (
+        ds.groupby(["o_orderpriority", "o_orderstatus"]).count().take_all()
+    )
+    p = np.array([r["o_orderpriority"] for r in cells])
+    s = np.array([r["o_orderstatus"] for r in cells])
+    obs = np.array([r["count()"] for r in cells], dtype=np.int64)
+    rt = np.zeros(len(cells), np.int64)
+    ct = np.zeros(len(cells), np.int64)
+    for val in np.unique(p):
+        rt[p == val] = obs[p == val].sum()
+    for val in np.unique(s):
+        ct[s == val] = obs[s == val].sum()
+    n = int(obs.sum())
+    d = (obs * n - rt * ct).astype(np.float64)
+    expected = np.floor((rt * ct).astype(np.float64) / n * 1e6) / 1e6
+    chi2_term = np.floor(d * d / (rt * ct * n).astype(np.float64) * 1e6) / 1e6
+    order = np.lexsort((s, p))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(p[order]),
+            "o_orderstatus": pa.array(s[order]),
+            "obs": pa.array(obs[order]),
+            "expected": pa.array(expected[order]),
+            "chi2_term": pa.array(chi2_term[order]),
+        }
+    )
+
+
+ORACLE_SQL["priority_status_assoc"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS obs
+  FROM orders GROUP BY 1, 2),
+t AS (
+  SELECT o_orderpriority, o_orderstatus, obs,
+         sum(obs) OVER (PARTITION BY o_orderpriority) AS rt,
+         sum(obs) OVER (PARTITION BY o_orderstatus) AS ct,
+         sum(obs) OVER () AS n
+  FROM c)
+SELECT o_orderpriority, o_orderstatus, CAST(obs AS BIGINT) AS obs,
+       floor(CAST(rt * ct AS DOUBLE) / n * 1e6) / 1e6 AS expected,
+       floor(CAST(obs * n - rt * ct AS DOUBLE)
+             * CAST(obs * n - rt * ct AS DOUBLE)
+             / CAST(rt * ct * n AS DOUBLE) * 1e6) / 1e6 AS chi2_term
+FROM t ORDER BY 1, 2
+"""
