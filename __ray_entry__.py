@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": rq.q_purchase_attribution,
         "error_window_events": rq.q_error_window_events,
         "value_quantiles": rq.q_value_quantiles,
+        "value_outliers": rq.q_value_outliers,
+        "lineitem_profile": rq.q_lineitem_profile,
         "type_value_quantiles": rq.q_type_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
@@ -127,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": cq.q_cube_revenue,
         "type_value_corr": cq.q_type_value_corr,
         "click_purchase_users": cq.q_click_purchase_users,
+        "purchase_except_click_users": cq.q_purchase_except_click_users,
         "tile_assign": cq.q_tile_assign,
         "pip_filter": cq.q_pip_filter,
         "hop_distances": cq.q_hop_distances,

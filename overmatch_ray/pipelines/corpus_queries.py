@@ -3233,3 +3233,51 @@ SELECT o_orderpriority, o_orderstatus, CAST(obs AS BIGINT) AS obs,
              / CAST(rt * ct * n AS DOUBLE) * 1e6) / 1e6 AS chi2_term
 FROM t ORDER BY 1, 2
 """
+
+
+def q_purchase_except_click_users(sf_dir: str):
+    """EXCEPT set op: users with a high-value (>95) purchase but NO
+    high-value click — per-side distinct + one shuffled ANTI semi join
+    (the anti=True path of the same plan as the INTERSECT query). The
+    value threshold makes the sides genuinely diverge (every user has
+    every event TYPE in the synth corpus, so a type-only EXCEPT would be
+    vacuously empty)."""
+    from ..stages.joins import semi_join_shuffled
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(which: str):
+        def _s(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            f = batch.filter(
+                pc_.and_(
+                    pc_.equal(batch["event_type"], which),
+                    pc_.greater(batch["value"], 95.0),
+                )
+            )
+            u = np.unique(f["user_id"].to_numpy(zero_copy_only=False))
+            return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+        return _s
+
+    buyers = (
+        ds.map_batches(side("purchase"), batch_format="pyarrow")
+        .groupby("user_id").count()
+        .map_batches(
+            lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    clickers = ds.map_batches(side("click"), batch_format="pyarrow")
+    return semi_join_shuffled(buyers, clickers, "user_id", "user_id",
+                              anti=True)
+
+
+ORACLE_SQL["purchase_except_click_users"] = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 95
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND value > 95
+"""

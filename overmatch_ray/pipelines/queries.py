@@ -1021,3 +1021,103 @@ UNION ALL
 SELECT event_type, 0.95 AS p, round(quantile_cont(value, 0.95), 6) AS q
 FROM events GROUP BY event_type
 """
+
+
+def q_value_outliers(sf_dir: str):
+    """IQR-rule outlier detection (the standard data-cleaning filter):
+    events whose value falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Two
+    passes: the exact_quantiles (value, count) collapse gives q1/q3, then
+    a pure broadcast-bound filter map — no second shuffle. Float parity
+    is by AUTHORED-IDENTICAL interpolation on both engines (element picks
+    at floor((n−1)p) and +1, then lo + (hi−lo)·frac in the same literal
+    order), not by trusting quantile_cont internals — so the strict bound
+    comparisons agree bit-for-bit even when a bound lands on the value
+    grid."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    counts = ev.groupby("value").aggregate(Count(alias_name="__n")).take_all()
+    vals = np.array([r["value"] for r in counts], dtype=np.float64)
+    ns = np.array([r["__n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, ns = vals[order], ns[order]
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+
+    def elem(rank: int) -> float:
+        rank = min(max(rank, 0), n - 1)
+        return float(vals[np.searchsorted(cum, rank, side="right")])
+
+    def quant(p: float) -> float:
+        h = (n - 1) * p
+        fl = np.floor(h)
+        lo = elem(int(fl))
+        hi = elem(int(fl) + 1) if fl + 1 <= n - 1 else lo
+        return lo + (hi - lo) * (h - fl)
+
+    q1, q3 = quant(0.25), quant(0.75)
+    low_b = q1 - 1.5 * (q3 - q1)
+    up_b = q3 + 1.5 * (q3 - q1)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        m = (v < low_b) | (v > up_b)
+        return batch.filter(pa.array(m))
+
+    return (
+        ev.map_batches(flag, batch_format="pyarrow")
+        .select_columns(["event_id", "value"])
+        .sort("event_id")
+    )
+
+
+def _iqr_oracle_sql() -> str:
+    pick = """
+    max(CASE WHEN r = CAST(floor((nn - 1) * {p}) AS BIGINT) THEN value END)
+        AS {name}lo,
+    max(CASE WHEN r = CAST(floor((nn - 1) * {p}) AS BIGINT) + 1 THEN value END)
+        AS {name}hi"""
+    return f"""
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS r,
+         count(*) OVER () AS nn
+  FROM events),
+pick AS (
+  SELECT max(nn) AS nn,{pick.format(p="0.25", name="q1")},{pick.format(p="0.75", name="q3")}
+  FROM s),
+b AS (
+  SELECT
+    q1lo + (COALESCE(q1hi, q1lo) - q1lo)
+        * ((nn - 1) * 0.25 - floor((nn - 1) * 0.25)) AS q1,
+    q3lo + (COALESCE(q3hi, q3lo) - q3lo)
+        * ((nn - 1) * 0.75 - floor((nn - 1) * 0.75)) AS q3
+  FROM pick)
+SELECT e.event_id, e.value
+FROM events e, b
+WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+   OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+ORDER BY e.event_id
+"""
+
+
+ORACLE_SQL["value_outliers"] = _iqr_oracle_sql()
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Data profiler over the lineitem numeric measures
+    (stages.groupops.profile_columns — one pass, column-bounded
+    partials)."""
+    from ..stages.groupops import profile_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    return profile_columns(ds, cols).sort("column_name")
+
+
+ORACLE_SQL["lineitem_profile"] = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+        count(*) - count({c}) AS n_nulls,
+        min({c}) AS min_v, max({c}) AS max_v FROM lineitem"""
+    for c in ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+)

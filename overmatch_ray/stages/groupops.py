@@ -764,3 +764,46 @@ def skyline_2d(ds, x_col: str, y_col: str, keep_cols: list[str] | None = None):
         .repartition(1)
         .map_batches(local, batch_format="pyarrow")
     )
+
+
+def profile_columns(ds, cols: "list[str]"):
+    """One-pass numeric data profiler: per column (n_rows, n_nulls, min,
+    max) in LONG format. Each batch emits one partial row per column
+    (column-count-bounded, never row-bounded), then one tiny
+    groupby(column) combine — the shuffle moves #cols × #blocks rows.
+    The standard pre-training data-quality screen."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {"column_name": [], "n_rows": [], "n_nulls": [],
+                "min_v": [], "max_v": []}
+        for c in cols:
+            col = batch[c]
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            null = int(col.null_count)
+            ok = v[~np.isnan(v)] if null or np.isnan(v).any() else v
+            rows["column_name"].append(c)
+            rows["n_rows"].append(batch.num_rows)
+            rows["n_nulls"].append(null)
+            rows["min_v"].append(float(ok.min()) if ok.size else np.nan)
+            rows["max_v"].append(float(ok.max()) if ok.size else np.nan)
+        return pa.table(
+            {
+                "column_name": pa.array(rows["column_name"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                "min_v": pa.array(rows["min_v"], pa.float64()),
+                "max_v": pa.array(rows["max_v"], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("column_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )
