@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": rq.q_value_quantiles,
         "value_outliers": rq.q_value_outliers,
         "lineitem_profile": rq.q_lineitem_profile,
+        "kanon_release": rq.q_kanon_release,
         "type_value_quantiles": rq.q_type_value_quantiles,
         # text / embedding / spatial (SQL-oracled)
         "token_counts": cq.q_token_counts,
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplified_tracks": ro.q_simplified_tracks,
         "aspect_batches": ro.q_aspect_batches,
         "track_hulls": ro.q_track_hulls,
+        "bpe_merges": ro.q_bpe_merges,
     }
 
 

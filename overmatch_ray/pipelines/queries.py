@@ -1121,3 +1121,60 @@ ORACLE_SQL["lineitem_profile"] = " UNION ALL ".join(
         min({c}) AS min_v, max({c}) AS max_v FROM lineitem"""
     for c in ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 )
+
+
+def q_kanon_release(sf_dir: str):
+    """k-anonymity release filter (privacy screen before corpus export):
+    rows whose quasi-identifier combination (priority, status, order
+    year) occurs < 10 times are SUPPRESSED; the rest are released. Plan:
+    one pre-combined groupby over the QI tuple (cardinality-bounded:
+    5×3×7 groups), released set broadcast once, then a pure filter map —
+    rows never shuffle."""
+    import ray as _ray
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus",
+                           "o_orderdate"]
+    )
+
+    def qi(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"])
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "order_year": yr.cast(pa.int64()),
+            }
+        )
+
+    t = ds.map_batches(qi, batch_format="pyarrow")
+    groups = t.groupby(
+        ["o_orderpriority", "o_orderstatus", "order_year"]
+    ).count().take_all()
+    released = {
+        (r["o_orderpriority"], r["o_orderstatus"], int(r["order_year"]))
+        for r in groups
+        if r["count()"] >= 10
+    }
+    ref = _ray.put(released)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rel = _ray.get(ref)
+        p = batch["o_orderpriority"].to_pylist()
+        s = batch["o_orderstatus"].to_pylist()
+        y = batch["order_year"].to_numpy(zero_copy_only=False)
+        mask = [(pi, si, int(yi)) in rel for pi, si, yi in zip(p, s, y)]
+        return batch.filter(pa.array(mask))
+
+    return t.map_batches(keep, batch_format="pyarrow").sort("o_orderkey")
+
+
+ORACLE_SQL["kanon_release"] = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+QUALIFY count(*) OVER (
+    PARTITION BY o_orderpriority, o_orderstatus, year(o_orderdate)) >= 10
+ORDER BY o_orderkey
+"""

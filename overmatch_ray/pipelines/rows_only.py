@@ -676,3 +676,15 @@ def q_track_hulls(sf_dir: str):
     return hull_by(
         pts, key_col="user_id", id_col="event_id", num_buckets=32
     ).sort(["user_id", "seq"])
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training over the documents corpus
+    (stages.textstats.bpe_train): 12 merge rounds, vocabulary-bounded
+    after ONE corpus shuffle; deterministic (count desc, pair lex)
+    tie-break. Rows-only (iterative argmax is not SQL-expressible);
+    parity with a single-process reference BPE pinned by tests."""
+    from ..stages.textstats import bpe_train
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(docs, "text", n_merges=12, min_freq=2)

@@ -371,3 +371,118 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 10,
         id_col: pa.array([r[1] for r in rows], pa.int64()),
         "score": pa.array([r[0] for r in rows], pa.float64()),
     })
+
+
+def _apply_merges(symbols: "list[str]", ranks: "dict[tuple[str, str], int]"):
+    """Apply learned BPE merges to one symbol sequence (lowest-rank pair
+    first — the canonical BPE apply loop)."""
+    while len(symbols) > 1:
+        best, bi = None, -1
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            return symbols
+        symbols = (
+            symbols[:bi] + [symbols[bi] + symbols[bi + 1]] + symbols[bi + 2:]
+        )
+    return symbols
+
+
+def bpe_train(ds, text_col: str, n_merges: int = 10, min_freq: int = 1):
+    """Distributed byte-pair-encoding merge training — the tokenizer-
+    training step of a pre-training pipeline, Ray-Data-first:
+
+    1. ONE corpus-wide shuffle builds the distinct (word, freq) table
+       (whitespace words; per-batch value-count combiner so the shuffle
+       moves word partials, never tokens). Everything after operates on
+       that vocabulary-bounded table — the corpus is touched exactly once,
+       the standard trick that makes BPE training corpus-size-free.
+    2. Each merge iteration: map_batches over the word table re-segments
+       each word under the merges learned so far (broadcast, tiny) and
+       emits in-batch pair-count partials; one vocabulary-bounded
+       groupby-sum; the driver takes the argmax with a deterministic
+       (count desc, pair lexicographic) tie-break — bit-identical at any
+       parallelism.
+
+    Returns a pyarrow Table (rank, left, right, pair_count). SQL cannot
+    express the iteration, so the driver check is rows-only; conformance
+    is pinned by tests against a plain single-process reference BPE."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        _, _, flat = _split_tokens(batch[text_col])
+        w = flat.to_pandas()
+        vc = w[w.str.len() > 0].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.astype(str), pa.string()),
+                "freq": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    words = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    merges: "list[tuple[str, str]]" = []
+    counts_out: "list[int]" = []
+    for _ in range(n_merges):
+        ranks = {m: i for i, m in enumerate(merges)}
+        ref = _ray.put(ranks)
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            rk = _ray.get(ref)
+            agg: "dict[tuple[str, str], int]" = {}
+            ws = batch["word"].to_pylist()
+            fs = batch["freq"].to_numpy(zero_copy_only=False)
+            for w, f in zip(ws, fs):
+                syms = _apply_merges(list(w), rk)
+                for a, b in zip(syms[:-1], syms[1:]):
+                    agg[(a, b)] = agg.get((a, b), 0) + int(f)
+            if not agg:
+                return pa.table(
+                    {"left": pa.array([], pa.string()),
+                     "right": pa.array([], pa.string()),
+                     "c": pa.array([], pa.int64())}
+                )
+            ks = list(agg.keys())
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in ks], pa.string()),
+                    "right": pa.array([k[1] for k in ks], pa.string()),
+                    "c": pa.array(
+                        np.fromiter(agg.values(), np.int64, len(agg))
+                    ),
+                }
+            )
+
+        pairs = (
+            words.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all()
+        )
+        best = None
+        for r in pairs:
+            key = (-int(r["c"]), r["left"], r["right"])
+            if int(r["c"]) >= min_freq and (best is None or key < best):
+                best = key
+        if best is None:
+            break
+        merges.append((best[1], best[2]))
+        counts_out.append(-best[0])
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array(counts_out, pa.int64()),
+        }
+    )

@@ -1076,3 +1076,73 @@ class TestWeightedSample:
         got = weighted_sample_topk(
             ray.data.from_pandas(df), "id", "w", k=5).to_pandas()
         assert set(got["id"]) == {8, 9}
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _reference_bpe(texts, n_merges, min_freq=1):
+        # plain single-process BPE (Sennrich-style), independent code path
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    vocab[w] += 1
+        words = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            pc_ = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms[:-1], syms[1:]):
+                    pc_[(a, b)] += vocab[w]
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_freq:
+                break
+            (a, b), c = best
+            merges.append((a, b, c))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    def test_matches_reference_and_partition_invariant(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.textstats import bpe_train
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog and a log",
+            "mat dog cat log the the",
+        ] * 5
+        want = self._reference_bpe(texts, 8)
+        for nblocks in (1, 5):
+            ds = ray.data.from_pandas(
+                pd.DataFrame({"text": texts})).repartition(nblocks)
+            got = bpe_train(ds, "text", n_merges=8).to_pandas()
+            assert [
+                (l, r, c) for l, r, c in zip(
+                    got["left"], got["right"], got["pair_count"])
+            ] == want, nblocks
+
+    def test_min_freq_stops_early(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.textstats import bpe_train
+
+        ds = ray.data.from_pandas(pd.DataFrame({"text": ["ab cd"]}))
+        got = bpe_train(ds, "text", n_merges=5, min_freq=2).to_pandas()
+        assert len(got) == 0
