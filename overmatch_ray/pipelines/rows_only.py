@@ -688,3 +688,45 @@ def q_bpe_merges(sf_dir: str):
 
     docs = _rpq(f"{sf_dir}/documents.parquet", columns=["text"])
     return bpe_train(docs, "text", n_merges=12, min_freq=2)
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 lexical top-20
+    for [hash, join, scan] fused with exact cosine top-20 around the
+    vec_id-0 embedding (the standard RAG-corpus retrieval stack —
+    documents and embeddings are parallel tables on the same ids).
+    RRF score = Σ 1/(60 + rank) over the lists a doc appears in; fusion
+    runs on the two k-bounded ranklists (driver-small by construction),
+    the heavy lifting stays in the two streaming retrievers. Rows-only
+    (the composition is pinned by a test against the two underlying
+    oracled operators)."""
+    from ..stages.knn import brute_force_topk
+    from ..stages.textstats import bm25_topk
+
+    K = 20
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lex = bm25_topk(docs, ["hash", "join", "scan"], k=K).to_pandas()
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    probe = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id == 0").iter_batches(
+            batch_format="pyarrow")]
+    )
+    sem = brute_force_topk(emb, probe, k=K)
+    sem = (sem.to_pandas() if hasattr(sem, "to_pandas") else sem)
+
+    score: dict[int, float] = {}
+    for rank, did in enumerate(lex["doc_id"], start=1):
+        score[int(did)] = score.get(int(did), 0.0) + 1.0 / (60 + rank)
+    for rank, did in zip(sem["rank"], sem["neighbor_id"]):
+        score[int(did)] = score.get(int(did), 0.0) + 1.0 / (60 + int(rank))
+    ids = sorted(score, key=lambda d: (-score[d], d))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "rrf_rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+            "rrf_score": pa.array(
+                np.round([score[d] for d in ids], 6), pa.float64()
+            ),
+        }
+    )

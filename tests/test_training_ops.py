@@ -1146,3 +1146,36 @@ class TestBpeTrain:
         ds = ray.data.from_pandas(pd.DataFrame({"text": ["ab cd"]}))
         got = bpe_train(ds, "text", n_merges=5, min_freq=2).to_pandas()
         assert len(got) == 0
+
+
+class TestHybridSearch:
+    def test_fusion_matches_component_retrievers(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from overmatch_ray.pipelines.rows_only import q_hybrid_search
+        from overmatch_ray.sources import read_parquet_clean
+        from overmatch_ray.stages.knn import brute_force_topk
+        from overmatch_ray.stages.textstats import bm25_topk
+
+        sf = "/root/testdata/sf0.001"
+        got = q_hybrid_search(sf).to_pandas()
+        assert len(got) == 10
+        assert (np.diff(got["rrf_score"].to_numpy()) <= 1e-12).all()
+
+        docs = read_parquet_clean(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        lex = bm25_topk(docs, ["hash", "join", "scan"], k=20).to_pandas()
+        emb = read_parquet_clean(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        probe = pa.concat_tables([
+            pa.table(b) for b in emb.filter(expr="vec_id == 0").iter_batches(
+                batch_format="pyarrow")])
+        sem = brute_force_topk(emb, probe, k=20).to_pandas()
+        score = {}
+        for rank, did in enumerate(lex["doc_id"], start=1):
+            score[int(did)] = score.get(int(did), 0.0) + 1 / (60 + rank)
+        for rank, did in zip(sem["rank"], sem["neighbor_id"]):
+            score[int(did)] = score.get(int(did), 0.0) + 1 / (60 + int(rank))
+        want = sorted(score, key=lambda d: (-score[d], d))[:10]
+        assert list(got["doc_id"]) == want
