@@ -753,11 +753,18 @@ def dbscan_points(
     if min_pts < 2:
         raise ValueError("min_pts must be >= 2 (point itself is counted)")
 
+    nb = _auto_buckets(num_buckets)
+    # coalesce the pair hub: the cell groupby leaves one block per input
+    # block and every downstream all-to-all (degree, 2 semi joins, CC,
+    # border join, noise anti) would DOUBLE the block count again —
+    # per-block overhead, not data, dominated the chain (46 s → 12.9 s at
+    # sf0.1/6k pts together with the cc_edges/border/assigned coalesces). nb scales with cluster CPUs, so block size
+    # stays proportional to data at any scale.
     pairs = radius_pairs(
         ds, ds, eps_m,
         left_id=id_col, right_id=id_col, lon_col=lon_col, lat_col=lat_col,
         num_buckets=num_buckets, exclude_self=True, emit_dist=False,
-    ).materialize()
+    ).repartition(nb).materialize()
 
     # degree (neighbors excluding self); core ⇔ degree + 1 >= min_pts.
     # Partial-combined per batch: a point's pairs are emitted by its own
@@ -783,7 +790,11 @@ def dbscan_points(
             batch["id_a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
         )})
 
-    core = deg.map_batches(core_only, batch_format="pyarrow").materialize()
+    core = (
+        deg.map_batches(core_only, batch_format="pyarrow")
+        .repartition(max(nb // 4, 1))
+        .materialize()
+    )
 
     def as_noise(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -809,7 +820,7 @@ def dbscan_points(
 
     cc_edges = cc_edges.union(
         core.map_batches(self_edges, batch_format="pyarrow")
-    )
+    ).repartition(nb)
     core_clusters = dedup_clusters(cc_edges)  # (doc_id, cluster_id)
 
     def as_assign(role: str):
@@ -836,7 +847,7 @@ def dbscan_points(
     # join (rightly) refuses to consume.
     border_cand = semi_join_shuffled(
         pairs, core, "id_a", "id", anti=True
-    ).materialize()
+    ).repartition(max(nb // 4, 1)).materialize()
     if border_cand.count() > 0:
         border_assign = (
             bucket_hash_join(
@@ -855,7 +866,11 @@ def dbscan_points(
             })
         )
 
-    assigned = core_assign.union(border_assign).materialize()
+    assigned = (
+        core_assign.union(border_assign)
+        .repartition(max(nb // 4, 1))
+        .materialize()
+    )
 
     points = ds.select_columns([id_col])
     noise = semi_join_shuffled(points, assigned, id_col, id_col, anti=True)
