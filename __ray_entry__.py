@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": cq.q_pareto_orders,
         "weighted_sample": cq.q_weighted_sample,
         "priority_status_assoc": cq.q_priority_status_assoc,
+        "type_value_trend": cq.q_type_value_trend,
+        "user_value_ffill": cq.q_user_value_ffill,
+        "kcore_nodes": cq.q_kcore_nodes,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

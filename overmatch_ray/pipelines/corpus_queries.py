@@ -3290,3 +3290,311 @@ EXCEPT
 SELECT DISTINCT user_id FROM events
 WHERE event_type = 'click' AND value > 95
 """
+
+
+# ---------------------------------------------------------------------------
+# trend / resample / k-core
+# ---------------------------------------------------------------------------
+
+
+def q_type_value_trend(sf_dir: str):
+    """GROUPED exact OLS trend: per event type, least-squares slope and
+    intercept of value-cents against absolute day index — the "is this
+    metric drifting" primitive next to `type_value_corr`. Same plan:
+    per-batch per-group Python-int moment partials (group-cardinality
+    bounded JSON rows, arbitrary precision — sum(day²·n) and sum(day·cents)
+    exceed int64 at 1e8+ rows), folded on the driver; the float finish
+    mirrors the oracle's HUGEINT→DOUBLE cast order so slope and intercept
+    are bit-identical (slope = one division of exact ints; intercept
+    reuses slope with the same literal expression shape)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (t_us // 86_400_000_000).astype(np.int64)
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rows: dict = {}
+        for g, x, y in zip(et, day.tolist(), vc.tolist()):
+            m = rows.setdefault(g, [0, 0, 0, 0, 0])
+            m[0] += 1; m[1] += x; m[2] += y
+            m[3] += x * x; m[4] += x * y
+        return pa.table({
+            "g": pa.array(list(rows), pa.string()),
+            "m": pa.array([_json.dumps(v) for v in rows.values()], pa.string()),
+        })
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, mjson in zip(b["g"].to_pylist(), b["m"].to_pylist()):
+            m = _json.loads(mjson)
+            a = acc.setdefault(g, [0] * 5)
+            for i in range(5):
+                a[i] += m[i]
+    out_g, out_n, out_s, out_i = [], [], [], []
+    for g in sorted(acc):
+        n, sx, sy, sxx, sxy = acc[g]
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        out_g.append(g); out_n.append(n)
+        out_s.append(slope); out_i.append(intercept)
+    return pa.table({
+        "event_type": pa.array(out_g, pa.string()),
+        "n_events": pa.array(out_n, pa.int64()),
+        "slope_cents_per_day": pa.array(out_s, pa.float64()),
+        "intercept_cents": pa.array(out_i, pa.float64()),
+    })
+
+
+ORACLE_SQL["type_value_trend"] = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(epoch_us(ts) // 86400000000 AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST(epoch_us(ts) // 86400000000 AS HUGEINT)
+             * CAST(epoch_us(ts) // 86400000000 AS HUGEINT)) AS sxx,
+         sum(CAST(epoch_us(ts) // 86400000000 AS HUGEINT)
+             * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sxy
+  FROM events GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM m
+"""
+
+
+_FFILL_START_US = 1_704_672_000_000_000  # 2024-01-08T00:00:00Z
+_FFILL_HOURS = 169  # hourly grid through 2024-01-15T00:00:00Z inclusive
+
+
+def q_user_value_ffill(sf_dir: str):
+    """Per-key time-series RESAMPLE with forward fill (last observation
+    carried forward): each user's event values sampled onto a fixed hourly
+    grid — the gap-filling step every feature-store / training-window
+    pipeline needs before windowed aggregation. One bucketed shuffle on
+    user_id; inside the bucket each user's grid is a single searchsorted
+    against their sorted event times (duplicate timestamps pre-reduced to
+    max cents so the as-of pick is well-defined — mirrored in the oracle's
+    pre-aggregate CTE). LEFT semantics: grid points before a user's first
+    event emit NULL. Oracle = DuckDB ASOF LEFT JOIN against a
+    generate_series grid."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).filter(
+        expr="user_id < 50"
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "vc": pa.array(vc),
+        })
+
+    grid = (
+        _FFILL_START_US + np.arange(_FFILL_HOURS, dtype=np.int64)
+        * 3_600_000_000
+    )
+
+    def ffill_bucket(g: pd.DataFrame) -> pa.Table:
+        # pre-reduce duplicate (user, ts) to max cents, then sort
+        g = (
+            g.groupby(["user_id", "ts_us"], sort=False)["vc"].max()
+            .reset_index()
+            .sort_values(["user_id", "ts_us"], kind="mergesort")
+        )
+        out_u, out_t, out_v = [], [], []
+        for uid, rows in g.groupby("user_id", sort=False):
+            t = rows["ts_us"].to_numpy()
+            v = rows["vc"].to_numpy()
+            idx = np.searchsorted(t, grid, side="right") - 1
+            vals = np.where(idx >= 0, v[np.maximum(idx, 0)], 0)
+            out_u.append(np.full(grid.size, uid, np.int64))
+            out_t.append(grid)
+            out_v.append(np.ma.masked_array(vals, mask=idx < 0))
+        u = np.concatenate(out_u)
+        t = np.concatenate(out_t)
+        v = np.ma.concatenate(out_v)
+        return pa.table({
+            "user_id": pa.array(u),
+            "grid_ts": pa.array(t).cast(pa.timestamp("us")),
+            "value_cents": pa.array(
+                np.ascontiguousarray(v.data), pa.int64(),
+                mask=np.ascontiguousarray(np.ma.getmaskarray(v)),
+            ),
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        ffill_bucket,
+        num_buckets=16,
+    )
+
+
+ORACLE_SQL["user_value_ffill"] = """
+WITH ev AS (
+  SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS vc
+  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+grid AS (
+  SELECT u.user_id, g.ts
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-08 00:00:00',
+       TIMESTAMP '2024-01-15 00:00:00', INTERVAL 1 HOUR)) AS ts) g)
+SELECT grid.user_id, grid.ts AS grid_ts, e.vc AS value_cents
+FROM grid ASOF LEFT JOIN ev e
+  ON grid.user_id = e.user_id AND e.ts <= grid.ts
+"""
+
+
+_KCORE_M = 2500  # node-id space
+_KCORE_K = 8  # core order
+_KCORE_ROUNDS = 9  # fixed peel bound (converges in 7 on this corpus)
+_KCORE_KEY_CAP = 15000  # sf-invariant subgraph: sf0.01's full key range
+
+
+def q_kcore_nodes(sf_dir: str):
+    """K-CORE decomposition (bounded-round peeling): repeatedly remove
+    nodes of degree < K until fixed point — the standard graph-cleanup /
+    community-seed primitive next to triangle_count and pagerank. Graph:
+    Knuth-mix of order keys capped at an SF-invariant literal
+    (o_orderkey < 15000 — sf0.01's entire range, a strict subset at
+    larger SFs) so the subgraph, the peel trajectory, and the oracle are
+    identical at every scale. Contract: a FIXED bound of 9 peel rounds
+    (converges in 7 here; extra rounds are no-ops and the engine
+    early-exits on an unchanged alive-set — same result, fewer shuffles).
+    Oracle unrolls the 9 rounds as chained CTEs.
+
+    Plan per round: degrees from one node-bounded groupby count (the only
+    shuffle), alive-set broadcast via ray.put (≤2,500 nodes — the
+    documented ≤2M driver-state contract shared with pagerank /
+    hop_distances; swap to a shuffled semi join above it), edge filter as
+    a pure map. Output: surviving nodes + degree within the core."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).filter(
+        expr=f"o_orderkey < {_KCORE_KEY_CAP}"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761) % (1 << 32)
+        u = h % _KCORE_M
+        v = (h // _KCORE_M) % _KCORE_M
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    e = (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="m"))
+        .map_batches(
+            lambda b: pa.table({"u": b["u"].cast(pa.int64()),
+                                "v": b["v"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        # node²-bounded: coalesce before the peel iterations (the
+        # pagerank/hop_distances block-overhead rule)
+        .repartition(4)
+        .materialize()
+    )
+
+    def splat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [batch["u"].combine_chunks(), batch["v"].combine_chunks()]
+            )
+        })
+
+    alive: frozenset | None = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.map_batches(splat, batch_format="pyarrow").groupby(
+            "node"
+        ).aggregate(Count(alias_name="deg"))
+        new_alive = frozenset(
+            r["node"] for r in deg.take_all() if r["deg"] >= _KCORE_K
+        )
+        if alive is not None and new_alive == alive:
+            break  # fixed point: remaining rounds are no-ops
+        alive = new_alive
+        ref = _ray.put(new_alive)
+
+        def efilter(batch: pa.Table, _ref=ref) -> pa.Table:
+            a = _ray.get(_ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            keep = np.array(
+                [x in a and y in a for x, y in zip(u, v)], bool
+            )
+            return batch.filter(pa.array(keep))
+
+        e = e.map_batches(efilter, batch_format="pyarrow").materialize()
+
+    if alive is not None and not alive:
+        # fully-peeled graph: a groupby over zero rows yields a
+        # schemaless zero-batch dataset — return a TYPED empty table
+        return pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+        })
+    return (
+        e.map_batches(splat, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda b: pa.table({"node": b["node"].cast(pa.int64()),
+                                "deg": b["deg"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: each round references the previous one
+    # 3-4 times, so inlined CTEs would expand to ~4^rounds parquet scans
+    base = f"""
+raw AS MATERIALIZED (
+  SELECT ((o_orderkey * 2654435761) % 4294967296) % {_KCORE_M} AS u,
+         (((o_orderkey * 2654435761) % 4294967296) // {_KCORE_M})
+           % {_KCORE_M} AS v
+  FROM orders WHERE o_orderkey < {_KCORE_KEY_CAP}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM raw WHERE u != v)"""
+    parts = ["WITH" + base]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM e{r-1} UNION ALL SELECT v FROM e{r-1})
+  GROUP BY 1 HAVING count(*) >= {_KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r-1} e
+  JOIN a{r} x ON e.u = x.node JOIN a{r} y ON e.v = y.node)""")
+    last = f"e{_KCORE_ROUNDS}"
+    parts.append(f"""
+SELECT node, count(*) AS deg FROM (
+  SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY 1""")
+    return "".join(parts)
+
+
+ORACLE_SQL["kcore_nodes"] = _kcore_sql()
