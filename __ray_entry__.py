@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect_batches": ro.q_aspect_batches,
         "track_hulls": ro.q_track_hulls,
         "bpe_merges": ro.q_bpe_merges,
+        "bpe_token_counts": ro.q_bpe_token_counts,
         "hybrid_search": ro.q_hybrid_search,
     }
 

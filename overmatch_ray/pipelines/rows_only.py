@@ -733,3 +733,17 @@ def q_hybrid_search(sf_dir: str):
             ),
         }
     )
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLY: per-document BPE token counts under the same
+    12-merge tokenizer `bpe_merges` trains — train once, broadcast the
+    rank map, encode each DISTINCT word once (vocabulary-bounded), then
+    a pure per-doc lookup-sum (stages.textstats.bpe_encode). Rows-only
+    (the merge loop is not SQL-expressible); parity with a single-process
+    encode pinned by tests."""
+    from ..stages.textstats import bpe_encode, bpe_train
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, "text", n_merges=12, min_freq=2)
+    return bpe_encode(docs, "text", "doc_id", merges)

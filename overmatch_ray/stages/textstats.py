@@ -529,3 +529,73 @@ def bpe_train(ds, text_col: str, n_merges: int = 10, min_freq: int = 1):
             "pair_count": pa.array(counts_out, pa.int64()),
         }
     )
+
+
+def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table):
+    """Distributed BPE tokenizer APPLY — the consumer half of
+    ``bpe_train``: per-document BPE token counts under a trained merge
+    table (the number every token-budget packer / cost model needs).
+
+    Scale plan (corpus-size-free after one shuffle, mirroring the
+    trainer): ONE corpus shuffle builds the distinct-word table; the
+    canonical lowest-rank-first merge loop (``_apply_merges``) runs ONCE
+    PER DISTINCT WORD over that vocabulary-bounded table with the rank
+    map broadcast via ``ray.put``; the resulting word→token-count map
+    (ints, vocabulary-bounded — same broadcast-state contract as
+    pagerank/dedup_clusters; swap to a bucketed join above ~2M words) is
+    broadcast back and each document is a pure vectorized lookup-sum.
+    Words are whitespace tokens, consistent with the trainer. Returns a
+    Dataset of (id_col, n_bpe_tokens)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ranks = {
+        (le, ri): rk
+        for rk, le, ri in zip(
+            merges["rank"].to_pylist(),
+            merges["left"].to_pylist(),
+            merges["right"].to_pylist(),
+        )
+    }
+    ranks_ref = _ray.put(ranks)
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        _, _, flat = _split_tokens(batch[text_col])
+        w = flat.to_pandas()
+        vc = w[w.str.len() > 0].value_counts()
+        return pa.table({
+            "word": pa.array(vc.index.astype(str), pa.string()),
+            "freq": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    def encode_words(batch: pa.Table) -> pa.Table:
+        r = _ray.get(ranks_ref)
+        words = batch["word"].to_pylist()
+        ntok = [len(_apply_merges(list(w), r)) for w in words]
+        return pa.table({
+            "word": batch["word"],
+            "ntok": pa.array(ntok, pa.int64()),
+        })
+
+    vocab = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .repartition(32)
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(encode_words, batch_format="pyarrow")
+    )
+    wmap = {r["word"]: r["ntok"] for r in vocab.take_all()}
+    wmap_ref = _ray.put(wmap)
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        m = _ray.get(wmap_ref)
+        _, offsets, flat = _split_tokens(batch[text_col])
+        s = flat.to_pandas()
+        per_tok = s.map(lambda w: m.get(w, 0)).to_numpy(dtype=np.float64)
+        per_doc = _per_list_sum(per_tok, offsets).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bpe_tokens": pa.array(per_doc),
+        })
+
+    return ds.map_batches(doc_counts, batch_format="pyarrow")

@@ -1179,3 +1179,67 @@ class TestHybridSearch:
             score[int(did)] = score.get(int(did), 0.0) + 1 / (60 + int(rank))
         want = sorted(score, key=lambda d: (-score[d], d))[:10]
         assert list(got["doc_id"]) == want
+
+
+class TestBpeEncode:
+    def test_counts_match_single_process_apply(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.textstats import (
+            _apply_merges,
+            bpe_encode,
+            bpe_train,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog and a log",
+            "mat dog cat log the the",
+            "",
+        ] * 4
+        ids = list(range(len(texts)))
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": texts})
+        ).repartition(4)
+        merges = bpe_train(ds, "text", n_merges=8)
+        ranks = {
+            (le, ri): rk
+            for rk, le, ri in zip(
+                merges["rank"].to_pylist(),
+                merges["left"].to_pylist(),
+                merges["right"].to_pylist(),
+            )
+        }
+        got = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode(ds, "text", "doc_id", merges).take_all()
+        }
+        for i, t in zip(ids, texts):
+            want = sum(
+                len(_apply_merges(list(w), ranks))
+                for w in t.split(" ") if w
+            )
+            assert got[i] == want, (i, t)
+
+    def test_encode_partition_invariant(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from overmatch_ray.stages.textstats import bpe_encode, bpe_train
+
+        texts = ["aa ab ba bb ab aa", "ba ba ab", "aa aa aa aa"] * 6
+        ids = list(range(len(texts)))
+
+        def run(nblocks):
+            ds = ray.data.from_pandas(
+                pd.DataFrame({"doc_id": ids, "text": texts})
+            ).repartition(nblocks)
+            merges = bpe_train(ds, "text", n_merges=4)
+            return sorted(
+                (r["doc_id"], r["n_bpe_tokens"])
+                for r in bpe_encode(ds, "text", "doc_id", merges).take_all()
+            )
+
+        assert run(1) == run(6)
