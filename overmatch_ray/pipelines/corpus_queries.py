@@ -3598,3 +3598,70 @@ GROUP BY 1""")
 
 
 ORACLE_SQL["kcore_nodes"] = _kcore_sql()
+
+
+def q_track_hausdorff(sf_dir: str):
+    """Track-similarity join: unordered user-track pairs with symmetric
+    Hausdorff distance ≤ 100 m (stages.spatial.track_hausdorff_pairs) —
+    co-travel / trajectory-dedup. Tracks are banded formula points
+    (users sharing user_id%8 occupy the same ~440 m lon band, so
+    cross-band pairs are impossible by construction and in-band pairs
+    genuinely exercise the max-min semantics). Oracle = the literal
+    max-of-min SQL over an inequality self-join, mirrored term-for-term."""
+    from ..stages.spatial import track_hausdorff_pairs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).filter(
+        expr="user_id < 24"
+    )
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (eid * 2654435761) % 2 < 1
+        eid, uid = eid[keep], uid[keep]
+        lon = -77.05 + (uid % 8) * 0.01 + (eid % 200) * 2e-5
+        lat = 38.85 + ((eid // 200) % 200) * 2e-5
+        return pa.table({
+            "id": pa.array(eid),
+            "key": pa.array(uid),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    return track_hausdorff_pairs(
+        ds.map_batches(pts, batch_format="pyarrow"), 100.0
+    )
+
+
+ORACLE_SQL["track_hausdorff"] = f"""
+WITH pts AS MATERIALIZED (
+  SELECT user_id AS key, event_id AS pid,
+         {_MERC} * radians(-77.05 + (user_id % 8) * 0.01
+                           + (event_id % 200) * 2e-5) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85
+                           + ((event_id // 200) % 200) * 2e-5)/2)) AS y
+  FROM events
+  WHERE user_id < 24 AND (event_id * 2654435761) % 2 < 1),
+sizes AS MATERIALIZED (SELECT key, count(*) AS n FROM pts GROUP BY 1),
+dmin AS MATERIALIZED (
+  SELECT a.key AS ka, b.key AS kb, a.pid,
+         min(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y))) AS md
+  FROM pts a JOIN pts b
+    ON a.key != b.key
+   AND b.x BETWEEN a.x - 100 AND a.x + 100
+   AND b.y BETWEEN a.y - 100 AND a.y + 100
+  WHERE sqrt((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y)) <= 100
+  GROUP BY 1, 2, 3),
+directed AS MATERIALIZED (
+  SELECT d.ka, d.kb, max(d.md) AS h
+  FROM dmin d
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT s.n FROM sizes s WHERE s.key = d.ka))
+SELECT least(ka, kb) AS key_a, greatest(ka, kb) AS key_b,
+       round(max(h), 1) AS hausdorff_m
+FROM directed
+GROUP BY 1, 2
+HAVING count(*) = 2
+"""

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..cell import cell_id, kring1_cells
 from ..geo import mercator_xy
@@ -1069,3 +1070,167 @@ def hull_by(
         )
 
     return bucketed_group_apply(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def track_hausdorff_pairs(
+    points_ds,
+    max_dist_m: float,
+    *,
+    key_col: str = "key",
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+    round_to: int | None = 1,
+):
+    """Bounded symmetric-Hausdorff track-similarity self-join: all
+    unordered track pairs (key_a < key_b) whose symmetric Hausdorff
+    distance max(h(A→B), h(B→A)) ≤ ``max_dist_m``, where h(A→B) =
+    max over a∈A of min over b∈B of planar EPSG:3857 distance — the
+    trajectory-dedup / co-travel primitive on top of the same cell
+    co-shuffle as the conflation join.
+
+    The radius bound makes the exact semantics distributable: h(A→B) ≤ D
+    iff EVERY point of A has a B-point within D, and then each point's
+    true min-distance is found inside its own k-ring-1 cell group. Plan:
+    one cell co-shuffle (candidates pay the ×9 replication) → per-bucket
+    per-(point, other-track) min distance (vectorized, pairs masked to
+    ≤ D) → one groupby (key_a, key_b) folding count+max — a pair is
+    COVERED iff its count equals |A| (per-track sizes broadcast once;
+    track-count-bounded state, same ≤2M contract as pagerank) → one
+    groupby on the unordered pair requiring both directions. Distances
+    evaluate term-for-term like the SQL oracle, so max-of-min picks the
+    bit-identical winner. Returns (key_a, key_b, hausdorff_m)."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Max
+
+    nb = _auto_buckets(num_buckets)
+
+    def enc(side: int, replicate: bool):
+        def _enc(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            lon = batch[lon_col].to_numpy(zero_copy_only=False)
+            lat = batch[lat_col].to_numpy(zero_copy_only=False)
+            x, y = mercator_xy(lon, lat)
+            if replicate:
+                cells = kring1_cells(cell_id(x, y)).ravel()
+                rep = np.repeat(np.arange(ids.size), 9)
+                ids, keys, x, y = ids[rep], keys[rep], x[rep], y[rep]
+            else:
+                cells = cell_id(x, y)
+            return pa.table(
+                {
+                    "id": pa.array(ids),
+                    "key": pa.array(keys),
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                    "cell": pa.array(cells.view(np.int64)),
+                    "bucket": pa.array(bucket_of(cells, nb)),
+                    "side": pa.array(np.full(ids.size, side, np.int8)),
+                }
+            )
+
+        return _enc
+
+    probe = points_ds.map_batches(enc(0, False), batch_format="pyarrow")
+    cand = points_ds.map_batches(enc(1, True), batch_format="pyarrow")
+
+    def minper_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
+        empty = pd.DataFrame({
+            "key_a": pd.Series(dtype=np.int64),
+            "key_b": pd.Series(dtype=np.int64),
+            "pid": pd.Series(dtype=np.int64),
+            "min_d": pd.Series(dtype=np.float64),
+        })
+        if a.empty or b.empty:
+            return empty
+        bc = b["cell"].to_numpy()
+        lo = np.searchsorted(bc, a["cell"].to_numpy(), "left")
+        hi = np.searchsorted(bc, a["cell"].to_numpy(), "right")
+        counts = hi - lo
+        ai = np.repeat(np.arange(len(a)), counts)
+        bi = (
+            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        if ai.size == 0:
+            return empty
+        ax = a["x"].to_numpy()[ai]
+        ay = a["y"].to_numpy()[ai]
+        bx = b["x"].to_numpy()[bi]
+        by = b["y"].to_numpy()[bi]
+        ka = a["key"].to_numpy()[ai]
+        kb = b["key"].to_numpy()[bi]
+        pid = a["id"].to_numpy()[ai]
+        # term-for-term the oracle's sqrt((dx)^2 + (dy)^2)
+        d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+        m = (d <= max_dist_m) & (ka != kb)
+        if not m.any():
+            return empty
+        df = pd.DataFrame(
+            {"key_a": ka[m], "key_b": kb[m], "pid": pid[m], "min_d": d[m]}
+        )
+        return (
+            df.groupby(["key_a", "key_b", "pid"], sort=False, as_index=False)
+            ["min_d"].min()
+        )
+
+    minper = (
+        probe.union(cand)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                minper_bucket(g.drop(columns="bucket")), preserve_index=False
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
+    )
+
+    directed = minper.groupby(["key_a", "key_b"]).aggregate(
+        Count(alias_name="n_covered"), Max("min_d", alias_name="h")
+    )
+
+    sizes = {
+        r[key_col]: r["count()"]
+        for r in points_ds.groupby(key_col).count().take_all()
+    }
+    sizes_ref = _ray.put(sizes)
+
+    def covered(batch: pa.Table) -> pa.Table:
+        sz = _ray.get(sizes_ref)
+        ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_covered"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        keep = np.array([c == sz.get(k, -1) for k, c in zip(ka, n)], bool)
+        return pa.table({
+            "u": pa.array(np.minimum(ka[keep], kb[keep])),
+            "v": pa.array(np.maximum(ka[keep], kb[keep])),
+            "h": pa.array(h[keep], pa.float64()),
+        })
+
+    sym = (
+        directed.map_batches(covered, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="ndir"), Max("h", alias_name="hmax"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["ndir"], 2)
+        t = batch.filter(m)
+        h = t["hmax"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            h = np.round(h, round_to)
+        return pa.table({
+            "key_a": t["u"].cast(pa.int64()),
+            "key_b": t["v"].cast(pa.int64()),
+            "hausdorff_m": pa.array(h, pa.float64()),
+        })
+
+    return sym.map_batches(finish, batch_format="pyarrow")

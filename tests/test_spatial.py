@@ -704,3 +704,92 @@ class TestConvexHull:
             )
         want = pd.concat(frames).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTrackHausdorff:
+    @staticmethod
+    def _tracks(seed=7, n_tracks=6, pts_per=25):
+        """Tracks jittered around shared centers so some pairs are tight
+        (Hausdorff small), others partially diverge (directed asymmetry)."""
+        rng = np.random.RandomState(seed)
+        rows = []
+        for t in range(n_tracks):
+            cx = -77.05 + (t % 2) * 0.01  # two bands
+            cy = 38.85
+            lon = cx + rng.randn(pts_per) * 3e-6
+            lat = cy + rng.randn(pts_per) * 3e-6
+            if t == 4:  # one outlier point breaks coverage one way
+                lon[0] += 0.002
+            rows.append((t, lon, lat))
+        key = np.concatenate(
+            [np.full(pts_per, t, np.int64) for t, _, _ in rows])
+        lon = np.concatenate([l for _, l, _ in rows])
+        lat = np.concatenate([l for _, _, l in rows])
+        pid = np.arange(key.size, dtype=np.int64)
+        return pa.table({
+            "id": pa.array(pid), "key": pa.array(key),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+        }), key, lon, lat
+
+    @staticmethod
+    def _brute(key, lon, lat, D):
+        D2 = _dist_matrix(lon, lat)
+        out = {}
+        ks = np.unique(key)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                da = D2[np.ix_(key == a, key == b)]
+                h_ab = da.min(axis=1)
+                h_ba = da.min(axis=0)
+                if (h_ab <= D).all() and (h_ba <= D).all():
+                    out[(int(a), int(b))] = round(
+                        float(max(h_ab.max(), h_ba.max())), 1)
+        return out
+
+    def test_matches_bruteforce_and_partition_invariant(self, ray_session):
+        import ray
+
+        from overmatch_ray.stages.spatial import track_hausdorff_pairs
+
+        t, key, lon, lat = self._tracks()
+        want = self._brute(key, lon, lat, 100.0)
+        assert want, "fixture must produce at least one passing pair"
+        for nblocks in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            got = {
+                (r["key_a"], r["key_b"]): r["hausdorff_m"]
+                for r in track_hausdorff_pairs(ds, 100.0).take_all()
+            }
+            assert got == want, nblocks
+
+    def test_directed_asymmetry_vetoes_pair(self, ray_session):
+        """Track 4 has one far outlier: every pair (4, other) must fail
+        even though the other direction is fully covered."""
+        import ray
+
+        from overmatch_ray.stages.spatial import track_hausdorff_pairs
+
+        t, key, lon, lat = self._tracks()
+        want = self._brute(key, lon, lat, 100.0)
+        assert not any(4 in p for p in want)
+        got = {
+            (r["key_a"], r["key_b"])
+            for r in track_hausdorff_pairs(
+                ray.data.from_arrow(t), 100.0
+            ).take_all()
+        }
+        assert not any(4 in p for p in got)
+
+    def test_empty_input_typed(self, ray_session):
+        import ray
+
+        from overmatch_ray.stages.spatial import track_hausdorff_pairs
+
+        t = pa.table({
+            "id": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "lon": pa.array([], pa.float64()),
+            "lat": pa.array([], pa.float64()),
+        })
+        out = track_hausdorff_pairs(ray.data.from_arrow(t), 100.0)
+        assert out.count() == 0
