@@ -3665,3 +3665,33 @@ FROM directed
 GROUP BY 1, 2
 HAVING count(*) = 2
 """
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages.knn.hard_negative_topk): for each of
+    the first 10 embeddings, its 5 most-similar DIFFERENT-label vectors —
+    the negatives a contrastive trainer would pair with each anchor.
+    Exact top-k; label exclusion replaces self exclusion."""
+    from ..stages.knn import hard_negative_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow")]
+    )
+    out = hard_negative_topk(emb, queries, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank", "cos_sim"])
+
+
+ORACLE_SQL["hard_negatives"] = """
+WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cs
+  FROM q CROSS JOIN embeddings e WHERE e.label != q.qlab)
+SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""

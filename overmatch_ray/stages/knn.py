@@ -694,3 +694,51 @@ def near_dup_embeddings(
         exploded.groupby("bucket").map_groups(pairs, batch_format="pandas"),
         num_buckets=16,
     )
+
+
+def hard_negative_topk(
+    corpus_ds,
+    queries: pa.Table,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Hard-negative mining for contrastive training: for each query, the
+    k corpus vectors with the HIGHEST cosine similarity among rows of a
+    DIFFERENT label — the highest-value negatives to pair with a positive.
+    Same plan as ``brute_force_topk`` (queries broadcast once via
+    ``ray.put``, per-batch matmul + batch-local top-k partials, one small
+    ``_merge_topk`` shuffle of O(queries × k × blocks) rows), with the
+    self-exclusion mask generalized to a label mask."""
+    import ray
+
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[id_col].to_numpy(zero_copy_only=False))
+    qlab = np.asarray(queries[label_col].to_numpy(zero_copy_only=False))
+    qref = ray.put((qids, qlab, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qlab_, qm_ = ray.get(qref)
+        cm = _normalize(_to_matrix(batch[vec_col]))
+        cids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        clab = np.asarray(batch[label_col].to_numpy(zero_copy_only=False))
+        sims = qm_ @ cm.T  # (nq, nb)
+        sims[qlab_[:, None] == clab[None, :]] = -np.inf  # same label: out
+        kk = min(k, sims.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(cids, sims.shape), -sims), axis=1
+        )[:, :kk]
+        rows_q = np.repeat(qids_, kk)
+        rows_n = cids[order.ravel()]
+        rows_s = np.take_along_axis(sims, order, axis=1).ravel()
+        m = np.isfinite(rows_s)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[m]),
+                "neighbor_id": pa.array(rows_n[m]),
+                "cos_sim": pa.array(rows_s[m]),
+            }
+        )
+
+    return _merge_topk(corpus_ds.map_batches(partial, batch_format="pyarrow"), k)

@@ -757,3 +757,44 @@ class TestBm25:
             if prev is not None:
                 assert (ids, scores) == prev        # bit-identical
             prev = (ids, scores)
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_matches_bruteforce(self, ray_session):
+        import ray
+
+        from overmatch_ray.stages.knn import (
+            _normalize,
+            _to_matrix,
+            hard_negative_topk,
+        )
+
+        rng = np.random.RandomState(3)
+        n, d = 200, 8
+        m = rng.randn(n, d)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in m],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array((np.arange(n) % 5).astype(np.int32)),
+        })
+        queries = t.slice(0, 7)
+        for nblocks in (1, 5):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            got = hard_negative_topk(ds, queries, k=4).take_all()
+            bylab = (np.arange(n) % 5)
+            mm = _normalize(_to_matrix(t["embedding"]))
+            for qi in range(7):
+                rows = sorted(
+                    (r for r in got if r["query_id"] == qi),
+                    key=lambda r: r["rank"],
+                )
+                sims = mm @ mm[qi]
+                sims[bylab == bylab[qi]] = -np.inf
+                order = np.lexsort((np.arange(n), -sims))[:4]
+                assert [r["neighbor_id"] for r in rows] == list(order)
+                for r in rows:
+                    assert bylab[r["neighbor_id"]] != bylab[qi]
+                    assert abs(r["cos_sim"] - round(sims[r["neighbor_id"]], 6)) < 1e-12
