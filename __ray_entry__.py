@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": cq.q_kcore_nodes,
         "track_hausdorff": cq.q_track_hausdorff,
         "hard_negatives": cq.q_hard_negatives,
+        "zone_dwell": cq.q_zone_dwell,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -3695,3 +3695,111 @@ SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
                                ORDER BY cs DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5
 """
+
+
+# zone bboxes (lon_min, lon_max, lat_min, lat_max) — boundaries sit on
+# x.xx05 half-steps, OFF the 1e-4 formula-coordinate grid (CLAUDE.md rule)
+_DWELL_ZONES = [
+    (-77.0405, -77.0195, 38.8495, 38.8805),
+    (-77.0105, -76.9895, 38.8695, 38.9005),
+    (-76.9805, -76.9505, 38.8505, 38.9405),
+]
+_DWELL_GAP_US = 1_800_000_000  # 30 min visit-splitting gap
+
+
+def q_zone_dwell(sf_dir: str):
+    """Geofence dwell: per (user, zone), number of visits and total dwell
+    seconds — spatial containment (3 disjoint literal bboxes) composed
+    with per-key sessionization (>30 min gap splits a visit; dwell =
+    last−first per visit, integer µs → exact parity). Zone filter is a
+    pure map (zones are literals, nothing broadcast); one bucketed
+    shuffle on user_id; islands labeled with the same vectorized
+    break-cumsum as `user_trips`."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def in_zones(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        zone = np.full(eid.size, -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        m = zone >= 0
+        return pa.table({
+            "user_id": batch["user_id"].filter(pa.array(m)).cast(pa.int64()),
+            "zone_id": pa.array(zone[m]),
+            "ts_us": batch["ts"].cast(pa.int64()).filter(pa.array(m)),
+        })
+
+    pts = ds.map_batches(in_zones, batch_format="pyarrow")
+
+    def dwell_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "zone_id", "ts_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        z = g["zone_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = (u[1:] != u[:-1]) | (z[1:] != z[:-1])
+        brk = first.copy()
+        brk[1:] |= np.diff(t) > _DWELL_GAP_US
+        island = np.cumsum(brk) - 1
+        # per-island first/last → dwell; then fold islands per (user, zone)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(g)) - 1
+        dwell = (t[ends] - t[starts]) // 1_000_000
+        df = pd.DataFrame({
+            "user_id": u[starts],
+            "zone_id": z[starts],
+            "dwell": dwell,
+        })
+        out = df.groupby(["user_id", "zone_id"], sort=False).agg(
+            n_visits=("dwell", "size"), dwell_s=("dwell", "sum")
+        ).reset_index()
+        out["n_visits"] = out["n_visits"].astype(np.int64)
+        out["dwell_s"] = out["dwell_s"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(pts, ["user_id"], dwell_bucket,
+                                num_buckets=32)
+
+
+def _zone_case_sql() -> str:
+    whens = "\n".join(
+        f"    WHEN lon >= {x0} AND lon <= {x1} AND lat >= {y0} "
+        f"AND lat <= {y1} THEN {zi}"
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES)
+    )
+    return f"CASE\n{whens}\n  END"
+
+
+ORACLE_SQL["zone_dwell"] = f"""
+WITH coords AS (
+  SELECT user_id, ts,
+         -77.05 + (event_id % 1000) * 1e-4 AS lon,
+         38.85 + ((event_id // 1000) % 1000) * 1e-4 AS lat
+  FROM events),
+pts AS (
+  SELECT user_id, ts, {_zone_case_sql()} AS zone_id
+  FROM coords),
+zoned AS (SELECT * FROM pts WHERE zone_id IS NOT NULL),
+marks AS (
+  SELECT user_id, zone_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_DWELL_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM zoned
+  WINDOW w AS (PARTITION BY user_id, zone_id ORDER BY ts)),
+isl AS (
+  SELECT user_id, zone_id, ts,
+         sum(brk) OVER (PARTITION BY user_id, zone_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marks),
+per AS (
+  SELECT user_id, zone_id, island,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dwell
+  FROM isl GROUP BY 1, 2, 3)
+SELECT user_id, zone_id, CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(sum(dwell) AS BIGINT) AS dwell_s
+FROM per GROUP BY 1, 2
+"""

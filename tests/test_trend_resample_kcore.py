@@ -182,3 +182,50 @@ class TestKcoreNodes:
                 zip(out["node"].to_pylist(), out["deg"].to_pylist())
             )
             assert got == want
+
+
+class TestZoneDwell:
+    def test_matches_pandas_reference(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _DWELL_GAP_US,
+            _DWELL_ZONES,
+            q_zone_dwell,
+        )
+
+        out = (
+            _to_table(q_zone_dwell(SF))
+            .to_pandas()
+            .sort_values(["user_id", "zone_id"])
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.int64)
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        zone = np.full(eid.size, -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        ev = ev.assign(zone=zone, t=ev["ts"].astype("int64"))
+        ev = ev[ev["zone"] >= 0]
+        rows = []
+        for (u, z), g in ev.groupby(["user_id", "zone"]):
+            t = np.sort(g["t"].to_numpy())
+            brk = np.ones(t.size, bool)
+            brk[1:] = np.diff(t) > _DWELL_GAP_US
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], t.size) - 1
+            rows.append(
+                (u, z, starts.size,
+                 int(((t[ends] - t[starts]) // 1_000_000).sum()))
+            )
+        ref = (
+            pd.DataFrame(rows,
+                         columns=["user_id", "zone_id", "n_visits", "dwell_s"])
+            .sort_values(["user_id", "zone_id"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        for c in ["user_id", "zone_id", "n_visits", "dwell_s"]:
+            assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
