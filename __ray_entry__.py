@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_hausdorff": cq.q_track_hausdorff,
         "hard_negatives": cq.q_hard_negatives,
         "zone_dwell": cq.q_zone_dwell,
+        "ab_ztest": cq.q_ab_ztest,
+        "debounced_events": cq.q_debounced_events,
+        "dedup_cascade": cq.q_dedup_cascade,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -3803,3 +3803,192 @@ SELECT user_id, zone_id, CAST(count(*) AS BIGINT) AS n_visits,
        CAST(sum(dwell) AS BIGINT) AS dwell_s
 FROM per GROUP BY 1, 2
 """
+
+
+def q_ab_ztest(sf_dir: str):
+    """A/B experiment readout: per event type, the two-sample z statistic
+    for mean value-cents between variant A (even user_id) and B (odd) —
+    the metric every experimentation pipeline ends in. Per-batch per-
+    (type, variant) Python-int moment partials (exact at any SF), driver
+    fold; means/variances/z finish in literal-mirrored float expressions
+    against the HUGEINT oracle so the statistic is bit-identical."""
+    import json as _json
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        var = (
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % 2
+        )
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rows: dict = {}
+        for g, a, y in zip(et, var.tolist(), vc.tolist()):
+            m = rows.setdefault((g, a), [0, 0, 0])
+            m[0] += 1; m[1] += y; m[2] += y * y
+        return pa.table({
+            "g": pa.array([k[0] for k in rows], pa.string()),
+            "a": pa.array([k[1] for k in rows], pa.int64()),
+            "m": pa.array([_json.dumps(v) for v in rows.values()], pa.string()),
+        })
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, a, mjson in zip(
+            b["g"].to_pylist(), b["a"].to_pylist(), b["m"].to_pylist()
+        ):
+            m = _json.loads(mjson)
+            t = acc.setdefault((g, a), [0, 0, 0])
+            for i in range(3):
+                t[i] += m[i]
+    types = sorted({g for g, _ in acc})
+    out = {"event_type": [], "n_a": [], "n_b": [],
+           "mean_a": [], "mean_b": [], "z_stat": []}
+    for g in types:
+        na, sa, ssa = acc.get((g, 0), [0, 0, 0])
+        nb, sb, ssb = acc.get((g, 1), [0, 0, 0])
+        mean_a = float(sa) / float(na)
+        mean_b = float(sb) / float(nb)
+        var_a = float(na * ssa - sa * sa) / (float(na) * float(na))
+        var_b = float(nb * ssb - sb * sb) / (float(nb) * float(nb))
+        z = (mean_a - mean_b) / math.sqrt(
+            var_a / float(na) + var_b / float(nb)
+        )
+        out["event_type"].append(g)
+        out["n_a"].append(na); out["n_b"].append(nb)
+        out["mean_a"].append(mean_a); out["mean_b"].append(mean_b)
+        out["z_stat"].append(z)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "mean_a": pa.array(out["mean_a"], pa.float64()),
+        "mean_b": pa.array(out["mean_b"], pa.float64()),
+        "z_stat": pa.array(out["z_stat"], pa.float64()),
+    })
+
+
+ORACLE_SQL["ab_ztest"] = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (user_id % 2 = 0) AS HUGEINT) AS na,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS HUGEINT) AS nb,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+           FILTER (user_id % 2 = 0) AS sa,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+           FILTER (user_id % 2 = 1) AS sb,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+           FILTER (user_id % 2 = 0) AS ssa,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+           FILTER (user_id % 2 = 1) AS ssb
+  FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+       (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       / sqrt(
+           (CAST(na * ssa - sa * sa AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))) / CAST(na AS DOUBLE)
+         + (CAST(nb * ssb - sb * sb AS DOUBLE)
+            / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))) / CAST(nb AS DOUBLE)
+       ) AS z_stat
+FROM m
+"""
+
+
+_DEBOUNCE_GAP_US = 60_000_000  # 60 s burst window
+
+
+def q_debounced_events(sf_dir: str):
+    """Burst debounce (event-stream cleaning): keep only the FIRST event
+    of each burst per (user, event_type) — a burst is a maximal run of
+    events each ≤60 s after its predecessor (gaps-and-islands, so the
+    comparison chains through the burst, not just to the previous kept
+    row). One bucketed shuffle; (ts, event_id) total order mirrors the
+    oracle's window ORDER BY."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    def debounce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        brk = first.copy()
+        brk[1:] |= np.diff(t) > _DEBOUNCE_GAP_US
+        return g[brk][["event_id", "user_id", "event_type"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        debounce_bucket,
+        num_buckets=32,
+    )
+
+
+ORACLE_SQL["debounced_events"] = f"""
+WITH marks AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_DEBOUNCE_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT event_id, user_id, event_type FROM marks WHERE brk = 1
+"""
+
+
+def q_dedup_cascade(sf_dir: str):
+    """Cross-table dedup cascade: after exact prefix dedup on documents,
+    purge the embeddings of REMOVED docs — the consistency step every
+    multi-modal corpus needs (text dedup must cascade to the parallel
+    vector table or retrieval re-surfaces the duplicates). Keeper set =
+    min doc_id per prefix key (same plan as `prefix_dedup`); embeddings
+    side is a shuffled semi join on the id (ids, never vectors, cross
+    the shuffle)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.joins import semi_join_shuffled
+    from ..stages.textstats import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    kept = exact_dedup(docs, "prefix_key").map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    return semi_join_shuffled(emb, kept, "vec_id", "doc_id")
+
+
+ORACLE_SQL["dedup_cascade"] = """
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id IN (
+  SELECT min(doc_id)
+  FROM documents
+  GROUP BY array_to_string(string_split(text, ' ')[1:8], ' '))
+"""
