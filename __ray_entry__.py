@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_ztest": cq.q_ab_ztest,
         "debounced_events": cq.q_debounced_events,
         "dedup_cascade": cq.q_dedup_cascade,
+        "wow_revenue": cq.q_wow_revenue,
+        "od_matrix": cq.q_od_matrix,
+        "word_cooccurrence": cq.q_word_cooccurrence,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -3992,3 +3992,253 @@ WHERE e.vec_id IN (
   FROM documents
   GROUP BY array_to_string(string_split(text, ' ')[1:8], ' '))
 """
+
+
+def q_wow_revenue(sf_dir: str):
+    """Period-over-period metric: weekly revenue per order priority with
+    the previous week's value and percent change (LAG analytics — the
+    dashboard staple). Revenue folds in exact integer cents (one
+    pre-combined groupby); the per-priority lag is a bucketed per-key
+    sorted shift; pct change mirrors the oracle's DOUBLE casts."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_group_apply
+    from .queries import _cents
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate",
+                                  "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        week = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // 604_800_000_000
+        )
+        return pa.table({
+            "priority": batch["o_orderpriority"],
+            "week": pa.array(week.astype(np.int64)),
+            "cents": pa.array(_cents(batch["o_totalprice"])),
+        })
+
+    weekly = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["priority", "week"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    def lag_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["priority", "week"], kind="mergesort")
+        p = g["priority"].to_numpy()
+        rev = g["revenue_cents"].to_numpy().astype(np.int64)
+        prev = np.roll(rev, 1)
+        first = np.ones(len(g), bool)
+        first[1:] = p[1:] != p[:-1]
+        pct = np.where(
+            first, np.nan,
+            (rev.astype(np.float64) - prev.astype(np.float64))
+            / prev.astype(np.float64),
+        )
+        return pa.table({
+            "priority": pa.array(p, pa.string()),
+            "week": pa.array(g["week"].to_numpy().astype(np.int64)),
+            "revenue_cents": pa.array(rev),
+            "prev_cents": pa.array(
+                np.where(first, 0, prev), pa.int64(), mask=first
+            ),
+            "pct_change": pa.array(
+                np.where(first, 0.0, pct), pa.float64(), mask=first
+            ),
+        })
+
+    return bucketed_group_apply(weekly, ["priority"], lag_bucket,
+                                num_buckets=8)
+
+
+ORACLE_SQL["wow_revenue"] = """
+WITH weekly AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(o_orderdate) // 604800000000 AS week,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2)
+SELECT priority, week, revenue_cents,
+       lag(revenue_cents) OVER w AS prev_cents,
+       (CAST(revenue_cents AS DOUBLE) - CAST(lag(revenue_cents) OVER w
+          AS DOUBLE)) / CAST(lag(revenue_cents) OVER w AS DOUBLE)
+         AS pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY priority ORDER BY week)
+"""
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin→destination trip matrix: user trips (the `user_trips`
+    >30 min gap segmentation) whose first AND last ping fall inside the
+    literal geofence zones, counted per (zone_o, zone_d) — the mobility-
+    analytics rollup composing sessionization with containment. One
+    bucketed shuffle; endpoints picked by the (ts, event_id) total order
+    mirrored by the oracle's arg_min/arg_max."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        zone = np.full(eid.size, -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "zone": pa.array(zone),
+        })
+
+    def trips_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        z = g["zone"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = u[1:] != u[:-1]
+        brk = first.copy()
+        brk[1:] |= np.diff(t) > 1_800_000_000
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(g)) - 1
+        zo, zd = z[starts], z[ends]
+        m = (zo >= 0) & (zd >= 0)
+        return pa.table({
+            "zone_o": pa.array(zo[m]),
+            "zone_d": pa.array(zd[m]),
+        })
+
+    trips = bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        trips_bucket,
+        num_buckets=32,
+    )
+    return (
+        trips.groupby(["zone_o", "zone_d"])
+        .aggregate(Count(alias_name="n_trips"))
+        .map_batches(
+            lambda b: pa.table({
+                "zone_o": b["zone_o"].cast(pa.int64()),
+                "zone_d": b["zone_d"].cast(pa.int64()),
+                "n_trips": b["n_trips"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["od_matrix"] = f"""
+WITH coords AS (
+  SELECT event_id, user_id, ts,
+         -77.05 + (event_id % 1000) * 1e-4 AS lon,
+         38.85 + ((event_id // 1000) % 1000) * 1e-4 AS lat
+  FROM events),
+pts AS (
+  SELECT event_id, user_id, ts, COALESCE({{zone_case}}, -1) AS zone
+  FROM coords),
+marks AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marks),
+trips AS (
+  SELECT user_id, island,
+         arg_min(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                       + event_id) AS zone_o,
+         arg_max(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                       + event_id) AS zone_d
+  FROM isl GROUP BY 1, 2)
+SELECT zone_o, zone_d, CAST(count(*) AS BIGINT) AS n_trips
+FROM trips
+WHERE zone_o >= 0 AND zone_d >= 0
+GROUP BY 1, 2
+""".replace("{zone_case}", _zone_case_sql())
+
+
+_COOC_MIN_COUNT = 100
+
+
+def q_word_cooccurrence(sf_dir: str):
+    """Word co-occurrence counts (GloVe-style corpus statistics): ordered
+    token pairs within a ±2 window across all documents, canonicalized
+    (min, max), kept at count ≥ 100 — the embedding-training prep step.
+    Per-batch vectorized pair extraction (offset-masked shifted zips, the
+    BPE pair-count kernel's shape) with an in-batch combiner, then ONE
+    pair-bounded groupby sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _split_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        _, offsets, flat = _split_tokens(batch["text"])
+        n = len(flat)
+        if n == 0:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        s = flat.to_pandas().to_numpy()
+        ends = offsets[1:]
+        parts = []
+        for d in (1, 2):
+            valid = np.ones(max(n - d, 0), dtype=bool)
+            # positions whose i+d crosses a document boundary
+            for k in range(1, d + 1):
+                cross = ends - k
+                cross = cross[(cross >= 0) & (cross < n - d)]
+                valid[cross] = False
+            pos = np.flatnonzero(valid)
+            a, b = s[pos], s[pos + d]
+            parts.append((np.minimum(a, b), np.maximum(a, b)))
+        w1 = np.concatenate([p[0] for p in parts])
+        w2 = np.concatenate([p[1] for p in parts])
+        df = pd.DataFrame({"w1": w1, "w2": w2})
+        vc = df.value_counts(sort=False)
+        idx = vc.index.to_frame(index=False)
+        return pa.table({
+            "w1": pa.array(idx["w1"].astype(str), pa.string()),
+            "w2": pa.array(idx["w2"].astype(str), pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="n_cooc"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n_cooc"], _COOC_MIN_COUNT)
+            ).select(["w1", "w2", "n_cooc"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["word_cooccurrence"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+pairs AS (
+  SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooc
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_COOC_MIN_COUNT}
+"""

@@ -229,3 +229,74 @@ class TestZoneDwell:
         assert len(out) == len(ref)
         for c in ["user_id", "zone_id", "n_visits", "dwell_s"]:
             assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+class TestWowRevenue:
+    def test_matches_pandas_reference(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_wow_revenue
+
+        out = (
+            _to_table(q_wow_revenue(SF))
+            .to_pandas()
+            .sort_values(["priority", "week"])
+            .reset_index(drop=True)
+        )
+        o = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        ).to_pandas()
+        o["week"] = o["o_orderdate"].astype("int64") // 604_800_000_000
+        o["cents"] = np.round(o["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        ref = (
+            o.groupby(["o_orderpriority", "week"], as_index=False)["cents"]
+            .sum()
+            .sort_values(["o_orderpriority", "week"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        assert (out["revenue_cents"].to_numpy() == ref["cents"].to_numpy()).all()
+        prev = ref.groupby("o_orderpriority")["cents"].shift(1)
+        got_prev = out["prev_cents"]
+        assert (got_prev.isna().to_numpy() == prev.isna().to_numpy()).all()
+        m = ~prev.isna().to_numpy()
+        assert (
+            got_prev.to_numpy(dtype=np.float64)[m] == prev.to_numpy()[m]
+        ).all()
+        want_pct = (ref["cents"].to_numpy().astype(float) - prev.to_numpy()) / prev.to_numpy()
+        assert np.array_equal(
+            out["pct_change"].to_numpy()[m], want_pct[m]
+        )
+
+
+class TestWordCooccurrence:
+    def test_matches_bruteforce(self, ray_session):
+        from collections import Counter
+
+        from overmatch_ray.pipelines.corpus_queries import (
+            _COOC_MIN_COUNT,
+            q_word_cooccurrence,
+        )
+
+        out = _to_table(q_word_cooccurrence(SF))
+        got = {
+            (a, b): c
+            for a, b, c in zip(
+                out["w1"].to_pylist(), out["w2"].to_pylist(),
+                out["n_cooc"].to_pylist(),
+            )
+        }
+        texts = pq.read_table(
+            f"{SF}/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+        want: Counter = Counter()
+        for t in texts:
+            w = t.split(" ")
+            for i in range(len(w)):
+                for d in (1, 2):
+                    if i + d < len(w):
+                        a, b = w[i], w[i + d]
+                        want[(min(a, b), max(a, b))] += 1
+        want = {k: v for k, v in want.items() if v >= _COOC_MIN_COUNT}
+        assert got == want
