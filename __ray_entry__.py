@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_revenue": cq.q_wow_revenue,
         "od_matrix": cq.q_od_matrix,
         "word_cooccurrence": cq.q_word_cooccurrence,
+        "user_trigrams": cq.q_user_trigrams,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,
@@ -182,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": ro.q_bpe_merges,
         "bpe_token_counts": ro.q_bpe_token_counts,
         "hybrid_search": ro.q_hybrid_search,
+        "kmeans_clusters": ro.q_kmeans_clusters,
+        "lang_confusion": ro.q_lang_confusion,
     }
 
 

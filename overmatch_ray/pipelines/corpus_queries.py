@@ -4242,3 +4242,81 @@ pairs AS (
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooc
 FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_COOC_MIN_COUNT}
 """
+
+
+def q_user_trigrams(sf_dir: str):
+    """Sequential pattern mining: the most common event-type TRIGRAMS in
+    each user's (ts, event_id)-ordered history, counted corpus-wide and
+    kept at count >= 30 — the behavior-path primitive next to
+    `funnel_counts`. One bucketed shuffle; trigram extraction is a
+    vectorized shifted zip masked at user boundaries; output is bounded
+    by |event_type|^3. Oracle = two chained lead() windows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    def trigram_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        empty = pa.table({
+            "trigram": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        })
+        if n < 3:
+            return empty
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        pos = np.flatnonzero(same)
+        if pos.size == 0:
+            return empty
+        tri = pd.Series(
+            [f"{et[i]}>{et[i+1]}>{et[i+2]}" for i in pos]
+        )
+        vc = tri.value_counts()
+        return pa.table({
+            "trigram": pa.array(vc.index.astype(str), pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    grams = bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        trigram_bucket,
+        num_buckets=32,
+    )
+    return (
+        grams.groupby("trigram")
+        .aggregate(Sum("c", alias_name="n_occurrences"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n_occurrences"], 30)
+            ).select(["trigram", "n_occurrences"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["user_trigrams"] = """
+WITH tri AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS trigram,
+         lead(user_id, 2) OVER w AS user2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tri
+WHERE user2 = user_id
+GROUP BY 1 HAVING count(*) >= 30
+"""

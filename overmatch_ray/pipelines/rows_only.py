@@ -747,3 +747,82 @@ def q_bpe_token_counts(sf_dir: str):
     docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     merges = bpe_train(docs, "text", n_merges=12, min_freq=2)
     return bpe_encode(docs, "text", "doc_id", merges)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """K-means clustering readout over the embeddings corpus: the
+    distributed fixed-point-Lloyd trainer (stages.knn.train_ivf_centroids
+    — centroids bit-identical at any parallelism, pinned by tests) plus a
+    pure-map assignment pass; output one row per cluster with member
+    count and mean cosine to its centroid (rounded). Rows-only — the
+    iterative training is not SQL-expressible."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.knn import _normalize, _to_matrix, train_ivf_centroids
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = train_ivf_centroids(emb, n_lists=16)
+    cref = _ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        sims = m @ c.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "cluster_id": pa.array(best.astype(np.int64)),
+            "cos_to_centroid": pa.array(sims[np.arange(len(best)), best]),
+        })
+
+    out = (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_members"),
+                   Mean("cos_to_centroid", alias_name="mean_cos"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": batch["cluster_id"].cast(pa.int64()),
+            "n_members": batch["n_members"].cast(pa.int64()),
+            "mean_cos": pa.array(
+                np.round(batch["mean_cos"].to_numpy(zero_copy_only=False), 4)
+            ),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language QA confusion matrix: declared `lang` column × detected
+    language (stages.textstats.langid_batch) with counts — the
+    label-quality audit a corpus curator runs before trusting either
+    side. One bounded groupby (|langs|² cells). Rows-only (the marker
+    heuristic is not SQL-expressible); langid itself is test-pinned."""
+    from ray.data.aggregate import Count
+
+    from ..stages.textstats import langid_batch
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        det = langid_batch(batch)
+        return pa.table({
+            "declared_lang": batch["lang"],
+            "detected_lang": det["lang_pred"],
+        })
+
+    return (
+        docs.map_batches(detect, batch_format="pyarrow")
+        .groupby(["declared_lang", "detected_lang"])
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda b: pa.table({
+                "declared_lang": b["declared_lang"],
+                "detected_lang": b["detected_lang"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -300,3 +300,47 @@ class TestWordCooccurrence:
                         want[(min(a, b), max(a, b))] += 1
         want = {k: v for k, v in want.items() if v >= _COOC_MIN_COUNT}
         assert got == want
+
+
+class TestKmeansClusters:
+    def test_partition_sizes_and_determinism(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import q_kmeans_clusters
+
+        n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+        a = _to_table(q_kmeans_clusters(SF)).to_pandas().sort_values(
+            "cluster_id").reset_index(drop=True)
+        assert a["n_members"].sum() == n_vecs
+        assert (a["mean_cos"] <= 1.0).all() and (a["mean_cos"] >= -1.0).all()
+        b = _to_table(q_kmeans_clusters(SF)).to_pandas().sort_values(
+            "cluster_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestLangConfusion:
+    def test_matches_direct_recompute(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import q_lang_confusion
+        from overmatch_ray.stages.textstats import langid_batch
+
+        out = _to_table(q_lang_confusion(SF)).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        det = langid_batch(docs)
+        ref = (
+            pd.DataFrame({
+                "declared_lang": docs["lang"].to_pylist(),
+                "detected_lang": det["lang_pred"].to_pylist(),
+            })
+            .value_counts()
+            .reset_index(name="n_docs")
+        )
+        got = {
+            (r["declared_lang"], r["detected_lang"]): r["n_docs"]
+            for _, r in out.iterrows()
+        }
+        want = {
+            (r["declared_lang"], r["detected_lang"]): r["n_docs"]
+            for _, r in ref.iterrows()
+        }
+        assert got == want
+        assert sum(got.values()) == docs.num_rows
