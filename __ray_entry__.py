@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": cq.q_od_matrix,
         "word_cooccurrence": cq.q_word_cooccurrence,
         "user_trigrams": cq.q_user_trigrams,
+        "twa_value": cq.q_twa_value,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,
@@ -185,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": ro.q_hybrid_search,
         "kmeans_clusters": ro.q_kmeans_clusters,
         "lang_confusion": ro.q_lang_confusion,
+        "contrastive_pairs": ro.q_contrastive_pairs,
     }
 
 

@@ -4320,3 +4320,92 @@ FROM tri
 WHERE user2 = user_id
 GROUP BY 1 HAVING count(*) >= 30
 """
+
+
+def q_twa_value(sf_dir: str):
+    """Time-weighted average (monitoring/finance staple): per event type,
+    each value weighted by how long it was current (gap to the same
+    user's next event of that type; the last observation carries zero
+    weight) — the correct average for irregularly-sampled series, unlike
+    the naive mean. Weights are integer µs × integer cents folded as
+    Python ints (exceeds int64 at scale); one bucketed shuffle; the TWA
+    float division mirrors the oracle's HUGEINT→DOUBLE casts."""
+    import json as _json
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "vc": pa.array(vc),
+        })
+
+    def twa_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        vc = g["vc"].to_numpy()
+        samekey = np.zeros(len(g), bool)
+        samekey[:-1] = (u[:-1] == u[1:]) & (et[:-1] == et[1:])
+        gap = np.zeros(len(g), np.int64)
+        if len(t) > 1:
+            gap[:-1] = np.where(samekey[:-1], np.diff(t), 0)
+        rows: dict = {}
+        for k, w, y in zip(et.tolist(), gap.tolist(), vc.tolist()):
+            m = rows.setdefault(k, [0, 0])
+            m[0] += int(w) * int(y)
+            m[1] += int(w)
+        return pa.table({
+            "g": pa.array(list(rows), pa.string()),
+            "m": pa.array([_json.dumps(v) for v in rows.values()],
+                          pa.string()),
+        })
+
+    acc: dict = {}
+    parts = bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        twa_bucket,
+        num_buckets=32,
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, mjson in zip(b["g"].to_pylist(), b["m"].to_pylist()):
+            m = _json.loads(mjson)
+            a = acc.setdefault(g, [0, 0])
+            a[0] += m[0]; a[1] += m[1]
+    types = sorted(k for k, v in acc.items() if v[1] > 0)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "twa_cents": pa.array(
+            [float(acc[g][0]) / float(acc[g][1]) for g in types],
+            pa.float64(),
+        ),
+    })
+
+
+ORACLE_SQL["twa_value"] = """
+WITH w AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(COALESCE(
+           epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id))
+           - epoch_us(ts), 0) AS BIGINT) AS gap_us
+  FROM events)
+SELECT event_type,
+       CAST(sum(CAST(gap_us AS HUGEINT) * CAST(vc AS HUGEINT)) AS DOUBLE)
+       / CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS twa_cents
+FROM w GROUP BY 1 HAVING sum(gap_us) > 0
+"""

@@ -826,3 +826,47 @@ def q_lang_confusion(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def q_contrastive_pairs(sf_dir: str):
+    """Contrastive training-pair manifest: POSITIVE pairs from the exact
+    n-gram near-dup pair graph (same corpus/threshold as
+    `ngram_neardup_pairs`) unioned with HARD NEGATIVES (the most-similar
+    different-label vectors per anchor, `stages.knn.hard_negative_topk`)
+    — the two halves every contrastive fine-tune needs, shaped as one
+    (anchor_id, other_id, pair_type) table. Rows-only; the components are
+    each oracle-checked on their own, and the composition is pinned by a
+    test against the two underlying operators."""
+    import pyarrow.compute as _pc
+
+    from ..pipelines.corpus_queries import _NEARDUP_THRESHOLD, _derived_corpus
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.knn import hard_negative_topk
+
+    pos = ngram_jaccard_pairs(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    ).map_batches(
+        lambda b: pa.table({
+            "anchor_id": b["id_a"].cast(pa.int64()),
+            "other_id": b["id_b"].cast(pa.int64()),
+            "pair_type": pa.array(["positive"] * b.num_rows, pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding", "label"])
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.filter(expr="vec_id < 20").iter_batches(
+            batch_format="pyarrow")]
+    )
+    neg = hard_negative_topk(emb, queries, k=3).map_batches(
+        lambda b: pa.table({
+            "anchor_id": b["query_id"].cast(pa.int64()),
+            "other_id": b["neighbor_id"].cast(pa.int64()),
+            "pair_type": pa.array(["hard_negative"] * b.num_rows,
+                                  pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+    return pos.union(neg)

@@ -344,3 +344,54 @@ class TestLangConfusion:
         }
         assert got == want
         assert sum(got.values()) == docs.num_rows
+
+
+class TestContrastivePairs:
+    def test_composition_matches_components(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _NEARDUP_THRESHOLD,
+            _derived_corpus,
+        )
+        from overmatch_ray.pipelines.rows_only import q_contrastive_pairs
+        from overmatch_ray.stages.dedup import ngram_jaccard_pairs
+        from overmatch_ray.stages.knn import hard_negative_topk
+
+        sf = "/root/testdata/sf0.01"
+        out = _to_table(q_contrastive_pairs(sf))
+        got_pos = {
+            (a, o)
+            for a, o, t in zip(
+                out["anchor_id"].to_pylist(), out["other_id"].to_pylist(),
+                out["pair_type"].to_pylist(),
+            ) if t == "positive"
+        }
+        got_neg = {
+            (a, o)
+            for a, o, t in zip(
+                out["anchor_id"].to_pylist(), out["other_id"].to_pylist(),
+                out["pair_type"].to_pylist(),
+            ) if t == "hard_negative"
+        }
+        want_pos = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                _derived_corpus(sf), threshold=_NEARDUP_THRESHOLD, k=3
+            ).take_all()
+        }
+        emb = pq.read_table(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        import ray
+
+        want_neg = {
+            (r["query_id"], r["neighbor_id"])
+            for r in hard_negative_topk(
+                ray.data.from_arrow(emb),
+                emb.filter(pa.compute.less(emb["vec_id"], 20)),
+                k=3,
+            ).take_all()
+        }
+        assert got_pos == want_pos
+        assert got_neg == want_neg
+        assert len(got_neg) == 20 * 3
