@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cooccurrence": cq.q_word_cooccurrence,
         "user_trigrams": cq.q_user_trigrams,
         "twa_value": cq.q_twa_value,
+        "region_revenue_share": cq.q_region_revenue_share,
+        "session_length_quantiles": cq.q_session_length_quantiles,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -4409,3 +4409,145 @@ SELECT event_type,
        / CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS twa_cents
 FROM w GROUP BY 1 HAVING sum(gap_us) > 0
 """
+
+
+def q_region_revenue_share(sf_dir: str):
+    """4-table star-join rollup with ratio-to-total: order revenue per
+    REGION (fact ⋈ customer via a bucketed hash join — both sides large —
+    then the two tiny dimensions as one broadcast lookup) and each
+    region's share of the total. Revenue folds in exact integer cents;
+    the share division mirrors the oracle's HUGEINT→DOUBLE casts, so the
+    floats are bit-identical."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucket_hash_join
+    from .queries import _cents
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(b["o_totalprice"].to_numpy(
+                zero_copy_only=False))),
+        }),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(orders, cust, "o_custkey", "c_custkey")
+
+    nation = pa.concat_tables(
+        [pa.table(b) for b in _read(sf_dir, "nation").iter_batches(
+            batch_format="pyarrow")]
+    )
+    region = pa.concat_tables(
+        [pa.table(b) for b in _read(sf_dir, "region").iter_batches(
+            batch_format="pyarrow")]
+    )
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    lut = _ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        m = _ray.get(lut)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array([m[int(k)] for k in nk], pa.string()),
+            "cents": batch["cents"],
+        })
+
+    agg = (
+        j.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    rows = sorted(
+        ((r["r_name"], int(r["revenue_cents"])) for r in agg.take_all())
+    )
+    total = sum(c for _, c in rows)
+    return pa.table({
+        "r_name": pa.array([r for r, _ in rows], pa.string()),
+        "revenue_cents": pa.array([c for _, c in rows], pa.int64()),
+        "revenue_share": pa.array(
+            [float(c) / float(total) for _, c in rows], pa.float64()
+        ),
+    })
+
+
+ORACLE_SQL["region_revenue_share"] = """
+WITH rev AS (
+  SELECT r_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1)
+SELECT r_name, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+       / CAST((SELECT sum(revenue_cents) FROM rev) AS DOUBLE)
+         AS revenue_share
+FROM rev
+"""
+
+
+def q_session_length_quantiles(sf_dir: str):
+    """Quantiles over a DERIVED table: exact p25/p50/p75 of session
+    LENGTHS (ping counts per >30 min-gap session) — sessionization feeding
+    the distributed exact-quantile collapse (`stages.groupops.
+    exact_quantiles`), showing the quantile machinery composes with an
+    islanded intermediate, not just raw columns."""
+    from ..stages.groupops import bucketed_group_apply, exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    def lengths_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = u[1:] != u[:-1]
+        brk = first.copy()
+        brk[1:] |= np.diff(t) > 1_800_000_000
+        starts = np.flatnonzero(brk)
+        lengths = np.diff(np.append(starts, len(g)))
+        return pa.table({"session_len": pa.array(lengths.astype(np.int64))})
+
+    lens = bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        lengths_bucket,
+        num_buckets=32,
+    )
+    return exact_quantiles(lens, "session_len", [0.25, 0.5, 0.75])
+
+
+ORACLE_SQL["session_length_quantiles"] = """
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+isl AS (
+  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session
+  FROM marks),
+lens AS (
+  SELECT count(*) AS session_len FROM isl GROUP BY user_id, session)
+SELECT 0.25 AS p, round(quantile_cont(session_len, 0.25), 6) AS q FROM lens
+UNION ALL
+SELECT 0.5 AS p, round(quantile_cont(session_len, 0.5), 6) AS q FROM lens
+UNION ALL
+SELECT 0.75 AS p, round(quantile_cont(session_len, 0.75), 6) AS q FROM lens
+"""
