@@ -181,7 +181,16 @@ def write_pmtiles(
     data_path = f"{path}.{_uuid.uuid4().hex[:12]}.data.tmp"
     data_off = 0
     zmin, zmax = 99, 0
-    n_tiles = 0
+    n_addressed = 0
+    n_contents = 0
+    clustered = True
+    # spec v3 tile DEDUPLICATION: identical compressed payloads are stored
+    # once and every entry points at the first copy. Driver state is one
+    # 16-byte digest per DISTINCT tile — same order as the entry list the
+    # directory build already holds.
+    import hashlib as _hashlib
+
+    seen: dict[bytes, tuple[int, int]] = {}
     try:
         with open(data_path, "wb") as df:
             for batch in ordered.iter_batches(
@@ -190,15 +199,34 @@ def write_pmtiles(
                 zs = batch["zoom"].to_pylist()
                 tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
                 for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
+                    tid = int(tid)
                     gz = _gzip(mvt)
-                    entries.append((int(tid), data_off, len(gz), 1))
-                    df.write(gz)
-                    data_off += len(gz)
+                    key = _hashlib.md5(gz).digest()
+                    hit = seen.get(key)
+                    if hit is None:
+                        off, ln = data_off, len(gz)
+                        df.write(gz)
+                        data_off += ln
+                        seen[key] = (off, ln)
+                        n_contents += 1
+                    else:
+                        off, ln = hit
+                        clustered = False  # reused offset breaks id-order
+                    # spec RUN-LENGTH coalescing: adjacent ids, same blob →
+                    # one entry with run_length+1
+                    if entries and entries[-1][1] == off \
+                            and entries[-1][2] == ln \
+                            and entries[-1][0] + entries[-1][3] == tid:
+                        t0, o0, l0, rl = entries[-1]
+                        entries[-1] = (t0, o0, l0, rl + 1)
+                    else:
+                        entries.append((tid, off, ln, 1))
                     zmin, zmax = min(zmin, z), max(zmax, z)
-                    n_tiles += 1
+                    n_addressed += 1
         return _assemble_pmtiles(
             path, data_path, entries, metadata, max_root_bytes,
-            data_off, n_tiles, zmin if n_tiles else 0, zmax if n_tiles else 0,
+            data_off, n_addressed, n_contents, clustered,
+            zmin if n_addressed else 0, zmax if n_addressed else 0,
         )
     finally:
         if _os.path.exists(data_path):
@@ -206,7 +234,8 @@ def write_pmtiles(
 
 
 def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
-                      data_off, n_tiles, zmin, zmax) -> dict:
+                      data_off, n_addressed, n_contents, clustered,
+                      zmin, zmax) -> dict:
 
     root_payload = _serialize_directory(entries)
     leaf_bytes = b""
@@ -247,11 +276,11 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
         len(leaf_bytes),
         tile_off,
         data_off,
-        n_tiles,  # addressed tiles
-        n_tiles,  # tile entries
-        n_tiles,  # tile contents
+        n_addressed,  # addressed tiles (sum of run lengths)
+        len(entries),  # tile entries (after run-length coalescing)
+        n_contents,  # tile contents (distinct blobs after dedup)
     )
-    hdr[96] = 1  # clustered
+    hdr[96] = 1 if clustered else 0
     hdr[97] = _COMPRESSION_GZIP  # internal compression
     hdr[98] = _COMPRESSION_GZIP  # tile compression
     hdr[99] = _TILETYPE_MVT
@@ -279,7 +308,8 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
     n_leaves = (
         (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
     )
-    return {"n_tiles": n_tiles, "bytes": tile_off + data_off,
+    return {"n_tiles": n_addressed, "n_entries": len(entries),
+            "n_contents": n_contents, "bytes": tile_off + data_off,
             "min_zoom": zmin, "max_zoom": zmax, "n_leaves": n_leaves}
 
 

@@ -812,3 +812,44 @@ class TestDirtyTiles:
         assert sorted(map(tuple, d.itertuples(index=False))) == sorted(
             map(tuple, d2.itertuples(index=False))
         )
+
+
+class TestPMTilesDedup:
+    def test_identical_tiles_stored_once_and_run_length_coalesced(
+        self, ray_session, tmp_path
+    ):
+        """PMTiles v3 dedup + run-length: adjacent tiles with identical
+        payloads collapse to one content blob and one run-length entry;
+        every addressed tile still reads back byte-exact."""
+        import ray.data
+
+        from overmatch_ray.stages.pmtiles import (
+            read_pmtiles_tile,
+            write_pmtiles,
+            zxy_to_tileid,
+        )
+
+        same = b"\x1a\x05ditto"  # one shared payload
+        uniq = [b"\x1a\x06tile-%d" % i for i in range(3)]
+        # z2: 8 adjacent-in-Hilbert tiles share `same`; 3 others unique
+        rows = []
+        tids = []
+        for x in range(4):
+            for y in range(2):
+                rows.append((2, x, y, same))
+        for i, (x, y) in enumerate([(3, 2), (0, 3), (3, 3)]):
+            rows.append((2, x, y, uniq[i]))
+        t = pa.table({
+            "zoom": pa.array([r[0] for r in rows], pa.int64()),
+            "tx": pa.array([r[1] for r in rows], pa.int64()),
+            "ty": pa.array([r[2] for r in rows], pa.int64()),
+            "mvt": pa.array([r[3] for r in rows], pa.large_binary()),
+        })
+        path = str(tmp_path / "dedup.pmtiles")
+        stats = write_pmtiles(ray.data.from_arrow(t), path)
+        assert stats["n_tiles"] == len(rows)
+        assert stats["n_contents"] == 1 + len(uniq)  # dedup engaged
+        assert stats["n_entries"] < stats["n_tiles"]  # RLE engaged
+        for z, x, y, mvt in rows:
+            assert read_pmtiles_tile(path, z, x, y) == mvt
+        assert read_pmtiles_tile(path, 2, 1, 3) is None
