@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ro.q_kmeans_clusters,
         "lang_confusion": ro.q_lang_confusion,
         "contrastive_pairs": ro.q_contrastive_pairs,
+        "raster_tiles": ro.q_raster_tiles,
+        "raster_pmtiles": ro.q_raster_pmtiles,
     }
 
 

@@ -870,3 +870,77 @@ def q_contrastive_pairs(sf_dir: str):
         batch_format="pyarrow",
     )
     return pos.union(neg)
+
+
+def q_raster_tiles(sf_dir: str):
+    """Raster heat-tile level over the events geo corpus: 256×256
+    grayscale PNG per z14 tile via the repo's pure-zlib PNG codec
+    (stages.tiles.build_raster_heat_tiles) — the raster twin of the MVT
+    pyramid. Output row per tile: coordinates, point count, payload size
+    and sha for pinning. Rows-only (PNG bytes aren't SQL); pixel-exact
+    parity with a numpy rasterizer is test-pinned."""
+    import hashlib
+
+    from ..stages.tiles import build_raster_heat_tiles
+
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    tiles = build_raster_heat_tiles(
+        ds.map_batches(pts, batch_format="pyarrow"), zoom=14
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pngs = batch["png"].to_pylist()
+        return pa.table({
+            "zoom": batch["zoom"],
+            "tx": batch["tx"],
+            "ty": batch["ty"],
+            "n_points": batch["n_points"],
+            "png_bytes": pa.array([len(p) for p in pngs], pa.int64()),
+            "png_sha": pa.array(
+                [hashlib.sha256(p).hexdigest()[:16] for p in pngs],
+                pa.string(),
+            ),
+        })
+
+    return tiles.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_raster_pmtiles(sf_dir: str):
+    """Raster PMTiles archive: the z14 heat rasters packed into one
+    PMTiles v3 file with tile_type=png / tile compression NONE (payloads
+    already deflate-compressed by the PNG codec) — the raster publish
+    artifact next to the MVT archive. Returns the archive stats row;
+    byte-determinism and read-back are test-pinned."""
+    import os
+    import tempfile
+
+    from ..stages.pmtiles import write_pmtiles
+    from ..stages.tiles import build_raster_heat_tiles
+
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    tiles = build_raster_heat_tiles(
+        ds.map_batches(pts, batch_format="pyarrow"), zoom=14
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "heat.pmtiles")
+        stats = write_pmtiles(tiles, path, tile_type="png", tile_col="png")
+    return pa.table({
+        "n_tiles": pa.array([stats["n_tiles"]], pa.int64()),
+        "n_contents": pa.array([stats["n_contents"]], pa.int64()),
+        "min_zoom": pa.array([stats["min_zoom"]], pa.int64()),
+        "max_zoom": pa.array([stats["max_zoom"]], pa.int64()),
+    })

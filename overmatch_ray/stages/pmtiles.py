@@ -28,8 +28,10 @@ import pyarrow as pa
 
 _MAGIC = b"PMTiles"
 _HDR_LEN = 127
+_COMPRESSION_NONE = 1
 _COMPRESSION_GZIP = 2
 _TILETYPE_MVT = 1
+_TILETYPE_PNG = 2
 
 
 def _gzip(data: bytes) -> bytes:
@@ -144,10 +146,14 @@ def write_pmtiles(
     path: str,
     metadata: dict | None = None,
     max_root_bytes: int = _MAX_ROOT_BYTES,
+    tile_type: str = "mvt",
+    tile_col: str = "mvt",
 ) -> dict:
     """Pack a tile dataset (columns zoom, tx, ty, mvt) into one PMTiles v3
     file. Streams the dataset in tile-id order (Ray sort) through a single
-    writer; returns summary stats. If the serialized root directory exceeds
+    writer; returns summary stats. ``tile_type="png"`` writes a RASTER
+    archive (payload column already PNG-compressed → tile compression
+    NONE per spec; MVT payloads are gzipped). If the serialized root directory exceeds
     ``max_root_bytes`` (spec guidance: 16 KB), tile entries spill into leaf
     directories of ``_LEAF_ENTRIES`` each and the root holds one
     run_length=0 pointer per leaf."""
@@ -161,7 +167,7 @@ def write_pmtiles(
         # strip schema metadata (pandas-block conversions attach a b'pandas'
         # dict that makes pa.Schema unhashable → Ray sort logs a hash warning)
         return (
-            batch.select(["zoom", "tx", "ty", "mvt"])
+            batch.select(["zoom", "tx", "ty", tile_col])
             .append_column("tile_id", pa.array(tid.view(np.int64)))
             .replace_schema_metadata(None)
         )
@@ -198,9 +204,9 @@ def write_pmtiles(
             ):
                 zs = batch["zoom"].to_pylist()
                 tids = batch["tile_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-                for tid, z, mvt in zip(tids, zs, batch["mvt"].to_pylist()):
+                for tid, z, mvt in zip(tids, zs, batch[tile_col].to_pylist()):
                     tid = int(tid)
-                    gz = _gzip(mvt)
+                    gz = _gzip(mvt) if tile_type == "mvt" else mvt
                     key = _hashlib.md5(gz).digest()
                     hit = seen.get(key)
                     if hit is None:
@@ -225,7 +231,7 @@ def write_pmtiles(
                     n_addressed += 1
         return _assemble_pmtiles(
             path, data_path, entries, metadata, max_root_bytes,
-            data_off, n_addressed, n_contents, clustered,
+            data_off, n_addressed, n_contents, clustered, tile_type,
             zmin if n_addressed else 0, zmax if n_addressed else 0,
         )
     finally:
@@ -235,7 +241,7 @@ def write_pmtiles(
 
 def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
                       data_off, n_addressed, n_contents, clustered,
-                      zmin, zmax) -> dict:
+                      tile_type, zmin, zmax) -> dict:
 
     root_payload = _serialize_directory(entries)
     leaf_bytes = b""
@@ -282,8 +288,9 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
     )
     hdr[96] = 1 if clustered else 0
     hdr[97] = _COMPRESSION_GZIP  # internal compression
-    hdr[98] = _COMPRESSION_GZIP  # tile compression
-    hdr[99] = _TILETYPE_MVT
+    hdr[98] = (_COMPRESSION_GZIP if tile_type == "mvt"
+               else _COMPRESSION_NONE)  # tile compression
+    hdr[99] = _TILETYPE_MVT if tile_type == "mvt" else _TILETYPE_PNG
     hdr[100] = zmin
     hdr[101] = zmax
     struct.pack_into("<iiii", hdr, 102, -180 * 10**7, -85 * 10**7,
@@ -352,5 +359,6 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
         if rl == 0 or not (eid <= tid < eid + rl):
             return None
         f.seek(tile_off + off)
-        return _gunzip(f.read(ln))
+        raw = f.read(ln)
+        return _gunzip(raw) if hdr[98] == _COMPRESSION_GZIP else raw
     return None

@@ -241,3 +241,76 @@ def dirty_tiles(old_tiles_ds, new_tiles_ds, num_buckets: int = 32):
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def build_raster_heat_tiles(
+    points_ds,
+    zoom: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int = 32,
+):
+    """Raster heat-tile pyramid level: one 256×256 grayscale PNG per web-
+    mercator tile at ``zoom``, pixel (px, py) = the point's position on
+    the zoom+8 subgrid (the standard slippy-map raster convention),
+    intensity = min(255, 32·count) — an integer map of counts, so tiles
+    are bit-deterministic at any parallelism.
+
+    Plan: per-batch pixel assignment + (tile, pixel) count COMBINER (the
+    shuffle moves touched-pixel counts, never points) → one bucketed
+    group-apply rasterizing each tile with the repo's pure-zlib PNG
+    encoder (`imaging.codec.encode_png` — the same codec the image
+    pipeline validates). Output (zoom, tx, ty, n_points, png)."""
+    from ray.data.aggregate import Sum
+
+    from ..imaging.codec import encode_png
+    from .groupops import bucketed_group_apply
+
+    def pix(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        fx, fy = tile_xy(lon, lat, zoom + 8)
+        fx = fx.astype(np.int64)
+        fy = fy.astype(np.int64)
+        tx, px = fx >> 8, fx & 255
+        ty, py = fy >> 8, fy & 255
+        df = pd.DataFrame({"tx": tx, "ty": ty, "px": px, "py": py})
+        vc = df.value_counts(sort=False)
+        idx = vc.index.to_frame(index=False)
+        return pa.table({
+            "tx": pa.array(idx["tx"].to_numpy()),
+            "ty": pa.array(idx["ty"].to_numpy()),
+            "px": pa.array(idx["px"].to_numpy()),
+            "py": pa.array(idx["py"].to_numpy()),
+            "n": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    counts = (
+        points_ds.map_batches(pix, batch_format="pyarrow")
+        .groupby(["tx", "ty", "px", "py"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def raster_bucket(g: pd.DataFrame) -> pa.Table:
+        out_tx, out_ty, out_n, out_png = [], [], [], []
+        for (tx, ty), rows in g.groupby(["tx", "ty"], sort=True):
+            grid = np.zeros((256, 256), np.int64)
+            grid[rows["py"].to_numpy(), rows["px"].to_numpy()] = (
+                rows["n"].to_numpy()
+            )
+            v = np.minimum(grid * 32, 255).astype(np.uint8)
+            img = np.repeat(v[:, :, None], 3, axis=2)
+            out_tx.append(int(tx)); out_ty.append(int(ty))
+            out_n.append(int(rows["n"].sum()))
+            out_png.append(encode_png(img))
+        return pa.table({
+            "zoom": pa.array([zoom] * len(out_tx), pa.int64()),
+            "tx": pa.array(out_tx, pa.int64()),
+            "ty": pa.array(out_ty, pa.int64()),
+            "n_points": pa.array(out_n, pa.int64()),
+            "png": pa.array(out_png, pa.large_binary()),
+        })
+
+    return bucketed_group_apply(
+        counts, ["tx", "ty"], raster_bucket, num_buckets=num_buckets
+    )

@@ -853,3 +853,69 @@ class TestPMTilesDedup:
         for z, x, y, mvt in rows:
             assert read_pmtiles_tile(path, z, x, y) == mvt
         assert read_pmtiles_tile(path, 2, 1, 3) is None
+
+
+class TestRasterHeatTiles:
+    @staticmethod
+    def _points(n=4000, seed=11):
+        rng = np.random.RandomState(seed)
+        lon = -77.05 + rng.rand(n) * 0.02
+        lat = 38.85 + rng.rand(n) * 0.02
+        return lon, lat
+
+    def test_pixel_exact_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.imaging.codec import decode_png
+        from overmatch_ray.stages.tiles import build_raster_heat_tiles, tile_xy
+
+        lon, lat = self._points()
+        t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        zoom = 14
+        fx, fy = tile_xy(lon, lat, zoom + 8)
+        fx, fy = fx.astype(np.int64), fy.astype(np.int64)
+
+        ref: dict = {}
+        for x, y in zip(fx, fy):
+            key = (int(x) >> 8, int(y) >> 8)
+            g = ref.setdefault(key, np.zeros((256, 256), np.int64))
+            g[int(y) & 255, int(x) & 255] += 1
+
+        outs = []
+        for nblocks in (1, 6):
+            rows = build_raster_heat_tiles(
+                ray.data.from_arrow(t).repartition(nblocks), zoom
+            ).take_all()
+            outs.append(
+                sorted((r["tx"], r["ty"], r["png"]) for r in rows)
+            )
+            got = {(r["tx"], r["ty"]): r for r in rows}
+            assert set(got) == set(ref)
+            for key, grid in ref.items():
+                img = decode_png(got[key]["png"])
+                want = np.minimum(grid * 32, 255).astype(np.uint8)
+                assert (img[:, :, 0] == want).all()
+                assert (img[:, :, 1] == want).all()
+                assert got[key]["n_points"] == int(grid.sum())
+        assert outs[0] == outs[1], "rasters not partition-invariant"
+
+    def test_png_pmtiles_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.stages.pmtiles import read_pmtiles_tile, write_pmtiles
+        from overmatch_ray.stages.tiles import build_raster_heat_tiles
+
+        lon, lat = self._points(1500, seed=3)
+        t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        tiles = build_raster_heat_tiles(ray.data.from_arrow(t), 14)
+        rows = tiles.take_all()
+        path = str(tmp_path / "heat.pmtiles")
+        stats = write_pmtiles(
+            ray.data.from_items(rows), path, tile_type="png", tile_col="png"
+        )
+        assert stats["n_tiles"] == len(rows) > 0
+        hdr = open(path, "rb").read(127)
+        assert hdr[99] == 2 and hdr[98] == 1  # png tiles, compression none
+        for r in rows:
+            raw = read_pmtiles_tile(path, r["zoom"], r["tx"], r["ty"])
+            assert raw == r["png"]
