@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs": ro.q_contrastive_pairs,
         "raster_tiles": ro.q_raster_tiles,
         "raster_pmtiles": ro.q_raster_pmtiles,
+        "track_line_tiles": ro.q_track_line_tiles,
     }
 
 

@@ -944,3 +944,53 @@ def q_raster_pmtiles(sf_dir: str):
         "min_zoom": pa.array([stats["min_zoom"]], pa.int64()),
         "max_zoom": pa.array([stats["max_zoom"]], pa.int64()),
     })
+
+
+def q_track_line_tiles(sf_dir: str):
+    """Vector LINE tiles of user tracks (stages.tiles.build_line_tiles):
+    per-user polylines (pings ordered by ts) clipped into z13 MVT
+    LineString tiles — the tippecanoe linear-feature path next to the
+    point pyramid. Output per tile: key/part counts + payload size + sha.
+    Rows-only; segment-exact parity vs an independent clipper and byte
+    determinism are test-pinned."""
+    import hashlib
+
+    from ..stages.tiles import build_line_tiles
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = uid < 50
+        eid, uid = eid[m], uid[m]
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        return pa.table({
+            "key": pa.array(uid),
+            "seq": pa.array(ts),  # µs timestamps are a valid total order
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    tiles = build_line_tiles(
+        ev.map_batches(pts, batch_format="pyarrow"), zoom=15
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        blobs = batch["mvt"].to_pylist()
+        return pa.table({
+            "zoom": batch["zoom"],
+            "tx": batch["tx"],
+            "ty": batch["ty"],
+            "n_keys": batch["n_keys"],
+            "n_parts": batch["n_parts"],
+            "mvt_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "mvt_sha": pa.array(
+                [hashlib.sha256(b).hexdigest()[:16] for b in blobs],
+                pa.string(),
+            ),
+        })
+
+    return tiles.map_batches(summarize, batch_format="pyarrow")

@@ -221,3 +221,169 @@ def decode_mvt_points(data: bytes) -> "list[dict]":
             rec[keys[ki]] = values[vi]
         feats.append(rec)
     return feats
+
+
+def encode_mvt_lines(
+    props: "list[dict]",
+    lines: "list[list[np.ndarray]]",
+    layer_name: str = "overmatch",
+    extent: int = EXTENT,
+) -> bytes:
+    """Encode one tile of LINESTRING features (spec geometry type 2).
+    ``lines[i]`` is a list of parts; each part is an (N≥2, 2) int array of
+    tile-local extent coords. Parts encode as MoveTo(1)+LineTo(N-1) runs
+    with zigzag deltas carried across parts (cursor semantics per spec).
+    Same determinism contract as ``encode_mvt_tile``."""
+    keys: dict[str, int] = {}
+    values: dict[bytes, int] = {}
+    feats = []
+    for rec, parts in zip(props, lines):
+        tags: list[int] = []
+        for k in sorted(rec):
+            v = rec[k]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            ki = keys.setdefault(k, len(keys))
+            vb = _encode_value(v)
+            vi = values.setdefault(vb, len(values))
+            tags.extend((ki, vi))
+        tag_payload = b"".join(_varint(t) for t in tags)
+        geom = bytearray()
+        cx = cy = 0
+        for part in parts:
+            part = np.asarray(part, dtype=np.int64)
+            if part.shape[0] < 2:
+                continue
+            geom += _varint((1 << 3) | 1)  # MoveTo, count 1
+            geom += _varint(_zigzag(int(part[0, 0]) - cx))
+            geom += _varint(_zigzag(int(part[0, 1]) - cy))
+            cx, cy = int(part[0, 0]), int(part[0, 1])
+            n = part.shape[0] - 1
+            geom += _varint((n << 3) | 2)  # LineTo, count n
+            for j in range(1, part.shape[0]):
+                geom += _varint(_zigzag(int(part[j, 0]) - cx))
+                geom += _varint(_zigzag(int(part[j, 1]) - cy))
+                cx, cy = int(part[j, 0]), int(part[j, 1])
+        feat = (
+            _ld(_FEATURE_TAGS, tag_payload)
+            + _varint(_FEATURE_TYPE)
+            + _varint(2)  # LINESTRING
+            + _ld(_FEATURE_GEOM, bytes(geom))
+        )
+        feats.append(_ld(_LAYER_FEATURE, feat))
+    layer = bytearray()
+    layer += _varint(_LAYER_VERSION) + _varint(2)
+    layer += _ld(_LAYER_NAME, layer_name.encode())
+    for f in feats:
+        layer += f
+    for k in keys:
+        layer += _ld(_LAYER_KEY, k.encode())
+    for vb in values:
+        layer += _ld(_LAYER_VALUE, vb)
+    layer += _varint(_LAYER_EXTENT) + _varint(extent)
+    return bytes(_ld(_TILE_LAYER, bytes(layer)))
+
+
+def decode_mvt_lines(data: bytes) -> "list[dict]":
+    """Minimal LINESTRING reader for tests: per-feature dicts with
+    ``__parts`` (list of (N,2) int lists) plus decoded properties."""
+
+    def read_varint(buf, i):
+        shift = out = 0
+        while True:
+            b = buf[i]
+            i += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, i
+            shift += 7
+
+    import struct as _struct
+
+    def parse_value(buf):
+        i = 0
+        while i < len(buf):
+            key, i = read_varint(buf, i)
+            fnum, wt = key >> 3, key & 7
+            if wt == 2:
+                ln, i = read_varint(buf, i)
+                return buf[i : i + ln].decode()
+            if wt == 1:
+                return _struct.unpack_from("<d", buf, i)[0]
+            v, i = read_varint(buf, i)
+            if fnum == 7:
+                return bool(v)
+            if fnum == 4 and v >= 1 << 63:
+                v -= 1 << 64
+            return v
+        return None
+
+    feats, keys, values = [], [], []
+    i = 0
+    key, i = read_varint(data, i)
+    assert key == _TILE_LAYER
+    ln, i = read_varint(data, i)
+    layer = data[i : i + ln]
+    i = 0
+    raw_feats = []
+    while i < len(layer):
+        key, i = read_varint(layer, i)
+        fnum, wt = key >> 3, key & 7
+        if wt == 0:
+            _, i = read_varint(layer, i)
+            continue
+        ln, i = read_varint(layer, i)
+        payload = layer[i : i + ln]
+        i += ln
+        if fnum == 2:
+            raw_feats.append(payload)
+        elif fnum == 3:
+            keys.append(payload.decode())
+        elif fnum == 4:
+            values.append(parse_value(payload))
+    zz = lambda u: (u >> 1) ^ -(u & 1)
+    for payload in raw_feats:
+        j = 0
+        tags, geom, ftype = [], [], None
+        while j < len(payload):
+            key, j = read_varint(payload, j)
+            fnum, wt = key >> 3, key & 7
+            if wt == 0:
+                v, j = read_varint(payload, j)
+                if fnum == 3:
+                    ftype = v
+                continue
+            ln, j = read_varint(payload, j)
+            sub = payload[j : j + ln]
+            j += ln
+            vals, jj = [], 0
+            while jj < len(sub):
+                v, jj = read_varint(sub, jj)
+                vals.append(v)
+            if fnum == 2:
+                tags = vals
+            elif fnum == 4:
+                geom = vals
+        assert ftype == 2
+        parts = []
+        cx = cy = 0
+        k = 0
+        cur = None
+        while k < len(geom):
+            cmd = geom[k]
+            cid, cnt = cmd & 7, cmd >> 3
+            k += 1
+            if cid == 1:  # MoveTo
+                for _ in range(cnt):
+                    cx += zz(geom[k]); cy += zz(geom[k + 1]); k += 2
+                    cur = [[cx, cy]]
+                    parts.append(cur)
+            elif cid == 2:  # LineTo
+                for _ in range(cnt):
+                    cx += zz(geom[k]); cy += zz(geom[k + 1]); k += 2
+                    cur.append([cx, cy])
+        rec = {"__parts": parts}
+        for ki, vi in zip(tags[::2], tags[1::2]):
+            rec[keys[ki]] = values[vi]
+        feats.append(rec)
+    return feats

@@ -314,3 +314,161 @@ def build_raster_heat_tiles(
     return bucketed_group_apply(
         counts, ["tx", "ty"], raster_bucket, num_buckets=num_buckets
     )
+
+
+def _clip_segment(x0, y0, x1, y1, lo, hi):
+    """Liang-Barsky clip of one segment to the [lo, hi]² box. Returns
+    (cx0, cy0, cx1, cy1) or None if fully outside."""
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - lo), (dx, hi - x0),
+        (-dy, y0 - lo), (dy, hi - y0),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
+
+
+def build_line_tiles(
+    points_ds,
+    zoom: int,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    extent: int = 4096,
+    num_buckets: int = 32,
+):
+    """Vector LINE tiles (the tippecanoe linear-feature path): per-key
+    polylines (points ordered by ``seq_col``) cut into per-tile MVT
+    LineString layers at ``zoom``. Two bucketed shuffles:
+
+    1. per-key segment build — consecutive points become segments in
+       global fractional tile coords; each segment replicates to the
+       tiles its bbox covers (adjacent tiles for short segments) and is
+       Liang-Barsky-clipped to each tile's local box;
+    2. per-tile encode — segments grouped by key, CHAINED back into
+       maximal polyline parts (consecutive seq + coincident clipped
+       endpoints merge), encoded with ``stages.mvt.encode_mvt_lines``.
+
+    Coordinates, clipping and ordering are all deterministic, so tile
+    bytes are identical at any parallelism (same contract as the point
+    pyramid). Output (zoom, tx, ty, n_keys, n_parts, mvt)."""
+    from .groupops import bucketed_group_apply
+    from .mvt import encode_mvt_lines
+
+    n_tiles = 1 << zoom
+
+    def segments_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, seq_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        lon = g[lon_col].to_numpy()
+        lat = g[lat_col].to_numpy()
+        n = float(n_tiles)
+        fx = (lon + 180.0) / 360.0 * n
+        lat_r = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+        fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+        same = np.zeros(len(g), bool)
+        same[:-1] = k[:-1] == k[1:] if len(g) > 1 else False
+        idx = np.flatnonzero(same)
+        out = {"tx": [], "ty": [], "key": [], "seg": [],
+               "x0": [], "y0": [], "x1": [], "y1": []}
+        seg_of_key = {}
+        for i in idx:
+            kk = k[i]
+            seg = seg_of_key.get(kk, 0)
+            seg_of_key[kk] = seg + 1
+            x0, y0, x1, y1 = fx[i], fy[i], fx[i + 1], fy[i + 1]
+            for tx in range(int(min(x0, x1)), int(max(x0, x1)) + 1):
+                for ty in range(int(min(y0, y1)), int(max(y0, y1)) + 1):
+                    if not (0 <= tx < n_tiles and 0 <= ty < n_tiles):
+                        continue
+                    c = _clip_segment(
+                        (x0 - tx) * extent, (y0 - ty) * extent,
+                        (x1 - tx) * extent, (y1 - ty) * extent,
+                        0.0, float(extent),
+                    )
+                    if c is None:
+                        continue
+                    cx0, cy0, cx1, cy1 = (int(np.floor(v + 0.5)) for v in c)
+                    if (cx0, cy0) == (cx1, cy1):
+                        continue  # degenerate at this zoom
+                    out["tx"].append(tx); out["ty"].append(ty)
+                    out["key"].append(int(kk)); out["seg"].append(seg)
+                    out["x0"].append(cx0); out["y0"].append(cy0)
+                    out["x1"].append(cx1); out["y1"].append(cy1)
+        return pa.table({
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "key": pa.array(out["key"], pa.int64()),
+            "seg": pa.array(out["seg"], pa.int64()),
+            "x0": pa.array(out["x0"], pa.int64()),
+            "y0": pa.array(out["y0"], pa.int64()),
+            "x1": pa.array(out["x1"], pa.int64()),
+            "y1": pa.array(out["y1"], pa.int64()),
+        })
+
+    segs = bucketed_group_apply(
+        points_ds, [key_col], segments_bucket, num_buckets=num_buckets
+    )
+
+    def encode_bucket(g: pd.DataFrame) -> pa.Table:
+        rows = {"zoom": [], "tx": [], "ty": [], "n_keys": [],
+                "n_parts": [], "mvt": []}
+        for (tx, ty), tile in g.groupby(["tx", "ty"], sort=True):
+            props, lines = [], []
+            total_parts = 0
+            for key, trk in tile.sort_values(
+                ["key", "seg"], kind="mergesort"
+            ).groupby("key", sort=True):
+                segarr = trk[["seg", "x0", "y0", "x1", "y1"]].to_numpy()
+                parts = []
+                cur = None
+                prev_seg = None
+                for sg, x0, y0, x1, y1 in segarr:
+                    if (
+                        cur is not None
+                        and prev_seg is not None
+                        and sg == prev_seg + 1
+                        and cur[-1] == [x0, y0]
+                    ):
+                        cur.append([x1, y1])
+                    else:
+                        cur = [[x0, y0], [x1, y1]]
+                        parts.append(cur)
+                    prev_seg = sg
+                parts = [np.asarray(p, np.int64) for p in parts]
+                props.append({"key": int(key), "n_segs": len(segarr)})
+                lines.append(parts)
+                total_parts += len(parts)
+            rows["zoom"].append(zoom)
+            rows["tx"].append(int(tx)); rows["ty"].append(int(ty))
+            rows["n_keys"].append(len(props))
+            rows["n_parts"].append(total_parts)
+            rows["mvt"].append(encode_mvt_lines(props, lines, extent=extent))
+        return pa.table({
+            "zoom": pa.array(rows["zoom"], pa.int64()),
+            "tx": pa.array(rows["tx"], pa.int64()),
+            "ty": pa.array(rows["ty"], pa.int64()),
+            "n_keys": pa.array(rows["n_keys"], pa.int64()),
+            "n_parts": pa.array(rows["n_parts"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.large_binary()),
+        })
+
+    return bucketed_group_apply(
+        segs, ["tx", "ty"], encode_bucket, num_buckets=num_buckets
+    )

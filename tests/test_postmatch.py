@@ -919,3 +919,96 @@ class TestRasterHeatTiles:
         for r in rows:
             raw = read_pmtiles_tile(path, r["zoom"], r["tx"], r["ty"])
             assert raw == r["png"]
+
+
+class TestLineTiles:
+    @staticmethod
+    def _tracks(n_keys=5, pts=40, seed=9):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for k in range(n_keys):
+            lon = -77.06 + np.cumsum(rng.randn(pts)) * 2e-4
+            lat = 38.84 + np.cumsum(rng.randn(pts)) * 2e-4
+            for i in range(pts):
+                rows.append((k, i, lon[i], lat[i]))
+        return pa.table({
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "seq": pa.array([r[1] for r in rows], pa.int64()),
+            "lon": pa.array([r[2] for r in rows], pa.float64()),
+            "lat": pa.array([r[3] for r in rows], pa.float64()),
+        })
+
+    @staticmethod
+    def _brute_segments(t, zoom, extent=4096):
+        """All clipped per-tile segments, independent reimplementation."""
+        from overmatch_ray.stages.tiles import _clip_segment
+
+        n = float(1 << zoom)
+        out = set()
+        df = t.to_pandas().sort_values(["key", "seq"])
+        for k, g in df.groupby("key"):
+            lon = g["lon"].to_numpy(); lat = g["lat"].to_numpy()
+            fx = (lon + 180.0) / 360.0 * n
+            lr = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+            fy = (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n
+            for i in range(len(g) - 1):
+                x0, y0, x1, y1 = fx[i], fy[i], fx[i + 1], fy[i + 1]
+                for tx in range(int(min(x0, x1)), int(max(x0, x1)) + 1):
+                    for ty in range(int(min(y0, y1)), int(max(y0, y1)) + 1):
+                        c = _clip_segment(
+                            (x0 - tx) * extent, (y0 - ty) * extent,
+                            (x1 - tx) * extent, (y1 - ty) * extent,
+                            0.0, float(extent),
+                        )
+                        if c is None:
+                            continue
+                        p = tuple(int(np.floor(v + 0.5)) for v in c)
+                        if (p[0], p[1]) == (p[2], p[3]):
+                            continue
+                        out.add((tx, ty, k, i, *p))
+        return out
+
+    def test_decode_matches_bruteforce_and_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.mvt import decode_mvt_lines
+        from overmatch_ray.stages.tiles import build_line_tiles
+
+        t = self._tracks()
+        zoom = 13
+        want = self._brute_segments(t, zoom)
+        blobs = []
+        for nblocks in (1, 6):
+            rows = build_line_tiles(
+                ray.data.from_arrow(t).repartition(nblocks), zoom
+            ).take_all()
+            blobs.append(sorted((r["tx"], r["ty"], r["mvt"]) for r in rows))
+            got = set()
+            for r in rows:
+                for f in decode_mvt_lines(r["mvt"]):
+                    for part in f["__parts"]:
+                        for a, b in zip(part[:-1], part[1:]):
+                            got.add((r["tx"], r["ty"], f["key"], None,
+                                     a[0], a[1], b[0], b[1]))
+            want_nosegidx = {(tx, ty, k, None, *p4)
+                             for tx, ty, k, _i, *p4 in want}
+            assert got == want_nosegidx
+        assert blobs[0] == blobs[1], "line tiles not byte-deterministic"
+
+    def test_clip_segment_properties(self):
+        from overmatch_ray.stages.tiles import _clip_segment
+
+        rng = np.random.RandomState(2)
+        for _ in range(300):
+            x0, y0, x1, y1 = rng.uniform(-200, 4300, 4)
+            c = _clip_segment(x0, y0, x1, y1, 0.0, 4096.0)
+            if c is None:
+                continue
+            cx0, cy0, cx1, cy1 = c
+            for v in c:
+                assert -1e-9 <= v <= 4096 + 1e-9
+            # clipped points lie on the original line
+            dx, dy = x1 - x0, y1 - y0
+            for px, py in ((cx0, cy0), (cx1, cy1)):
+                cross = (px - x0) * dy - (py - y0) * dx
+                assert abs(cross) < 1e-6 * (abs(dx) + abs(dy) + 1)
