@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tiles": ro.q_raster_tiles,
         "raster_pmtiles": ro.q_raster_pmtiles,
         "track_line_tiles": ro.q_track_line_tiles,
+        "hull_polygon_tiles": ro.q_hull_polygon_tiles,
     }
 
 

@@ -994,3 +994,48 @@ def q_track_line_tiles(sf_dir: str):
         })
 
     return tiles.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_hull_polygon_tiles(sf_dir: str):
+    """Vector POLYGON tiles: per-user convex-hull footprints clipped into
+    z13 MVT polygon layers (stages.tiles.build_hull_tiles) — the area
+    third of the tiling trio. Rows-only; brute-force clip parity, spec
+    ring orientation and byte determinism are test-pinned."""
+    import hashlib
+
+    from ..stages.tiles import build_hull_tiles
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = uid < 50
+        eid, uid = eid[m], uid[m]
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        return pa.table({
+            "key": pa.array(uid),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    tiles = build_hull_tiles(
+        ev.map_batches(pts, batch_format="pyarrow"), zoom=13
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        blobs = batch["mvt"].to_pylist()
+        return pa.table({
+            "zoom": batch["zoom"],
+            "tx": batch["tx"],
+            "ty": batch["ty"],
+            "n_keys": batch["n_keys"],
+            "mvt_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "mvt_sha": pa.array(
+                [hashlib.sha256(b).hexdigest()[:16] for b in blobs],
+                pa.string(),
+            ),
+        })
+
+    return tiles.map_batches(summarize, batch_format="pyarrow")

@@ -387,3 +387,182 @@ def decode_mvt_lines(data: bytes) -> "list[dict]":
             rec[keys[ki]] = values[vi]
         feats.append(rec)
     return feats
+
+
+def _signed_area2(ring: np.ndarray) -> int:
+    """2× surveyor signed area of an integer ring (no repeated last pt)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def encode_mvt_polygons(
+    props: "list[dict]",
+    polys: "list[list[np.ndarray]]",
+    layer_name: str = "overmatch",
+    extent: int = EXTENT,
+) -> bytes:
+    """Encode one tile of POLYGON features (spec geometry type 3).
+    ``polys[i]`` is a list of exterior rings ((N≥3, 2) int arrays, first
+    vertex not repeated); each encodes as MoveTo(1) + LineTo(N-1) +
+    ClosePath(1). Rings are reoriented so the surveyor's-formula area is
+    POSITIVE in tile coords (the spec's exterior-ring rule). Same
+    determinism contract as the point/line encoders."""
+    keys: dict[str, int] = {}
+    values: dict[bytes, int] = {}
+    feats = []
+    for rec, rings in zip(props, polys):
+        tags: list[int] = []
+        for k in sorted(rec):
+            v = rec[k]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            ki = keys.setdefault(k, len(keys))
+            vb = _encode_value(v)
+            vi = values.setdefault(vb, len(values))
+            tags.extend((ki, vi))
+        tag_payload = b"".join(_varint(t) for t in tags)
+        geom = bytearray()
+        cx = cy = 0
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.int64)
+            if ring.shape[0] < 3 or _signed_area2(ring) == 0:
+                continue
+            if _signed_area2(ring) < 0:
+                ring = ring[::-1]
+            geom += _varint((1 << 3) | 1)  # MoveTo ×1
+            geom += _varint(_zigzag(int(ring[0, 0]) - cx))
+            geom += _varint(_zigzag(int(ring[0, 1]) - cy))
+            cx, cy = int(ring[0, 0]), int(ring[0, 1])
+            n = ring.shape[0] - 1
+            geom += _varint((n << 3) | 2)  # LineTo ×(N-1)
+            for j in range(1, ring.shape[0]):
+                geom += _varint(_zigzag(int(ring[j, 0]) - cx))
+                geom += _varint(_zigzag(int(ring[j, 1]) - cy))
+                cx, cy = int(ring[j, 0]), int(ring[j, 1])
+            geom += _varint((1 << 3) | 7)  # ClosePath ×1
+        feat = (
+            _ld(_FEATURE_TAGS, tag_payload)
+            + _varint(_FEATURE_TYPE)
+            + _varint(3)  # POLYGON
+            + _ld(_FEATURE_GEOM, bytes(geom))
+        )
+        feats.append(_ld(_LAYER_FEATURE, feat))
+    layer = bytearray()
+    layer += _varint(_LAYER_VERSION) + _varint(2)
+    layer += _ld(_LAYER_NAME, layer_name.encode())
+    for f in feats:
+        layer += f
+    for k in keys:
+        layer += _ld(_LAYER_KEY, k.encode())
+    for vb in values:
+        layer += _ld(_LAYER_VALUE, vb)
+    layer += _varint(_LAYER_EXTENT) + _varint(extent)
+    return bytes(_ld(_TILE_LAYER, bytes(layer)))
+
+
+def decode_mvt_polygons(data: bytes) -> "list[dict]":
+    """Minimal POLYGON reader for tests: per-feature dicts with
+    ``__rings`` (list of (N,2) int lists, ClosePath implied) plus
+    decoded properties."""
+
+    def read_varint(buf, i):
+        shift = out = 0
+        while True:
+            b = buf[i]
+            i += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, i
+            shift += 7
+
+    import struct as _struct
+
+    def parse_value(buf):
+        i = 0
+        while i < len(buf):
+            key, i = read_varint(buf, i)
+            fnum, wt = key >> 3, key & 7
+            if wt == 2:
+                ln, i = read_varint(buf, i)
+                return buf[i : i + ln].decode()
+            if wt == 1:
+                return _struct.unpack_from("<d", buf, i)[0]
+            v, i = read_varint(buf, i)
+            if fnum == 7:
+                return bool(v)
+            if fnum == 4 and v >= 1 << 63:
+                v -= 1 << 64
+            return v
+        return None
+
+    feats, keys, values = [], [], []
+    i = 0
+    key, i = read_varint(data, i)
+    assert key == _TILE_LAYER
+    ln, i = read_varint(data, i)
+    layer = data[i : i + ln]
+    i = 0
+    raw_feats = []
+    while i < len(layer):
+        key, i = read_varint(layer, i)
+        fnum, wt = key >> 3, key & 7
+        if wt == 0:
+            _, i = read_varint(layer, i)
+            continue
+        ln, i = read_varint(layer, i)
+        payload = layer[i : i + ln]
+        i += ln
+        if fnum == 2:
+            raw_feats.append(payload)
+        elif fnum == 3:
+            keys.append(payload.decode())
+        elif fnum == 4:
+            values.append(parse_value(payload))
+    zz = lambda u: (u >> 1) ^ -(u & 1)
+    for payload in raw_feats:
+        j = 0
+        tags, geom, ftype = [], [], None
+        while j < len(payload):
+            key, j = read_varint(payload, j)
+            fnum, wt = key >> 3, key & 7
+            if wt == 0:
+                v, j = read_varint(payload, j)
+                if fnum == 3:
+                    ftype = v
+                continue
+            ln, j = read_varint(payload, j)
+            sub = payload[j : j + ln]
+            j += ln
+            vals, jj = [], 0
+            while jj < len(sub):
+                v, jj = read_varint(sub, jj)
+                vals.append(v)
+            if fnum == 2:
+                tags = vals
+            elif fnum == 4:
+                geom = vals
+        assert ftype == 3
+        rings = []
+        cx = cy = 0
+        k = 0
+        cur = None
+        while k < len(geom):
+            cmd = geom[k]
+            cid, cnt = cmd & 7, cmd >> 3
+            k += 1
+            if cid == 1:
+                for _ in range(cnt):
+                    cx += zz(geom[k]); cy += zz(geom[k + 1]); k += 2
+                    cur = [[cx, cy]]
+            elif cid == 2:
+                for _ in range(cnt):
+                    cx += zz(geom[k]); cy += zz(geom[k + 1]); k += 2
+                    cur.append([cx, cy])
+            elif cid == 7:
+                rings.append(cur)
+                cur = None
+        rec = {"__rings": rings}
+        for ki, vi in zip(tags[::2], tags[1::2]):
+            rec[keys[ki]] = values[vi]
+        feats.append(rec)
+    return feats

@@ -472,3 +472,126 @@ def build_line_tiles(
     return bucketed_group_apply(
         segs, ["tx", "ty"], encode_bucket, num_buckets=num_buckets
     )
+
+
+def _clip_polygon_box(ring: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one (convex or simple) ring to the
+    [lo, hi]² box. Input/output: (N, 2) float arrays, no repeated last
+    vertex; may return fewer than 3 vertices when fully outside."""
+    pts = [tuple(p) for p in np.asarray(ring, dtype=np.float64)]
+    for axis, bound, keep_ge in (
+        (0, lo, True), (0, hi, False), (1, lo, True), (1, hi, False),
+    ):
+        if not pts:
+            break
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin = cur[axis] >= bound if keep_ge else cur[axis] <= bound
+            nin = nxt[axis] >= bound if keep_ge else nxt[axis] <= bound
+            if cin:
+                out.append(cur)
+            if cin != nin:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                out.append((
+                    cur[0] + t * (nxt[0] - cur[0]),
+                    cur[1] + t * (nxt[1] - cur[1]),
+                ))
+        pts = out
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def build_hull_tiles(
+    points_ds,
+    zoom: int,
+    key_col: str = "key",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    extent: int = 4096,
+    num_buckets: int = 32,
+):
+    """Vector POLYGON tiles: per-key convex-hull footprints clipped into
+    per-tile MVT polygon layers at ``zoom`` — the area-feature third of
+    the tiling trio (points / lines / polygons). Two bucketed shuffles:
+    per-key hull (monotone chain, `spatial.convex_hull_xy`) + bbox tile
+    cover + Sutherland-Hodgman box clip, then per-tile deterministic
+    encode (`stages.mvt.encode_mvt_polygons`). Output
+    (zoom, tx, ty, n_keys, mvt)."""
+    from .groupops import bucketed_group_apply
+    from .mvt import encode_mvt_polygons
+    from .spatial import convex_hull_xy
+
+    n_tiles = 1 << zoom
+
+    def hulls_bucket(g: pd.DataFrame) -> pa.Table:
+        out = {"tx": [], "ty": [], "key": [], "ring": []}
+        for key, rows in g.groupby(key_col, sort=True):
+            lon = rows[lon_col].to_numpy()
+            lat = rows[lat_col].to_numpy()
+            n = float(n_tiles)
+            fx = (lon + 180.0) / 360.0 * n
+            lr = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+            fy = (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n
+            hull = convex_hull_xy(fx, fy)
+            if hull.size < 3:
+                continue
+            hx, hy = fx[hull], fy[hull]
+            for tx in range(int(hx.min()), int(hx.max()) + 1):
+                for ty in range(int(hy.min()), int(hy.max()) + 1):
+                    if not (0 <= tx < n_tiles and 0 <= ty < n_tiles):
+                        continue
+                    ring = np.column_stack(
+                        [(hx - tx) * extent, (hy - ty) * extent]
+                    )
+                    clipped = _clip_polygon_box(ring, 0.0, float(extent))
+                    if clipped.shape[0] < 3:
+                        continue
+                    iring = np.floor(clipped + 0.5).astype(np.int64)
+                    # drop consecutive duplicates after rounding
+                    keep = np.ones(iring.shape[0], bool)
+                    keep[1:] = (np.diff(iring, axis=0) != 0).any(axis=1)
+                    iring = iring[keep]
+                    if iring.shape[0] >= 2 and (iring[0] == iring[-1]).all():
+                        iring = iring[:-1]
+                    if iring.shape[0] < 3:
+                        continue
+                    out["tx"].append(tx); out["ty"].append(ty)
+                    out["key"].append(int(key))
+                    out["ring"].append(iring.ravel().tolist())
+        return pa.table({
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "key": pa.array(out["key"], pa.int64()),
+            "ring": pa.array(out["ring"], pa.list_(pa.int64())),
+        })
+
+    hulls = bucketed_group_apply(
+        points_ds, [key_col], hulls_bucket, num_buckets=num_buckets
+    )
+
+    def encode_bucket(g: pd.DataFrame) -> pa.Table:
+        rows = {"zoom": [], "tx": [], "ty": [], "n_keys": [], "mvt": []}
+        for (tx, ty), tile in g.groupby(["tx", "ty"], sort=True):
+            tile = tile.sort_values("key", kind="mergesort")
+            props = [{"key": int(k)} for k in tile["key"]]
+            polys = [
+                [np.asarray(r, np.int64).reshape(-1, 2)]
+                for r in tile["ring"]
+            ]
+            rows["zoom"].append(zoom)
+            rows["tx"].append(int(tx)); rows["ty"].append(int(ty))
+            rows["n_keys"].append(len(props))
+            rows["mvt"].append(encode_mvt_polygons(props, polys,
+                                                   extent=extent))
+        return pa.table({
+            "zoom": pa.array(rows["zoom"], pa.int64()),
+            "tx": pa.array(rows["tx"], pa.int64()),
+            "ty": pa.array(rows["ty"], pa.int64()),
+            "n_keys": pa.array(rows["n_keys"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.large_binary()),
+        })
+
+    return bucketed_group_apply(
+        hulls, ["tx", "ty"], encode_bucket, num_buckets=num_buckets
+    )

@@ -1012,3 +1012,90 @@ class TestLineTiles:
             for px, py in ((cx0, cy0), (cx1, cy1)):
                 cross = (px - x0) * dy - (py - y0) * dx
                 assert abs(cross) < 1e-6 * (abs(dx) + abs(dy) + 1)
+
+
+class TestHullTiles:
+    def test_decode_matches_bruteforce_and_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.mvt import _signed_area2, decode_mvt_polygons
+        from overmatch_ray.stages.tiles import _clip_polygon_box, build_hull_tiles
+        from overmatch_ray.stages.spatial import convex_hull_xy
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for k in range(6):
+            lon = -77.06 + rng.rand(30) * 0.03 + (k % 2) * 0.01
+            lat = 38.84 + rng.rand(30) * 0.03
+            for i in range(30):
+                rows.append((k, lon[i], lat[i]))
+        t = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "lon": pa.array([r[1] for r in rows], pa.float64()),
+            "lat": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        zoom, extent = 13, 4096
+
+        # brute reference: per key hull -> per covered tile clip
+        want = {}
+        df = t.to_pandas()
+        n = float(1 << zoom)
+        for k, g in df.groupby("key"):
+            lon = g["lon"].to_numpy(); lat = g["lat"].to_numpy()
+            fx = (lon + 180.0) / 360.0 * n
+            lr = np.radians(np.clip(lat, -85.051128779807, 85.051128779807))
+            fy = (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n
+            h = convex_hull_xy(fx, fy)
+            hx, hy = fx[h], fy[h]
+            for tx in range(int(hx.min()), int(hx.max()) + 1):
+                for ty in range(int(hy.min()), int(hy.max()) + 1):
+                    ring = np.column_stack(
+                        [(hx - tx) * extent, (hy - ty) * extent])
+                    c = _clip_polygon_box(ring, 0.0, float(extent))
+                    if c.shape[0] < 3:
+                        continue
+                    ir = np.floor(c + 0.5).astype(np.int64)
+                    keep = np.ones(ir.shape[0], bool)
+                    keep[1:] = (np.diff(ir, axis=0) != 0).any(axis=1)
+                    ir = ir[keep]
+                    if ir.shape[0] >= 2 and (ir[0] == ir[-1]).all():
+                        ir = ir[:-1]
+                    if ir.shape[0] < 3:
+                        continue
+                    want[(tx, ty, int(k))] = {tuple(p) for p in ir.tolist()}
+
+        blobs = []
+        for nblocks in (1, 5):
+            out = build_hull_tiles(
+                ray.data.from_arrow(t).repartition(nblocks), zoom
+            ).take_all()
+            blobs.append(sorted((r["tx"], r["ty"], r["mvt"]) for r in out))
+            got = {}
+            for r in out:
+                for f in decode_mvt_polygons(r["mvt"]):
+                    ring = np.array(f["__rings"][0])
+                    assert _signed_area2(ring) > 0  # spec orientation
+                    got[(r["tx"], r["ty"], f["key"])] = {
+                        tuple(p) for p in ring.tolist()
+                    }
+            assert got == want
+        assert blobs[0] == blobs[1], "hull tiles not byte-deterministic"
+
+    def test_clip_polygon_box_properties(self):
+        from overmatch_ray.stages.tiles import _clip_polygon_box
+
+        rng = np.random.RandomState(8)
+        for _ in range(200):
+            # random convex-ish ring: hull of random points
+            from overmatch_ray.stages.spatial import convex_hull_xy
+
+            x = rng.uniform(-1000, 5000, 12)
+            y = rng.uniform(-1000, 5000, 12)
+            h = convex_hull_xy(x, y)
+            if h.size < 3:
+                continue
+            ring = np.column_stack([x[h], y[h]])
+            c = _clip_polygon_box(ring, 0.0, 4096.0)
+            for px, py in c:
+                assert -1e-6 <= px <= 4096 + 1e-6
+                assert -1e-6 <= py <= 4096 + 1e-6
