@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_value": cq.q_twa_value,
         "region_revenue_share": cq.q_region_revenue_share,
         "session_length_quantiles": cq.q_session_length_quantiles,
+        "conversion_latency": cq.q_conversion_latency,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

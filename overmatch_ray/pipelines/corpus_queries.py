@@ -4551,3 +4551,78 @@ SELECT 0.5 AS p, round(quantile_cont(session_len, 0.5), 6) AS q FROM lens
 UNION ALL
 SELECT 0.75 AS p, round(quantile_cont(session_len, 0.75), 6) AS q FROM lens
 """
+
+
+def q_conversion_latency(sf_dir: str):
+    """Conversion-latency quantiles: for every view event, minutes until
+    the SAME user's next purchase (views with no later purchase drop out —
+    the funnel-timing metric next to `funnel_counts`). One bucketed
+    shuffle; inside the bucket the next purchase is a position-based scan
+    over the (ts, event_id) total order, exactly the oracle's
+    min() OVER (... ROWS CURRENT ROW TO UNBOUNDED FOLLOWING) semantics
+    including same-microsecond tie handling. Latencies floor to integer
+    MINUTES (bounded distinct values — the exact-quantile collapse's
+    documented sizing rule) and finish in `exact_quantiles`."""
+    from ..stages.groupops import bucketed_group_apply, exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    def latency_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        out = []
+        first = np.ones(len(g), bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(g))
+        for s, e in zip(starts, ends):
+            types = et[s:e]
+            ppos = np.flatnonzero(types == "purchase")
+            vpos = np.flatnonzero(types == "view")
+            if ppos.size == 0 or vpos.size == 0:
+                continue
+            nxt = np.searchsorted(ppos, vpos, side="left")
+            ok = nxt < ppos.size
+            lat = (t[s + ppos[nxt[ok]]] - t[s + vpos[ok]]) // 60_000_000
+            out.append(lat.astype(np.int64))
+        if not out:
+            return pa.table({"latency_min": pa.array([], pa.int64())})
+        return pa.table({"latency_min": pa.array(np.concatenate(out))})
+
+    lat = bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        latency_bucket,
+        num_buckets=32,
+    )
+    return exact_quantiles(lat, "latency_min", [0.5, 0.9, 0.99])
+
+
+ORACLE_SQL["conversion_latency"] = """
+WITH nxt AS (
+  SELECT event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase
+  FROM events),
+lat AS (
+  SELECT (epoch_us(next_purchase) - epoch_us(ts)) // 60000000
+           AS latency_min
+  FROM nxt WHERE event_type = 'view' AND next_purchase IS NOT NULL)
+SELECT 0.5 AS p, round(quantile_cont(latency_min, 0.5), 6) AS q FROM lat
+UNION ALL
+SELECT 0.9 AS p, round(quantile_cont(latency_min, 0.9), 6) AS q FROM lat
+UNION ALL
+SELECT 0.99 AS p, round(quantile_cont(latency_min, 0.99), 6) AS q FROM lat
+"""
