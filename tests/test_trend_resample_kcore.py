@@ -395,3 +395,25 @@ class TestContrastivePairs:
         assert got_pos == want_pos
         assert got_neg == want_neg
         assert len(got_neg) == 20 * 3
+
+
+class TestApproxCommonUsers:
+    def test_within_hll_error_of_exact(self, ray_session):
+        import duckdb
+
+        from overmatch_ray.pipelines.rows_only import q_approx_common_users
+
+        sf = "/root/testdata/sf0.01"
+        out = _to_table(q_approx_common_users(sf))
+        est = out["est_common_users"][0].as_py()
+        exact = duckdb.sql(f"""
+            SELECT count(*) FROM (
+              SELECT DISTINCT user_id FROM '{sf}/events.parquet'
+              WHERE event_type = 'click'
+              INTERSECT
+              SELECT DISTINCT user_id FROM '{sf}/events.parquet'
+              WHERE event_type = 'purchase')
+        """).fetchone()[0]
+        # inclusion-exclusion compounds 3 HLL errors (~1.6% each at p=12);
+        # allow 10% or ±10 absolute, whichever is larger
+        assert abs(est - exact) <= max(10, 0.10 * exact), (est, exact)
