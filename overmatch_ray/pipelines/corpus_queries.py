@@ -3538,12 +3538,11 @@ def q_kcore_nodes(sf_dir: str):
         ref = _ray.put(new_alive)
 
         def efilter(batch: pa.Table, _ref=ref) -> pa.Table:
-            a = _ray.get(_ref)
+            a = np.fromiter(_ray.get(_ref), np.int64)
+            a.sort()
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            keep = np.array(
-                [x in a and y in a for x, y in zip(u, v)], bool
-            )
+            keep = np.isin(u, a, assume_unique=False) & np.isin(v, a)
             return batch.filter(pa.array(keep))
 
         e = e.map_batches(efilter, batch_format="pyarrow").materialize()

@@ -591,7 +591,8 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table):
         m = _ray.get(wmap_ref)
         _, offsets, flat = _split_tokens(batch[text_col])
         s = flat.to_pandas()
-        per_tok = s.map(lambda w: m.get(w, 0)).to_numpy(dtype=np.float64)
+        # Series.map(dict) runs the lookup loop in C; unseen words → 0
+        per_tok = s.map(m).fillna(0).to_numpy(dtype=np.float64)
         per_doc = _per_list_sum(per_tok, offsets).astype(np.int64)
         return pa.table({
             id_col: batch[id_col],

@@ -387,11 +387,44 @@ def build_line_tiles(
         idx = np.flatnonzero(same)
         out = {"tx": [], "ty": [], "key": [], "seg": [],
                "x0": [], "y0": [], "x1": [], "y1": []}
-        seg_of_key = {}
-        for i in idx:
+        # per-key segment ordinals, vectorized (position within key run)
+        run_start = np.zeros(len(g), np.int64)
+        if len(g):
+            firsts = np.flatnonzero(
+                np.concatenate([[True], k[1:] != k[:-1]])
+            )
+            run_start = firsts[
+                np.searchsorted(firsts, np.arange(len(g)), "right") - 1
+            ]
+        seg_no = np.arange(len(g)) - run_start
+        x0a, y0a = fx[idx], fy[idx]
+        x1a, y1a = fx[idx + 1], fy[idx + 1]
+        # FAST PATH: both endpoints in the same tile (the overwhelmingly
+        # common case for GPS-scale segments) — pure-numpy emit, no clip
+        tx0, ty0 = np.floor(x0a).astype(np.int64), np.floor(y0a).astype(np.int64)
+        tx1, ty1 = np.floor(x1a).astype(np.int64), np.floor(y1a).astype(np.int64)
+        one_tile = (tx0 == tx1) & (ty0 == ty1) \
+            & (tx0 >= 0) & (tx0 < n_tiles) & (ty0 >= 0) & (ty0 < n_tiles)
+        ft = np.flatnonzero(one_tile)
+        if ft.size:
+            px0 = np.floor((x0a[ft] - tx0[ft]) * extent + 0.5).astype(np.int64)
+            py0 = np.floor((y0a[ft] - ty0[ft]) * extent + 0.5).astype(np.int64)
+            px1 = np.floor((x1a[ft] - tx0[ft]) * extent + 0.5).astype(np.int64)
+            py1 = np.floor((y1a[ft] - ty0[ft]) * extent + 0.5).astype(np.int64)
+            keepm = (px0 != px1) | (py0 != py1)
+            out["tx"].extend(tx0[ft][keepm].tolist())
+            out["ty"].extend(ty0[ft][keepm].tolist())
+            out["key"].extend(k[idx[ft][keepm]].astype(np.int64).tolist())
+            out["seg"].extend(seg_no[idx[ft][keepm]].tolist())
+            out["x0"].extend(px0[keepm].tolist())
+            out["y0"].extend(py0[keepm].tolist())
+            out["x1"].extend(px1[keepm].tolist())
+            out["y1"].extend(py1[keepm].tolist())
+        # slow path: boundary-crossing segments only
+        for j in np.flatnonzero(~one_tile):
+            i = idx[j]
             kk = k[i]
-            seg = seg_of_key.get(kk, 0)
-            seg_of_key[kk] = seg + 1
+            seg = int(seg_no[i])
             x0, y0, x1, y1 = fx[i], fy[i], fx[i + 1], fy[i + 1]
             for tx in range(int(min(x0, x1)), int(max(x0, x1)) + 1):
                 for ty in range(int(min(y0, y1)), int(max(y0, y1)) + 1):
