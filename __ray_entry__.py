@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_line_tiles": ro.q_track_line_tiles,
         "hull_polygon_tiles": ro.q_hull_polygon_tiles,
         "approx_common_users": ro.q_approx_common_users,
+        "video_frames": ro.q_video_frames,
     }
 
 

@@ -1068,3 +1068,56 @@ def q_approx_common_users(sf_dir: str):
         "est_union": pa.array([u], pa.int64()),
         "est_common_users": pa.array([est], pa.int64()),
     })
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling end-to-end (the multimodal family's video
+    member): 100 deterministic stub-container videos (12 counter-hash
+    frames each — the real-codec swap point is imaging.codec) pushed
+    through the `stages.images.FrameSample` ACTOR POOL (stride 3, cap 4),
+    one row per sampled frame with its phash. SF-invariant input (keys
+    < 100 exist at every SF). Rows-only; sampling semantics, quarantine
+    and determinism are test-pinned in tests/test_images_pipeline.py."""
+    from ..stages.images import FrameSample
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).filter(
+        expr="doc_id < 100"
+    )
+
+    def synth_videos(batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import encode_fake_video
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids, blobs = [], []
+        for d in ids.tolist():
+            frames = []
+            for f in range(12):
+                h = (d * 1_000_003 + f * 2654435761) % (1 << 31)
+                rng_val = np.uint8(h % 251)
+                img = np.full((16, 16, 3), rng_val, np.uint8)
+                img[(h >> 8) % 16, (h >> 16) % 16] = 255  # per-frame mark
+                frames.append(img)
+            vids.append(f"vid-{d}")
+            blobs.append(encode_fake_video(frames))
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+        })
+
+    videos = docs.map_batches(synth_videos, batch_format="pyarrow",
+                              batch_size=32)
+    out = videos.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": 3, "max_frames": 4},
+        concurrency=2,
+        batch_size=16,
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "video_id": b["video_id"],
+            "frame_index": b["frame_index"].cast(pa.int64()),
+            "phash": b["phash"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
