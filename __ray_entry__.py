@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hull_polygon_tiles": ro.q_hull_polygon_tiles,
         "approx_common_users": ro.q_approx_common_users,
         "video_frames": ro.q_video_frames,
+        "augmented_images": ro.q_augmented_images,
     }
 
 

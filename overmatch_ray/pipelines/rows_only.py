@@ -1121,3 +1121,29 @@ def q_video_frames(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
+
+
+def q_augmented_images(sf_dir: str):
+    """Training-time image augmentation through the REAL codec path
+    (stages.images.Augment actor pool): per image a deterministic id-hash
+    plan (hflip / vflip / center-crop), decode → transform → re-encode →
+    re-phash. Output per image: plan, new phash, payload size. Rows-only;
+    pixel-level parity with a direct numpy transform and determinism are
+    test-pinned."""
+    from ..stages.images import augment_images
+
+    out = augment_images(_images_ds(sf_dir), concurrency=2, batch_size=128)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        blobs = batch["aug_bytes"].to_pylist()
+        return pa.table({
+            "image_id": batch["image_id"],
+            "aug_ops": batch["aug_ops"],
+            "aug_phash": batch["aug_phash"],
+            "aug_bytes_len": pa.array(
+                [len(b) if b is not None else 0 for b in blobs], pa.int64()
+            ),
+            "aug_ok": batch["aug_ok"],
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")

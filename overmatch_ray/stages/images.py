@@ -395,3 +395,84 @@ def caption_consistency(
         return agg
 
     return bucketed_group_apply(dups, [key], per_bucket, num_buckets)
+
+
+class Augment:
+    """Actor-pool augmentation stage (training-time image augmentation,
+    REAL pixel work through the repo codec): per image, a deterministic
+    id-hash draws the ops — optional horizontal flip, optional vertical
+    flip, and a center crop to ``crop_frac`` of each side — then
+    re-encode + re-phash. No RNG: the plan is a pure function of
+    image_id, so augmented bytes are identical at any parallelism
+    (the corpus-determinism contract every synth/split stage follows)."""
+
+    def __init__(self, crop_frac: float = 0.8):
+        self.crop_frac = crop_frac
+
+    @staticmethod
+    def plan(image_id: str, crop_frac: float):
+        """(hflip, vflip, crop_frac_applied) drawn from FNV(image_id)."""
+        h = 0xCBF29CE484222325
+        for b in image_id.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return bool(h & 1), bool(h & 2), crop_frac if (h & 4) else 1.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import encode_png, phash64
+
+        out_id, out_bytes, out_ph, out_ops, ok = [], [], [], [], []
+        for iid, blob, fmt in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            try:
+                img = decode_image(blob, fmt)
+                hflip, vflip, cf = self.plan(iid, self.crop_frac)
+                if hflip:
+                    img = img[:, ::-1]
+                if vflip:
+                    img = img[::-1]
+                if cf < 1.0:
+                    h, w = img.shape[:2]
+                    ch = max(1, int(h * cf))
+                    cw = max(1, int(w * cf))
+                    y0 = (h - ch) // 2
+                    x0 = (w - cw) // 2
+                    img = img[y0 : y0 + ch, x0 : x0 + cw]
+                img = np.ascontiguousarray(img)
+                out_bytes.append(encode_png(img))
+                out_ph.append(phash64(img))
+                out_ops.append(
+                    ("h" if hflip else "")
+                    + ("v" if vflip else "")
+                    + ("c" if cf < 1.0 else "")
+                )
+                ok.append(True)
+            except Exception:
+                out_bytes.append(None)
+                out_ph.append(0)
+                out_ops.append("")
+                ok.append(False)
+            out_id.append(iid)
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "aug_bytes": pa.array(out_bytes, pa.large_binary()),
+            "aug_phash": pa.array(out_ph, pa.int64()),
+            "aug_ops": pa.array(out_ops, pa.string()),
+            "aug_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+def augment_images(images_ds, crop_frac: float = 0.8,
+                   concurrency=(2, 8), batch_size: int = 64):
+    """Wire the augmentation actor pool (state in __init__, small batches:
+    binary payloads)."""
+    return images_ds.map_batches(
+        Augment,
+        fn_constructor_kwargs={"crop_frac": crop_frac},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

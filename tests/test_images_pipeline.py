@@ -292,3 +292,44 @@ class TestAspectBatches:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestAugment:
+    def test_pixel_parity_and_determinism(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.imaging.codec import decode_png
+        from overmatch_ray.stages.images import Augment, augment_images
+        from overmatch_ray.synth import images_block
+
+        t = images_block(np.arange(40, dtype=np.int64), n_total=40)
+        runs = []
+        for nblocks in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            rows = {r["image_id"]: r
+                    for r in augment_images(ds, batch_size=8).take_all()}
+            runs.append({k: (v["aug_phash"], v["aug_bytes"]) for k, v in rows.items()})
+            src = {iid: (blob, fmt) for iid, blob, fmt in zip(
+                t["image_id"].to_pylist(), t["bytes"].to_pylist(),
+                t["fmt"].to_pylist())}
+            from overmatch_ray.imaging.codec import decode_image
+
+            ops_seen = set()
+            for iid, r in rows.items():
+                assert r["aug_ok"]
+                img = decode_image(*src[iid])
+                hflip, vflip, cf = Augment.plan(iid, 0.8)
+                if hflip:
+                    img = img[:, ::-1]
+                if vflip:
+                    img = img[::-1]
+                if cf < 1.0:
+                    h, w = img.shape[:2]
+                    ch, cw = max(1, int(h * cf)), max(1, int(w * cf))
+                    img = img[(h - ch) // 2:(h - ch) // 2 + ch,
+                              (w - cw) // 2:(w - cw) // 2 + cw]
+                got = decode_png(r["aug_bytes"])
+                assert (got == img).all(), iid
+                ops_seen.add(r["aug_ops"])
+            assert len(ops_seen) > 2  # the plan actually varies
+        assert runs[0] == runs[1], "augmentation not partition-invariant"
