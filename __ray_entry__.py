@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue_share": cq.q_region_revenue_share,
         "session_length_quantiles": cq.q_session_length_quantiles,
         "conversion_latency": cq.q_conversion_latency,
+        "nation_parttype_revenue": cq.q_nation_parttype_revenue,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

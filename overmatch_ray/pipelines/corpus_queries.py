@@ -4625,3 +4625,99 @@ SELECT 0.9 AS p, round(quantile_cont(latency_min, 0.9), 6) AS q FROM lat
 UNION ALL
 SELECT 0.99 AS p, round(quantile_cont(latency_min, 0.99), 6) AS q FROM lat
 """
+
+
+def q_nation_parttype_revenue(sf_dir: str):
+    """4-way supplier-side star join: lineitem revenue per (supplier
+    NATION, part TYPE) — the procurement rollup that finally exercises
+    the supplier dimension. Fact side maps once; supplier+nation and
+    part are TINY dimensions shipped as two broadcast lookup maps
+    (ray.put once, read per batch); revenue folds exactly in 1e-4-dollar
+    integers with a per-batch combiner, so the one groupby moves
+    ≤ |nations × types| rows per block."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    from .queries import _cents
+
+    supplier = pa.concat_tables(
+        [pa.table(b) for b in _read(
+            sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    nation = pa.concat_tables(
+        [pa.table(b) for b in _read(
+            sf_dir, "nation", ["n_nationkey", "n_name"]
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    part = pa.concat_tables(
+        [pa.table(b) for b in _read(
+            sf_dir, "part", ["p_partkey", "p_type"]
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    supp2nation = {
+        s: n_name[nk]
+        for s, nk in zip(supplier["s_suppkey"].to_pylist(),
+                         supplier["s_nationkey"].to_pylist())
+    }
+    part2type = dict(zip(part["p_partkey"].to_pylist(),
+                         part["p_type"].to_pylist()))
+    lut = _ray.put((supp2nation, part2type))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s2n, p2t = _ray.get(lut)
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ) * (100 - _cents(batch["l_discount"].to_numpy(zero_copy_only=False)))
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "n_name": [s2n[int(s)] for s in sk],
+            "p_type": [p2t[int(p)] for p in pk],
+            "rev": rev,
+        })
+        g = df.groupby(["n_name", "p_type"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "p_type"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from .queries import _half_away_cents
+
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": batch["n_name"],
+            "p_type": batch["p_type"],
+            # exact 1e-4-dollar ints → half-away-from-zero cents → dollars
+            # (DuckDB DECIMAL round parity; numpy round is half-to-even)
+            "revenue": pa.array(_half_away_cents(rev) / 100.0),
+            "n_items": batch["n"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["nation_parttype_revenue"] = """
+SELECT n_name, p_type,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
