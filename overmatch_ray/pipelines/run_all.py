@@ -120,6 +120,20 @@ def flagship_stages(
             _ensure_tiles(ctx), os.path.join(out_dir, "tiles.pmtiles")
         )
 
+    def s_heat_raster(ctx: dict) -> dict:
+        # raster twin of the MVT artifact: match density as z{max_zoom}
+        # PNG heat tiles in one PMTiles(png) archive
+        from ..stages.pmtiles import write_pmtiles
+        from ..stages.tiles import build_raster_heat_tiles
+
+        rasters = build_raster_heat_tiles(
+            _ensure_matches(ctx), zoom=max(zooms)
+        )
+        return write_pmtiles(
+            rasters, os.path.join(out_dir, "heat.pmtiles"),
+            tile_type="png", tile_col="png",
+        )
+
     def s_matches_sink(ctx: dict) -> dict:
         import shutil
 
@@ -141,6 +155,7 @@ def flagship_stages(
         ("merge", s_merge),
         ("tiles", s_tiles),
         ("pmtiles", s_pmtiles),
+        ("heat_raster", s_heat_raster),
         ("matches_sink", s_matches_sink),
     ]
 

@@ -323,21 +323,23 @@ class TestRunAll:
         stages = flagship_stages("/root/testdata/sf0.001", out)
         r1 = run_pipeline(stages, {}, out)
         assert [r["stage"] for r in r1] == [
-            "conflate", "merge", "tiles", "pmtiles", "matches_sink"
+            "conflate", "merge", "tiles", "pmtiles", "heat_raster",
+            "matches_sink"
         ]
         assert all(r["status"] == "done" for r in r1)
         assert r1[0]["n_matches"] == 56  # flagship corpus
         assert r1[3]["n_tiles"] == r1[2]["n_tiles"]
-        assert r1[4]["n_rows"] == 56
+        assert r1[4]["n_tiles"] > 0  # raster artifact tiles
+        assert r1[5]["n_rows"] == 56
         timing = [
             json.loads(l) for l in open(f"{out}/timing.jsonl").read().splitlines()
         ]
-        assert len(timing) == 5 and all("sec" in t for t in timing)
+        assert len(timing) == 6 and all("sec" in t for t in timing)
 
         # rerun: everything resumes from receipts, timing log unchanged
         r2 = run_pipeline(flagship_stages("/root/testdata/sf0.001", out), {}, out)
         assert all(r["status"] == "done" for r in r2)
-        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 5
+        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 6
 
         # only-filter: run a single stage into a fresh dir
         out2 = str(tmp_path / "run2")
@@ -346,7 +348,8 @@ class TestRunAll:
             only={"conflate"},
         )
         assert [r["status"] for r in r3] == [
-            "done", "filtered", "filtered", "filtered", "filtered"
+            "done", "filtered", "filtered", "filtered", "filtered",
+            "filtered"
         ]
 
 
@@ -398,13 +401,14 @@ class TestRunAllCrashResume:
         statuses = {x["stage"]: x["status"] for x in r}
         assert statuses == {
             "conflate": "done", "merge": "done", "tiles": "done",
-            "pmtiles": "done", "matches_sink": "done",
+            "pmtiles": "done", "heat_raster": "done",
+            "matches_sink": "done",
         }
         by = {x["stage"]: x for x in r}
         assert by["matches_sink"]["n_rows"] == 56
         # timing log: 1 line from first run + 4 from resume (conflate
         # resumed from receipt → no duplicate timing line)
-        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 5
+        assert len(open(f"{out}/timing.jsonl").read().splitlines()) == 6
 
 
 class TestCorpusStages:
