@@ -4721,3 +4721,110 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN part ON l_partkey = p_partkey
 GROUP BY 1, 2
 """
+
+
+_PSI_EDGES = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+
+
+def q_value_drift_psi(sf_dir: str):
+    """Distribution-drift monitor (population stability index): the value
+    column's week-1 distribution vs week-4, binned at fixed literal edges,
+    one row per bin with expected/actual fractions and the PSI term
+    (p−q)·ln(p/q) — the ML feature-drift staple. One pre-combined
+    groupby (bins × 2 periods); fractions and PSI terms finish in
+    literal-mirrored float expressions, emitted PER BIN so no float
+    summation order exists to disagree on."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = (t_us - 1_704_067_200_000_000) // 604_800_000_000
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        m = (week == 0) | (week == 3)
+        if not m.any():
+            return pa.table({
+                "bin_id": pa.array([], pa.int64()),
+                "period": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        # side="left": v == edge stays in the lower bin (oracle's <=)
+        b = np.searchsorted(np.array(_PSI_EDGES), v[m], side="left")
+        per = np.where(week[m] == 0, "expected", "actual")
+        df = pd.DataFrame({"bin_id": b, "period": per})
+        vc = df.value_counts(sort=False)
+        idx = vc.index.to_frame(index=False)
+        return pa.table({
+            "bin_id": pa.array(idx["bin_id"].to_numpy().astype(np.int64)),
+            "period": pa.array(idx["period"].astype(str), pa.string()),
+            "n": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    counts = {
+        (r["bin_id"], r["period"]): r["n"]
+        for r in ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bin_id", "period"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+    n_exp = sum(v for (b, p), v in counts.items() if p == "expected")
+    n_act = sum(v for (b, p), v in counts.items() if p == "actual")
+    bins = sorted({b for b, _ in counts})
+    out = {"bin_id": [], "expected_frac": [], "actual_frac": [],
+           "psi_term": []}
+    for b in bins:
+        e = counts.get((b, "expected"), 0)
+        a = counts.get((b, "actual"), 0)
+        if e == 0 or a == 0:
+            continue  # mirror the oracle's INNER join of non-empty bins
+        p = float(e) / float(n_exp)
+        q = float(a) / float(n_act)
+        out["bin_id"].append(b)
+        out["expected_frac"].append(p)
+        out["actual_frac"].append(q)
+        out["psi_term"].append((p - q) * math.log(p / q))
+    return pa.table({
+        "bin_id": pa.array(out["bin_id"], pa.int64()),
+        "expected_frac": pa.array(out["expected_frac"], pa.float64()),
+        "actual_frac": pa.array(out["actual_frac"], pa.float64()),
+        "psi_term": pa.array(out["psi_term"], pa.float64()),
+    })
+
+
+def _psi_bin_sql() -> str:
+    conds = []
+    for i, e in enumerate(_PSI_EDGES):
+        prev = f"value > {_PSI_EDGES[i-1]} AND " if i else ""
+        conds.append(f"WHEN {prev}value <= {e} THEN {i}")
+    return "CASE " + " ".join(conds) + f" ELSE {len(_PSI_EDGES)} END"
+
+
+ORACLE_SQL["value_drift_psi"] = f"""
+WITH binned AS (
+  SELECT {_psi_bin_sql()} AS bin_id,
+         CASE WHEN (epoch_us(ts) - 1704067200000000) // 604800000000 = 0
+              THEN 'expected'
+              WHEN (epoch_us(ts) - 1704067200000000) // 604800000000 = 3
+              THEN 'actual' END AS period
+  FROM events
+  WHERE (epoch_us(ts) - 1704067200000000) // 604800000000 IN (0, 3)),
+c AS (
+  SELECT bin_id, period, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT period, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+frac AS (
+  SELECT c.bin_id, c.period,
+         CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS f
+  FROM c JOIN tot t USING (period))
+SELECT e.bin_id,
+       e.f AS expected_frac,
+       a.f AS actual_frac,
+       (e.f - a.f) * ln(e.f / a.f) AS psi_term
+FROM (SELECT bin_id, f FROM frac WHERE period = 'expected') e
+JOIN (SELECT bin_id, f FROM frac WHERE period = 'actual') a
+  USING (bin_id)
+"""
