@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": cq.q_conversion_latency,
         "nation_parttype_revenue": cq.q_nation_parttype_revenue,
         "value_drift_psi": cq.q_value_drift_psi,
+        "customer_rfm": cq.q_customer_rfm,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -4828,3 +4828,119 @@ FROM (SELECT bin_id, f FROM frac WHERE period = 'expected') e
 JOIN (SELECT bin_id, f FROM frac WHERE period = 'actual') a
   USING (bin_id)
 """
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM customer segmentation: per customer recency (latest order day
+    index), frequency (order count) and monetary (total cents), each
+    binned into quartiles at exact quantile_cont thresholds (the
+    `exact_quantiles` collapse — same interpolation rule as the oracle,
+    so thresholds are bit-identical and the <= comparisons agree). One
+    order-table groupby (customer-bounded) + three driver-small quantile
+    collapses + a pure labeling map; segment = 'r-f-m'."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.groupops import exact_quantiles
+    from .queries import _cents
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // 86_400_000_000
+        )
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "day": pa.array(day.astype(np.int64)),
+            "cents": pa.array(_cents(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    rfm = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="recency_day"),
+            Count(alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "recency_day": b["recency_day"].cast(pa.int64()),
+                "frequency": b["frequency"].cast(pa.int64()),
+                "monetary_cents": b["monetary_cents"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    ps = [0.25, 0.5, 0.75]
+    thr = {
+        col: [r["q"] for r in sorted(
+            exact_quantiles(rfm, col, ps, round_to=None).to_pylist(),
+            key=lambda r: r["p"],
+        )]
+        for col in ("recency_day", "frequency", "monetary_cents")
+    }
+
+    def label(batch: pa.Table) -> pa.Table:
+        def bucket(col):
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            t = thr[col]
+            # v <= t1 → 1, ... — identical to the oracle's CASE chain
+            return (
+                1 + (v > t[0]).astype(np.int64)
+                + (v > t[1]).astype(np.int64)
+                + (v > t[2]).astype(np.int64)
+            )
+
+        rb, fb, mb = (bucket(c) for c in
+                      ("recency_day", "frequency", "monetary_cents"))
+        seg = pd.Series(rb).astype(str) + "-" + pd.Series(fb).astype(str) \
+            + "-" + pd.Series(mb).astype(str)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "r_bucket": pa.array(rb),
+            "f_bucket": pa.array(fb),
+            "m_bucket": pa.array(mb),
+            "rfm_segment": pa.array(seg.to_numpy(), pa.string()),
+        })
+
+    return rfm.map_batches(label, batch_format="pyarrow")
+
+
+ORACLE_SQL["customer_rfm"] = """
+WITH rfm AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1),
+q AS (
+  SELECT quantile_cont(recency_day, 0.25) AS r1,
+         quantile_cont(recency_day, 0.5) AS r2,
+         quantile_cont(recency_day, 0.75) AS r3,
+         quantile_cont(frequency, 0.25) AS f1,
+         quantile_cont(frequency, 0.5) AS f2,
+         quantile_cont(frequency, 0.75) AS f3,
+         quantile_cont(monetary_cents, 0.25) AS m1,
+         quantile_cont(monetary_cents, 0.5) AS m2,
+         quantile_cont(monetary_cents, 0.75) AS m3
+  FROM rfm),
+lab AS (
+  SELECT o_custkey,
+         CASE WHEN recency_day <= r1 THEN 1 WHEN recency_day <= r2 THEN 2
+              WHEN recency_day <= r3 THEN 3 ELSE 4 END AS r_bucket,
+         CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+              WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_bucket,
+         CASE WHEN monetary_cents <= m1 THEN 1 WHEN monetary_cents <= m2
+              THEN 2 WHEN monetary_cents <= m3 THEN 3 ELSE 4 END AS m_bucket
+  FROM rfm, q)
+SELECT o_custkey, r_bucket, f_bucket, m_bucket,
+       r_bucket || '-' || f_bucket || '-' || m_bucket AS rfm_segment
+FROM lab
+"""
