@@ -4944,3 +4944,103 @@ SELECT o_custkey, r_bucket, f_bucket, m_bucket,
        r_bucket || '-' || f_bucket || '-' || m_bucket AS rfm_segment
 FROM lab
 """
+
+
+def q_spend_gini(sf_dir: str):
+    """EXACT distributed Gini coefficient of customer spend (the
+    data-balance / inequality audit): G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n
+    over the (cents, custkey) total order. No global sort: the
+    price_quartiles value-range two-phase scan gives exact global ranks
+    (range counts → driver offsets → in-range sort), and Σ(rank·x) folds
+    per range in PYTHON ints (rank×cents×n overflows int64 at corpus
+    scale). Float finish literally mirrors the HUGEINT oracle."""
+    import json as _json
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_group_apply
+    from .queries import _cents
+
+    RANGE_C = 1 << 16
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    cust = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+                "rng": pc.divide(b["cents"].cast(pa.int64()),
+                                 pa.scalar(RANGE_C, pa.int64())),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    counts = {r["rng"]: r["count()"] for r in
+              cust.groupby("rng").count().take_all()}
+    offsets, acc = {}, 0
+    for rng in sorted(counts):
+        offsets[rng] = acc
+        acc += counts[rng]
+    n = acc
+
+    def rank_partials(g: pd.DataFrame) -> pa.Table:
+        s1 = 0
+        s = 0
+        for rng, gr in g.groupby("rng"):
+            gr = gr.sort_values(["cents", "o_custkey"], kind="mergesort")
+            base = offsets[int(rng)]
+            for i, c in enumerate(gr["cents"].tolist()):
+                s1 += (base + i + 1) * int(c)  # 1-based rank
+                s += int(c)
+        return pa.table({"m": pa.array([_json.dumps([s1, s])], pa.string())})
+
+    s1 = s = 0
+    for b in bucketed_group_apply(
+        cust, ["rng"], rank_partials, num_buckets=16
+    ).iter_batches(batch_format="pyarrow"):
+        for mjson in b["m"].to_pylist():
+            a, c = _json.loads(mjson)
+            s1 += a; s += c
+    gini = (
+        float(2 * s1) / (float(n) * float(s)) - float(n + 1) / float(n)
+    )
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([s], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    })
+
+
+ORACLE_SQL["spend_gini"] = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rk
+  FROM m),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1,
+         sum(CAST(cents AS HUGEINT)) AS s
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST(2 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM agg
+"""
