@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift_psi": cq.q_value_drift_psi,
         "customer_rfm": cq.q_customer_rfm,
         "spend_gini": cq.q_spend_gini,
+        "rolling_unique_users": cq.q_rolling_unique_users,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

@@ -5044,3 +5044,56 @@ SELECT CAST(n AS BIGINT) AS n_customers,
          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
 FROM agg
 """
+
+
+def q_rolling_unique_users(sf_dir: str):
+    """Sliding-window DISTINCT (rolling 24 h uniques at hourly marks):
+    for each hour mark H, the number of distinct users with an event in
+    ((H−24 h)·3600 s, H·3600 s] — the streaming-dashboard metric the
+    hopping-window COUNT can't answer (distinct doesn't decompose).
+    Plan: each event explodes to its 24 affected hour marks with an
+    IN-BATCH (hour, user) dedup combiner, one (hour, user) groupby
+    dedups exactly, one hour-bounded groupby counts — bounded ×24
+    replication, both shuffles move (hour, user) pairs at most."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        he = t_us // 3_600_000_000
+        h = (he[:, None] + np.arange(1, 25)).ravel()
+        u = np.repeat(uid, 24)
+        df = pd.DataFrame({"hour_mark": h, "user_id": u}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["hour_mark", "user_id"])
+        .count()
+    )
+    return (
+        pairs.groupby("hour_mark")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(
+            lambda b: pa.table({
+                "hour_mark": b["hour_mark"].cast(pa.int64()),
+                "n_users": b["n_users"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["rolling_unique_users"] = """
+WITH marks AS (
+  SELECT user_id,
+         unnest(generate_series(epoch_us(ts) // 3600000000 + 1,
+                                epoch_us(ts) // 3600000000 + 24))
+           AS hour_mark
+  FROM events)
+SELECT hour_mark, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM marks GROUP BY 1
+"""
