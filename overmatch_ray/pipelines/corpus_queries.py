@@ -3679,7 +3679,17 @@ def q_hard_negatives(sf_dir: str):
             batch_format="pyarrow")]
     )
     out = hard_negative_topk(emb, queries, k=5)
-    return out.select_columns(["query_id", "neighbor_id", "rank", "cos_sim"])
+    # project/reorder via map_batches, not select_columns: the merge ends
+    # in map_groups and Dataset.schema() can go stale (CLAUDE.md rule)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b["query_id"],
+            "neighbor_id": b["neighbor_id"],
+            "rank": b["rank"],
+            "cos_sim": b["cos_sim"],
+        }),
+        batch_format="pyarrow",
+    )
 
 
 ORACLE_SQL["hard_negatives"] = """
@@ -3852,6 +3862,14 @@ def q_ab_ztest(sf_dir: str):
     for g in types:
         na, sa, ssa = acc.get((g, 0), [0, 0, 0])
         nb, sb, ssb = acc.get((g, 1), [0, 0, 0])
+        if na == 0 or nb == 0:
+            # a variant with no rows: the oracle's FILTERed sums are NULL
+            # → NULL means/z; emit the row with nulls instead of crashing
+            out["event_type"].append(g)
+            out["n_a"].append(na); out["n_b"].append(nb)
+            out["mean_a"].append(None); out["mean_b"].append(None)
+            out["z_stat"].append(None)
+            continue
         mean_a = float(sa) / float(na)
         mean_b = float(sb) / float(nb)
         var_a = float(na * ssa - sa * sa) / (float(na) * float(na))
@@ -4076,7 +4094,8 @@ def q_od_matrix(sf_dir: str):
     literal geofence zones, counted per (zone_o, zone_d) — the mobility-
     analytics rollup composing sessionization with containment. One
     bucketed shuffle; endpoints picked by the (ts, event_id) total order
-    mirrored by the oracle's arg_min/arg_max."""
+    mirrored by the oracle's arg_min/arg_max (HUGEINT key = us*1e12 +
+    event_id — documented bound: event_id < 1e12)."""
     from ray.data.aggregate import Count
 
     from ..stages.groupops import bucketed_group_apply
@@ -4155,9 +4174,9 @@ isl AS (
   FROM marks),
 trips AS (
   SELECT user_id, island,
-         arg_min(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+         arg_min(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
                        + event_id) AS zone_o,
-         arg_max(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+         arg_max(zone, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
                        + event_id) AS zone_d
   FROM isl GROUP BY 1, 2)
 SELECT zone_o, zone_d, CAST(count(*) AS BIGINT) AS n_trips

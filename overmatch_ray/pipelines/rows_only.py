@@ -879,6 +879,8 @@ def q_raster_tiles(sf_dir: str):
     pyramid. Output row per tile: coordinates, point count, payload size
     and sha for pinning. Rows-only (PNG bytes aren't SQL); pixel-exact
     parity with a numpy rasterizer is test-pinned."""
+    from .corpus_queries import _formula_coords
+
     import hashlib
 
     from ..stages.tiles import build_raster_heat_tiles
@@ -887,8 +889,7 @@ def q_raster_tiles(sf_dir: str):
 
     def pts(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lon = -77.05 + (eid % 1000) * 1e-4
-        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        lon, lat = _formula_coords(eid)
         return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
 
     tiles = build_raster_heat_tiles(
@@ -918,6 +919,8 @@ def q_raster_pmtiles(sf_dir: str):
     already deflate-compressed by the PNG codec) — the raster publish
     artifact next to the MVT archive. Returns the archive stats row;
     byte-determinism and read-back are test-pinned."""
+    from .corpus_queries import _formula_coords
+
     import os
     import tempfile
 
@@ -928,8 +931,7 @@ def q_raster_pmtiles(sf_dir: str):
 
     def pts(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lon = -77.05 + (eid % 1000) * 1e-4
-        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        lon, lat = _formula_coords(eid)
         return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
 
     tiles = build_raster_heat_tiles(
@@ -953,6 +955,8 @@ def q_track_line_tiles(sf_dir: str):
     point pyramid. Output per tile: key/part counts + payload size + sha.
     Rows-only; segment-exact parity vs an independent clipper and byte
     determinism are test-pinned."""
+    from .corpus_queries import _formula_coords
+
     import hashlib
 
     from ..stages.tiles import build_line_tiles
@@ -965,8 +969,7 @@ def q_track_line_tiles(sf_dir: str):
         m = uid < 50
         eid, uid = eid[m], uid[m]
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
-        lon = -77.05 + (eid % 1000) * 1e-4
-        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        lon, lat = _formula_coords(eid)
         return pa.table({
             "key": pa.array(uid),
             "seq": pa.array(ts),  # µs timestamps are a valid total order
@@ -1001,6 +1004,8 @@ def q_hull_polygon_tiles(sf_dir: str):
     z13 MVT polygon layers (stages.tiles.build_hull_tiles) — the area
     third of the tiling trio. Rows-only; brute-force clip parity, spec
     ring orientation and byte determinism are test-pinned."""
+    from .corpus_queries import _formula_coords
+
     import hashlib
 
     from ..stages.tiles import build_hull_tiles
@@ -1012,8 +1017,7 @@ def q_hull_polygon_tiles(sf_dir: str):
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = uid < 50
         eid, uid = eid[m], uid[m]
-        lon = -77.05 + (eid % 1000) * 1e-4
-        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        lon, lat = _formula_coords(eid)
         return pa.table({
             "key": pa.array(uid),
             "lon": pa.array(lon),

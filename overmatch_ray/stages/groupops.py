@@ -156,7 +156,10 @@ def exact_quantiles(ds, col: str, ps: "list[float]", round_to: int = 6):
         lo_rank, frac = int(np.floor(h)), h - np.floor(h)
         lo = vals[np.searchsorted(cum, lo_rank + 1, side="left")]
         hi = vals[np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1, side="left")]
-        qs.append(round(float(lo + frac * (hi - lo)), round_to))
+        q = float(lo + frac * (hi - lo))
+        # round_to=None means NO rounding (round(x, None) would round to
+        # the nearest INTEGER and silently shift threshold comparisons)
+        qs.append(q if round_to is None else round(q, round_to))
     return pa.table(
         {"p": pa.array(list(ps), pa.float64()), "q": pa.array(qs, pa.float64())}
     )

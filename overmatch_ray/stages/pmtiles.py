@@ -217,7 +217,12 @@ def write_pmtiles(
                         n_contents += 1
                     else:
                         off, ln = hit
-                        clustered = False  # reused offset breaks id-order
+                        # reuse only breaks tile-id data order when it
+                        # points BEHIND the previous entry (an adjacent
+                        # same-blob tile coalesces into the previous
+                        # run-length entry and stays clustered)
+                        if entries and off < entries[-1][1]:
+                            clustered = False
                     # spec RUN-LENGTH coalescing: adjacent ids, same blob →
                     # one entry with run_length+1
                     if entries and entries[-1][1] == off \

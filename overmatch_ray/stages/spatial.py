@@ -1104,6 +1104,13 @@ def track_hausdorff_pairs(
     import ray as _ray
     from ray.data.aggregate import Count, Max
 
+    from .. import CELL_SIZE_M
+
+    if max_dist_m > CELL_SIZE_M:
+        raise ValueError(
+            f"max_dist_m {max_dist_m} exceeds the {CELL_SIZE_M} m cell "
+            "edge; the k-ring-1 neighborhood would miss pairs"
+        )
     nb = _auto_buckets(num_buckets)
 
     def enc(side: int, replicate: bool):

@@ -417,3 +417,30 @@ class TestApproxCommonUsers:
         # inclusion-exclusion compounds 3 HLL errors (~1.6% each at p=12);
         # allow 10% or ±10 absolute, whichever is larger
         assert abs(est - exact) <= max(10, 0.10 * exact), (est, exact)
+
+
+class TestReviewRegressions:
+    def test_exact_quantiles_round_to_none_is_unrounded(self, ray_session):
+        """round(x, None) rounds to the nearest INTEGER — round_to=None
+        must mean NO rounding (review finding; customer_rfm thresholds)."""
+        import ray.data
+
+        from overmatch_ray.stages.groupops import exact_quantiles
+
+        t = pa.table({"v": pa.array([0, 1, 2, 4], pa.int64())})
+        out = exact_quantiles(
+            ray.data.from_arrow(t), "v", [0.5], round_to=None
+        )
+        assert out["q"][0].as_py() == 1.5  # not 2
+
+    def test_hausdorff_radius_guard(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import track_hausdorff_pairs
+
+        t = pa.table({
+            "id": pa.array([0], pa.int64()), "key": pa.array([0], pa.int64()),
+            "lon": pa.array([0.0]), "lat": pa.array([0.0]),
+        })
+        with pytest.raises(ValueError, match="cell edge"):
+            track_hausdorff_pairs(ray.data.from_arrow(t), 10_000.0)
