@@ -5116,3 +5116,208 @@ WITH marks AS (
 SELECT hour_mark, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM marks GROUP BY 1
 """
+
+
+_SESS_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+_SESS_GAP_US = 1_800_000_000
+
+
+def q_incremental_sessions(sf_dir: str):
+    """INCREMENTAL sessionization with state handoff — the streaming-
+    resume analog of the nightly batch: period A (before Jan 15) is
+    sessionized first; its per-user OPEN tail (last event time + session
+    count — the checkpoint a streaming job would persist) crosses a
+    materialization boundary as a state table; period B is sessionized
+    against that carried state (a first B-event within 30 min CONTINUES
+    the open session). Output = per-session rows over A∪B and must equal
+    the from-scratch batch islands — which is exactly what the oracle
+    computes, so the equivalence IS the check. Two bucketed shuffles on
+    user_id (A, then B ∪ state rows); state rows ride the same shuffle
+    as sentinel-phase rows, never a driver loop."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    ev = ds.map_batches(prep, batch_format="pyarrow")
+    a = ev.filter(expr=f"ts_us < {_SESS_CUTOFF_US}")
+    b = ev.filter(expr=f"ts_us >= {_SESS_CUTOFF_US}")
+
+    def sess_a(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = u[1:] != u[:-1]
+        brk = first.copy()
+        brk[1:] |= np.diff(t) > _SESS_GAP_US
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(g)) - 1
+        # per-user session ordinal for each session start
+        ustart = np.flatnonzero(first[starts])  # index into starts
+        base = np.zeros(starts.size, np.int64)
+        seq = np.arange(starts.size)
+        base = seq - seq[np.maximum.accumulate(
+            np.where(first[starts], seq, -1))]
+        closed = pa.table({
+            "user_id": pa.array(u[starts].astype(np.int64)),
+            "session_idx": pa.array(base.astype(np.int64)),
+            "start_us": pa.array(t[starts].astype(np.int64)),
+            "end_us": pa.array(t[ends].astype(np.int64)),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            "phase": pa.array(np.full(starts.size, 0, np.int64)),
+        })
+        return closed
+
+    sessions_a = bucketed_group_apply(a, ["user_id"], sess_a,
+                                      num_buckets=32).materialize()
+
+    # checkpoint: each user's LAST A-session (the open tail) + count
+    def tail_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "session_idx"], kind="mergesort")
+        last = g.groupby("user_id", sort=False).tail(1)
+        return pa.table({
+            "event_id": pa.array(np.full(len(last), -1, np.int64)),
+            "user_id": pa.array(last["user_id"].to_numpy()),
+            # state row carries: ts = open session's last event time
+            "ts_us": pa.array(last["end_us"].to_numpy()),
+            "state_sessions": pa.array(
+                (last["session_idx"] + 1).to_numpy().astype(np.int64)),
+            "state_start": pa.array(last["start_us"].to_numpy()),
+            "state_n": pa.array(last["n_events"].to_numpy()),
+        })
+
+    state = bucketed_group_apply(
+        sessions_a, ["user_id"], tail_bucket, num_buckets=32
+    )
+
+    def b_with_state(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts_us"].cast(pa.int64()),
+        }
+        n = batch.num_rows
+        for name, default in (("state_sessions", -1), ("state_start", -1),
+                              ("state_n", -1)):
+            if name in batch.column_names:
+                cols[name] = batch[name].cast(pa.int64())
+            else:
+                cols[name] = pa.array(np.full(n, default, np.int64))
+        return pa.table(cols)
+
+    merged = b.map_batches(b_with_state, batch_format="pyarrow").union(
+        state.map_batches(b_with_state, batch_format="pyarrow")
+    )
+
+    def sess_b(g: pd.DataFrame) -> pa.Table:
+        out = {"user_id": [], "session_idx": [], "start_us": [],
+               "end_us": [], "n_events": []}
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        for uid, rows in g.groupby("user_id", sort=False):
+            st = rows[rows["event_id"] == -1]
+            evs = rows[rows["event_id"] != -1]
+            carried_sessions = 0
+            open_start = open_end = None
+            open_n = 0
+            if len(st):
+                carried_sessions = int(st["state_sessions"].iloc[0])
+                open_start = int(st["state_start"].iloc[0])
+                open_end = int(st["ts_us"].iloc[0])
+                open_n = int(st["state_n"].iloc[0])
+            t = evs["ts_us"].to_numpy()
+            if t.size == 0:
+                continue  # no B events: A already emitted this user
+            brk = np.ones(t.size, bool)
+            brk[1:] = np.diff(t) > _SESS_GAP_US
+            # does the first B event continue the carried open session?
+            continues = (
+                open_end is not None and t[0] - open_end <= _SESS_GAP_US
+            )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], t.size) - 1
+            for si, (s0, e0) in enumerate(zip(starts, ends)):
+                if si == 0 and continues:
+                    out["user_id"].append(int(uid))
+                    out["session_idx"].append(carried_sessions - 1)
+                    out["start_us"].append(open_start)
+                    out["end_us"].append(int(t[e0]))
+                    out["n_events"].append(open_n + int(e0 - s0 + 1))
+                else:
+                    out["user_id"].append(int(uid))
+                    out["session_idx"].append(
+                        carried_sessions + si - (1 if continues else 0))
+                    out["start_us"].append(int(t[s0]))
+                    out["end_us"].append(int(t[e0]))
+                    out["n_events"].append(int(e0 - s0 + 1))
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_idx": pa.array(out["session_idx"], pa.int64()),
+            "start_us": pa.array(out["start_us"], pa.int64()),
+            "end_us": pa.array(out["end_us"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "phase": pa.array(np.full(len(out["user_id"]), 1, np.int64)),
+        })
+
+    sessions_b = bucketed_group_apply(merged, ["user_id"], sess_b,
+                                      num_buckets=32)
+
+    # final = A sessions except each user's last when B continued it,
+    # plus all B-phase sessions. Equivalent filter: drop the A row iff a
+    # B row with the same (user, session_idx) exists.
+    import ray as _ray
+
+    sessions_b = sessions_b.materialize()
+    # no select_columns after map_groups (CLAUDE.md schema-staleness rule)
+    b_keys = {
+        (r["user_id"], r["session_idx"]) for r in sessions_b.take_all()
+    }
+    bref = _ray.put(b_keys)
+
+    def drop_superseded(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(bref)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        si = batch["session_idx"].to_numpy(zero_copy_only=False)
+        keep = np.array([(a, b_) not in keys for a, b_ in zip(u, si)], bool)
+        return batch.filter(pa.array(keep))
+
+    final_a = sessions_a.map_batches(drop_superseded, batch_format="pyarrow")
+    both = final_a.union(sessions_b)
+    return both.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "session_idx": b["session_idx"],
+            "start_us": b["start_us"],
+            "end_us": b["end_us"],
+            "n_events": b["n_events"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["incremental_sessions"] = f"""
+WITH marks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESS_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+isl AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session
+  FROM marks)
+SELECT user_id,
+       CAST(session - 1 AS BIGINT) AS session_idx,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, session
+"""
