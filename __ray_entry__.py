@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_gini": cq.q_spend_gini,
         "rolling_unique_users": cq.q_rolling_unique_users,
         "incremental_sessions": cq.q_incremental_sessions,
+        "skewed_segment_load": cq.q_skewed_segment_load,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

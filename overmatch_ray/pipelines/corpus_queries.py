@@ -5321,3 +5321,76 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM isl GROUP BY user_id, session
 """
+
+
+def q_skewed_segment_load(sf_dir: str):
+    """Skew-aware join demo under a REAL hot key: half of all events hash
+    to ONE derived key (k=7), the rest spread over 500 — the classic
+    fact-side hot spot. `stages.joins.skew_hash_join` detects the hot key
+    with the exact Misra-Gries pass and routes it around the shuffle
+    (broadcast map side-path), cold keys take the bucketed hash join;
+    output = per-market-segment event count + cents (SF-invariant
+    dimension: customers with key < 500 exist at every SF)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import skew_hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.where(eid % 2 == 0, 7, uid % 500)
+        vc = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"k": pa.array(k), "vc": pa.array(vc)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_custkey < 500"
+    )
+    # materialize the PROJECTED 2-column fact side: the skew join's
+    # sketch passes + split scan it several times, and re-running the
+    # keying map each time costs more than the narrow table holds
+    fact = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+    joined = skew_hash_join(fact, cust, "k", "c_custkey",
+                            num_buckets=16, hot_denom=20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+            "vc": batch["vc"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            cents=("vc", "sum"), n=("vc", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n", alias_name="n_events"))
+        .map_batches(
+            lambda b: pa.table({
+                "c_mktsegment": b["c_mktsegment"],
+                "total_cents": b["cents"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["skewed_segment_load"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id % 500 END AS k,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT c_mktsegment,
+       CAST(sum(vc) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM keyed JOIN customer ON k = c_custkey
+WHERE c_custkey < 500
+GROUP BY 1
+"""

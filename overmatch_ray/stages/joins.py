@@ -616,3 +616,72 @@ def interval_join(
         )
 
     return both.groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+def skew_hash_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 64,
+    hot_denom: int = 100,
+):
+    """Skew-aware inner hash join: HOT join keys (left-side frequency ≥
+    N/hot_denom, found with the exact Misra-Gries two-pass — sketch-sized
+    partials, never a full groupby) are routed around the shuffle — their
+    right-side rows broadcast once and the hot left rows join as a pure
+    map — while the cold remainder takes the normal bucketed hash join.
+    A key that owns 30% of the probe side would otherwise land 30% of the
+    shuffle in ONE bucket task; here it never enters the shuffle at all.
+
+    Contract: the RIGHT rows of hot keys must be broadcast-small (hot
+    keys are ≤ hot_denom by construction; right side is typically the
+    dimension side). Inner-join semantics, identical output to
+    ``bucket_hash_join`` (parity-pinned by tests)."""
+    import ray
+
+    from .groupops import heavy_hitters
+
+    hot = heavy_hitters(left_ds, left_on, denom=hot_denom)
+    hot_keys = set(hot["item"].to_pylist()) if hot.num_rows else set()
+    if not hot_keys:
+        return bucket_hash_join(left_ds, right_ds, left_on, right_on,
+                                num_buckets=num_buckets)
+
+    hot_arr = np.array(sorted(hot_keys), dtype=np.int64)
+
+    def split(on: str, keep_hot: bool):
+        def _split(batch: pa.Table) -> pa.Table:
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(k, hot_arr)
+            return batch.filter(pa.array(m if keep_hot else ~m))
+
+        return _split
+
+    # hot path: broadcast the right rows of hot keys, join as a pure map
+    right_hot = pa.concat_tables(
+        [pa.table(b) for b in right_ds.map_batches(
+            split(right_on, True), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    rref = ray.put(right_hot)
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        r = ray.get(rref).to_pandas()
+        l = batch.to_pandas()
+        out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    hot_out = left_ds.map_batches(
+        split(left_on, True), batch_format="pyarrow"
+    ).map_batches(hot_join, batch_format="pyarrow")
+
+    cold_out = bucket_hash_join(
+        left_ds.map_batches(split(left_on, False), batch_format="pyarrow"),
+        right_ds.map_batches(split(right_on, False), batch_format="pyarrow"),
+        left_on, right_on, num_buckets=num_buckets,
+    )
+    return hot_out.union(cold_out)

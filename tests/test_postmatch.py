@@ -1099,3 +1099,53 @@ class TestHullTiles:
             for px, py in c:
                 assert -1e-6 <= px <= 4096 + 1e-6
                 assert -1e-6 <= py <= 4096 + 1e-6
+
+
+class TestSkewHashJoin:
+    def test_parity_with_plain_join_on_skewed_keys(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import bucket_hash_join, skew_hash_join
+
+        rng = np.random.RandomState(4)
+        n = 20_000
+        # 60% of probe rows share ONE key; rest uniform over 500 keys
+        k = np.where(rng.rand(n) < 0.6, 7, rng.randint(0, 500, n)).astype(np.int64)
+        left = pa.table({
+            "k": pa.array(k),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        right = pa.table({
+            "rk": pa.array(np.arange(500, dtype=np.int64)),
+            "rv": pa.array(np.arange(500, dtype=np.int64) * 10),
+        })
+
+        def rows(ds):
+            return sorted(
+                (r["k"], r["lv"], r["rv"]) for r in ds.take_all()
+            )
+
+        l4 = ray.data.from_arrow(left).repartition(8)
+        r4 = ray.data.from_arrow(right).repartition(2)
+        got = rows(skew_hash_join(l4, r4, "k", "rk", hot_denom=100))
+        want = rows(bucket_hash_join(l4, r4, "k", "rk"))
+        assert got == want and len(got) == n
+
+    def test_no_hot_keys_falls_back(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import skew_hash_join
+
+        left = pa.table({
+            "k": pa.array(np.arange(1000, dtype=np.int64) % 997),
+            "lv": pa.array(np.arange(1000, dtype=np.int64)),
+        })
+        right = pa.table({
+            "rk": pa.array(np.arange(997, dtype=np.int64)),
+            "rv": pa.array(np.arange(997, dtype=np.int64)),
+        })
+        out = skew_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "rk", hot_denom=10,
+        )
+        assert out.count() == 1000
