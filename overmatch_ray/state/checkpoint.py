@@ -156,14 +156,114 @@ def write_partitioned_resumable(ds, out_dir: str, key_col: str,
 
 
 def read_partitioned(out_dir: str):
-    """Read back a partitioned output (only completed partitions)."""
+    """Read back a partitioned output (only completed partitions). Honors
+    the optional manifest ``file`` field (set by ``compact_partitions``
+    when several keys share one compacted file) and deduplicates paths."""
     import ray.data
 
-    sink = PartitionedSink(out_dir, "")
-    files = [
-        os.path.join(out_dir, f"part-{k}.parquet")
-        for k in sorted(sink.completed_partitions(), key=str)
-    ]
+    mdir = os.path.join(out_dir, "_manifest")
+    entries = []
+    for f in os.listdir(mdir):
+        if f.endswith(".json") and not f.startswith("_"):
+            try:
+                m = json.load(open(os.path.join(mdir, f)))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("complete"):
+                entries.append(m)
+    files, seen = [], set()
+    for m in sorted(entries, key=lambda m: str(m["key"])):
+        fname = m.get("file", f"part-{m['key']}.parquet")
+        if fname not in seen:
+            seen.add(fname)
+            files.append(os.path.join(out_dir, fname))
     from ..sources import read_parquet_clean
 
     return read_parquet_clean(files)
+
+
+def compact_partitions(out_dir: str, target_rows: int = 500_000):
+    """Small-file COMPACTION of a resumable partitioned output (the
+    maintenance half of the checkpoint story): completed part files are
+    greedily bin-packed in key order into ~``target_rows`` files, each
+    bin rewritten by its own Ray task, then the directory is atomically
+    swapped. The scheme stamp gains a ``+compacted`` suffix so a writer
+    built for the PRE-compaction layout refuses to resume into it (the
+    ADVICE scheme-mismatch rule) — compaction is a terminal layout
+    change, not a resume point. Per-key manifests are preserved (reads
+    and anti-join resume sets still see every original key).
+
+    Returns {"files_before", "files_after", "rows"}."""
+    import ray
+
+    mdir = os.path.join(out_dir, "_manifest")
+    spath = os.path.join(mdir, "_scheme.json")
+    scheme = None
+    if os.path.exists(spath):
+        scheme = json.load(open(spath)).get("scheme")
+    manifests = []
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json") and not f.startswith("_"):
+            m = json.load(open(os.path.join(mdir, f)))
+            if m.get("complete"):
+                manifests.append(m)
+    manifests.sort(key=lambda m: (isinstance(m["key"], str), m["key"]))
+    files_before = [
+        os.path.join(out_dir, f"part-{m['key']}.parquet") for m in manifests
+    ]
+
+    # greedy key-ordered bin pack
+    bins, cur, cur_rows = [], [], 0
+    for m in manifests:
+        cur.append(m)
+        cur_rows += m["rows"]
+        if cur_rows >= target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        bins.append(cur)
+
+    @ray.remote
+    def compact_bin(paths: "list[str]", dest: str) -> int:
+        tables = [pq.read_table(p) for p in paths]
+        t = pa.concat_tables(tables, promote_options="default")
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        return t.num_rows
+
+    new_dir = out_dir + f".compact-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.join(new_dir, "_manifest"), exist_ok=True)
+    futures = []
+    for b in bins:
+        k0, k1 = b[0]["key"], b[-1]["key"]
+        dest = os.path.join(new_dir, f"part-{k0}-{k1}.parquet")
+        futures.append(compact_bin.remote(
+            [os.path.join(out_dir, f"part-{m['key']}.parquet") for m in b],
+            dest,
+        ))
+    rows = sum(ray.get(futures))
+    # per-key manifests carry over, now pointing at their bin file (the
+    # resume anti-join set is unchanged; readers dedupe shared files)
+    for b in bins:
+        k0, k1 = b[0]["key"], b[-1]["key"]
+        for m in b:
+            m = dict(m, file=f"part-{k0}-{k1}.parquet")
+            with open(os.path.join(new_dir, "_manifest",
+                                   f"{m['key']}.json"), "w") as f:
+                json.dump(m, f)
+    new_scheme = (scheme or "unstamped") + "+compacted/v1"
+    with open(os.path.join(new_dir, "_manifest", "_scheme.json"), "w") as f:
+        json.dump({"scheme": new_scheme}, f)
+    # atomic swap: old dir moved aside, new dir takes its place
+    old = out_dir + f".pre-compact-{uuid.uuid4().hex[:8]}"
+    os.replace(out_dir, old)
+    os.replace(new_dir, out_dir)
+    import shutil
+
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(bins),
+        "rows": rows,
+    }

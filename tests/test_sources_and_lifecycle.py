@@ -522,3 +522,50 @@ class TestGeojsonSeqBareIds:
         back = {r["osm_id"]: r for r in read_geojson_points_ndjson(f"{out}/").take_all()}
         assert back["12345"]["elem_type"] == "way"  # explicit prop kept
         assert back["way/9"]["elem_type"] == "way"  # derived from prefix
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_blocks_stale_resume(
+        self, ray_session, tmp_path
+    ):
+        import ray.data
+
+        from overmatch_ray.state.checkpoint import (
+            compact_partitions,
+            read_partitioned,
+            write_partitioned_resumable,
+        )
+
+        out = str(tmp_path / "sink")
+        t = pa.table({
+            "k": pa.array(np.arange(2000, dtype=np.int64) % 40),
+            "v": pa.array(np.arange(2000, dtype=np.int64)),
+        })
+        write_partitioned_resumable(
+            ray.data.from_arrow(t).repartition(4), out, "k",
+            scheme="test/mod40/v1",
+        ).count()
+        import os
+
+        n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_before == 40
+        stats = compact_partitions(out, target_rows=300)
+        assert stats["files_before"] == 40
+        assert stats["files_after"] < 40
+        assert stats["rows"] == 2000
+        n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_after == stats["files_after"]
+        # reads still see every row
+        back = read_partitioned(out)
+        assert back.count() == 2000
+        assert {r["v"] for r in back.take_all()} == set(range(2000))
+        # a pre-compaction writer must REFUSE to resume into the new layout
+        with pytest.raises(ValueError, match="scheme mismatch"):
+            write_partitioned_resumable(
+                ray.data.from_arrow(t), out, "k", scheme="test/mod40/v1",
+            )
+        # per-key manifests carried over: the anti-join resume set intact
+        from overmatch_ray.state.checkpoint import PartitionedSink
+
+        sink = PartitionedSink(out, "k")
+        assert len(sink.completed_partitions()) == 40
