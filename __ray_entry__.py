@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_common_users": ro.q_approx_common_users,
         "video_frames": ro.q_video_frames,
         "augmented_images": ro.q_augmented_images,
+        "compacted_sink": ro.q_compacted_sink,
     }
 
 

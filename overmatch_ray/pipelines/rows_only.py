@@ -1151,3 +1151,44 @@ def q_augmented_images(sf_dir: str):
         })
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_compacted_sink(sf_dir: str):
+    """Sink-maintenance end-to-end: write a keyed dataset through the
+    resumable partitioned sink (40 key partitions), COMPACT it
+    (state.checkpoint.compact_partitions — bin-packed rewrite, atomic
+    swap, scheme restamp), read it back, and report the before/after file
+    counts + row conservation. Rows-only (filesystem lifecycle); the
+    stale-resume refusal and resume-set preservation are test-pinned."""
+    import os
+    import tempfile
+
+    from ..state.checkpoint import (
+        compact_partitions,
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(uid % 40),
+            "event_id": batch["event_id"].cast(pa.int64()),
+        })
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "sink")
+        write_partitioned_resumable(
+            ev.map_batches(keyed, batch_format="pyarrow"), out, "k",
+            scheme="events/user-mod40/v1",
+        ).count()
+        stats = compact_partitions(out, target_rows=2000)
+        rows_back = read_partitioned(out).count()
+    return pa.table({
+        "files_before": pa.array([stats["files_before"]], pa.int64()),
+        "files_after": pa.array([stats["files_after"]], pa.int64()),
+        "rows": pa.array([stats["rows"]], pa.int64()),
+        "rows_back": pa.array([rows_back], pa.int64()),
+    })
