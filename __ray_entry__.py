@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_unique_users": cq.q_rolling_unique_users,
         "incremental_sessions": cq.q_incremental_sessions,
         "skewed_segment_load": cq.q_skewed_segment_load,
+        "colocation_pairs": cq.q_colocation_pairs,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "conflate_matches": ro.q_conflate_matches,
         "conflate_merged": ro.q_conflate_merged,

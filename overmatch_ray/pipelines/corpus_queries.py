@@ -5394,3 +5394,100 @@ FROM keyed JOIN customer ON k = c_custkey
 WHERE c_custkey < 500
 GROUP BY 1
 """
+
+
+def q_colocation_pairs(sf_dir: str):
+    """Co-location network (mobility/contact analytics): unordered user
+    pairs observed in the SAME geofence zone during the SAME hour, with
+    the count of distinct co-located (zone, hour) cells — the
+    spatio-temporal self-join composing the `_DWELL_ZONES` containment
+    with 15-minute co-presence bucketing. Plan: zone+bucket assignment is
+    a pure map; per-cell occupancy is distinct-user-deduped in its bucket and
+    pairs are emitted there (occupancy² bounded per cell — the salting
+    knob documented for hot venues); one pair-bounded groupby counts.
+    Output pairs with ≥ 2 shared cells (the 'repeat contact' filter)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        zone = np.full(eid.size, -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        hour = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 900_000_000  # 15-min co-presence buckets
+        )
+        m = zone >= 0
+        return pa.table({
+            "zone": pa.array(zone[m]),
+            "hour": pa.array(hour[m].astype(np.int64)),
+            "user_id": batch["user_id"].filter(pa.array(m)).cast(pa.int64()),
+        })
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        g = g.drop_duplicates(["zone", "hour", "user_id"])
+        for (_, _), cell in g.groupby(["zone", "hour"], sort=False):
+            u = np.sort(cell["user_id"].to_numpy())
+            if u.size < 2:
+                continue
+            ia, ib = np.triu_indices(u.size, k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
+            return pa.table({
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "user_a": pa.array(np.concatenate(out_a)),
+            "user_b": pa.array(np.concatenate(out_b)),
+        })
+
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+    pairs = bucketed_group_apply(
+        cells, ["zone", "hour"], pairs_bucket, num_buckets=32
+    )
+    return (
+        pairs.groupby(["user_a", "user_b"])
+        .aggregate(Count(alias_name="n_shared_cells"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n_shared_cells"], 2)
+            ).select(["user_a", "user_b", "n_shared_cells"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "user_a": b["user_a"].cast(pa.int64()),
+                "user_b": b["user_b"].cast(pa.int64()),
+                "n_shared_cells": b["n_shared_cells"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_SQL["colocation_pairs"] = f"""
+WITH coords AS (
+  SELECT user_id, ts,
+         -77.05 + (event_id % 1000) * 1e-4 AS lon,
+         38.85 + ((event_id // 1000) % 1000) * 1e-4 AS lat
+  FROM events),
+pts AS (
+  SELECT DISTINCT {_zone_case_sql()} AS zone,
+         epoch_us(ts) // 900000000 AS hour,
+         user_id
+  FROM coords),
+zoned AS (SELECT * FROM pts WHERE zone IS NOT NULL)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_shared_cells
+FROM zoned a JOIN zoned b
+  ON a.zone = b.zone AND a.hour = b.hour AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
