@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": ro.q_video_frames,
         "augmented_images": ro.q_augmented_images,
         "compacted_sink": ro.q_compacted_sink,
+        "corpus_card": ro.q_corpus_card,
     }
 
 

@@ -1192,3 +1192,81 @@ def q_compacted_sink(sf_dir: str):
         "rows": pa.array([stats["rows"]], pa.int64()),
         "rows_back": pa.array([rows_back], pa.int64()),
     })
+
+
+def q_corpus_card(sf_dir: str):
+    """Dataset datasheet ('corpus card'): one row summarizing the text
+    corpus for a release — doc/token counts, language mix entropy, exact
+    dedup rate, quality keep rate, PII density — the artifact a data
+    steward publishes alongside the shards. Pure composition of already-
+    verified stages (each oracle- or test-pinned on its own); everything
+    folds to scalars, nothing corpus-sized reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.pii import redact_pii
+    from ..stages.textstats import quality_batch, token_count_batch
+
+    docs = _rpq(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"])
+    n_docs = docs.count()
+
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    n_tokens = sum(
+        r["s"] for r in toks.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(np.sum(b["n_tokens"].to_numpy(zero_copy_only=False)))],
+                pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
+    lang_counts = {
+        r["lang"]: r["count()"]
+        for r in docs.groupby("lang").count().take_all()
+    }
+    ps = np.array(sorted(lang_counts.values()), np.float64) / n_docs
+    lang_entropy = float(-(ps * np.log(ps)).sum())
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.textstats import fingerprint_batch
+
+    kept = exact_dedup(
+        docs.map_batches(fingerprint_batch, batch_format="pyarrow"),
+        "prefix_key",
+    ).count()
+    dedup_rate = 1.0 - kept / n_docs
+
+    q = docs.map_batches(quality_batch, batch_format="pyarrow")
+    n_keep = sum(
+        r["s"] for r in q.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(np.sum(b["quality_keep"].to_numpy(
+                    zero_copy_only=False)))],
+                pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    quality_keep_rate = n_keep / n_docs
+
+    pii = redact_pii(docs)
+    n_pii = sum(
+        r["s"] for r in pii.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(sum(
+                    int(np.sum(b[c].to_numpy(zero_copy_only=False)))
+                    for c in ("n_emails", "n_ips", "n_phones")
+                ))], pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_languages": pa.array([len(lang_counts)], pa.int64()),
+        "lang_entropy": pa.array([round(lang_entropy, 6)], pa.float64()),
+        "exact_dedup_rate": pa.array([round(dedup_rate, 6)], pa.float64()),
+        "quality_keep_rate": pa.array(
+            [round(quality_keep_rate, 6)], pa.float64()),
+        "n_pii_hits": pa.array([n_pii], pa.int64()),
+    })

@@ -444,3 +444,31 @@ class TestReviewRegressions:
         })
         with pytest.raises(ValueError, match="cell edge"):
             track_hausdorff_pairs(ray.data.from_arrow(t), 10_000.0)
+
+
+class TestCorpusCard:
+    def test_fields_match_direct_computation(self, ray_session):
+        from overmatch_ray.pipelines.rows_only import q_corpus_card
+        from overmatch_ray.stages.pii import redact_pii_batch
+        from overmatch_ray.stages.textstats import quality_batch, token_count_batch
+
+        out = _to_table(q_corpus_card(SF)).to_pylist()[0]
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        assert out["n_docs"] == docs.num_rows
+        assert out["n_tokens"] == int(
+            np.sum(token_count_batch(docs)["n_tokens"].to_numpy())
+        )
+        langs = docs["lang"].to_pylist()
+        assert out["n_languages"] == len(set(langs))
+        keep = quality_batch(docs)["quality_keep"].to_numpy()
+        assert out["quality_keep_rate"] == round(
+            float(keep.sum()) / docs.num_rows, 6
+        )
+        p = redact_pii_batch(docs)
+        assert out["n_pii_hits"] == int(
+            sum(np.sum(p[c].to_numpy()) for c in
+                ("n_emails", "n_ips", "n_phones"))
+        )
+        assert 0.0 <= out["exact_dedup_rate"] < 1.0
