@@ -190,3 +190,68 @@ class TestSpatialKernelProperties:
                             if D[i, j] <= radius)[:k]
             mine = got[got.id_a == i].sort_values("knn_rank")
             assert list(mine.id_b) == [j for _, j in cand_i]
+
+
+class TestMvtGeometryRoundtrips:
+    """Property tests for the line/polygon MVT codecs: arbitrary integer
+    coordinates (incl. negative and beyond-extent — the spec allows
+    out-of-tile geometry) must roundtrip exactly through the zigzag
+    cursor encoding."""
+
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(-10**6, 10**6),
+                          st.integers(-10**6, 10**6)),
+                min_size=2, max_size=6,
+            ),
+            min_size=1, max_size=4,
+        ),
+        st.integers(-100, 100),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_lines_roundtrip(self, parts, prop):
+        import numpy as np
+
+        from overmatch_ray.stages.mvt import decode_mvt_lines, encode_mvt_lines
+
+        arrs = [np.array(p, np.int64) for p in parts]
+        blob = encode_mvt_lines([{"p": prop}], [arrs])
+        out = decode_mvt_lines(blob)
+        assert out[0]["p"] == prop
+        assert out[0]["__parts"] == [
+            [list(pt) for pt in p] for p in parts
+        ]
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(-10**5, 10**5), st.integers(-10**5, 10**5)),
+            min_size=3, max_size=8, unique=True,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_polygons_roundtrip_with_orientation(self, pts):
+        import numpy as np
+
+        from overmatch_ray.stages.mvt import (
+            _signed_area2,
+            decode_mvt_polygons,
+            encode_mvt_polygons,
+        )
+        from overmatch_ray.stages.spatial import convex_hull_xy
+
+        x = np.array([p[0] for p in pts], np.float64)
+        y = np.array([p[1] for p in pts], np.float64)
+        h = convex_hull_xy(x, y)
+        if h.size < 3:
+            return
+        ring = np.column_stack([x[h], y[h]]).astype(np.int64)
+        if _signed_area2(ring) == 0:
+            return
+        blob = encode_mvt_polygons([{"k": 1}], [[ring]])
+        out = decode_mvt_polygons(blob)
+        got = np.array(out[0]["__rings"][0])
+        assert _signed_area2(got) > 0  # exterior-ring spec rule
+        assert {tuple(p) for p in got.tolist()} == {
+            tuple(p) for p in ring.tolist()
+        }
