@@ -1,0 +1,183 @@
+"""Reproducible scale probes behind the BASELINE.md claims.
+
+Usage: python tools/probes.py {hausdorff|raster|colocation|skewjoin}
+
+Each probe owns its own Ray session (32 CPUs local), synthesizes its
+deterministic corpus, runs the stage cold, and prints one line with the
+numbers recorded in BASELINE.md. See bench.py (+ GRAFT_SCALE) for the
+conflate/spatial-family probes.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+import pyarrow as pa
+
+
+def _init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def probe_hausdorff():
+    """24k tracks × 33 pts at the sf0.1 query's band density."""
+    ray = _init()
+    import ray.data
+
+    from overmatch_ray.stages.spatial import track_hausdorff_pairs
+
+    n_tracks, pts = 24_000, 33
+    n_bands = n_tracks // 3
+    n = n_tracks * pts
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        track = i // pts
+        band = track % n_bands
+        eid = (i * 2654435761) % (1 << 31)
+        lon = -90.0 + (band % 200) * 0.01 + (eid % 200) * 2e-5
+        lat = 30.0 + (band // 200) * 0.01 + ((eid // 200) % 200) * 2e-5
+        return pa.table({"id": pa.array(i), "key": pa.array(track),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts_ds = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    n_pairs = track_hausdorff_pairs(pts_ds, 100.0).count()
+    print(f"hausdorff: tracks={n_tracks} points={n} pairs={n_pairs} "
+          f"wall={time.time() - t0:.1f}s")
+
+
+def probe_raster():
+    """3M points → z12 PNG heat tiles."""
+    ray = _init()
+    import ray.data
+
+    from overmatch_ray.stages.tiles import build_raster_heat_tiles
+
+    n = 3_000_000
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 2654435761) % (1 << 31)
+        lon = -100.0 + (h % 40000) * 1e-4
+        lat = 30.0 + ((h // 40000) % 20000) * 1e-4
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    tiles = build_raster_heat_tiles(pts, zoom=12)
+    rows = tiles.count()
+    print(f"raster: points={n} z12_tiles={rows} wall={time.time() - t0:.1f}s")
+
+
+def probe_colocation():
+    """1M pings with 90-s buckets (density-matched to the query config)."""
+    ray = _init()
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from overmatch_ray.stages.groupops import bucketed_group_apply
+
+    n = 1_000_000
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 2654435761) % (1 << 31)
+        return pa.table({
+            "zone": pa.array(h % 3),
+            "bucket": pa.array(((h // 3) % (30 * 86400)) // 90),
+            "user_id": pa.array((h // 7) % 15000),
+        })
+
+    cells = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+
+    def pairs_bucket(g: "pd.DataFrame") -> pa.Table:
+        out_a, out_b = [], []
+        g = g.drop_duplicates(["zone", "bucket", "user_id"])
+        for _, cell in g.groupby(["zone", "bucket"], sort=False):
+            u = np.sort(cell["user_id"].to_numpy())
+            if u.size < 2:
+                continue
+            ia, ib = np.triu_indices(u.size, k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
+            return pa.table({"user_a": pa.array([], pa.int64()),
+                             "user_b": pa.array([], pa.int64())})
+        return pa.table({"user_a": pa.array(np.concatenate(out_a)),
+                         "user_b": pa.array(np.concatenate(out_b))})
+
+    t0 = time.time()
+    pairs = bucketed_group_apply(cells, ["zone", "bucket"], pairs_bucket,
+                                 num_buckets=64)
+    n_pairs = pairs.groupby(["user_a", "user_b"]).aggregate(
+        Count(alias_name="n")).count()
+    print(f"colocation: pings={n} distinct_pairs={n_pairs} "
+          f"wall={time.time() - t0:.1f}s")
+
+
+def probe_skewjoin():
+    """Plain vs skew-aware join: 8M rows, 90% on one key."""
+    ray = _init()
+    import ray.data
+
+    from overmatch_ray.stages.joins import bucket_hash_join, skew_hash_join
+
+    n = 8_000_000
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 2654435761) % (1 << 31)
+        k = np.where(h % 10 < 9, 7, h % 5000)
+        return pa.table({"k": pa.array(k), "lv": pa.array(i)})
+
+    left = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(np.arange(5000, dtype=np.int64)),
+        "rv": pa.array(np.arange(5000, dtype=np.int64) * 3),
+    })).materialize()
+    t0 = time.time()
+    n1 = bucket_hash_join(left, right, "k", "rk").count()
+    t_plain = time.time() - t0
+    t0 = time.time()
+    n2 = skew_hash_join(left, right, "k", "rk", hot_denom=100).count()
+    t_skew = time.time() - t0
+    assert n1 == n2 == n
+    print(f"skewjoin: rows={n} plain={t_plain:.1f}s "
+          f"skew_aware={t_skew:.1f}s")
+
+
+PROBES = {
+    "hausdorff": probe_hausdorff,
+    "raster": probe_raster,
+    "colocation": probe_colocation,
+    "skewjoin": probe_skewjoin,
+}
+
+if __name__ == "__main__":
+    name = sys.argv[1] if len(sys.argv) > 1 else ""
+    if name not in PROBES:
+        print(f"usage: python tools/probes.py {{{'|'.join(PROBES)}}}")
+        sys.exit(2)
+    PROBES[name]()
+    import ray
+
+    ray.shutdown()
