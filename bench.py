@@ -105,7 +105,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.tiles import build_tiles
 
     scale = float(os.environ.get("GRAFT_SCALE", "1"))
-    cache = f"/tmp/overmatch_bench/v6-{_sf_of(sf_dir)}" + (
+    # v7: real baseline-JPEG payloads + photo-like smooth synth images
+    cache = f"/tmp/overmatch_bench/v7-{_sf_of(sf_dir)}" + (
         f"-x{scale:g}" if scale != 1 else ""
     )
     meta = _gen_inputs(sf_dir, cache)

@@ -1076,12 +1076,13 @@ def q_approx_common_users(sf_dir: str):
 
 def q_video_frames(sf_dir: str):
     """Video frame sampling end-to-end (the multimodal family's video
-    member): 100 deterministic stub-container videos (12 counter-hash
-    frames each — the real-codec swap point is imaging.codec) pushed
-    through the `stages.images.FrameSample` ACTOR POOL (stride 3, cap 4),
-    one row per sampled frame with its phash. SF-invariant input (keys
-    < 100 exist at every SF). Rows-only; sampling semantics, quarantine
-    and determinism are test-pinned in tests/test_images_pipeline.py."""
+    member): 100 deterministic AVI/MJPEG videos (12 counter-hash
+    baseline-JPEG frames each, real container + real codec from
+    imaging.codec) pushed through the `stages.images.FrameSample` ACTOR
+    POOL (stride 3, cap 4), one row per sampled frame with its phash.
+    SF-invariant input (keys < 100 exist at every SF). Rows-only; sampling
+    semantics, quarantine and determinism are test-pinned in
+    tests/test_images_pipeline.py."""
     from ..stages.images import FrameSample
 
     docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).filter(
@@ -1089,7 +1090,7 @@ def q_video_frames(sf_dir: str):
     )
 
     def synth_videos(batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import encode_fake_video
+        from ..imaging.codec import encode_video_avi
 
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         vids, blobs = [], []
@@ -1102,7 +1103,7 @@ def q_video_frames(sf_dir: str):
                 img[(h >> 8) % 16, (h >> 16) % 16] = 255  # per-frame mark
                 frames.append(img)
             vids.append(f"vid-{d}")
-            blobs.append(encode_fake_video(frames))
+            blobs.append(encode_video_avi(frames))
         return pa.table({
             "video_id": pa.array(vids, pa.string()),
             "bytes": pa.array(blobs, pa.large_binary()),

@@ -274,17 +274,17 @@ def assign_cells(images_ds, num_buckets: int = 128):
 
 class FrameSample:
     """Actor-pool frame-sampling stage (the video member of the multimodal
-    family): take every ``stride``-th frame of each fake-video payload (the
-    real-codec swap point is imaging.codec), decode only the sampled frames,
-    emit one row per sampled frame with its phash. Container-level seeking
-    means skipped frames are never decoded."""
+    family): take every ``stride``-th frame of each AVI/MJPEG payload
+    (imaging.codec's real RIFF demuxer + baseline-JPEG decoder), decode only
+    the sampled frames, emit one row per sampled frame with its phash.
+    Container-level seeking means skipped frames are never entropy-decoded."""
 
     def __init__(self, stride: int = 5, max_frames: int = 8):
         self.stride = stride
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_png, iter_fake_video
+        from ..imaging.codec import decode_jpeg, iter_video_frames
 
         vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
         errors: list[str | None] = []
@@ -297,12 +297,12 @@ class FrameSample:
             rows: list[tuple[int, int, int, int]] = []
             err: str | None = None
             try:
-                for i, png in iter_fake_video(blob):
+                for i, jpg in iter_video_frames(blob):
                     if len(rows) >= self.max_frames:
                         break  # stop reading the container entirely
                     if i % self.stride:
                         continue
-                    img = decode_png(png)
+                    img = decode_jpeg(jpg)
                     rows.append((i, phash64(img), img.shape[1], img.shape[0]))
             except Exception as e:  # quarantine bad containers
                 rows = []

@@ -330,14 +330,31 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
 
     blobs, hashes = [], []
     for ci, wi, hi, f in zip(content_idx, w, h, fmt):
-        # deterministic gradient + hashed noise
+        # deterministic gradients + a smooth per-image low-frequency field
+        # (photo-like content: bilinear-upsampled 5×5 random grid — real
+        # photos are piecewise-smooth, not per-pixel noise, and the smooth
+        # field is what makes each image's phash distinct since the
+        # perceptual hash thresholds LOW-frequency DCT coefficients)
         yy, xx = np.mgrid[0:hi, 0:wi]
         seedv = int(_splitmix64(np.array([ci], dtype=np.uint64))[0])
         rng = np.random.default_rng(seedv)
+        grid = rng.integers(0, 256, (5, 5)).astype(np.float64)
+        gy = np.linspace(0.0, 4.0, hi)
+        gx = np.linspace(0.0, 4.0, wi)
+        y0 = np.minimum(gy.astype(np.int64), 3)
+        x0 = np.minimum(gx.astype(np.int64), 3)
+        fy = (gy - y0)[:, None]
+        fx = (gx - x0)[None, :]
+        field = (
+            grid[y0[:, None], x0[None, :]] * (1 - fy) * (1 - fx)
+            + grid[y0[:, None] + 1, x0[None, :]] * fy * (1 - fx)
+            + grid[y0[:, None], x0[None, :] + 1] * (1 - fy) * fx
+            + grid[y0[:, None] + 1, x0[None, :] + 1] * fy * fx
+        )
         img = np.empty((hi, wi, 3), dtype=np.uint8)
         img[..., 0] = (xx * 255 // max(wi - 1, 1)).astype(np.uint8)
         img[..., 1] = (yy * 255 // max(hi - 1, 1)).astype(np.uint8)
-        img[..., 2] = rng.integers(0, 256, (hi, wi), dtype=np.uint8)
+        img[..., 2] = np.clip(np.rint(field), 0, 255).astype(np.uint8)
         blobs.append(encode_image(img, f))
         hashes.append(phash64(img))
 

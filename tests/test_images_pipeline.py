@@ -108,7 +108,7 @@ class TestFrameSample:
     def test_sampling(self, ray_session):
         import ray.data
 
-        from overmatch_ray.imaging.codec import encode_fake_video, video_frame_count
+        from overmatch_ray.imaging.codec import encode_video_avi, video_frame_count
         from overmatch_ray.stages.images import sample_frames
 
         rng = np.random.default_rng(4)
@@ -117,7 +117,7 @@ class TestFrameSample:
             frames = [
                 rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(17)
             ]
-            vids.append(encode_fake_video(frames))
+            vids.append(encode_video_avi(frames))
         t = pa.table(
             {
                 "video_id": pa.array([f"vid-{v}" for v in range(6)]),
@@ -144,28 +144,25 @@ class TestFrameSample:
         video whose sampled frames all decoded fine."""
         import ray.data
 
-        from overmatch_ray.imaging.codec import encode_fake_video
+        from overmatch_ray.imaging.codec import encode_video_avi
         from overmatch_ray.stages.images import sample_frames
 
         rng = np.random.default_rng(7)
         frames = [
             rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(17)
         ]
-        good = encode_fake_video(frames)
-        bad_magic = b"NOTAVID0" + good[8:]
-        # truncate mid-container: keep header + first frame only, then garbage
+        good = encode_video_avi(frames)
+        bad_magic = b"RIFX" + good[4:]
+        # truncate mid-movi: the RIFF walk hits an out-of-bounds chunk
         truncated = good[: len(good) // 3]
-        # corrupt only the TAIL: stride=5, max_frames=3 samples frames
-        # 0,5,10 — corrupting from frame 12 on must not affect the result
-        tail_corrupt = bytearray(good)
-        # find offset of frame 12's length prefix by walking the container
-        import struct as _struct
-
-        off = 12
-        for _ in range(12):
-            (ln,) = _struct.unpack_from(">I", bytes(tail_corrupt), off)
-            off += 4 + ln
-        tail_corrupt = bytes(tail_corrupt[:off]) + b"\xff" * 8  # garbage tail
+        # corrupt only the TAIL in place (same length, bit-rot style):
+        # stride=5, max_frames=3 samples frames 0,5,10 and stops after
+        # yielding frame 11's header — garbage from frame 12's '00dc'
+        # chunk on must not affect the result (lazy container walk)
+        occ = -1
+        for _ in range(13):  # 13th '00dc' tag = frame 12 (idx1 comes later)
+            occ = good.index(b"00dc", occ + 1)
+        tail_corrupt = good[:occ] + b"\xff" * (len(good) - occ)
         t = pa.table(
             {
                 "video_id": pa.array(["ok", "badmagic", "trunc", "tail"]),
