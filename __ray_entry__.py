@@ -50,13 +50,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from overmatch_ray.pipelines import queries as rq
     from overmatch_ray.pipelines import rows_only as ro
 
+    # The driver samples the FIRST 50 entries for CORRECTNESS_r{N}.json, so
+    # the first 50 span every SURVEY.md §2 operator family — conflation,
+    # tiling, images/multimodal, text dedup, ANN, text stats, PII/splits/
+    # packing, spatial, checkpoint/upsert, relational core — mixing ~32
+    # SQL-oracled (hash-checked) with ~18 rows-only entries. Order within
+    # the remainder is arbitrary.
     return {
-        # relational operator families (SQL-oracled)
-        "pricing_summary": rq.q_pricing_summary,
+        # -- family-spanning first 50 --------------------------------------
+        "conflate_matches": ro.q_conflate_matches,       # J1 flagship join
+        "conflate_merged": ro.q_conflate_merged,         # A1/O1 merge
+        "flagship_tiles": ro.q_flagship_tiles,           # S15 tiling sink
+        "tile_assign": cq.q_tile_assign,                 # tiles (oracled)
+        "tile_pyramid": cq.q_tile_pyramid,
+        "pmtiles_archive": ro.q_pmtiles_archive,         # S16 archive
+        "tile_mosaic": ro.q_tile_mosaic,
+        "images_validate": ro.q_images_validate,         # M24 decode pool
+        "phash_dedup": ro.q_phash_dedup,                 # A7/D4
+        "image_neardup_pairs": ro.q_image_neardup_pairs,
+        "image_cells": ro.q_image_cells,                 # J6
+        "video_frames": ro.q_video_frames,               # multimodal video
+        "augmented_images": ro.q_augmented_images,
+        "caption_consistency": ro.q_caption_consistency,
+        "prefix_dedup": cq.q_prefix_dedup,               # exact dedup
+        "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
+        "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
+        "duplicate_spans": cq.q_duplicate_spans,
+        "minhash_pairs": ro.q_minhash_pairs,             # MinHash+LSH
+        "simhash_pairs": ro.q_simhash_pairs,
+        "dedup_cascade": cq.q_dedup_cascade,
+        "knn_topk": cq.q_knn_topk,                       # ANN family
+        "embedding_neardup": cq.q_embedding_neardup,
+        "hard_negatives": cq.q_hard_negatives,
+        "lsh_knn": ro.q_lsh_knn,
+        "ivf_knn": ro.q_ivf_knn,
+        "token_counts": cq.q_token_counts,               # text stats
+        "subword_counts": cq.q_subword_counts,
+        "doc_quality": cq.q_doc_quality,
+        "lang_distribution": cq.q_lang_distribution,
+        "term_idf": cq.q_term_idf,
+        "lm_score": cq.q_lm_score,
+        "bpe_token_counts": ro.q_bpe_token_counts,       # BPE apply
+        "redact_pii": cq.q_redact_pii,                   # PII / decontam
+        "decontaminate": cq.q_decontaminate,
+        "doc_splits": cq.q_doc_splits,                   # splits / packing
+        "doc_sample": cq.q_doc_sample,
+        "pack_sequences": cq.q_pack_sequences,
+        "global_shuffle": cq.q_global_shuffle,
+        "cell_assign": cq.q_cell_assign,                 # spatial family
+        "distance_join_100m": cq.q_distance_join_100m,
+        "spatial_knn": cq.q_spatial_knn,
+        "dbscan_clusters": cq.q_dbscan_clusters,
+        "pip_filter": cq.q_pip_filter,
+        "bbox_join": cq.q_bbox_join,
+        "tracking_upsert": rq.q_tracking_upsert,         # D1 upsert
+        "pricing_summary": rq.q_pricing_summary,         # relational core
+        "customers_with_orders": rq.q_customers_with_orders,  # J3 semi
+        "purchase_attribution": rq.q_purchase_attribution,   # J2 as-of
+        "approx_distinct": ro.q_approx_distinct,         # HLL sketches
+        # -- remainder (all still run by tools/check_correctness.py) --------
         "revenue_filter": rq.q_revenue_filter,
         "segment_orders": rq.q_segment_orders,
         "priority_revenue": rq.q_priority_revenue,
-        "customers_with_orders": rq.q_customers_with_orders,
         "customers_without_orders": rq.q_customers_without_orders,
         "top_orders": rq.q_top_orders,
         "distinct_flags": rq.q_distinct_flags,
@@ -66,59 +121,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": rq.q_hopping_events,
         "user_running_value": rq.q_user_running_value,
         "daily_type_pivot": rq.q_daily_type_pivot,
-        "tracking_upsert": rq.q_tracking_upsert,
         "match_stats": rq.q_match_stats,
         "brand_dist": rq.q_brand_dist,
         "region_balance": rq.q_region_balance,
         "props_extract": rq.q_props_extract,
         "yearly_orders": rq.q_yearly_orders,
-        "purchase_attribution": rq.q_purchase_attribution,
         "error_window_events": rq.q_error_window_events,
         "value_quantiles": rq.q_value_quantiles,
         "value_outliers": rq.q_value_outliers,
         "lineitem_profile": rq.q_lineitem_profile,
         "kanon_release": rq.q_kanon_release,
         "type_value_quantiles": rq.q_type_value_quantiles,
-        # text / embedding / spatial (SQL-oracled)
-        "token_counts": cq.q_token_counts,
-        "subword_counts": cq.q_subword_counts,
-        "doc_quality": cq.q_doc_quality,
-        "lang_distribution": cq.q_lang_distribution,
-        "prefix_dedup": cq.q_prefix_dedup,
-        "doc_splits": cq.q_doc_splits,
-        "doc_sample": cq.q_doc_sample,
         "doc_stratified_sample": cq.q_doc_stratified_sample,
-        "redact_pii": cq.q_redact_pii,
         "repetition_stats": cq.q_repetition_stats,
-        "decontaminate": cq.q_decontaminate,
-        "global_shuffle": cq.q_global_shuffle,
-        "term_idf": cq.q_term_idf,
         "heavy_tokens": cq.q_heavy_tokens,
         "lang_heavy_tokens": cq.q_lang_heavy_tokens,
-        "lm_score": cq.q_lm_score,
-        "pack_sequences": cq.q_pack_sequences,
-        "ngram_neardup_pairs": cq.q_ngram_neardup_pairs,
-        "ngram_dedup_clusters": cq.q_ngram_dedup_clusters,
-        "knn_topk": cq.q_knn_topk,
-        "embedding_neardup": cq.q_embedding_neardup,
-        "cell_assign": cq.q_cell_assign,
-        "distance_join_100m": cq.q_distance_join_100m,
-        "spatial_knn": cq.q_spatial_knn,
-        "dbscan_clusters": cq.q_dbscan_clusters,
         "track_lengths": cq.q_track_lengths,
-        "bbox_join": cq.q_bbox_join,
         "cell_heatmap": cq.q_cell_heatmap,
         "speeding_events": cq.q_speeding_events,
         "linestring_lengths": cq.q_linestring_lengths,
         "triangle_pip_join": cq.q_triangle_pip_join,
-        "tile_pyramid": cq.q_tile_pyramid,
         "price_key_corr": cq.q_price_key_corr,
         "mm_pack": cq.q_mm_pack,
         "snap_to_segments": cq.q_snap_to_segments,
         "user_retention": cq.q_user_retention,
         "peak_concurrency": cq.q_peak_concurrency,
         "snapshot_diff": cq.q_snapshot_diff,
-        "duplicate_spans": cq.q_duplicate_spans,
         "user_trips": cq.q_user_trips,
         "price_quartiles": cq.q_price_quartiles,
         "bm25_search": cq.q_bm25_search,
@@ -131,8 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_corr": cq.q_type_value_corr,
         "click_purchase_users": cq.q_click_purchase_users,
         "purchase_except_click_users": cq.q_purchase_except_click_users,
-        "tile_assign": cq.q_tile_assign,
-        "pip_filter": cq.q_pip_filter,
         "hop_distances": cq.q_hop_distances,
         "pareto_orders": cq.q_pareto_orders,
         "weighted_sample": cq.q_weighted_sample,
@@ -141,11 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ffill": cq.q_user_value_ffill,
         "kcore_nodes": cq.q_kcore_nodes,
         "track_hausdorff": cq.q_track_hausdorff,
-        "hard_negatives": cq.q_hard_negatives,
         "zone_dwell": cq.q_zone_dwell,
         "ab_ztest": cq.q_ab_ztest,
         "debounced_events": cq.q_debounced_events,
-        "dedup_cascade": cq.q_dedup_cascade,
         "wow_revenue": cq.q_wow_revenue,
         "od_matrix": cq.q_od_matrix,
         "word_cooccurrence": cq.q_word_cooccurrence,
@@ -163,37 +187,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skewed_segment_load": cq.q_skewed_segment_load,
         "colocation_pairs": cq.q_colocation_pairs,
         # non-SQL-expressible (rows-only; pinned by the test suite)
-        "conflate_matches": ro.q_conflate_matches,
-        "conflate_merged": ro.q_conflate_merged,
-        "flagship_tiles": ro.q_flagship_tiles,
-        "images_validate": ro.q_images_validate,
-        "phash_dedup": ro.q_phash_dedup,
-        "image_neardup_pairs": ro.q_image_neardup_pairs,
         "image_dedup_clusters": ro.q_image_dedup_clusters,
-        "tile_mosaic": ro.q_tile_mosaic,
         "dirty_tiles": ro.q_dirty_tiles,
-        "image_cells": ro.q_image_cells,
-        "caption_consistency": ro.q_caption_consistency,
-        "minhash_pairs": ro.q_minhash_pairs,
-        "simhash_pairs": ro.q_simhash_pairs,
         "winnow_pairs": ro.q_winnow_pairs,
         "langid_docs": ro.q_langid_docs,
-        "lsh_knn": ro.q_lsh_knn,
-        "ivf_knn": ro.q_ivf_knn,
         "pq_knn": ro.q_pq_knn,
         "nsw_knn": ro.q_nsw_knn,
-        "approx_distinct": ro.q_approx_distinct,
         "type_distinct_users": ro.q_type_distinct_users,
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
         "marked_counters": ro.q_marked_counters,
-        "pmtiles_archive": ro.q_pmtiles_archive,
         "corpus_pipeline": ro.q_corpus_pipeline,
         "s2_cells": ro.q_s2_cells,
         "simplified_tracks": ro.q_simplified_tracks,
         "aspect_batches": ro.q_aspect_batches,
         "track_hulls": ro.q_track_hulls,
         "bpe_merges": ro.q_bpe_merges,
-        "bpe_token_counts": ro.q_bpe_token_counts,
         "hybrid_search": ro.q_hybrid_search,
         "kmeans_clusters": ro.q_kmeans_clusters,
         "lang_confusion": ro.q_lang_confusion,
@@ -203,8 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_line_tiles": ro.q_track_line_tiles,
         "hull_polygon_tiles": ro.q_hull_polygon_tiles,
         "approx_common_users": ro.q_approx_common_users,
-        "video_frames": ro.q_video_frames,
-        "augmented_images": ro.q_augmented_images,
         "compacted_sink": ro.q_compacted_sink,
         "corpus_card": ro.q_corpus_card,
     }

@@ -105,8 +105,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.tiles import build_tiles
 
     scale = float(os.environ.get("GRAFT_SCALE", "1"))
-    # v7: real baseline-JPEG payloads + photo-like smooth synth images
-    cache = f"/tmp/overmatch_bench/v7-{_sf_of(sf_dir)}" + (
+    # v8: real baseline-JPEG payloads (q95) + photo-like smooth synth images
+    cache = f"/tmp/overmatch_bench/v8-{_sf_of(sf_dir)}" + (
         f"-x{scale:g}" if scale != 1 else ""
     )
     meta = _gen_inputs(sf_dir, cache)
@@ -198,8 +198,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # the aggregate: streaming an actor stage straight into an all-to-all
         # stalls under backpressure in this Ray version, and the projected
         # (phash, image_id) table is ~16 B/row
+        # pool = 3/4 of the session (the real-JPEG decode is the stage's
+        # compute; never size a pool >= session CPUs — the task stages
+        # around it need headroom)
         validated = decode_validate(
-            img_ds, concurrency=max(2, num_cpus // 2), batch_size=128,
+            img_ds, concurrency=max(2, num_cpus * 3 // 4), batch_size=128,
             select=["phash", "image_id"], psnr_sample=4,
         ).materialize()
         return dedup_exact(validated.repartition(2 * num_cpus)).count()

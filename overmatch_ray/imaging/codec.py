@@ -468,8 +468,13 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
         asym, alen = _huff_decode_lut(*hac[ta])
         order.append((c, dsym, dlen, asym, alen))
     ncomp = len(order)
+    # coefficient stores: preallocated zero-filled array('q') buffers —
+    # Python-int writes (~4× cheaper than numpy scalar setitem in this
+    # loop), zero-copy numpy view afterwards
+    from array import array as _pyarr
+
     coeffs = [
-        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
+        _pyarr("q", bytes(8 * 64 * mcuy * c["v"] * mcux * c["h"]))
         for c, *_ in order
     ]
     # block index within each component's (grid_y, grid_x) raster
@@ -488,11 +493,10 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
             pred = [0] * ncomp
         my, mx = divmod(m, mcux)
         for ci, (c, dsym, dlen, asym, alen) in enumerate(order):
-            zz_all = coeffs[ci]
+            buf = coeffs[ci]
             for v in range(c["v"]):
                 for hb in range(c["h"]):
-                    row = (my * c["v"] + v) * grid_w[ci] + (mx * c["h"] + hb)
-                    zz = zz_all[row]
+                    base = ((my * c["v"] + v) * grid_w[ci] + (mx * c["h"] + hb)) * 64
                     w16 = (win[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
                     s = dsym[w16]
                     ln = dlen[w16]
@@ -503,7 +507,7 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
                         val = ((win[pos >> 3] >> (8 - (pos & 7))) >> (16 - s)) & ((1 << s) - 1)
                         pos += s
                         pred[ci] += val - (1 << s) + 1 if val < (1 << (s - 1)) else val
-                    zz[0] = pred[ci]
+                    buf[base] = pred[ci]
                     k = 1
                     while k < 64:
                         w16 = (win[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
@@ -523,13 +527,14 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
                             raise ValueError("AC coefficient overflow")
                         val = ((win[pos >> 3] >> (8 - (pos & 7))) >> (16 - s)) & ((1 << s) - 1)
                         pos += s
-                        zz[k] = val - (1 << s) + 1 if val < (1 << (s - 1)) else val
+                        buf[base + k] = val - (1 << s) + 1 if val < (1 << (s - 1)) else val
                         k += 1
     # dequantize + batch IDCT + assemble per component
     planes = []
     for ci, (c, *_t) in enumerate(order):
-        nat = np.zeros_like(coeffs[ci])
-        nat[:, _ZIG] = coeffs[ci]
+        zzc = np.frombuffer(coeffs[ci], dtype=np.int64).reshape(-1, 64)
+        nat = np.zeros_like(zzc)
+        nat[:, _ZIG] = zzc
         qt = qts[c["tq"]].reshape(64)
         sblocks = (nat * qt).reshape(-1, 8, 8).astype(np.float64)
         pix = _DCT8.T @ sblocks @ _DCT8 + 128.0  # batched IDCT

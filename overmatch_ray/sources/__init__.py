@@ -264,6 +264,51 @@ def read_images(path: str, columns: list[str] | None = None) -> "ray.data.Datase
         return read_parquet_clean(path, columns=columns)
 
 
+# the input_hint image+caption table contract (BASELINE.json): bytes ride as
+# large_binary (64-bit offsets — a 2 GiB block of image blobs overflows
+# 32-bit binary offsets), everything else exactly as declared
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.large_binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def write_images(ds: "ray.data.Dataset", path: str,
+                 extra_cols: tuple = ("lon", "lat")) -> None:
+    """S19 write half: emit an image+caption table in its declared storage
+    format. Every batch is normalized to the input_hint column set and
+    types (geotag extras kept when present; missing contract columns are an
+    error, not a silent schema drift). Prefers the ``lance`` writer when the
+    library exists; otherwise partitioned parquet with the identical schema
+    — ``read_images`` reads either back."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for f in IMAGES_SCHEMA:
+            if f.name not in batch.column_names:
+                raise ValueError(f"images table missing contract column {f.name!r}")
+            cols[f.name] = batch[f.name].cast(f.type)
+        for n in extra_cols:
+            if n in batch.column_names:
+                cols[n] = batch[n]
+        return pa.table(cols)
+
+    out = ds.map_batches(normalize, batch_format="pyarrow")
+    try:
+        import lance  # noqa: F401
+
+        out.write_lance(path)
+    except ImportError:
+        out.write_parquet(path)
+
+
 def read_overture_places(
     path: str,
     columns: list[str] | None = None,

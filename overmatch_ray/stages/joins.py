@@ -266,6 +266,23 @@ def semi_join_shuffled(
     return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
+def _collect_arrow(ds) -> "pa.Table | None":
+    """Materialize a (small) Dataset to one driver-side Arrow table."""
+    tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tbls) if tbls else None
+
+
+def _hot_mask_fn(col: str, hot_vals: pa.Array, keep_hot: bool):
+    """Batch filter: rows whose ``col`` is (not) in the hot-value set.
+    Null keys always route COLD (they match nothing / LEFT-survive there)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch[col], value_set=hot_vals), False)
+        return batch.filter(m if keep_hot else pc.invert(m))
+
+    return _f
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -275,6 +292,8 @@ def asof_join(
     right_by: str,
     direction: str = "backward",
     num_buckets: int = 32,
+    hot_denom: "int | None" = 64,
+    hot_right_limit: int = 2_000_000,
 ):
     """Distributed as-of join (the brief's canonical custom operator): for
     each left row, the closest right row at-or-before (``backward``) /
@@ -285,7 +304,138 @@ def asof_join(
     Plan: co-shuffle both sides by hash(by) % B (the equality key — every
     (by, right_by) pair lands in one bucket), then one sorted
     ``pandas.merge_asof`` per bucket. Column names of the two sides must be
-    disjoint."""
+    disjoint.
+
+    SKEW: a ``by`` key owning 90% of the probe side would land 90% of the
+    shuffle in ONE bucket task. When ``hot_denom`` is set, HOT left keys
+    (frequency ≥ N/hot_denom, exact Misra-Gries two-pass — sketch-sized,
+    no full groupby) bypass the shuffle: their right rows broadcast once
+    (pre-sorted) and the hot left rows merge_asof as a pure map, while the
+    cold remainder takes the bucketed path. The bypass only engages while
+    the hot right side stays broadcast-small (≤ ``hot_right_limit`` rows —
+    beyond that a time-axis range partition, not a broadcast, would be the
+    tool); output is parity-pinned against the bucketed path by tests."""
+    if hot_denom:
+        from .groupops import heavy_hitters
+
+        hot = heavy_hitters(left_ds, by, denom=hot_denom)
+        if hot.num_rows:
+            hot_vals = hot["item"].combine_chunks()
+            right_hot = _collect_arrow(
+                right_ds.map_batches(
+                    _hot_mask_fn(right_by, hot_vals, True),
+                    batch_format="pyarrow",
+                )
+            )
+            if right_hot is not None and 0 < right_hot.num_rows <= hot_right_limit:
+                hot_out = _asof_hot_map(
+                    left_ds.map_batches(
+                        _hot_mask_fn(by, hot_vals, True), batch_format="pyarrow"
+                    ),
+                    right_hot,
+                    left_ds.schema(),
+                    right_ds.schema(),
+                    on, right_on, by, right_by, direction,
+                )
+                cold_out = _asof_bucketed(
+                    left_ds.map_batches(
+                        _hot_mask_fn(by, hot_vals, False), batch_format="pyarrow"
+                    ),
+                    right_ds.map_batches(
+                        _hot_mask_fn(right_by, hot_vals, False),
+                        batch_format="pyarrow",
+                    ),
+                    on, right_on, by, right_by, direction, num_buckets,
+                    left_ds.schema(), right_ds.schema(),
+                )
+                return hot_out.union(cold_out)
+    return _asof_bucketed(
+        left_ds, right_ds, on, right_on, by, right_by, direction, num_buckets,
+        left_ds.schema(), right_ds.schema(),
+    )
+
+
+def _asof_hot_map(left_hot_ds, right_hot: pa.Table, l_schema, r_schema,
+                  on, right_on, by, right_by, direction):
+    """Hot-key as-of path: right rows of hot keys broadcast once
+    (pre-sorted with the deterministic tie-break), left rows merge_asof
+    per batch — no shuffle."""
+    import ray
+
+    from .enrich import _cached_get
+
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    types_all = dict(zip(l_schema.names, l_schema.types))
+    types_all.update(dict(zip(r_schema.names, r_schema.types)))
+    all_names = l_names + [n for n in r_names if n not in l_names]
+    int_restore = {
+        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
+        for n, t in types_all.items()
+        if pa.types.is_integer(t)
+    }
+
+    def _prep(df: pd.DataFrame, key_cols) -> "tuple[pd.DataFrame, pd.DataFrame]":
+        """Mirror the bucketed kernel: segregate null-key rows, restore
+        int dtypes (plain numpy ints for the merge keys)."""
+        null_keys = pd.Series(False, index=df.index)
+        for n in key_cols:
+            null_keys |= df[n].isna()
+        kept = df[~null_keys].copy()
+        for n, dt in int_restore.items():
+            if n in kept.columns and kept[n].dtype.kind == "f":
+                kept[n] = kept[n].astype(dt.lower() if n in key_cols else dt)
+        return kept, df[null_keys]
+
+    r_tiebreak = [n for n in r_names if n not in (right_on, right_by)]
+    right_pd, _ = _prep(right_hot.to_pandas(), (right_on, right_by))
+    right_pd = right_pd.sort_values(
+        [right_on, right_by, *r_tiebreak], kind="mergesort"
+    )
+    rref = ray.put(right_pd)
+
+    def _to_arrow(df: pd.DataFrame, null_right: bool) -> pa.Table:
+        cols = {}
+        for n in all_names:
+            if null_right and n not in df.columns:
+                cols[n] = pa.nulls(len(df), types_all[n])
+            else:
+                cols[n] = pa.Array.from_pandas(df[n], type=types_all[n], safe=False)
+        return pa.table(cols)
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        right = _cached_get(rref)  # per-worker cached deserialization
+        left, left_nullkey = _prep(batch.to_pandas(), (on, by))
+        out = pd.merge_asof(
+            left.sort_values([on, by], kind="mergesort"), right,
+            left_on=on, right_on=right_on,
+            left_by=by, right_by=right_by,
+            direction=direction,
+        )
+        matched = _to_arrow(out, null_right=False)
+        if len(left_nullkey):
+            # LEFT semantics: null-on rows survive with null right columns
+            return pa.concat_tables(
+                [matched, _to_arrow(left_nullkey[l_names], null_right=True)]
+            )
+        return matched
+
+    return left_hot_ds.map_batches(hot_join, batch_format="pyarrow")
+
+
+def _asof_bucketed(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str,
+    by: str,
+    right_by: str,
+    direction: str,
+    num_buckets: int,
+    l_schema,
+    r_schema,
+):
+    """The bucketed as-of core (see asof_join docstring)."""
 
     def tag(side: int, key: str):
         def _tag(batch: pa.Table) -> pa.Table:
@@ -301,8 +451,6 @@ def asof_join(
     left_t = left_ds.map_batches(tag(0, by), batch_format="pyarrow")
     right_t = right_ds.map_batches(tag(1, right_by), batch_format="pyarrow")
 
-    l_schema = left_ds.schema()
-    r_schema = right_ds.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     types_all = dict(zip(l_schema.names, l_schema.types))
@@ -487,10 +635,23 @@ def interval_join(
     right_by: str | None = None,
     granule: int | None = None,
     num_buckets: int = 64,
+    hot_denom: "int | None" = 64,
+    hot_right_limit: int = 2_000_000,
 ):
     """Distributed interval (range-containment) join: INNER-join each left
     row to every right interval ``[start, end)`` containing ``left.on``,
     optionally within an equality key (``by`` = ``right_by``).
+
+    SKEW: the co-shuffle key is the (by, granule) CELL, so a hot instant —
+    90% of left rows in one granule under one key — lands in ONE bucket
+    task. When ``hot_denom`` is set, hot cells (left frequency ≥
+    N/hot_denom by the exact Misra-Gries two-pass over the cell hash)
+    bypass the shuffle: their interval rows broadcast once and the hot
+    left rows merge+filter as a pure map; the cold remainder takes the
+    bucketed path. Cells hash identically on both sides, so a hash
+    collision only routes extra rows through the broadcast path — never a
+    wrong result. The bypass engages only while the hot interval side
+    stays broadcast-small (≤ ``hot_right_limit`` exploded rows).
 
     Plan (the brief's custom-operator recipe — composition of map_batches
     + one bucketed co-shuffle): the join axis is chopped into fixed
@@ -556,6 +717,13 @@ def interval_join(
     left_t = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_t = right_ds.map_batches(explode_right, batch_format="pyarrow")
 
+    def cell_of(key_col: "str | None"):
+        def _cell(batch: pa.Table) -> pa.Table:
+            h = hash_columns(batch, ([key_col] if key_col else []) + ["__gran"])
+            return batch.append_column("__cell", pa.array(h.astype(np.int64)))
+
+        return _cell
+
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     l_names = list(l_schema.names)
@@ -576,16 +744,86 @@ def interval_join(
             cols[n] = batch[n]
         return pa.table(cols)
 
-    both = left_t.map_batches(align, batch_format="pyarrow").union(
-        right_t.map_batches(align, batch_format="pyarrow")
-    )
-
     int_restore = {
         n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
         for n, t in types_all.items()
         if pa.types.is_integer(t)
     }
     out_names = all_names  # left payload + right payload (incl. interval cols)
+
+    lkeys = (["__gran"] + [by]) if by else ["__gran"]
+    rkeys = (["__gran"] + [right_by]) if right_by else ["__gran"]
+
+    hot_out = None
+    if hot_denom:
+        from .groupops import heavy_hitters
+
+        left_c = left_t.map_batches(cell_of(by), batch_format="pyarrow")
+        hot = heavy_hitters(
+            left_c.map_batches(
+                lambda b: b.select(["__cell"]), batch_format="pyarrow"
+            ),
+            "__cell",
+            denom=hot_denom,
+        )
+        if hot.num_rows:
+            import ray
+
+            from .enrich import _cached_get
+
+            hot_vals = hot["item"].combine_chunks()
+            right_c = right_t.map_batches(cell_of(right_by), batch_format="pyarrow")
+            right_hot = _collect_arrow(
+                right_c.map_batches(
+                    _hot_mask_fn("__cell", hot_vals, True), batch_format="pyarrow"
+                )
+            )
+            if right_hot is not None and 0 < right_hot.num_rows <= hot_right_limit:
+
+                def _restore_ints(df: pd.DataFrame) -> pd.DataFrame:
+                    # match the bucketed kernel's dtype discipline so the
+                    # pandas merge sees identical key dtypes on both paths
+                    for n, dt in int_restore.items():
+                        if n in df.columns and df[n].dtype.kind == "f":
+                            df[n] = df[n].astype(dt)
+                    return df
+
+                right_pd = _restore_ints(
+                    right_hot.select(r_names + ["__gran"]).to_pandas()
+                )
+                rref = ray.put(right_pd)
+
+                def hot_join(batch: pa.Table) -> pa.Table:
+                    right = _cached_get(rref)
+                    left = _restore_ints(
+                        batch.select(l_names + ["__gran"]).to_pandas()
+                    )
+                    out = left.merge(
+                        right, left_on=lkeys, right_on=rkeys, how="inner"
+                    )
+                    keep = (out[on] >= out[start_col]) & (out[on] < out[end_col])
+                    out = out[keep]
+                    return pa.table({
+                        n: pa.Array.from_pandas(
+                            out[n], type=types_all[n], safe=False
+                        )
+                        for n in out_names
+                    })
+
+                hot_out = left_c.map_batches(
+                    _hot_mask_fn("__cell", hot_vals, True), batch_format="pyarrow"
+                ).map_batches(hot_join, batch_format="pyarrow")
+                # cold remainder continues down the bucketed path
+                left_t = left_c.map_batches(
+                    _hot_mask_fn("__cell", hot_vals, False), batch_format="pyarrow"
+                )
+                right_t = right_c.map_batches(
+                    _hot_mask_fn("__cell", hot_vals, False), batch_format="pyarrow"
+                )
+
+    both = left_t.map_batches(align, batch_format="pyarrow").union(
+        right_t.map_batches(align, batch_format="pyarrow")
+    )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         def side(mask, names):
@@ -597,8 +835,6 @@ def interval_join(
 
         left = side(g["__side"] == 0, l_names)
         right = side(g["__side"] == 1, r_names)
-        lkeys = (["__gran"] + [by]) if by else ["__gran"]
-        rkeys = (["__gran"] + [right_by]) if right_by else ["__gran"]
         out = left.merge(right, left_on=lkeys, right_on=rkeys, how="inner")
         keep = (out[on] >= out[start_col]) & (out[on] < out[end_col])
         out = out[keep].drop(columns=["__gran"])
@@ -615,7 +851,8 @@ def interval_join(
             }
         )
 
-    return both.groupby("__bucket").map_groups(run, batch_format="pandas")
+    cold_out = both.groupby("__bucket").map_groups(run, batch_format="pandas")
+    return hot_out.union(cold_out) if hot_out is not None else cold_out
 
 
 def skew_hash_join(

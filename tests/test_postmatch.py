@@ -1149,3 +1149,105 @@ class TestSkewHashJoin:
             "k", "rk", hot_denom=10,
         )
         assert out.count() == 1000
+
+
+class TestSkewAsofIntervalJoins:
+    """VERDICT r4 #8: the Misra-Gries hot-key bypass wired into
+    asof_join / interval_join — parity-pinned against the plain bucketed
+    path under a 90%-hot-key corpus."""
+
+    @staticmethod
+    def _asof_corpus():
+        rng = np.random.RandomState(11)
+        n = 12_000
+        # 90% of left rows under ONE user; a no-right-rows key (777) and
+        # null keys exercise LEFT survival on both paths
+        u = np.where(rng.rand(n) < 0.9, 5, rng.randint(0, 40, n)).astype(np.int64)
+        u[:20] = 777
+        t = rng.randint(0, 100_000, n).astype(np.int64)
+        left = pa.table({
+            "u": pa.array(u).cast(pa.int64()),
+            "t": pa.array(t),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        left = left.set_column(0, "u", pa.array(
+            [None if i % 997 == 0 else int(v) for i, v in enumerate(u)],
+            pa.int64()))
+        m = 3_000
+        ru = rng.randint(0, 41, m).astype(np.int64)
+        ru[: m // 2] = 5  # the hot key owns half the right side too
+        right = pa.table({
+            "ru": pa.array(ru),
+            "rt": pa.array(rng.randint(0, 100_000, m).astype(np.int64)),
+            "rv": pa.array(np.arange(m, dtype=np.int64)),
+        })
+        return left, right
+
+    def test_asof_hot_key_parity(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import asof_join
+
+        left, right = self._asof_corpus()
+        l = ray.data.from_arrow(left).repartition(8)
+        r = ray.data.from_arrow(right).repartition(4)
+
+        def rows(ds):
+            return sorted(
+                ((x["u"] if x["u"] is not None else -1), x["t"], x["lv"],
+                 (x["rv"] if x["rv"] is not None else -1))
+                for x in ds.take_all()
+            )
+
+        got = rows(asof_join(l, r, "t", "rt", "u", "ru", hot_denom=20))
+        want = rows(asof_join(l, r, "t", "rt", "u", "ru", hot_denom=None))
+        assert got == want and len(got) == left.num_rows
+
+    def test_asof_hot_right_limit_falls_back(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import asof_join
+
+        left, right = self._asof_corpus()
+        l = ray.data.from_arrow(left).repartition(4)
+        r = ray.data.from_arrow(right).repartition(2)
+        # broadcast refused (limit 10 rows) -> identical plain-path result
+        out = asof_join(l, r, "t", "rt", "u", "ru", hot_denom=20,
+                        hot_right_limit=10)
+        assert out.count() == left.num_rows
+
+    def test_interval_hot_cell_parity(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.joins import interval_join
+
+        rng = np.random.RandomState(12)
+        n = 12_000
+        # 90% of left points inside ONE granule (cell hotspot)
+        t = np.where(rng.rand(n) < 0.9,
+                     rng.randint(0, 100, n),
+                     rng.randint(0, 50_000, n)).astype(np.int64)
+        left = pa.table({
+            "t": pa.array(t),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        m = 400
+        s = rng.randint(0, 50_000, m).astype(np.int64)
+        s[: m // 4] = rng.randint(0, 80, m // 4)  # intervals over the hotspot
+        e = s + rng.randint(1, 300, m)
+        right = pa.table({
+            "s": pa.array(s),
+            "e": pa.array(e),
+            "rv": pa.array(np.arange(m, dtype=np.int64)),
+        })
+        l = ray.data.from_arrow(left).repartition(8)
+        r = ray.data.from_arrow(right).repartition(2)
+
+        def rows(ds):
+            return sorted((x["t"], x["lv"], x["rv"]) for x in ds.take_all())
+
+        got = rows(interval_join(l, r, "t", "s", "e", granule=200,
+                                 num_buckets=16, hot_denom=20))
+        want = rows(interval_join(l, r, "t", "s", "e", granule=200,
+                                  num_buckets=16, hot_denom=None))
+        assert got == want and len(got) > 0

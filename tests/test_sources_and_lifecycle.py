@@ -569,3 +569,41 @@ class TestCompaction:
 
         sink = PartitionedSink(out, "k")
         assert len(sink.completed_partitions()) == 40
+
+
+class TestImagesWriteSink:
+    def test_roundtrip_and_schema_parity(self, ray_session, tmp_path):
+        """S19 write half: write_images emits the input_hint schema exactly
+        (lance when available, parquet fallback here) and read_images reads
+        it back byte-identically."""
+        import ray
+
+        from overmatch_ray.sources import IMAGES_SCHEMA, read_images, write_images
+        from overmatch_ray.synth import images_block
+
+        t = images_block(np.arange(30))
+        out = str(tmp_path / "images_sink")
+        write_images(ray.data.from_arrow(t).repartition(3), out)
+        back = read_images(out)
+        schema = back.schema().base_schema
+        for f in IMAGES_SCHEMA:
+            assert schema.field(f.name).type == f.type, f.name
+        got = sorted(back.take_all(), key=lambda r: r["image_id"])
+        want = sorted(t.to_pylist(), key=lambda r: r["image_id"])
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g["bytes"] == w["bytes"]
+            assert g["caption"] == w["caption"]
+            assert g["phash"] == w["phash"]
+            # geotag extras survive the sink
+            assert abs(g["lon"] - w["lon"]) < 1e-12
+
+    def test_missing_contract_column_rejected(self, ray_session, tmp_path):
+        import ray
+
+        from overmatch_ray.sources import write_images
+        from overmatch_ray.synth import images_block
+
+        t = images_block(np.arange(4)).drop_columns(["caption"])
+        with pytest.raises(Exception, match="contract column"):
+            write_images(ray.data.from_arrow(t), str(tmp_path / "bad"))

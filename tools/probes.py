@@ -165,11 +165,107 @@ def probe_skewjoin():
           f"skew_aware={t_skew:.1f}s")
 
 
+def probe_skewasof():
+    """Plain vs hot-key-bypass as-of join: 6M left rows, 90% on one user."""
+    ray = _init()
+    import ray.data
+
+    from overmatch_ray.stages.joins import asof_join
+
+    n = 6_000_000
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 2654435761) % (1 << 31)
+        u = np.where(h % 10 < 9, 7, h % 4000)
+        return pa.table({
+            "u": pa.array(u),
+            "t": pa.array(h % 1_000_000),
+            "lv": pa.array(i),
+        })
+
+    left = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+    m = 200_000
+
+    def gen_r(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 40503 + 17) % (1 << 31)
+        ru = np.where(h % 10 < 3, 7, h % 4000)  # hot key has right rows too
+        return pa.table({
+            "ru": pa.array(ru),
+            "rt": pa.array(h % 1_000_000),
+            "rv": pa.array(i),
+        })
+
+    right = ray.data.range(m, override_num_blocks=8).map_batches(
+        gen_r, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    n1 = asof_join(left, right, "t", "rt", "u", "ru", hot_denom=None).count()
+    t_plain = time.time() - t0
+    t0 = time.time()
+    n2 = asof_join(left, right, "t", "rt", "u", "ru", hot_denom=64).count()
+    t_skew = time.time() - t0
+    assert n1 == n2 == n
+    print(f"skewasof: rows={n} plain={t_plain:.1f}s hot_bypass={t_skew:.1f}s "
+          f"speedup={t_plain / t_skew:.2f}x")
+
+
+def probe_skewinterval():
+    """Plain vs hot-cell-bypass interval join: 6M left points, 90% inside
+    one granule (the hot-instant corpus the r3 verdict asked to probe)."""
+    ray = _init()
+    import ray.data
+
+    from overmatch_ray.stages.joins import interval_join
+
+    n = 6_000_000
+
+    def gen(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 2654435761) % (1 << 31)
+        t = np.where(h % 10 < 9, h % 500, h % 5_000_000)
+        return pa.table({"t": pa.array(t), "lv": pa.array(i)})
+
+    left = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow").materialize()
+    m = 4_000
+
+    def gen_r(batch):
+        i = batch["id"].to_numpy().astype(np.int64)
+        h = (i * 69069 + 5) % (1 << 31)
+        # few SHORT intervals over the hot instant (bounded join output —
+        # the probe stresses shuffle concentration, not output explosion)
+        hot = i < 8
+        s = np.where(hot, h % 400, h % 5_000_000)
+        ln = np.where(hot, 1 + h % 32, 1 + h % 800)
+        return pa.table({
+            "s": pa.array(s),
+            "e": pa.array(s + ln),
+            "rv": pa.array(i),
+        })
+
+    right = ray.data.range(m, override_num_blocks=4).map_batches(
+        gen_r, batch_format="pyarrow").materialize()
+    kw = dict(granule=2048, num_buckets=64)
+    t0 = time.time()
+    n1 = interval_join(left, right, "t", "s", "e", hot_denom=None, **kw).count()
+    t_plain = time.time() - t0
+    t0 = time.time()
+    n2 = interval_join(left, right, "t", "s", "e", hot_denom=64, **kw).count()
+    t_skew = time.time() - t0
+    assert n1 == n2, (n1, n2)
+    print(f"skewinterval: out_rows={n1} plain={t_plain:.1f}s "
+          f"hot_bypass={t_skew:.1f}s speedup={t_plain / t_skew:.2f}x")
+
+
 PROBES = {
     "hausdorff": probe_hausdorff,
     "raster": probe_raster,
     "colocation": probe_colocation,
     "skewjoin": probe_skewjoin,
+    "skewasof": probe_skewasof,
+    "skewinterval": probe_skewinterval,
 }
 
 if __name__ == "__main__":
