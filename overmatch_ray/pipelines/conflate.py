@@ -220,7 +220,16 @@ def conflate(
         index = index.map_batches(
             lambda b: _salted_buckets(b, salt, spread=False), batch_format="pyarrow"
         )
-    both = probe.union(index)
+    # Materialize the shuffle boundary: streaming two task-pool branches
+    # through a union straight into the sort-based groupby can LIVELOCK
+    # once the branches outgrow the executor's buffer budget (measured at
+    # GRAFT_SCALE=30 — 91M union rows: the overture map backpressured on
+    # outputs, the Sort waiting on the union to finish, the scheduler
+    # thread spinning at 100% with every worker idle; GRAFT_SCALE=10 fit
+    # the budget and streamed fine). The sort materializes its input in
+    # the object store anyway, so this adds no asymptotic memory — it
+    # only breaks the executor's buffer cycle.
+    both = probe.materialize().union(index.materialize())
     return both.groupby("bucket").map_groups(match_bucket, batch_format="pyarrow")
 
 

@@ -89,6 +89,10 @@ def _bucket_pairs_fn(radius_m: float, k: int | None, exclude_self: bool,
     (side 1) via searchsorted; distance filter; optional in-bucket top-k
     with deterministic (distance, id) tie-break.
 
+    Arrow in/out (VERDICT r3 #3): the bucket table's numeric columns read
+    zero-copy into numpy and the result is emitted as a pyarrow table —
+    no per-bucket pandas frame on either side.
+
     ``emit_dist=False`` drops dist_m INSIDE the kernel rather than via a
     downstream ``select_columns`` — Dataset.schema() after
     select_columns-on-map_groups can report the pre-projection columns
@@ -97,48 +101,62 @@ def _bucket_pairs_fn(radius_m: float, k: int | None, exclude_self: bool,
     shuffle. Emitting the final shape here keeps blocks and schema in
     agreement."""
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
-        if a.empty or b.empty:
-            return _pairs_empty(k is not None, emit_dist)
-        bc = b["cell"].to_numpy()
-        ac = a["cell"].to_numpy()
+    def _emit(ida, idb, d, rank) -> pa.Table:
+        cols = {"id_a": pa.array(ida, pa.int64()),
+                "id_b": pa.array(idb, pa.int64())}
+        if emit_dist:
+            cols["dist_m"] = pa.array(d, pa.float64())
+        if k is not None:
+            cols["knn_rank"] = pa.array(rank, pa.int64())
+        return pa.table(cols)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        am = side == 0
+        bm = ~am
+        if not am.any() or not bm.any():
+            z = np.empty(0, np.int64)
+            return _emit(z, z, np.empty(0, np.float64), z)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        xs = g["x"].to_numpy(zero_copy_only=False)
+        ys = g["y"].to_numpy(zero_copy_only=False)
+        ac = cell[am]
+        order = np.argsort(cell[bm], kind="mergesort")
+        bc = cell[bm][order]
         lo = np.searchsorted(bc, ac, "left")
         hi = np.searchsorted(bc, ac, "right")
         counts = hi - lo
-        ai = np.repeat(np.arange(len(a)), counts)
+        ai = np.repeat(np.arange(ac.size), counts)
         bi = (
             np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
             if counts.sum()
             else np.empty(0, np.int64)
         )
-        ax = a["x"].to_numpy()[ai]
-        ay = a["y"].to_numpy()[ai]
-        bx = b["x"].to_numpy()[bi]
-        by = b["y"].to_numpy()[bi]
-        ida = a["id"].to_numpy()[ai]
-        idb = b["id"].to_numpy()[bi]
+        bsel = order[bi]
+        ax, ay, ida = xs[am][ai], ys[am][ai], ids[am][ai]
+        bx, by, idb = xs[bm][bsel], ys[bm][bsel], ids[bm][bsel]
         # sqrt((dx)^2+(dy)^2) term-for-term == the DuckDB oracle expression
         d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
         m = d <= radius_m
         if exclude_self:
             m &= ida != idb
-        out = pd.DataFrame(
-            {"id_a": ida[m], "id_b": idb[m], "dist_m": d[m]}
-        )
+        ida, idb, d = ida[m], idb[m], d[m]
+        rank = None
         if k is not None:
-            out = out.sort_values(
-                ["id_a", "dist_m", "id_b"], kind="mergesort"
-            ).reset_index(drop=True)
-            rank = out.groupby("id_a").cumcount().to_numpy() + 1
-            out = out[rank <= k].reset_index(drop=True)
-            out["knn_rank"] = rank[rank <= k]
+            o = np.lexsort((idb, d, ida))  # (id_a, dist_m, id_b) ascending
+            ida, idb, d = ida[o], idb[o], d[o]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ida[1:] != ida[:-1]])
+            ) if ida.size else np.empty(0, np.int64)
+            ends = np.concatenate([starts[1:], [ida.size]]) if ida.size else starts
+            grp = np.repeat(np.arange(starts.size), ends - starts)
+            rank = np.arange(ida.size, dtype=np.int64) - starts[grp] + 1
+            keep = rank <= k
+            ida, idb, d, rank = ida[keep], idb[keep], d[keep], rank[keep]
         if round_to is not None:
-            out["dist_m"] = np.round(out["dist_m"].to_numpy(), round_to)
-        if not emit_dist:
-            out = out.drop(columns=["dist_m"])
-        return out
+            d = np.round(d, round_to)
+        return _emit(ida, idb, d, rank)
 
     return join_bucket
 
@@ -167,7 +185,7 @@ def _pair_plan(left_ds, right_ds, radius_m, *, left_id, right_id, lon_col,
         .groupby("bucket")
         .map_groups(
             _bucket_pairs_fn(radius_m, k, exclude_self, round_to, emit_dist),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
 
@@ -371,33 +389,37 @@ def bbox_intersection_join(
         _cover_side(right_id, nb, 1, cs), batch_format="pyarrow"
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
-        empty = pd.DataFrame({
-            "id_a": pd.Series(dtype=np.int64),
-            "id_b": pd.Series(dtype=np.int64),
-            "overlap_m2": pd.Series(dtype=np.float64),
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r3 #3): numeric columns read zero-copy
+        side = g["side"].to_numpy(zero_copy_only=False)
+        am = side == 0
+        bm = ~am
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "overlap_m2": pa.array([], pa.float64()),
         })
-        if a.empty or b.empty:
+        if not am.any() or not bm.any():
             return empty
-        bc = b["cell"].to_numpy()
-        ac = a["cell"].to_numpy()
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ac = cell[am]
+        order = np.argsort(cell[bm], kind="mergesort")
+        bc = cell[bm][order]
         lo = np.searchsorted(bc, ac, "left")
         hi = np.searchsorted(bc, ac, "right")
         counts = hi - lo
         if counts.sum() == 0:
             return empty
-        ai = np.repeat(np.arange(len(a)), counts)
-        bi = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-        axmin = a["xmin"].to_numpy()[ai]
-        aymin = a["ymin"].to_numpy()[ai]
-        axmax = a["xmax"].to_numpy()[ai]
-        aymax = a["ymax"].to_numpy()[ai]
-        bxmin = b["xmin"].to_numpy()[bi]
-        bymin = b["ymin"].to_numpy()[bi]
-        bxmax = b["xmax"].to_numpy()[bi]
-        bymax = b["ymax"].to_numpy()[bi]
+        ai = np.repeat(np.arange(ac.size), counts)
+        bsel = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+
+        def col(name):
+            return g[name].to_numpy(zero_copy_only=False)
+
+        axmin, aymin = col("xmin")[am][ai], col("ymin")[am][ai]
+        axmax, aymax = col("xmax")[am][ai], col("ymax")[am][ai]
+        bxmin, bymin = col("xmin")[bm][bsel], col("ymin")[bm][bsel]
+        bxmax, bymax = col("xmax")[bm][bsel], col("ymax")[bm][bsel]
         ox = np.minimum(axmax, bxmax) - np.maximum(axmin, bxmin)
         oy = np.minimum(aymax, bymax) - np.maximum(aymin, bymin)
         m = (ox >= 0) & (oy >= 0)
@@ -407,18 +429,18 @@ def bbox_intersection_join(
             np.floor(np.maximum(aymin, bymin) / cs).astype(np.int64),
         ).view(np.int64)
         m &= ccell == ac[ai]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": a["id"].to_numpy()[ai][m],
-                "id_b": b["id"].to_numpy()[bi][m],
-                "overlap_m2": (ox * oy)[m],
+                "id_a": pa.array(col("id")[am][ai][m], pa.int64()),
+                "id_b": pa.array(col("id")[bm][bsel][m], pa.int64()),
+                "overlap_m2": pa.array((ox * oy)[m], pa.float64()),
             }
         )
 
     return (
         left.union(right)
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 
@@ -517,34 +539,36 @@ def triangle_point_join(
             }
         )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["side"] == 0]
-        t = g[g["side"] == 1].sort_values("cell", kind="mergesort")
-        if p.empty or t.empty:
-            return pd.DataFrame({
-                "tri_id": pd.Series(dtype=np.int64),
-                "pt_id": pd.Series(dtype=np.int64),
-            })
-        tc = t["cell"].to_numpy()
-        pc_ = p["cell"].to_numpy()
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r3 #3)
+        empty = pa.table({
+            "tri_id": pa.array([], pa.int64()),
+            "pt_id": pa.array([], pa.int64()),
+        })
+        side = g["side"].to_numpy(zero_copy_only=False)
+        pm = side == 0
+        tm = ~pm
+        if not pm.any() or not tm.any():
+            return empty
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        pc_ = cell[pm]
+        order = np.argsort(cell[tm], kind="mergesort")
+        tc = cell[tm][order]
         lo = np.searchsorted(tc, pc_, "left")
         hi = np.searchsorted(tc, pc_, "right")
         counts = hi - lo
         if counts.sum() == 0:
-            return pd.DataFrame({
-                "tri_id": pd.Series(dtype=np.int64),
-                "pt_id": pd.Series(dtype=np.int64),
-            })
-        pi = np.repeat(np.arange(len(p)), counts)
-        ti = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-        px = p["px"].to_numpy()[pi]
-        py = p["py"].to_numpy()[pi]
-        ax = t["ax"].to_numpy()[ti]
-        ay = t["ay"].to_numpy()[ti]
-        bx = t["bx"].to_numpy()[ti]
-        by = t["by"].to_numpy()[ti]
-        cx = t["cx"].to_numpy()[ti]
-        cy = t["cy"].to_numpy()[ti]
+            return empty
+        pi = np.repeat(np.arange(pc_.size), counts)
+        ti = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+
+        def col(name):
+            return g[name].to_numpy(zero_copy_only=False)
+
+        px, py = col("px")[pm][pi], col("py")[pm][pi]
+        ax, ay = col("ax")[tm][ti], col("ay")[tm][ti]
+        bx, by = col("bx")[tm][ti], col("by")[tm][ti]
+        cx, cy = col("cx")[tm][ti], col("cy")[tm][ti]
         d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
         d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
         d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
@@ -553,10 +577,10 @@ def triangle_point_join(
             ((d1 >= 0) & (d2 >= 0) & (d3 >= 0))
             | ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
         ) & (area2 != 0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "tri_id": t["id"].to_numpy()[ti][inside],
-                "pt_id": p["id"].to_numpy()[pi][inside],
+                "tri_id": pa.array(col("id")[tm][ti][inside], pa.int64()),
+                "pt_id": pa.array(col("id")[pm][pi][inside], pa.int64()),
             }
         )
 
@@ -564,7 +588,7 @@ def triangle_point_join(
         pts_ds.map_batches(pt_own, batch_format="pyarrow")
         .union(tri_ds.map_batches(tri_cover, batch_format="pyarrow"))
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 
@@ -661,32 +685,37 @@ def snap_points_to_segments(
             }
         )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["side"] == 0]
-        s = g[g["side"] == 1].sort_values("cell", kind="mergesort")
-        empty = pd.DataFrame({
-            "pt_id": pd.Series(dtype=np.int64),
-            "seg_id": pd.Series(dtype=np.int64),
-            "dist_m": pd.Series(dtype=np.float64),
-            "t": pd.Series(dtype=np.float64),
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r3 #3)
+        empty = pa.table({
+            "pt_id": pa.array([], pa.int64()),
+            "seg_id": pa.array([], pa.int64()),
+            "dist_m": pa.array([], pa.float64()),
+            "t": pa.array([], pa.float64()),
         })
-        if p.empty or s.empty:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        pm = side == 0
+        sm = ~pm
+        if not pm.any() or not sm.any():
             return empty
-        sc = s["cell"].to_numpy()
-        pc_ = p["cell"].to_numpy()
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        pc_ = cell[pm]
+        order = np.argsort(cell[sm], kind="mergesort")
+        sc = cell[sm][order]
         lo = np.searchsorted(sc, pc_, "left")
         hi = np.searchsorted(sc, pc_, "right")
         counts = hi - lo
         if counts.sum() == 0:
             return empty
-        pi = np.repeat(np.arange(len(p)), counts)
-        si = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-        px = p["px"].to_numpy()[pi]
-        py = p["py"].to_numpy()[pi]
-        ax = s["ax"].to_numpy()[si]
-        ay = s["ay"].to_numpy()[si]
-        bx = s["bx"].to_numpy()[si]
-        by = s["by"].to_numpy()[si]
+        pi = np.repeat(np.arange(pc_.size), counts)
+        si = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+
+        def col(name):
+            return g[name].to_numpy(zero_copy_only=False)
+
+        px, py = col("px")[pm][pi], col("py")[pm][pi]
+        ax, ay = col("ax")[sm][si], col("ay")[sm][si]
+        bx, by = col("bx")[sm][si], col("by")[sm][si]
         # clamped projection — expression order mirrored in the SQL oracle
         tnum = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
         tden = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
@@ -696,26 +725,28 @@ def snap_points_to_segments(
         dy = py - (ay + t * (by - ay))
         d = np.sqrt(dx * dx + dy * dy)
         m = d <= radius_m
-        out = pd.DataFrame(
-            {
-                "pt_id": p["id"].to_numpy()[pi][m],
-                "seg_id": s["id"].to_numpy()[si][m],
-                "dist_m": np.floor(d[m] * 10) / 10.0,
-                "t": t[m],
-            }
-        )
+        pt, sg = col("id")[pm][pi][m], col("id")[sm][si][m]
+        dist = np.floor(d[m] * 10) / 10.0
+        tt = t[m]
         # per-point argmin with (dist, seg_id) tie-break — global because
         # the point's whole candidate set is in this group
-        out = out.sort_values(
-            ["pt_id", "dist_m", "seg_id"], kind="mergesort"
-        ).drop_duplicates("pt_id", keep="first")
-        return out.reset_index(drop=True)
+        o = np.lexsort((sg, dist, pt))
+        pt, sg, dist, tt = pt[o], sg[o], dist[o], tt[o]
+        first = np.concatenate([[True], pt[1:] != pt[:-1]]) if pt.size else np.empty(0, bool)
+        return pa.table(
+            {
+                "pt_id": pa.array(pt[first], pa.int64()),
+                "seg_id": pa.array(sg[first], pa.int64()),
+                "dist_m": pa.array(dist[first], pa.float64()),
+                "t": pa.array(tt[first], pa.float64()),
+            }
+        )
 
     return (
         pts_ds.map_batches(pt_own, batch_format="pyarrow")
         .union(seg_ds.map_batches(seg_cover, batch_format="pyarrow"))
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 
