@@ -141,8 +141,8 @@ class TestSpatialKernelProperties:
         })
         probe = _encode_side("id", "lon", "lat", 1, 0, replicate=False)(t)
         cand = _encode_side("id", "lon", "lat", 1, 1, replicate=True)(t)
-        g = pd.concat([probe.to_pandas(), cand.to_pandas()])
-        got = _bucket_pairs_fn(radius, None, False, None)(g)
+        g = pa.concat_tables([probe, cand])
+        got = _bucket_pairs_fn(radius, None, False, None)(g).to_pandas()
         x, y = mercator_xy(lon, lat)
         D = np.sqrt((x[:, None] - x[None, :]) ** 2
                     + (y[:, None] - y[None, :]) ** 2)
@@ -180,8 +180,8 @@ class TestSpatialKernelProperties:
         })
         probe = _encode_side("id", "lon", "lat", 1, 0, replicate=False)(t)
         cand = _encode_side("id", "lon", "lat", 1, 1, replicate=True)(t)
-        g = pd.concat([probe.to_pandas(), cand.to_pandas()])
-        got = _bucket_pairs_fn(radius, k, False, 1)(g)
+        g = pa.concat_tables([probe, cand])
+        got = _bucket_pairs_fn(radius, k, False, 1)(g).to_pandas()
         x, y = mercator_xy(lon, lat)
         D = np.sqrt((x[:, None] - x[None, :]) ** 2
                     + (y[:, None] - y[None, :]) ** 2)
