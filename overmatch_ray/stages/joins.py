@@ -26,6 +26,92 @@ def _mix(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+def _encode_key_pair(lc, rc) -> "tuple[np.ndarray, ...]":
+    """One (left, right) key-column pair → two int64 code arrays plus two
+    int8 null flags, JOINTLY encoded so equal values get equal codes across
+    sides. The null flag rides as an extra key component, which reproduces
+    pandas merge's null-matches-null semantics with no special casing."""
+    lnull = pc.is_null(lc).to_numpy(zero_copy_only=False).astype(np.int64)
+    rnull = pc.is_null(rc).to_numpy(zero_copy_only=False).astype(np.int64)
+    lt = lc.type
+    if pa.types.is_integer(lt) or pa.types.is_floating(lt):
+        lv = pc.fill_null(pc.cast(lc, pa.int64(), safe=False), 0).to_numpy(
+            zero_copy_only=False
+        )
+        rv = pc.fill_null(pc.cast(rc, pa.int64(), safe=False), 0).to_numpy(
+            zero_copy_only=False
+        )
+    else:
+        # strings (or anything else): joint dictionary encoding — codes are
+        # only compared for equality, so dictionary order is irrelevant
+        joint = pa.chunked_array(
+            [c.cast(pa.large_string()) for c in
+             list(pc.fill_null(lc, "").chunks) + list(pc.fill_null(rc, "").chunks)]
+            or [pa.array([], pa.large_string())]
+        ).combine_chunks()
+        codes = pc.dictionary_encode(joint).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lv, rv = codes[: len(lc)], codes[len(lc):]
+    return lv, lnull, rv, rnull
+
+
+def _join_indices(lcols, rcols, how: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized equi-join row selector with pandas-merge semantics
+    (null keys match null keys; inner/left/outer). ``lcols``/``rcols`` are
+    parallel lists of key ChunkedArrays. Returns (li, ri) int64 index
+    arrays into the two sides, -1 marking the null-padded side of an
+    unmatched row. O((nl+nr)·log nr) numpy — no Python per-row work."""
+    nl, nr = len(lcols[0]), len(rcols[0])
+    lparts, rparts = [], []
+    for lc, rc in zip(lcols, rcols):
+        lv, ln, rv, rn = _encode_key_pair(lc, rc)
+        lparts += [lv, ln]
+        rparts += [rv, rn]
+
+    def as_void(parts, n):
+        m = np.ascontiguousarray(
+            np.column_stack(parts) if parts else np.empty((n, 0), np.int64)
+        )
+        return m.view([("", np.int64)] * m.shape[1]).ravel()
+
+    lv = as_void(lparts, nl)
+    rv = as_void(rparts, nr)
+    order = np.argsort(rv, kind="stable")
+    rs = rv[order]
+    lo = np.searchsorted(rs, lv, "left")
+    hi = np.searchsorted(rs, lv, "right")
+    counts = hi - lo
+    tot = int(counts.sum())
+    li = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    starts = np.repeat(lo, counts)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    ri = order[starts + offs] if tot else np.empty(0, np.int64)
+    if how in ("left", "outer"):
+        lu = np.flatnonzero(counts == 0)
+        li = np.concatenate([li, lu])
+        ri = np.concatenate([ri, np.full(lu.size, -1, np.int64)])
+    if how == "outer":
+        rhit = np.zeros(nr, bool)
+        rhit[ri[ri >= 0]] = True
+        ru = np.flatnonzero(~rhit)
+        li = np.concatenate([li, np.full(ru.size, -1, np.int64)])
+        ri = np.concatenate([ri, ru])
+    return li, ri
+
+
+def _take_pad(col, idx: np.ndarray, out_type) -> "pa.ChunkedArray":
+    """``col[idx]`` with -1 → null, cast to the declared output type (undoes
+    any float64 upcast a groupby shuffle applied to nulled int columns)."""
+    indices = pa.array(idx, type=pa.int64(), mask=idx < 0)
+    taken = pc.take(col, indices)
+    return taken if taken.type == out_type else pc.cast(
+        taken, out_type, safe=False
+    )
+
+
 def broadcast_join(
     left_ds,
     right_table: pa.Table,
@@ -595,34 +681,39 @@ def bucket_hash_join(
         right_t.map_batches(align(r_names, types_all), batch_format="pyarrow")
     )
 
-    lcols = [n for n in l_names if n != "__side"]
-    rcols = [n for n in r_names] + ["__bucket"]
-    # the schema-aligning union null-pads each side's missing columns, which
-    # pandas upcasts to float64 — restore the original integer dtypes after
-    # the merge so chained joins keep integer keys (hash/bucket stability)
-    int_restore = {
-        n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
-        for n, t in types_all.items()
-        if pa.types.is_integer(t)
-    }
+    out_names = [n for n in all_names if n not in ("__bucket", "__side")]
+    l_set = set(n for n in l_names if n not in ("__bucket", "__side"))
+    r_set = set(r_names)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == 0][lcols]
-        right = g[g["__side"] == 1][[c for c in rcols if c != "__bucket"]]
-        out = left.merge(
-            right, left_on=left_on, right_on=right_on, how=how
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r3 #3): no pandas round-trip, no float64
+        # int-upcast to repair after — unmatched sides pad with TRUE nulls
+        # via pc.take(null-index), and every output column casts back to
+        # the declared type (groupby shuffles can float64-upcast nulled
+        # int columns; see CLAUDE.md schema-type rules)
+        smask = pc.equal(g["__side"], 0)
+        left_t = g.filter(smask)
+        right_t = g.filter(pc.invert(smask))
+        li, ri = _join_indices(
+            [left_t[left_on]], [right_t[right_on]], how
         )
-        out = out.drop(columns=["__bucket"], errors="ignore")
-        for n, dt in int_restore.items():
-            if n in out.columns and out[n].dtype.kind == "f":
-                out[n] = out[n].astype(dt)
-        # metadata-free Arrow block (pandas metadata is unhashable in this
-        # pyarrow build and defeats downstream shuffle schema-dedup)
-        return pa.Table.from_pandas(
-            out, preserve_index=False
-        ).replace_schema_metadata(None)
+        cols = {}
+        for n in out_names:
+            t = types_all[n]
+            if n in l_set and n in r_set:
+                # the coalesced key column (left_on == right_on): left
+                # value when present, right value for right-only rows —
+                # exactly pandas' same-name key coalescing
+                cols[n] = pc.coalesce(
+                    _take_pad(left_t[n], li, t), _take_pad(right_t[n], ri, t)
+                )
+            elif n in l_set:
+                cols[n] = _take_pad(left_t[n], li, t)
+            else:
+                cols[n] = _take_pad(right_t[n], ri, t)
+        return pa.table(cols)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def interval_join(
