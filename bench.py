@@ -105,8 +105,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.tiles import build_tiles
 
     scale = float(os.environ.get("GRAFT_SCALE", "1"))
-    # v8: real baseline-JPEG payloads (q95) + photo-like smooth synth images
-    cache = f"/tmp/overmatch_bench/v8-{_sf_of(sf_dir)}" + (
+    # v9: JPEG payloads carry restart markers (one per MCU row) so the
+    # lane-parallel batch decoder gets its segment parallelism
+    cache = f"/tmp/overmatch_bench/v9-{_sf_of(sf_dir)}" + (
         f"-x{scale:g}" if scale != 1 else ""
     )
     meta = _gen_inputs(sf_dir, cache)

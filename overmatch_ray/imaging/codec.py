@@ -248,6 +248,33 @@ def _huff_decode_lut(bits, vals):
     return out
 
 
+_HUFF_DECODE_NP_CACHE: dict = {}
+
+
+def _huff_decode_lut_np(bits, vals):
+    """numpy twin of ``_huff_decode_lut`` for the lane-parallel batch
+    decoder: (symbol int16, code_length uint8) 65,536-entry arrays."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_DECODE_NP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            k += 1
+            code += 1
+        code <<= 1
+    _HUFF_DECODE_NP_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
 def _dct_matrix(n: int) -> np.ndarray:
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
@@ -287,13 +314,56 @@ def _pack_codes(codes: np.ndarray, lens: np.ndarray) -> bytes:
     return by.tobytes()
 
 
-def _entropy_encode(planes: list[np.ndarray]) -> bytes:
+def _pack_codes_segmented(codes: np.ndarray, lens: np.ndarray,
+                          segs: np.ndarray, nseg: int) -> bytes:
+    """Segmented variant of ``_pack_codes``: symbols carry a NON-DECREASING
+    restart-segment id; each segment is byte-aligned (1-padded) and stuffed
+    independently, segments join with cycling RSTn markers. Same vectorized
+    k-loop as the single-segment packer — the only extra work is offset
+    bookkeeping, all numpy."""
+    if nseg <= 1:
+        return _pack_codes(codes, lens)
+    cum = np.cumsum(lens)
+    csum0 = cum - lens
+    first = np.searchsorted(segs, np.arange(nseg))          # first symbol/seg
+    seg_bit0 = csum0[first]                                  # bits before seg
+    seg_bits = np.diff(np.append(seg_bit0, cum[-1] if lens.size else 0))
+    seg_bytes = (seg_bits + 7) // 8
+    seg_byte0 = np.concatenate([[0], np.cumsum(seg_bytes)[:-1]])
+    starts = seg_byte0[segs] * 8 + (csum0 - seg_bit0[segs])
+    bits = np.ones(int(seg_bytes.sum()) * 8, dtype=np.uint8)
+    for k in range(int(lens.max()) if lens.size else 0):
+        m = lens > k
+        bits[starts[m] + k] = (codes[m] >> (lens[m] - 1 - k)) & 1
+    by = np.packbits(bits)
+    # global stuffing, then recover segment boundaries in stuffed space
+    isff = by == 0xFF
+    ff = np.nonzero(isff)[0]
+    ends = np.cumsum(seg_bytes)                              # exclusive, orig
+    shift = np.searchsorted(ff, ends)                        # stuffed bytes before
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    ends2 = ends + shift
+    out = bytearray()
+    start = 0
+    for i in range(nseg):
+        out += by[start:ends2[i]].tobytes()
+        if i < nseg - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+        start = ends2[i]
+    return bytes(out)
+
+
+def _entropy_encode(planes: list[np.ndarray], ri: int = 0) -> bytes:
     """Interleaved-MCU (4:4:4) baseline entropy coding, vectorized.
 
     ``planes`` = per-component (nblocks, 64) int64 zig-zag quantized coeffs.
     Emission order per entry key: (block*3 + comp) * 128 + slot, where the
     DC slot is 0, coefficient k's value sits at 2k, ZRLs before it at 2k-1,
     and EOB at 127 — a stable argsort then yields the exact T.81 stream.
+    ``ri`` > 0 splits the stream into restart segments of ``ri`` MCUs (one
+    MCU = one block per component in 4:4:4): DC prediction resets and the
+    bitstream byte-aligns at each boundary, RSTn markers cycle between.
     """
     tabs = ((_ENC_DC_LUM, _ENC_AC_LUM), (_ENC_DC_CHR, _ENC_AC_CHR),
             (_ENC_DC_CHR, _ENC_AC_CHR))
@@ -302,8 +372,12 @@ def _entropy_encode(planes: list[np.ndarray]) -> bytes:
         (dc_code, dc_len), (ac_code, ac_len) = tabs[ci]
         n = zz.shape[0]
         blk3 = np.arange(n, dtype=np.int64) * 3 + ci
-        # DC: differential across this component's blocks (pred starts 0)
+        # DC: differential across this component's blocks (pred starts 0,
+        # and resets at every restart-segment boundary)
         diff = np.diff(zz[:, 0], prepend=np.int64(0))
+        if ri:
+            seg_first = np.arange(0, n, ri)
+            diff[seg_first] = zz[seg_first, 0]
         s = _bit_length(np.abs(diff))
         val = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
         keys.append(blk3 * 128)
@@ -338,16 +412,28 @@ def _entropy_encode(planes: list[np.ndarray]) -> bytes:
         lens.append(np.full(eob.shape, ac_len[0x00]))
     key = np.concatenate(keys)
     order = np.argsort(key, kind="stable")
-    return _pack_codes(np.concatenate(codes)[order], np.concatenate(lens)[order])
+    ocodes = np.concatenate(codes)[order]
+    olens = np.concatenate(lens)[order]
+    if not ri:
+        return _pack_codes(ocodes, olens)
+    nblocks = planes[0].shape[0]
+    segs = (key[order] // 384) // ri  # key//384 = block (= MCU in 4:4:4)
+    return _pack_codes_segmented(ocodes, olens, segs, -(-nblocks // ri))
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 98) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 98,
+                restart_rows: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4, interleaved,
-    Annex-K quant tables scaled by ``quality``, standard Huffman tables)."""
+    Annex-K quant tables scaled by ``quality``, standard Huffman tables).
+
+    ``restart_rows`` > 0 emits a DRI segment + RSTn markers every that many
+    MCU rows (default 1). Restart segments cost <0.5% size and make the
+    stream decodable by the lane-parallel ``decode_jpeg_batch`` — each
+    segment is an independent bitstream lane. 0 disables."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, c = img.shape
     if c != 3:
@@ -372,7 +458,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 98) -> bytes:
         coef = _DCT8 @ blocks @ _DCT8.T  # batched FDCT (broadcast matmul)
         qz = np.rint(coef.reshape(-1, 64) / qt).astype(np.int64)
         planes.append(qz[:, _ZIG])  # zig-zag order
-    body = _entropy_encode(planes)
+    ri = (W // 8) * restart_rows if restart_rows else 0
+    body = _entropy_encode(planes, ri)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
@@ -385,48 +472,58 @@ def encode_jpeg(img: np.ndarray, quality: int = 98) -> bytes:
                                (0x01, _DC_CHR_SPEC), (0x11, _AC_CHR_SPEC)):
         dht += bytes([tcth]) + bytes(bits) + bytes(vals)
     out += _seg(0xC4, dht)
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += body
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def _split_segments(data: bytes, off: int) -> "list[np.ndarray]":
+    """Split one scan's entropy bytes into destuffed restart segments.
+
+    Vectorized marker scan: 0xFF00 = stuffing (dropped), 0xFFFF = fill,
+    0xFFD0-D7 = restart boundary, anything else ends the scan."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = len(raw)
+    ff = np.nonzero(raw[off : n - 1] == 0xFF)[0] + off
+    nxt = raw[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    is_end = (nxt != 0x00) & (nxt != 0xFF) & ~is_rst
+    endi = np.nonzero(is_end)[0]
+    scan_end = int(ff[endi[0]]) if endi.size else n
+    bounds = []
+    start = off
+    for p in ff[is_rst].tolist():
+        if p >= scan_end:
+            break
+        bounds.append((start, p))
+        start = p + 2
+    bounds.append((start, scan_end))
+    out = []
+    for s, e in bounds:
+        chunk = raw[s:e]
+        if chunk.size:
+            isff = chunk == 0xFF
+            drop = np.zeros(chunk.size, dtype=bool)
+            drop[1:] = isff[:-1] & (chunk[1:] == 0)
+            chunk = chunk[~drop]
+        out.append(chunk)
+    return out
+
+
 class _EntropyReader:
     """Bit reader over the destuffed entropy segments of one scan.
 
-    The raw scan bytes are destuffed ONCE (0xFF00 → 0xFF) per restart
-    segment; Huffman symbols are decoded by peeking 16 MSB-aligned bits via
-    a precomputed 24-bit sliding window list, one LUT probe per symbol."""
+    Huffman symbols are decoded by peeking 16 MSB-aligned bits via a
+    precomputed 24-bit sliding window list, one LUT probe per symbol."""
 
     __slots__ = ("segs", "seg", "win", "nbits", "pos", "end")
 
     def __init__(self, data: bytes, off: int):
-        raw = np.frombuffer(data, dtype=np.uint8)
-        n = len(raw)
-        # vectorized marker scan: 0xFF00 = stuffing, 0xFFFF = fill,
-        # 0xFFD0-D7 = restart boundary, anything else ends the scan
-        ff = np.nonzero(raw[off : n - 1] == 0xFF)[0] + off
-        nxt = raw[ff + 1]
-        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-        is_end = (nxt != 0x00) & (nxt != 0xFF) & ~is_rst
-        endi = np.nonzero(is_end)[0]
-        scan_end = int(ff[endi[0]]) if endi.size else n
-        segs = []
-        start = off
-        for p in ff[is_rst].tolist():
-            if p >= scan_end:
-                break
-            segs.append((start, p))
-            start = p + 2
-        segs.append((start, scan_end))
         self.segs = []
-        for s, e in segs:
-            chunk = raw[s:e]
-            if chunk.size:
-                ff = chunk == 0xFF
-                drop = np.zeros(chunk.size, dtype=bool)
-                drop[1:] = ff[:-1] & (chunk[1:] == 0)
-                chunk = chunk[~drop]
+        for chunk in _split_segments(data, off):
             buf = np.zeros(chunk.size + 3, dtype=np.uint32)
             buf[: chunk.size] = chunk
             win = ((buf[:-2] << 16) | (buf[1:-1] << 8) | buf[2:]).tolist()
@@ -533,20 +630,30 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
     planes = []
     for ci, (c, *_t) in enumerate(order):
         zzc = np.frombuffer(coeffs[ci], dtype=np.int64).reshape(-1, 64)
-        nat = np.zeros_like(zzc)
-        nat[:, _ZIG] = zzc
-        qt = qts[c["tq"]].reshape(64)
-        sblocks = (nat * qt).reshape(-1, 8, 8).astype(np.float64)
-        pix = _DCT8.T @ sblocks @ _DCT8 + 128.0  # batched IDCT
-        gh, gw = mcuy * c["v"], grid_w[ci]
-        plane = pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        plane = _comp_plane(zzc, qts[c["tq"]].reshape(64),
+                            mcuy * c["v"], grid_w[ci])
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1:
             plane = np.repeat(plane, fy, axis=0)
         if fx > 1:
             plane = np.repeat(plane, fx, axis=1)
         planes.append(plane[:fh, :fw])
-    if ncomp == 1:
+    return _planes_to_rgb(planes)
+
+
+def _comp_plane(zzc: np.ndarray, qt: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """(nblocks, 64) zig-zag quantized coeffs → (gh·8, gw·8) float plane:
+    dequantize, batched IDCT, block raster assembly."""
+    nat = np.zeros((zzc.shape[0], 64), dtype=np.int64)
+    nat[:, _ZIG] = zzc
+    sblocks = (nat * qt).reshape(-1, 8, 8).astype(np.float64)
+    pix = _DCT8.T @ sblocks @ _DCT8 + 128.0  # batched IDCT
+    return pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+
+
+def _planes_to_rgb(planes: "list[np.ndarray]") -> np.ndarray:
+    """Cropped full-resolution YCbCr (or lone Y) planes → uint8 RGB."""
+    if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
@@ -557,10 +664,9 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG bytes → (h, w, 3) uint8 RGB (grayscale is
-    replicated). Handles JFIF/EXIF APPn, multiple DQT/DHT segments, 8/16-bit
-    quant precision, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals."""
+def _parse_jpeg(data: bytes):
+    """Marker-segment parse up to SOS → (frame, qts, hdc, hac, scomps, ri,
+    scan_off). Shared by the scalar and batch decoders."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -627,9 +733,236 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (payload[1 + 2 * k], payload[2 + 2 * k] >> 4, payload[2 + 2 * k] & 15)
                 for k in range(ns)
             ]
-            return _decode_scan(data, seg_end, frame, qts, hdc, hac, scomps, ri)
+            return frame, qts, hdc, hac, scomps, ri, seg_end
         i = seg_end
     raise ValueError("no SOS marker found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG bytes → (h, w, 3) uint8 RGB (grayscale is
+    replicated). Handles JFIF/EXIF APPn, multiple DQT/DHT segments, 8/16-bit
+    quant precision, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals."""
+    frame, qts, hdc, hac, scomps, ri, off = _parse_jpeg(data)
+    return _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri)
+
+
+def decode_jpeg_batch(blobs: "list[bytes]") -> list:
+    """Decode many baseline JPEGs at once. Returns a list aligned with
+    ``blobs``: an (h, w, 3) uint8 array on success, the Exception instance
+    on failure — callers keep per-image quarantine semantics.
+
+    Lane-parallel entropy decode: every restart segment of every image is
+    an independent bitstream lane; all lanes advance one Huffman symbol per
+    step as numpy vectors, so the per-symbol Python overhead of the scalar
+    decoder amortizes across thousands of lanes (our encoder emits one
+    restart segment per MCU row precisely to feed this). Images the vector
+    path can't take (subsampled chroma, single-lane streams with no
+    restarts, any stream anomaly) fall back to the scalar decoder
+    one-by-one with identical results and error text."""
+    n = len(blobs)
+    results: list = [None] * n
+    metas = []  # (img_i, frame, qts, comp order params, segments)
+    for i, blob in enumerate(blobs):
+        try:
+            frame, qts, hdc, hac, scomps, ri, off = _parse_jpeg(blob)
+            fh, fw, comps = frame
+            if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise _ScalarFallback()
+            mcux, mcuy = -(-fw // 8), -(-fh // 8)
+            mcus = mcux * mcuy
+            segs = _split_segments(blob, off)
+            nseg = -(-mcus // ri) if ri else 1
+            if len(segs) != nseg:
+                raise _ScalarFallback()
+            order = []
+            for cs, td, ta in scomps:
+                c = next(c for c in comps if c["id"] == cs)
+                order.append((c["tq"], hdc[td], hac[ta]))
+            metas.append((i, fh, fw, mcux, mcuy, ri, qts, order, segs))
+        except _ScalarFallback:
+            results[i] = _scalar_or_exc(blobs[i])
+        except Exception as e:
+            results[i] = e
+    if metas:
+        for i, out in _decode_lanes(metas):
+            results[i] = out if out is not None else _scalar_or_exc(blobs[i])
+    return results
+
+
+class _ScalarFallback(Exception):
+    pass
+
+
+def _scalar_or_exc(blob: bytes):
+    try:
+        return decode_jpeg(blob)
+    except Exception as e:
+        return e
+
+
+def _decode_lanes(metas):
+    """The batch decoder's vector core. ``metas`` rows:
+    (img_i, fh, fw, mcux, mcuy, ri, qts, order[(tq, dcspec, acspec)], segs).
+    Yields (img_i, rgb | None) — None marks lanes that hit a stream anomaly
+    (caller re-runs those images through the scalar path)."""
+    # ---- table registry (shared across the batch) ----
+    tab_ids: dict = {}
+    tab_list: list = []
+
+    def tid_of(spec):
+        key = (bytes(spec[0]), bytes(spec[1]))
+        t = tab_ids.get(key)
+        if t is None:
+            t = len(tab_list)
+            tab_ids[key] = t
+            tab_list.append(_huff_decode_lut_np(*spec))
+        return t
+
+    # ---- lanes + global destuffed buffer ----
+    nimg = len(metas)
+    img_nc = np.empty(nimg, np.int64)
+    img_block0 = np.empty(nimg, np.int64)
+    bufs, lane_rows = [], []
+    tdc_rows, tac_rows = [], []
+    nbytes = 0
+    nblocks = 0
+    for mi, (_i, fh, fw, mcux, mcuy, ri, qts, order, segs) in enumerate(metas):
+        nc = len(order)
+        img_nc[mi] = nc
+        img_block0[mi] = nblocks
+        mcus = mcux * mcuy
+        tdc = [tid_of(d) for _tq, d, _a in order] + [0] * (3 - nc)
+        tac = [tid_of(a) for _tq, _d, a in order] + [0] * (3 - nc)
+        step = ri if ri else mcus
+        for si, chunk in enumerate(segs):
+            first = si * step
+            lane_rows.append(
+                (mi, nbytes * 8, nbytes * 8 + chunk.size * 8,
+                 nblocks + first * nc, min(step, mcus - first))
+            )
+            tdc_rows.append(tdc)
+            tac_rows.append(tac)
+            bufs.append(chunk)
+            nbytes += chunk.size
+        nblocks += mcus * nc
+    bufs.append(np.zeros(4, np.uint8))  # final peek-past-end pad
+    B = np.concatenate(bufs).astype(np.int32)
+    W32 = (B[:-2] << 16) | (B[1:-1] << 8) | B[2:]  # int32: values < 2^24
+
+    # int64 LUTs: per-step gathers then need no astype
+    SYM = np.concatenate([s for s, _l in tab_list]).astype(np.int64)
+    LEN = np.concatenate([l for _s, l in tab_list]).astype(np.int64)
+
+    lanes = np.array(lane_rows, np.int64).reshape(-1, 5)
+    img_of = lanes[:, 0].copy()
+    pos = lanes[:, 1].copy()
+    end = lanes[:, 2].copy()
+    block = lanes[:, 3].copy()
+    mcu_left = lanes[:, 4].copy()
+    # per-lane table ids in one 6-slot row: [dc0 dc1 dc2 ac0 ac1 ac2] —
+    # slot = phase·3 + comp is a single flat gather per step
+    t6 = np.concatenate(
+        [np.array(tdc_rows, np.int64).reshape(-1, 3),
+         np.array(tac_rows, np.int64).reshape(-1, 3)], axis=1
+    )
+    nl = lanes.shape[0]
+    ncomp = img_nc[img_of]
+    comp = np.zeros(nl, np.int64)
+    k = np.zeros(nl, np.int64)
+    phase = np.zeros(nl, np.int64)  # 0 = DC, 1 = AC
+    pred = np.zeros((nl, 3), np.int64)
+
+    # zig-zag coeffs, flat-indexed; int32 (baseline coeffs are ≤ 11 bits +
+    # quantizer headroom) halves the scatter/gather traffic
+    Cf = np.zeros(nblocks * 64, np.int32)
+    img_bad = np.zeros(nimg, bool)
+
+    t6f, predf = t6.ravel(), pred.ravel()
+    base6 = np.arange(nl) * 6
+    base3 = np.arange(nl) * 3
+    alive = np.ones(nl, bool)
+    nalive = nl
+    wmax = W32.size - 1
+    while nalive:
+        w = (W32[np.minimum(pos >> 3, wmax)] >> (8 - (pos & 7))) & 0xFFFF
+        off = t6f[base6 + phase * 3 + comp] * 65536 + w
+        L = LEN[off]
+        RS = SYM[off]
+        bad = (L == 0) & alive
+        p2 = pos + L
+        # JPEG symbol structure lets every branch share one arithmetic
+        # path: DC symbols are the size S directly (S ≤ 11 < 16 ⇒ RS&15
+        # == RS, RS>>4 == 0), EOB (0x00) and ZRL (0xF0) both carry S = 0
+        # extra bits, and ZRL's run field is 15 so "k += run + 1" is the
+        # uniform post-symbol k for normal, ZRL and DC alike.
+        S = RS & 15
+        m1 = 1 << S
+        w2 = (W32[np.minimum(p2 >> 3, wmax)] >> (8 - (p2 & 7))) & 0xFFFF
+        val = (w2 >> (16 - S)) & (m1 - 1)
+        sval = np.where(val < (m1 >> 1), val - m1 + 1, val)  # S=0 → 0
+        is_ac = phase == 1
+        eob = is_ac & (RS == 0)
+        norm = is_ac & (RS != 0) & (RS != 0xF0)
+        # DC: accumulate predictor, write slot 0
+        dcm = ~is_ac & alive & ~bad
+        pix = base3 + comp
+        pnew = predf[pix] + sval
+        predf[pix[dcm]] = pnew[dcm]
+        Cf[block[dcm] * 64] = pnew[dcm]
+        # AC: coefficient lands at k+run (ZRL/EOB write nothing). The alive
+        # mask matters: a finished-but-uncompacted lane keeps re-decoding
+        # its final bits, so its k grows without meaning — never let it
+        # poison the image's bad flag.
+        kw = k + (RS >> 4)
+        bad |= alive & norm & (kw > 63)
+        wok = norm & ~bad & alive
+        Cf[block[wok] * 64 + kw[wok]] = sval[wok]
+        pos = np.where(alive, p2 + S, pos)
+        bad |= alive & (pos > end)
+        k2 = kw + 1
+        blockdone = (eob | (is_ac & (k2 > 63))) & ~bad
+        k = np.where(is_ac, k2, 1)
+        phase = 1 - blockdone
+        wrap = blockdone & (comp + 1 >= ncomp)
+        comp = np.where(wrap, 0, comp + blockdone)
+        block = block + blockdone
+        mcu_left = mcu_left - wrap
+        if bad.any():
+            img_bad[img_of[bad]] = True
+        newdead = bad | (wrap & (mcu_left == 0))
+        if newdead.any():
+            alive = alive & ~newdead
+            nalive = int(alive.sum())
+            if nalive * 8 < pos.size * 7:  # compact at ≥12.5% dead
+                (img_of, pos, end, block, mcu_left, ncomp, comp, k,
+                 phase) = (a[alive] for a in
+                           (img_of, pos, end, block, mcu_left, ncomp,
+                            comp, k, phase))
+                t6f = t6[alive].ravel()
+                t6 = t6f.reshape(-1, 6)
+                predf = pred[alive].ravel()
+                pred = predf.reshape(-1, 3)
+                base6 = base6[: pos.size]
+                base3 = base3[: pos.size]
+                alive = np.ones(pos.size, bool)
+    C = Cf.reshape(nblocks, 64)
+
+    # ---- dequantize + IDCT + assemble per image (per-image working sets
+    # stay cache-sized; one whole-batch IDCT was measured slower — its
+    # ~100 MB transients stall on hugepage defrag) ----
+    for mi, (i, fh, fw, mcux, mcuy, _ri, qts, order, _segs) in enumerate(metas):
+        if img_bad[mi]:
+            yield i, None
+            continue
+        nc = len(order)
+        base = img_block0[mi]
+        planes = []
+        for j, (tq, _d, _a) in enumerate(order):
+            zz = C[base + j : base + mcux * mcuy * nc : nc]
+            planes.append(
+                _comp_plane(zz, qts[tq].reshape(64), mcuy, mcux)[:fh, :fw]
+            )
+        yield i, _planes_to_rgb(planes)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

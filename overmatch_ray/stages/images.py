@@ -53,37 +53,76 @@ class DecodeValidate:
         self.psnr_sample = max(1, psnr_sample)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import decode_jpeg_batch
+
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
         stored_ph = np.asarray(batch["phash"].to_numpy(zero_copy_only=False))
 
-        ok = np.zeros(len(blobs), dtype=bool)
-        dec_ph = np.zeros(len(blobs), dtype=np.int64)
-        psnrs = np.full(len(blobs), np.inf)
-        mean_rgb = np.zeros((len(blobs), 3), dtype=np.float64)
-        errors: list[str | None] = [None] * len(blobs)
-        for i, (blob, fmt, w, h) in enumerate(zip(blobs, fmts, ws, hs)):
-            try:
-                img = decode_image(blob, fmt)
-                if img.shape != (h, w, 3):
-                    raise ValueError(f"shape {img.shape} != ({h}, {w}, 3)")
-                if fmt != "png" and i % self.psnr_sample == 0:
-                    # lossy roundtrip invariant (PSNR ≥ 40 dB)
-                    rt = decode_image(encode_image(img, fmt), fmt)
-                    psnrs[i] = psnr(img, rt)
-                    if psnrs[i] < self.min_psnr_db:
-                        raise ValueError(f"roundtrip psnr {psnrs[i]:.1f} dB")
-                dec_ph[i] = phash64(img)
-                # two-stage integer sum: exact same float64 value as
-                # .mean(axis=0) (uint8 sums are exact integers), ~15× cheaper
-                mean_rgb[i] = img.sum(axis=0, dtype=np.uint32).sum(
-                    axis=0, dtype=np.int64
-                ) / (img.shape[0] * img.shape[1])
-                ok[i] = True
-            except Exception as e:  # quarantine, don't fail the pipeline
-                errors[i] = f"{type(e).__name__}: {e}"
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        dec_ph = np.zeros(n, dtype=np.int64)
+        psnrs = np.full(n, np.inf)
+        mean_rgb = np.zeros((n, 3), dtype=np.float64)
+        errors: list[str | None] = [None] * n
+
+        # phase 1 — decode: JPEGs go through the lane-parallel batch
+        # decoder (one call per map_batches batch; per-image failures come
+        # back as Exception objects), PNGs are cheap scalar decodes
+        imgs: list = [None] * n
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            imgs[i] = r
+        for i, f in enumerate(fmts):
+            if f not in ("jpeg", "jpg"):
+                try:
+                    imgs[i] = decode_image(blobs[i], f)
+                except Exception as e:
+                    imgs[i] = e
+
+        # phase 2 — shape gate + collect the sampled lossy roundtrips
+        rt_idx: list[int] = []
+        rt_blobs: list[bytes] = []
+        for i in range(n):
+            r = imgs[i]
+            if isinstance(r, Exception):
+                errors[i] = f"{type(r).__name__}: {r}"
+                continue
+            if r.shape != (hs[i], ws[i], 3):
+                errors[i] = (
+                    f"ValueError: shape {r.shape} != ({hs[i]}, {ws[i]}, 3)"
+                )
+                continue
+            if fmts[i] != "png" and i % self.psnr_sample == 0:
+                try:
+                    rt_blobs.append(encode_image(r, fmts[i]))
+                    rt_idx.append(i)
+                except Exception as e:
+                    errors[i] = f"{type(e).__name__}: {e}"
+
+        # phase 3 — roundtrip PSNR invariant (≥ 40 dB), decoded batched
+        for i, rr in zip(rt_idx, decode_jpeg_batch(rt_blobs)):
+            if isinstance(rr, Exception):
+                errors[i] = f"{type(rr).__name__}: {rr}"
+                continue
+            psnrs[i] = psnr(imgs[i], rr)
+            if psnrs[i] < self.min_psnr_db:
+                errors[i] = f"ValueError: roundtrip psnr {psnrs[i]:.1f} dB"
+
+        # phase 4 — features for surviving rows
+        for i in range(n):
+            if errors[i] is not None:
+                continue
+            img = imgs[i]
+            dec_ph[i] = phash64(img)
+            # two-stage integer sum: exact same float64 value as
+            # .mean(axis=0) (uint8 sums are exact integers), ~15× cheaper
+            mean_rgb[i] = img.sum(axis=0, dtype=np.uint32).sum(
+                axis=0, dtype=np.int64
+            ) / (img.shape[0] * img.shape[1])
+            ok[i] = True
 
         ham = hamming64(dec_ph, stored_ph)
         phash_ok = ok & (ham <= self.max_hamming)

@@ -223,6 +223,79 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
+    def test_restart_markers_lossless(self):
+        # restart segments change only the entropy framing: decoded pixels
+        # must be bit-identical with and without them
+        for seed, (h, w) in enumerate([(8, 8), (37, 23), (96, 72), (64, 160)]):
+            img = _img(seed, h, w)
+            a = decode_jpeg(encode_jpeg(img, 95, restart_rows=0))
+            b = decode_jpeg(encode_jpeg(img, 95, restart_rows=1))
+            c = decode_jpeg(encode_jpeg(img, 95, restart_rows=3))
+            assert (a == b).all() and (a == c).all()
+
+
+class TestJpegBatchDecode:
+    """The lane-parallel batch decoder must be bit-identical to the scalar
+    decoder on every stream, and degrade to it per image on anomalies."""
+
+    def test_parity_mixed_sizes_qualities(self):
+        from overmatch_ray.imaging.codec import decode_jpeg_batch
+
+        rng = np.random.default_rng(42)
+        blobs = []
+        for t in range(48):
+            h = int(rng.integers(8, 130))
+            w = int(rng.integers(8, 130))
+            y, x = np.mgrid[0:h, 0:w]
+            base = 128 + 60 * np.sin(x / 7.0 + t) + rng.normal(0, 5, (h, w))
+            img = np.stack(
+                [base, np.roll(base, 2, 0), np.roll(base, 3, 1)], -1
+            ).clip(0, 255).astype(np.uint8)
+            blobs.append(
+                encode_jpeg(img, int(rng.choice([80, 90, 98])),
+                            restart_rows=int(rng.choice([0, 1, 2])))
+            )
+        outs = decode_jpeg_batch(blobs)
+        for b, o in zip(blobs, outs):
+            assert isinstance(o, np.ndarray)
+            assert (o == decode_jpeg(b)).all()
+
+    def test_errors_come_back_per_image(self):
+        from overmatch_ray.imaging.codec import decode_jpeg_batch
+
+        good = encode_jpeg(_img(1, 24, 24))
+        outs = decode_jpeg_batch([b"\x00" * 32, good, good[:40]])
+        assert isinstance(outs[0], Exception)
+        assert isinstance(outs[1], np.ndarray)
+        assert isinstance(outs[2], Exception)
+        assert (outs[1] == decode_jpeg(good)).all()
+
+    def test_subsampled_falls_back_to_scalar(self):
+        # hand-assembled 4:2:0 stream (ineligible for the lane machine)
+        # mixed into a batch: result must still match the scalar decoder
+        from overmatch_ray.imaging.codec import decode_jpeg_batch
+
+        bw = _Bits()
+        bw.put(_DC_LUM_S10 + format(576, "010b") + _EOB_LUM)
+        for _ in range(3):
+            bw.put(_DC_LUM_S0 + _EOB_LUM)
+        for _ in range(2):
+            bw.put(_DC_CHR_S0 + _EOB_CHR)
+        sub420 = (
+            b"\xff\xd8"
+            + _UNIT_DQT
+            + _seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 3)
+                   + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+            + _STD_DHT
+            + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            + bw.bytes()
+            + b"\xff\xd9"
+        )
+        good = encode_jpeg(_img(7, 40, 56))
+        outs = decode_jpeg_batch([sub420, good])
+        assert (outs[0] == decode_jpeg(sub420)).all()
+        assert (outs[1] == decode_jpeg(good)).all()
+
 
 class TestPhash:
     def test_identical_images_equal_hash(self):
