@@ -299,15 +299,25 @@ def _bit_length(x: np.ndarray) -> np.ndarray:
     return np.where(x > 0, np.floor(np.log2(np.maximum(x, 1))).astype(np.int64) + 1, 0)
 
 
+def _expand_bits(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Explode (code, len) symbol pairs to one uint8 bit per output bit,
+    MSB-first, in symbol order. One vectorized pass over total-bits elements
+    (a per-bit-position scatter loop was ~6× slower: max(len) ≈ 26 masked
+    passes over every symbol)."""
+    total = int(lens.sum())
+    sym = np.repeat(np.arange(lens.size), lens)
+    o = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return ((codes[sym] >> (lens[sym] - 1 - o)) & 1).astype(np.uint8)
+
+
 def _pack_codes(codes: np.ndarray, lens: np.ndarray) -> bytes:
     """MSB-first variable-length bit packing + 0xFF byte stuffing + 1-pad."""
     total = int(lens.sum())
-    bits = np.ones(((total + 7) // 8) * 8, dtype=np.uint8)  # pad bits are 1s
-    starts = np.cumsum(lens) - lens
-    for k in range(int(lens.max()) if lens.size else 0):
-        m = lens > k
-        bits[starts[m] + k] = (codes[m] >> (lens[m] - 1 - k)) & 1
-    by = np.packbits(bits)
+    bv = _expand_bits(codes, lens)
+    pad = (-total) % 8
+    if pad:
+        bv = np.concatenate([bv, np.ones(pad, np.uint8)])  # pad bits are 1s
+    by = np.packbits(bv)
     ff = np.nonzero(by == 0xFF)[0]
     if ff.size:
         by = np.insert(by, ff + 1, 0)
@@ -332,9 +342,9 @@ def _pack_codes_segmented(codes: np.ndarray, lens: np.ndarray,
     seg_byte0 = np.concatenate([[0], np.cumsum(seg_bytes)[:-1]])
     starts = seg_byte0[segs] * 8 + (csum0 - seg_bit0[segs])
     bits = np.ones(int(seg_bytes.sum()) * 8, dtype=np.uint8)
-    for k in range(int(lens.max()) if lens.size else 0):
-        m = lens > k
-        bits[starts[m] + k] = (codes[m] >> (lens[m] - 1 - k)) & 1
+    total = int(lens.sum())
+    o = np.arange(total) - np.repeat(csum0, lens)
+    bits[np.repeat(starts, lens) + o] = _expand_bits(codes, lens)
     by = np.packbits(bits)
     # global stuffing, then recover segment boundaries in stuffed space
     isff = by == 0xFF
@@ -421,19 +431,60 @@ def _entropy_encode(planes: list[np.ndarray], ri: int = 0) -> bytes:
     return _pack_codes_segmented(ocodes, olens, segs, -(-nblocks // ri))
 
 
+def _pack_codes_multi(codes: np.ndarray, lens: np.ndarray, segs: np.ndarray,
+                      nseg: int, seg_img: np.ndarray, seg_in_img: np.ndarray,
+                      nimg: int) -> "list[bytes]":
+    """Multi-image generalization of ``_pack_codes_segmented``: segments
+    carry an owning-image id; consecutive segments of the same image join
+    with cycling RSTn markers, image boundaries split the output. One
+    vectorized pack + stuff over the whole batch's symbols."""
+    cum = np.cumsum(lens)
+    csum0 = cum - lens
+    first = np.searchsorted(segs, np.arange(nseg))
+    seg_bit0 = csum0[first]
+    seg_bits = np.diff(np.append(seg_bit0, cum[-1] if lens.size else 0))
+    seg_bytes = (seg_bits + 7) // 8
+    seg_byte0 = np.concatenate([[0], np.cumsum(seg_bytes)[:-1]])
+    starts = seg_byte0[segs] * 8 + (csum0 - seg_bit0[segs])
+    bits = np.ones(int(seg_bytes.sum()) * 8, dtype=np.uint8)
+    total = int(lens.sum())
+    o = np.arange(total) - np.repeat(csum0, lens)
+    bits[np.repeat(starts, lens) + o] = _expand_bits(codes, lens)
+    by = np.packbits(bits)
+    ff = np.nonzero(by == 0xFF)[0]
+    ends = np.cumsum(seg_bytes)
+    shift = np.searchsorted(ff, ends)
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    ends2 = ends + shift
+    out = [bytearray() for _ in range(nimg)]
+    start = 0
+    for s in range(nseg):
+        i = seg_img[s]
+        out[i] += by[start:ends2[s]].tobytes()
+        if s + 1 < nseg and seg_img[s + 1] == i:
+            out[i] += bytes([0xFF, 0xD0 + (seg_in_img[s] % 8)])
+        start = ends2[s]
+    return [bytes(b) for b in out]
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 98,
-                restart_rows: int = 1) -> bytes:
+                restart_rows: int = 1,
+                restart_mcus: "int | None" = None) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4, interleaved,
     Annex-K quant tables scaled by ``quality``, standard Huffman tables).
 
     ``restart_rows`` > 0 emits a DRI segment + RSTn markers every that many
     MCU rows (default 1). Restart segments cost <0.5% size and make the
     stream decodable by the lane-parallel ``decode_jpeg_batch`` — each
-    segment is an independent bitstream lane. 0 disables."""
+    segment is an independent bitstream lane. 0 disables. ``restart_mcus``
+    (any MCU count) overrides the row granularity: the batch decoder's
+    sequential step count is the per-segment symbol count, so SHORTER
+    segments decode faster at ~2.75 B/segment size overhead."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, c = img.shape
     if c != 3:
@@ -458,9 +509,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 98,
         coef = _DCT8 @ blocks @ _DCT8.T  # batched FDCT (broadcast matmul)
         qz = np.rint(coef.reshape(-1, 64) / qt).astype(np.int64)
         planes.append(qz[:, _ZIG])  # zig-zag order
-    ri = (W // 8) * restart_rows if restart_rows else 0
+    if restart_mcus is not None:
+        ri = min(int(restart_mcus), (H // 8) * (W // 8)) if restart_mcus else 0
+    else:
+        ri = (W // 8) * restart_rows if restart_rows else 0
     body = _entropy_encode(planes, ri)
+    return _jpeg_header(h, w, qlum, qchr, ri) + body + b"\xff\xd9"
 
+
+def _jpeg_header(h: int, w: int, qlum: np.ndarray, qchr: np.ndarray,
+                 ri: int) -> bytes:
+    """SOI → SOS marker segments for the 4:4:4 interleaved baseline frame
+    this encoder emits (standard Huffman tables, optional DRI)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
     out += _seg(0xDB, bytes([0x00]) + bytes(qlum[_ZIG].astype(np.uint8))
@@ -475,9 +535,155 @@ def encode_jpeg(img: np.ndarray, quality: int = 98,
     if ri:
         out += _seg(0xDD, struct.pack(">H", ri))
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += body
-    out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_batch(imgs: "list[np.ndarray]", quality: int = 98,
+                      restart_rows: int = 1,
+                      restart_mcus: "int | None" = None) -> "list[bytes]":
+    """Encode many RGB images at once — bit-identical to per-image
+    ``encode_jpeg`` with the same arguments. One batched color transform
+    over the concatenated pixels, one FDCT matmul over every 8×8 block of
+    every image, one entropy/pack pass over the whole batch's symbols
+    (``_pack_codes_multi``); the per-image numpy call overhead of the
+    scalar encoder (~40 kernel launches/image) amortizes across the batch.
+    Raises on the first invalid image (same errors as ``encode_jpeg``).
+
+    Works in sub-batches bounded by total pixel count: past ~10 MB the
+    batch's transient arrays hit transparent-hugepage defrag stalls (8-10×
+    measured on this class of host — same effect the batch DECODER's
+    per-image IDCT comment records), so bigger isn't faster."""
+    out: list = []
+    budget = 400_000  # pixels per sub-batch ≈ 24 typical 128² images
+    run_px, start = 0, 0
+    for i, im in enumerate(imgs):
+        px = int(im.shape[0]) * int(im.shape[1]) if im.ndim == 3 else 0
+        if run_px and run_px + px > budget:
+            out.extend(_encode_jpeg_batch_core(imgs[start:i], quality,
+                                               restart_rows, restart_mcus))
+            run_px, start = 0, i
+        run_px += px
+    out.extend(_encode_jpeg_batch_core(imgs[start:], quality, restart_rows,
+                                       restart_mcus))
+    return out
+
+
+def _encode_jpeg_batch_core(imgs: "list[np.ndarray]", quality: int,
+                            restart_rows: int,
+                            restart_mcus: "int | None" = None) -> "list[bytes]":
+    nimg = len(imgs)
+    if nimg == 0:
+        return []
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+    for im in imgs:
+        if im.ndim != 3 or im.shape[2] != 3:
+            raise ValueError("encode_jpeg expects RGB (h, w, 3)")
+        if im.shape[0] == 0 or im.shape[1] == 0:
+            raise ValueError("empty image")
+    qlum, qchr = _quality_tables(quality)
+    # one color transform over all pixels of all images
+    flat = np.concatenate([im.reshape(-1, 3) for im in imgs]).astype(np.float64)
+    r, g, b = flat[:, 0], flat[:, 1], flat[:, 2]
+    ycc_flat = (
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    )
+    px0 = np.cumsum([0] + [im.shape[0] * im.shape[1] for im in imgs])
+    # per-image geometry
+    hs = np.array([im.shape[0] for im in imgs], np.int64)
+    ws = np.array([im.shape[1] for im in imgs], np.int64)
+    Hs, Ws = -(-hs // 8) * 8, -(-ws // 8) * 8
+    nblk = (Hs // 8) * (Ws // 8)
+    blk0 = np.concatenate([[0], np.cumsum(nblk)])
+    if restart_mcus is not None:
+        ri_img = (np.minimum(int(restart_mcus), nblk) if restart_mcus
+                  else nblk)
+    else:
+        ri_img = (Ws // 8) * restart_rows if restart_rows else nblk
+    nseg_img = -(-nblk // ri_img)
+    seg0 = np.concatenate([[0], np.cumsum(nseg_img)])
+    nseg = int(seg0[-1])
+    seg_img = np.repeat(np.arange(nimg), nseg_img)
+    seg_in_img = np.arange(nseg) - seg0[seg_img]
+    # per-block vectors
+    img_of_blk = np.repeat(np.arange(nimg), nblk)
+    blk_in_img = np.arange(int(blk0[-1])) - blk0[img_of_blk]
+    ri_blk = ri_img[img_of_blk]
+    seg_blk = seg0[img_of_blk] + blk_in_img // ri_blk
+    firsts = (blk_in_img % ri_blk) == 0
+    # gather padded 8×8 blocks per component, one FDCT + quantize per comp
+    planes = []
+    for ci, qt in ((0, qlum), (1, qchr), (2, qchr)):
+        chunks = []
+        for i in range(nimg):
+            h, w, H, W = int(hs[i]), int(ws[i]), int(Hs[i]), int(Ws[i])
+            chan = ycc_flat[ci][px0[i]:px0[i + 1]].reshape(h, w)
+            p = np.pad(chan, ((0, H - h), (0, W - w)), mode="edge") - 128.0
+            chunks.append(
+                p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+            )
+        big = np.concatenate(chunks).reshape(-1, 8, 8)
+        coef = _DCT8 @ big @ _DCT8.T
+        qz = np.rint(coef.reshape(-1, 64) / qt).astype(np.int64)
+        planes.append(qz[:, _ZIG])
+    # entropy symbols over the concatenated planes (global block ids)
+    tabs = ((_ENC_DC_LUM, _ENC_AC_LUM), (_ENC_DC_CHR, _ENC_AC_CHR),
+            (_ENC_DC_CHR, _ENC_AC_CHR))
+    n = planes[0].shape[0]
+    keys, codes, lens = [], [], []
+    for ci, zz in enumerate(planes):
+        (dc_code, dc_len), (ac_code, ac_len) = tabs[ci]
+        blk3 = np.arange(n, dtype=np.int64) * 3 + ci
+        dc = zz[:, 0]
+        diff = np.diff(dc, prepend=np.int64(0))
+        diff = np.where(firsts, dc, diff)
+        s = _bit_length(np.abs(diff))
+        val = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+        keys.append(blk3 * 128)
+        codes.append((dc_code[s] << s) | val)
+        lens.append(dc_len[s] + s)
+        bi, pos = np.nonzero(zz[:, 1:])
+        if bi.size:
+            v = zz[bi, pos + 1]
+            prev = np.empty_like(pos)
+            prev[0] = -1
+            same = bi[1:] == bi[:-1]
+            prev[1:] = np.where(same, pos[:-1], -1)
+            run = pos - prev - 1
+            nzrl = run >> 4
+            s = _bit_length(np.abs(v))
+            sym = ((run & 15) << 4) | s
+            val = np.where(v >= 0, v, v + (np.int64(1) << s) - 1)
+            keys.append((bi * 3 + ci) * 128 + 2 * (pos + 1))
+            codes.append((ac_code[sym] << s) | val)
+            lens.append(ac_len[sym] + s)
+            if nzrl.any():
+                zb = np.repeat(bi, nzrl)
+                zk = np.repeat(pos + 1, nzrl)
+                keys.append((zb * 3 + ci) * 128 + 2 * zk - 1)
+                codes.append(np.full(zb.shape, ac_code[0xF0]))
+                lens.append(np.full(zb.shape, ac_len[0xF0]))
+        eob = np.nonzero(zz[:, 63] == 0)[0]
+        keys.append((eob * 3 + ci) * 128 + 127)
+        codes.append(np.full(eob.shape, ac_code[0x00]))
+        lens.append(np.full(eob.shape, ac_len[0x00]))
+    key = np.concatenate(keys)
+    order = np.argsort(key, kind="stable")
+    ocodes = np.concatenate(codes)[order]
+    olens = np.concatenate(lens)[order]
+    segs = seg_blk[key[order] // 384]
+    bodies = _pack_codes_multi(ocodes, olens, segs, nseg, seg_img,
+                               seg_in_img, nimg)
+    # header DRI mirrors the scalar encoder exactly: 0 when restarts are
+    # disabled (restart_mcus=0 or restart_rows=0), else the effective ri
+    dri_on = bool(restart_mcus) if restart_mcus is not None else bool(restart_rows)
+    out = []
+    for i in range(nimg):
+        ri = int(ri_img[i]) if dri_on else 0
+        out.append(_jpeg_header(int(hs[i]), int(ws[i]), qlum, qchr, ri)
+                   + bodies[i] + b"\xff\xd9")
+    return out
 
 
 def _split_segments(data: bytes, off: int) -> "list[np.ndarray]":
@@ -1036,6 +1242,29 @@ def phash64(img: np.ndarray) -> int:
     return code - (1 << 64) if code >= (1 << 63) else code
 
 
+def phash64_batch(imgs: "list[np.ndarray]") -> np.ndarray:
+    """``phash64`` over many images at once — identical values. The
+    per-image half (grayscale + area resample) is size-dependent and stays
+    per-image; the 32×32 DCT, median threshold and bit pack batch into
+    single kernels across the whole list."""
+    n = len(imgs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    smalls = np.empty((n, _PHASH_N, _PHASH_N), dtype=np.float64)
+    for i, img in enumerate(imgs):
+        img = np.asarray(img)
+        gray = (img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                if img.ndim == 3 else img.astype(np.float64))
+        smalls[i] = _resize_area(gray, _PHASH_N)
+    dct = _DCT32 @ smalls @ _DCT32.T
+    block = dct[:, :_PHASH_K, :_PHASH_K].reshape(n, _PHASH_K * _PHASH_K)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint8)
+    codes = np.packbits(bits, axis=1).astype(np.uint64)
+    shifts = np.arange(56, -1, -8, dtype=np.uint64)
+    return (codes << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
@@ -1068,7 +1297,7 @@ def _riff_list(kind: bytes, payload: bytes) -> bytes:
 def encode_video_avi(frames: "list[np.ndarray]", fps: int = 10, quality: int = 98) -> bytes:
     """Encode frames as an AVI/MJPG file (one baseline JPEG per '00dc'
     chunk, AVIF_HASINDEX idx1 index)."""
-    jpgs = [encode_jpeg(f, quality) for f in frames]
+    jpgs = encode_jpeg_batch(list(frames), quality)
     h, w = (frames[0].shape[0], frames[0].shape[1]) if frames else (0, 0)
     maxbuf = max((len(j) for j in jpgs), default=0)
     avih = _riff_chunk(b"avih", struct.pack(

@@ -84,7 +84,6 @@ class DecodeValidate:
 
         # phase 2 — shape gate + collect the sampled lossy roundtrips
         rt_idx: list[int] = []
-        rt_blobs: list[bytes] = []
         for i in range(n):
             r = imgs[i]
             if isinstance(r, Exception):
@@ -96,11 +95,25 @@ class DecodeValidate:
                 )
                 continue
             if fmts[i] != "png" and i % self.psnr_sample == 0:
-                try:
-                    rt_blobs.append(encode_image(r, fmts[i]))
-                    rt_idx.append(i)
-                except Exception as e:
-                    errors[i] = f"{type(e).__name__}: {e}"
+                rt_idx.append(i)
+        # re-encode the sampled set in one batched pass (bit-identical to
+        # per-image encode_image); scalar fallback keeps per-image
+        # quarantine if the batch path rejects one
+        rt_blobs: list[bytes] = []
+        if rt_idx:
+            from ..imaging.codec import encode_jpeg_batch
+
+            try:
+                rt_blobs = encode_jpeg_batch([imgs[i] for i in rt_idx])
+            except Exception:
+                kept = []
+                for i in rt_idx:
+                    try:
+                        rt_blobs.append(encode_image(imgs[i], fmts[i]))
+                        kept.append(i)
+                    except Exception as e:
+                        errors[i] = f"{type(e).__name__}: {e}"
+                rt_idx = kept
 
         # phase 3 — roundtrip PSNR invariant (≥ 40 dB), decoded batched
         for i, rr in zip(rt_idx, decode_jpeg_batch(rt_blobs)):
@@ -111,12 +124,15 @@ class DecodeValidate:
             if psnrs[i] < self.min_psnr_db:
                 errors[i] = f"ValueError: roundtrip psnr {psnrs[i]:.1f} dB"
 
-        # phase 4 — features for surviving rows
-        for i in range(n):
-            if errors[i] is not None:
-                continue
+        # phase 4 — features for surviving rows (phash batched: one DCT /
+        # median / pack kernel across the batch, identical values)
+        from ..imaging.codec import phash64_batch
+
+        live = [i for i in range(n) if errors[i] is None]
+        if live:
+            dec_ph[live] = phash64_batch([imgs[i] for i in live])
+        for i in live:
             img = imgs[i]
-            dec_ph[i] = phash64(img)
             # two-stage integer sum: exact same float64 value as
             # .mean(axis=0) (uint8 sums are exact integers), ~15× cheaper
             mean_rgb[i] = img.sum(axis=0, dtype=np.uint32).sum(
