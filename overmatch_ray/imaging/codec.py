@@ -299,6 +299,37 @@ def _bit_length(x: np.ndarray) -> np.ndarray:
     return np.where(x > 0, np.floor(np.log2(np.maximum(x, 1))).astype(np.int64) + 1, 0)
 
 
+from . import native as _native
+
+# test hook: force the numpy reference paths even when the compiled kernel
+# is available (parity tests flip this to compare both implementations)
+_FORCE_NUMPY = False
+
+
+def _use_native() -> bool:
+    return _native.LIB is not None and not _FORCE_NUMPY
+
+
+def _pack_native(codes: np.ndarray, lens: np.ndarray, segs: np.ndarray,
+                 nseg: int, trailer: np.ndarray):
+    """ctypes shim over ``om_pack_codes`` (see _native.c). Returns
+    (out_buffer, per-segment end offsets, total bytes)."""
+    lib = _native.LIB
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    lens8 = np.ascontiguousarray(lens, dtype=np.uint8)
+    segs32 = np.ascontiguousarray(segs, dtype=np.int32)
+    trailer = np.ascontiguousarray(trailer, dtype=np.uint16)
+    seg_end = np.zeros(max(nseg, 1), dtype=np.int64)
+    total_bits = int(lens.sum()) if lens.size else 0
+    out = np.empty(2 * ((total_bits + 7) // 8) + 3 * nseg + 16, dtype=np.uint8)
+    n = lib.om_pack_codes(
+        codes.ctypes.data, lens8.ctypes.data, segs32.ctypes.data,
+        codes.size, nseg, trailer.ctypes.data, seg_end.ctypes.data,
+        out.ctypes.data,
+    )
+    return out, seg_end, int(n)
+
+
 def _expand_bits(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Explode (code, len) symbol pairs to one uint8 bit per output bit,
     MSB-first, in symbol order. One vectorized pass over total-bits elements
@@ -312,6 +343,11 @@ def _expand_bits(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 def _pack_codes(codes: np.ndarray, lens: np.ndarray) -> bytes:
     """MSB-first variable-length bit packing + 0xFF byte stuffing + 1-pad."""
+    if _use_native():
+        out, _, n = _pack_native(codes, lens,
+                                 np.zeros(len(codes), np.int32), 1,
+                                 np.zeros(1, np.uint16))
+        return out[:n].tobytes()
     total = int(lens.sum())
     bv = _expand_bits(codes, lens)
     pad = (-total) % 8
@@ -333,6 +369,11 @@ def _pack_codes_segmented(codes: np.ndarray, lens: np.ndarray,
     bookkeeping, all numpy."""
     if nseg <= 1:
         return _pack_codes(codes, lens)
+    if _use_native():
+        trailer = np.zeros(nseg, np.uint16)
+        trailer[:-1] = 0xFFD0 + (np.arange(nseg - 1) % 8)
+        out, _, n = _pack_native(codes, lens, segs, nseg, trailer)
+        return out[:n].tobytes()
     cum = np.cumsum(lens)
     csum0 = cum - lens
     first = np.searchsorted(segs, np.arange(nseg))          # first symbol/seg
@@ -438,6 +479,18 @@ def _pack_codes_multi(codes: np.ndarray, lens: np.ndarray, segs: np.ndarray,
     carry an owning-image id; consecutive segments of the same image join
     with cycling RSTn markers, image boundaries split the output. One
     vectorized pack + stuff over the whole batch's symbols."""
+    if _use_native():
+        nxt_same = np.zeros(nseg, bool)
+        nxt_same[:-1] = seg_img[1:] == seg_img[:-1]
+        trailer = np.where(nxt_same, 0xFFD0 + (seg_in_img % 8), 0)
+        out, seg_end, _n = _pack_native(codes, lens, segs, nseg, trailer)
+        last = np.nonzero(~nxt_same)[0]  # final segment of each image
+        res, prev = [], 0
+        for s in last.tolist():
+            e = int(seg_end[s])
+            res.append(out[prev:e].tobytes())
+            prev = e
+        return res
     cum = np.cumsum(lens)
     csum0 = cum - lens
     first = np.searchsorted(segs, np.arange(nseg))
@@ -990,9 +1043,66 @@ def decode_jpeg_batch(blobs: "list[bytes]") -> list:
         except Exception as e:
             results[i] = e
     if metas:
-        for i, out in _decode_lanes(metas):
+        gen = _decode_native(metas) if _use_native() else _decode_lanes(metas)
+        for i, out in gen:
             results[i] = out if out is not None else _scalar_or_exc(blobs[i])
     return results
+
+
+def _decode_native(metas):
+    """Compiled twin of ``_decode_lanes`` (imaging/_native.c): per-image
+    integer entropy decode in C, then the SAME numpy dequant/IDCT/color
+    assembly — decoded pixels are bit-identical to the lane decoder's.
+    Yields (img_i, rgb | None); None falls back to the scalar path exactly
+    like the lane decoder's bad-stream handling."""
+    lib = _native.LIB
+    # shared table registry (one 65536-entry LUT per distinct DHT spec)
+    tab_ids: dict = {}
+    tabs: list = []
+
+    def tid_of(spec):
+        key = (bytes(spec[0]), bytes(spec[1]))
+        t = tab_ids.get(key)
+        if t is None:
+            t = len(tabs)
+            tab_ids[key] = t
+            tabs.append(_huff_decode_lut_np(*spec))
+        return t
+
+    per_img = []
+    for (i, fh, fw, mcux, mcuy, ri, qts, order, segs) in metas:
+        dc = np.array([tid_of(d) for _tq, d, _a in order], np.int64) * 65536
+        ac = np.array([tid_of(a) for _tq, _d, a in order], np.int64) * 65536
+        per_img.append((dc, ac))
+    SYM = np.ascontiguousarray(np.concatenate([s for s, _l in tabs]))
+    LEN = np.ascontiguousarray(np.concatenate([l for _s, l in tabs]))
+
+    for (i, fh, fw, mcux, mcuy, ri, qts, order, segs), (dc, ac) in zip(
+        metas, per_img
+    ):
+        nc = len(order)
+        mcus = mcux * mcuy
+        ri_eff = ri if ri else mcus
+        sizes = np.array([0] + [s.size for s in segs], np.int64)
+        seg_start = np.cumsum(sizes)
+        buf = np.concatenate(segs + [np.zeros(16, np.uint8)])
+        out = np.zeros(mcus * nc * 64, np.int32)
+        ret = lib.om_entropy_decode(
+            buf.ctypes.data, seg_start.ctypes.data, len(segs), mcus,
+            ri_eff, nc, dc.ctypes.data, ac.ctypes.data, SYM.ctypes.data,
+            LEN.ctypes.data, out.ctypes.data,
+        )
+        if ret != 0:
+            yield i, None
+            continue
+        C = out.reshape(mcus * nc, 64)
+        planes = []
+        for j, (tq, _d, _a) in enumerate(order):
+            zz = C[j::nc]
+            planes.append(
+                _comp_plane(zz, qts[tq].reshape(64), mcuy, mcux)[:fh, :fw]
+            )
+        yield i, _planes_to_rgb(planes)
 
 
 class _ScalarFallback(Exception):
