@@ -317,7 +317,7 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
     Pixels are deterministic per index; every 17th row is an exact duplicate
     of its predecessor (same pixels ⇒ same phash) for D4 dedup tests.
     """
-    from .imaging.codec import encode_image, phash64
+    from .imaging.codec import encode_image, encode_jpeg_batch, phash64_batch
 
     idx = np.asarray(idx, dtype=np.int64)
     # exact-duplicate content: row i with i%17==0 and i>0 re-renders row i-1
@@ -328,7 +328,7 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
     h = (min_px + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(51)) % span)).astype(np.int64)
     fmt = np.where(_uniform(content_idx, 52) < 0.5, "png", "jpeg").astype(object)
 
-    blobs, hashes = [], []
+    imgs = []
     for ci, wi, hi, f in zip(content_idx, w, h, fmt):
         # deterministic gradients + a smooth per-image low-frequency field
         # (photo-like content: bilinear-upsampled 5×5 random grid — real
@@ -355,11 +355,19 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
         img[..., 0] = (xx * 255 // max(wi - 1, 1)).astype(np.uint8)
         img[..., 1] = (yy * 255 // max(hi - 1, 1)).astype(np.uint8)
         img[..., 2] = np.clip(np.rint(field), 0, 255).astype(np.uint8)
-        # q95: on this piecewise-smooth content PSNR ≈ 51 dB (the ≥40
-        # input-hint invariant holds with 11 dB margin) and the entropy
-        # stream is ~27% cheaper to decode than the q98 default
-        blobs.append(encode_image(img, f, quality=95))
-        hashes.append(phash64(img))
+        imgs.append(img)
+    # q95: on this piecewise-smooth content PSNR ≈ 51 dB (the ≥40
+    # input-hint invariant holds with 11 dB margin) and the entropy
+    # stream is ~27% cheaper to decode than the q98 default. JPEGs go
+    # through the batch encoder (bit-identical to scalar encode_image).
+    blobs: list = [None] * len(imgs)
+    jidx = [i for i, f in enumerate(fmt) if f == "jpeg"]
+    for i, b in zip(jidx, encode_jpeg_batch([imgs[i] for i in jidx], quality=95)):
+        blobs[i] = b
+    for i, f in enumerate(fmt):
+        if f != "jpeg":
+            blobs[i] = encode_image(imgs[i], f, quality=95)
+    hashes = phash64_batch(imgs)
 
     box = corpus_bbox(n_total) if n_total else BBOX
     lon = box[0] + (box[2] - box[0]) * _uniform(idx, 53)
