@@ -273,13 +273,23 @@ class Resize:
         self.size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import _resize_area, encode_png
+        from ..imaging.codec import _resize_area, decode_jpeg_batch, encode_png
 
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        srcs: list = [None] * len(blobs)
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            srcs[i] = r
         thumbs = []
         ok = []
-        for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+        for bi, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
-                img = decode_image(blob, fmt)
+                img = srcs[bi]
+                if img is None:
+                    img = decode_image(blob, fmt)
+                elif isinstance(img, Exception):
+                    raise img
                 small = np.stack(
                     [_resize_area(img[..., c].astype(np.float64), self.size)
                      for c in range(3)],
@@ -339,29 +349,46 @@ class FrameSample:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_jpeg, iter_video_frames
+        from ..imaging.codec import (decode_jpeg_batch, iter_video_frames,
+                                     phash64_batch)
 
-        vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
-        errors: list[str | None] = []
-        for vid, blob in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
-            # buffer this video's rows so mid-stream corruption can discard
-            # the partial frames and emit ONLY the quarantine sentinel —
-            # a video is either fully sampled (error=None rows) or
-            # quarantined (single frame_index=-1 row with an error), never
-            # a mix (ADVICE r1)
-            rows: list[tuple[int, int, int, int]] = []
-            err: str | None = None
+        # pass 1 — demux only (container-level seeking, no pixel work):
+        # collect every sampled frame's jpeg bytes across the whole batch
+        vids = batch["video_id"].to_pylist()
+        picked: list[list] = []  # per video: [(frame_index, jpg_bytes)]
+        errs: list[str | None] = [None] * len(vids)
+        for vi, blob in enumerate(batch["bytes"].to_pylist()):
+            rows: list = []
             try:
                 for i, jpg in iter_video_frames(blob):
                     if len(rows) >= self.max_frames:
                         break  # stop reading the container entirely
                     if i % self.stride:
                         continue
-                    img = decode_jpeg(jpg)
-                    rows.append((i, phash64(img), img.shape[1], img.shape[0]))
+                    rows.append((i, jpg))
             except Exception as e:  # quarantine bad containers
                 rows = []
-                err = f"{type(e).__name__}: {e}"
+                errs[vi] = f"{type(e).__name__}: {e}"
+            picked.append(rows)
+        # pass 2 — one batched decode over every sampled frame of every
+        # video; a decode failure quarantines its WHOLE video (a video is
+        # either fully sampled or a single frame_index=-1 sentinel row,
+        # never a mix — ADVICE r1), identical error text to the scalar path
+        flat = [jpg for rows in picked for (_i, jpg) in rows]
+        decoded = decode_jpeg_batch(flat)
+        vid_ids, frame_idx, hashes, ws, hs = [], [], [], [], []
+        errors: list[str | None] = []
+        pos = 0
+        for vi, vid in enumerate(vids):
+            rows = picked[vi]
+            imgs = decoded[pos:pos + len(rows)]
+            pos += len(rows)
+            err = errs[vi]
+            if err is None:
+                for r in imgs:
+                    if isinstance(r, Exception):
+                        err = f"{type(r).__name__}: {r}"
+                        break
             if err is not None:
                 vid_ids.append(vid)
                 frame_idx.append(-1)
@@ -370,12 +397,13 @@ class FrameSample:
                 hs.append(0)
                 errors.append(err)
             else:
-                for i, ph, w, h in rows:
+                phs = phash64_batch(imgs)
+                for (i, _jpg), img, ph in zip(rows, imgs, phs):
                     vid_ids.append(vid)
                     frame_idx.append(i)
-                    hashes.append(ph)
-                    ws.append(w)
-                    hs.append(h)
+                    hashes.append(int(ph))
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
                     errors.append(None)
         return pa.table(
             {
@@ -473,16 +501,25 @@ class Augment:
         return bool(h & 1), bool(h & 2), crop_frac if (h & 4) else 1.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import encode_png, phash64
+        from ..imaging.codec import decode_jpeg_batch, encode_png
 
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        # decode: JPEGs through the batched decoder, others scalar
+        srcs: list = [None] * len(ids)
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            srcs[i] = r
         out_id, out_bytes, out_ph, out_ops, ok = [], [], [], [], []
-        for iid, blob, fmt in zip(
-            batch["image_id"].to_pylist(),
-            batch["bytes"].to_pylist(),
-            batch["fmt"].to_pylist(),
-        ):
+        aug_imgs: list = []  # successful augmented pixels, phash batched below
+        for bi, (iid, blob, fmt) in enumerate(zip(ids, blobs, fmts)):
             try:
-                img = decode_image(blob, fmt)
+                img = srcs[bi]
+                if img is None:
+                    img = decode_image(blob, fmt)
+                elif isinstance(img, Exception):
+                    raise img
                 hflip, vflip, cf = self.plan(iid, self.crop_frac)
                 if hflip:
                     img = img[:, ::-1]
@@ -497,7 +534,8 @@ class Augment:
                     img = img[y0 : y0 + ch, x0 : x0 + cw]
                 img = np.ascontiguousarray(img)
                 out_bytes.append(encode_png(img))
-                out_ph.append(phash64(img))
+                aug_imgs.append(img)
+                out_ph.append(None)  # placeholder, batch-filled below
                 out_ops.append(
                     ("h" if hflip else "")
                     + ("v" if vflip else "")
@@ -510,6 +548,11 @@ class Augment:
                 out_ops.append("")
                 ok.append(False)
             out_id.append(iid)
+        if aug_imgs:
+            from ..imaging.codec import phash64_batch
+
+            phs = iter(phash64_batch(aug_imgs))
+            out_ph = [int(next(phs)) if p is None else p for p in out_ph]
         return pa.table({
             "image_id": pa.array(out_id, pa.string()),
             "aug_bytes": pa.array(out_bytes, pa.large_binary()),
