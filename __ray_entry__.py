@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_heavy_tokens": cq.q_lang_heavy_tokens,
         "track_lengths": cq.q_track_lengths,
         "cell_heatmap": cq.q_cell_heatmap,
+        "zonal_stats": cq.q_zonal_stats,
         "speeding_events": cq.q_speeding_events,
         "linestring_lengths": cq.q_linestring_lengths,
         "triangle_pip_join": cq.q_triangle_pip_join,

@@ -1354,6 +1354,72 @@ FROM counts c CROSS JOIN k GROUP BY 1, 2
 """
 
 
+# zonal-statistics zones: convex CCW quads in GRID units over the customer
+# cell band (x ∈ [-33506, -33461] at every sf; y stays within ~18358-18364
+# because the formula latitude spans ≤ 0.1°). .1–.7 fractional vertices
+# keep cell centers (.5) off every edge; zones deliberately overlap
+# (independent aggregation regions double-count by design).
+_ZONES = [
+    (1, [(-33506.3, 18358.2), (-33494.7, 18358.4), (-33495.2, 18363.6),
+         (-33506.1, 18363.3)]),
+    (2, [(-33497.4, 18358.1), (-33484.3, 18358.3), (-33485.6, 18363.4),
+         (-33498.1, 18363.2)]),
+    (3, [(-33488.2, 18358.3), (-33472.4, 18358.2), (-33473.3, 18363.6),
+         (-33489.1, 18363.2)]),
+    (4, [(-33476.2, 18358.4), (-33460.3, 18358.3), (-33461.6, 18363.2),
+         (-33477.4, 18363.3)]),
+]
+
+
+def q_zonal_stats(sf_dir: str):
+    """Raster→vector ZONAL STATISTICS (the inverse of cell_heatmap's
+    vector→raster splat): per polygon zone, count/sum/max of the smoothed
+    heat raster's cells whose centers fall inside the zone. Zones are a
+    broadcast constant; the raster streams through one half-plane filter
+    map and a 4-group aggregate — no shuffle beyond the heatmap's own."""
+    from ..stages.spatial import kernel_smooth_counts, zonal_stats
+
+    return zonal_stats(kernel_smooth_counts(q_cell_assign(sf_dir)), _ZONES)
+
+
+def _zone_halfplane_sql(a: str, b: str) -> str:
+    # literal-mirrored with stages.spatial.zonal_stats' numpy expression
+    return (f"((z.x{b} - z.x{a}) * (c.cy - z.y{a})"
+            f" - (z.y{b} - z.y{a}) * (c.cx - z.x{a})) > 0")
+
+
+ORACLE_SQL["zonal_stats"] = f"""
+WITH pts AS (
+  SELECT {_COORD_SQL.format(k='c_custkey')} FROM customer),
+proj AS (
+  SELECT CAST(floor({_MERC} * radians(lon) / 256.0) AS BIGINT) AS cell_x,
+         CAST(floor({_MERC} * ln(tan(pi()/4 + radians(lat)/2)) / 256.0) AS BIGINT)
+             AS cell_y
+  FROM pts),
+counts AS (SELECT cell_x, cell_y, count(*) AS n FROM proj GROUP BY 1, 2),
+k(dx, dy, w) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),(0,1,2),
+                        (1,-1,1),(1,0,2),(1,1,1)),
+heat AS (
+  SELECT c.cell_x + k.dx AS cell_x, c.cell_y + k.dy AS cell_y,
+         sum(k.w * c.n) AS heat
+  FROM counts c CROSS JOIN k GROUP BY 1, 2),
+cells AS (
+  SELECT cell_x + 0.5 AS cx, cell_y + 0.5 AS cy, heat FROM heat),
+zones(zone_id, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+  {",".join("(%d, %r, %r, %r, %r, %r, %r, %r, %r)" % (
+      (zid,) + tuple(v for p in quad for v in p)) for zid, quad in _ZONES)})
+SELECT z.zone_id, count(*) AS n_cells,
+       CAST(sum(c.heat) AS BIGINT) AS total_heat,
+       CAST(max(c.heat) AS BIGINT) AS max_heat
+FROM cells c CROSS JOIN zones z
+WHERE {_zone_halfplane_sql('1', '2')}
+  AND {_zone_halfplane_sql('2', '3')}
+  AND {_zone_halfplane_sql('3', '4')}
+  AND {_zone_halfplane_sql('4', '1')}
+GROUP BY z.zone_id
+"""
+
+
 def q_speeding_events(sf_dir: str):
     """Movement-anomaly flags: per-user consecutive-ping speed (integer
     decimeter legs / integer microsecond gaps — both exact, so the float

@@ -793,3 +793,67 @@ class TestTrackHausdorff:
         })
         out = track_hausdorff_pairs(ray.data.from_arrow(t), 100.0)
         assert out.count() == 0
+
+
+class TestZonalStats:
+    """Raster→vector zonal statistics (stages.spatial.zonal_stats)."""
+
+    # unit square-ish CCW quads in grid units
+    Z1 = [(0.2, 0.2), (3.7, 0.3), (3.6, 3.7), (0.3, 3.6)]
+    Z2 = [(2.2, 2.2), (5.7, 2.3), (5.6, 5.7), (2.3, 5.6)]  # overlaps Z1
+    Z3 = [(90.2, 90.2), (93.7, 90.3), (93.6, 93.7), (90.3, 93.6)]  # empty
+
+    def _raster(self):
+        # cells (0..5, 0..5) with heat = 10*x + y at centers (x+.5, y+.5)
+        xs, ys = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+        return pa.table({
+            "cell_x": pa.array(xs.ravel().astype(np.int64)),
+            "cell_y": pa.array(ys.ravel().astype(np.int64)),
+            "heat": pa.array((10 * xs + ys).ravel().astype(np.int64)),
+        })
+
+    def test_counts_sums_and_overlap_double_count(self, ray_session):
+        import ray
+
+        from overmatch_ray.stages.spatial import zonal_stats
+
+        out = {
+            r["zone_id"]: r
+            for r in zonal_stats(
+                ray.data.from_arrow(self._raster()),
+                [(1, self.Z1), (2, self.Z2), (3, self.Z3)],
+            ).take_all()
+        }
+        # Z1 contains centers 0.5..3.5 in both axes → cells 0..3 × 0..3
+        assert out[1]["n_cells"] == 16
+        assert out[1]["total_heat"] == sum(10 * x + y for x in range(4) for y in range(4))
+        assert out[1]["max_heat"] == 33
+        # Z2 contains cells 2..5 × 2..5 (cells 2..3 × 2..3 counted in BOTH)
+        assert out[2]["n_cells"] == 16
+        assert out[2]["max_heat"] == 55
+        # empty zone is simply absent
+        assert 3 not in out
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        from overmatch_ray.stages.spatial import zonal_stats
+
+        zones = [(1, self.Z1), (2, self.Z2)]
+        a = sorted(
+            map(tuple, (
+                (r["zone_id"], r["n_cells"], r["total_heat"], r["max_heat"])
+                for r in zonal_stats(
+                    ray.data.from_arrow(self._raster()), zones
+                ).take_all()
+            ))
+        )
+        b = sorted(
+            map(tuple, (
+                (r["zone_id"], r["n_cells"], r["total_heat"], r["max_heat"])
+                for r in zonal_stats(
+                    ray.data.from_arrow(self._raster()).repartition(7), zones
+                ).take_all()
+            ))
+        )
+        assert a == b
