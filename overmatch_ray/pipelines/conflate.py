@@ -23,8 +23,16 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.cellindex import encode_cells_batch, replicate_kring_batch
-from ..stages.matcher import match_bucket
-from ..stages.normalize import normalize_overture_batch
+from ..stages.matcher import MATCH_SCHEMA, match_bucket
+from ..stages.normalize import (normalize_overture_batch,
+                                normalize_tags_batch, overture_join_fields)
+
+# index-size break-even for deferred tag normalization (see conflate()):
+# the deferred plan adds ~4 small barriers + an index re-read (~6 s fixed
+# on this class of box) and saves ~30 µs/row × (1 − selectivity) of tag
+# CPU plus the ~200 B/row tags_json payload in the big sort — measured
+# break-even ≈ 4M index rows at 32 CPUs.
+DEFER_TAGS_MIN_ROWS = 4_000_000
 
 # Unified schema both join sides are projected to before the union.
 _JOIN_COLS = ["id", "name", "housenumber", "lon", "lat", "tags_json",
@@ -103,9 +111,17 @@ def _osm_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
-def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Overture index side: normalize tags once, single copy, own cell."""
-    compact = normalize_overture_batch(batch)
+def _overture_join_side(batch: pa.Table, num_buckets: int,
+                        defer_tags: bool = False) -> pa.Table:
+    """Overture index side, single copy, own cell. Hoisted mode runs the
+    full M10–M15 tag pipeline here (one pass, tags ride the shuffle);
+    deferred mode extracts only the join fields (name + housenumber — the
+    M16 veto input) and the tag pipeline runs POST-match over matched
+    candidates (see conflate()), so ``tags_json`` crosses as nulls."""
+    if defer_tags:
+        compact = overture_join_fields(batch)
+    else:
+        compact = normalize_overture_batch(batch)
     enc = encode_cells_batch(compact, num_buckets)
     n = enc.num_rows
     return pa.table(
@@ -115,7 +131,8 @@ def _overture_join_side(batch: pa.Table, num_buckets: int) -> pa.Table:
             "housenumber": enc["housenumber"],
             "lon": enc["lon"],
             "lat": enc["lat"],
-            "tags_json": enc["tags_json"],
+            "tags_json": (pa.nulls(n, pa.string()) if defer_tags
+                          else enc["tags_json"]),
             "x": enc["x"],
             "y": enc["y"],
             "cell": enc["cell"],
@@ -175,6 +192,7 @@ def conflate(
     overture_ds: "ray.data.Dataset",
     num_buckets: int | None = None,
     salt: "int | None" = None,
+    defer_tags: "bool | None" = None,
 ) -> "ray.data.Dataset":
     """The J1 spatial+fuzzy conflation join as a Ray Data pipeline.
 
@@ -194,13 +212,25 @@ def conflate(
     ``salt=None`` (default) AUTO-SELECTS it from the ``_auto_salt`` skew
     pre-pass: a cheap probe-side bucket histogram; salting kicks in only
     when one bucket holds > 4× the mean. Pass ``salt=1`` to force it off
-    (skips the pre-pass entirely)."""
+    (skips the pre-pass entirely).
+
+    ``defer_tags`` picks WHERE the M10–M15 tag pipeline runs. False
+    (hoisted): once per place, pre-join — tags ride the shuffle; zero
+    extra stages. True (deferred): post-match over MATCHED candidates only
+    (the reference's own evaluation point, match.py:250-393) via a
+    Bloom-filtered index re-read + small hash join — the big sort sheds
+    the ~200 B/row tags payload and the tag CPU drops by the match
+    selectivity, at the price of ~4 small barriers. None (default)
+    auto-switches at ``DEFER_TAGS_MIN_ROWS`` index rows, the measured
+    break-even."""
     if num_buckets is None:
         import ray as _ray
 
         num_buckets = max(16, 2 * int(_ray.cluster_resources().get("CPU", 32)))
     if salt is None:
         salt = _auto_salt(osm_ds, num_buckets)
+    if defer_tags is None:
+        defer_tags = overture_ds.count() >= DEFER_TAGS_MIN_ROWS
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},
@@ -209,7 +239,7 @@ def conflate(
     )
     index = overture_ds.map_batches(
         _overture_join_side,
-        fn_kwargs={"num_buckets": num_buckets},
+        fn_kwargs={"num_buckets": num_buckets, "defer_tags": defer_tags},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -230,7 +260,96 @@ def conflate(
     # the object store anyway, so this adds no asymptotic memory — it
     # only breaks the executor's buffer cycle.
     both = probe.materialize().union(index.materialize())
-    return both.groupby("bucket").map_groups(match_bucket, batch_format="pyarrow")
+    matched = both.groupby("bucket").map_groups(
+        match_bucket, batch_format="pyarrow"
+    )
+    if not defer_tags:
+        return matched
+    # narrow (~60 B/row); feeds the bloom build AND the join
+    return _fill_tags(matched.materialize(), overture_ds, num_buckets)
+
+
+def _fill_tags(matches0, overture_ds, num_buckets: int):
+    """Post-match tag fill: run M10–M15 over MATCHED candidates only and
+    join the result back. Mirrors the reference (tags are computed per
+    surviving candidate, match.py:250-393) and keeps the fat ``tags_json``
+    payload out of the conflation all-to-all.
+
+    Scale plan: a distributed-built Bloom filter of matched overture-id
+    HASHES broadcasts once (fixed MB regardless of corpus size — no driver
+    key-set materialization); the places table re-reads through it, so
+    only ~|matched| rows (+ ε false positives, dropped by the exact inner
+    join) pay the Python tag pipeline and the small tag-fill shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupops import hash_columns
+    from ..stages.joins import BloomFilter, bucket_hash_join, build_key_bloom
+
+    if matches0.count() == 0:
+        return matches0
+
+    def with_hash(on: str):
+        def _h(batch: pa.Table) -> pa.Table:
+            h = hash_columns(batch, [on]).view(np.int64)
+            return batch.append_column("__kh", pa.array(h))
+
+        return _h
+
+    bloom = build_key_bloom(
+        matches0.map_batches(with_hash("overture_id"), batch_format="pyarrow"),
+        "__kh",
+    )
+
+    import ray as _ray
+
+    bloom_ref = _ray.put(bloom)
+
+    def bloom_filt(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = _ray.get(bloom_ref)
+        h = hash_columns(batch, ["id"]).view(np.int64)
+        return batch.filter(pa.array(bf.might_contain(h)))
+
+    tags_tbl = (
+        overture_ds.map_batches(bloom_filt, batch_format="pyarrow")
+        .map_batches(normalize_tags_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.table(
+                {"__tid": b["id"], "__tags": b["tags_json"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # coalesce before the wide op (CLAUDE.md rule) AND materialize both
+    # join inputs: bucket_hash_join's schema() probes would otherwise
+    # re-execute these lazy chains (measured 0.8 s → 7.7 s on the same
+    # join when fed lazily)
+    nparts = max(8, num_buckets // 4)
+    joined = bucket_hash_join(
+        matches0.map_batches(
+            lambda b: b.drop_columns(["overture_tags"]), batch_format="pyarrow"
+        ).repartition(nparts).materialize(),
+        tags_tbl.repartition(nparts).materialize(),
+        left_on="overture_id",
+        right_on="__tid",
+        num_buckets=num_buckets,
+        how="inner",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "osm_id": batch["osm_id"].cast(pa.string()),
+                "overture_id": batch["overture_id"].cast(pa.string()),
+                "lon": batch["lon"].cast(pa.float64()),
+                "lat": batch["lat"].cast(pa.float64()),
+                "distance_m": batch["distance_m"].cast(pa.float64()),
+                "similarity": batch["similarity"].cast(pa.float64()),
+                "overture_tags": batch["__tags"].cast(pa.string()),
+            },
+            schema=MATCH_SCHEMA,
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 # --- synthetic corpus as Ray Datasets (driven by the testdata tables) ------

@@ -140,3 +140,35 @@ def test_empty_sides(ray_session):
     assert conflate(empty_osm, ovt, num_buckets=4).count() == 0
     assert conflate(osm, empty_ovt, num_buckets=4).count() == 0
     assert conflate(empty_osm, empty_ovt, num_buckets=4).count() == 0
+
+
+def test_deferred_tags_parity_and_empty(ray_session, corpus, expected):
+    """defer_tags=True (post-match Bloom + hash-join tag fill) must produce
+    the EXACT same match set — tags included — as the hoisted mode, and
+    survive empty sides (the fill's early-exit path)."""
+    import ray.data
+
+    from overmatch_ray.pipelines.conflate import conflate
+
+    osm, ovt = corpus
+    got = conflate(
+        ray.data.from_arrow(osm).repartition(7),
+        ray.data.from_arrow(ovt).repartition(5),
+        num_buckets=16,
+        defer_tags=True,
+    ).take_all()
+    got_by_key = {_key(m): m for m in got}
+    exp_by_key = {_key(m): m for m in expected}
+    assert len(got) == len(got_by_key)
+    assert set(got_by_key) == set(exp_by_key)
+    for k, e in exp_by_key.items():
+        g = got_by_key[k]
+        assert g["overture_tags"] == e["overture_tags"]
+        assert g["distance_m"] == pytest.approx(e["distance_m"], abs=1e-9)
+        assert g["similarity"] == pytest.approx(e["similarity"], abs=1e-12)
+
+    empty_osm = ray.data.from_arrow(osm).filter(expr="lon > 999")
+    out = conflate(empty_osm, ray.data.from_arrow(ovt), num_buckets=4,
+                   defer_tags=True)
+    assert out.count() == 0
+    assert "overture_tags" in out.schema().names
