@@ -230,7 +230,11 @@ def conflate(
     if salt is None:
         salt = _auto_salt(osm_ds, num_buckets)
     if defer_tags is None:
-        defer_tags = overture_ds.count() >= DEFER_TAGS_MIN_ROWS
+        # metadata-only row count: never executes a lazy input chain; an
+        # unknown count keeps the hoisted plan (correct at any size — the
+        # deferral is purely an optimization the caller can force)
+        meta_rows = overture_ds._meta_count()
+        defer_tags = meta_rows is not None and meta_rows >= DEFER_TAGS_MIN_ROWS
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},
