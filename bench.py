@@ -124,8 +124,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         nb = max(16, num_cpus)
         osm_ds = ray.data.read_parquet(os.path.join(cache, "osm")).repartition(nb)
         ovt_ds = ray.data.read_parquet(os.path.join(cache, "overture")).repartition(nb)
+        # GRAFT_DEFER_TAGS=0/1 pins the tag-fill plan for A/B probes;
+        # unset = the size-based auto-switch
+        dt_env = os.environ.get("GRAFT_DEFER_TAGS", "")
         matches_mat["ds"] = conflate(
-            osm_ds, ovt_ds, num_buckets=2 * num_cpus
+            osm_ds, ovt_ds, num_buckets=2 * num_cpus,
+            defer_tags=(None if dt_env == "" else dt_env == "1"),
         ).materialize()
         return matches_mat["ds"].count()
 

@@ -27,12 +27,17 @@ from ..stages.matcher import MATCH_SCHEMA, match_bucket
 from ..stages.normalize import (normalize_overture_batch,
                                 normalize_tags_batch, overture_join_fields)
 
-# index-size break-even for deferred tag normalization (see conflate()):
-# the deferred plan adds ~4 small barriers + an index re-read (~6 s fixed
-# on this class of box) and saves ~30 µs/row × (1 − selectivity) of tag
-# CPU plus the ~200 B/row tags_json payload in the big sort — measured
-# break-even ≈ 4M index rows at 32 CPUs.
-DEFER_TAGS_MIN_ROWS = 4_000_000
+# Whether deferred tag normalization pays off is governed by MATCH
+# SELECTIVITY, not input size (measured, GRAFT_SCALE=30, 9M×10.3M,
+# 4.29M matches — a match-DENSE corpus at ~42% of the index): deferred
+# 418 s / 17.9 GiB peak store vs hoisted 326 s / 21.8 GiB. The deferral
+# sheds the ~200 B/row tags payload from the big sort (−18% peak store —
+# it extends this box's spill boundary from ~scale-50 to ~scale-62) and
+# cuts tag CPU to |matched|, but its fill JOIN scales with |matches|, so
+# on dense corpora it loses wall time. Real-world conflation is sparse
+# (reference corpus: ~2.3k OSM names vs 100k+ places ⇒ ~1% selectivity),
+# where both terms favor deferral — callers there pass defer_tags=True
+# (or set GRAFT_DEFER_TAGS=1 for bench probes).
 
 # Unified schema both join sides are projected to before the union.
 _JOIN_COLS = ["id", "name", "housenumber", "lon", "lat", "tags_json",
@@ -215,14 +220,15 @@ def conflate(
     (skips the pre-pass entirely).
 
     ``defer_tags`` picks WHERE the M10–M15 tag pipeline runs. False
-    (hoisted): once per place, pre-join — tags ride the shuffle; zero
-    extra stages. True (deferred): post-match over MATCHED candidates only
-    (the reference's own evaluation point, match.py:250-393) via a
-    Bloom-filtered index re-read + small hash join — the big sort sheds
-    the ~200 B/row tags payload and the tag CPU drops by the match
-    selectivity, at the price of ~4 small barriers. None (default)
-    auto-switches at ``DEFER_TAGS_MIN_ROWS`` index rows, the measured
-    break-even."""
+    (default, hoisted): once per place, pre-join — tags ride the shuffle;
+    zero extra stages. True (deferred): post-match over MATCHED candidates
+    only (the reference's own evaluation point, match.py:250-393) via a
+    Bloom-filtered index re-read + hash join — the big sort sheds the
+    ~200 B/row tags payload (−18% peak object store measured at
+    GRAFT_SCALE=30) and tag CPU drops to |matched|, at the price of a fill
+    join that scales with |matches|. Defer on SPARSE-match corpora (the
+    real-world case); keep hoisted when a large fraction of places match
+    (see the selectivity note above the module constants)."""
     if num_buckets is None:
         import ray as _ray
 
@@ -230,11 +236,7 @@ def conflate(
     if salt is None:
         salt = _auto_salt(osm_ds, num_buckets)
     if defer_tags is None:
-        # metadata-only row count: never executes a lazy input chain; an
-        # unknown count keeps the hoisted plan (correct at any size — the
-        # deferral is purely an optimization the caller can force)
-        meta_rows = overture_ds._meta_count()
-        defer_tags = meta_rows is not None and meta_rows >= DEFER_TAGS_MIN_ROWS
+        defer_tags = False
     probe = osm_ds.map_batches(
         _osm_join_side,
         fn_kwargs={"num_buckets": num_buckets},

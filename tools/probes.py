@@ -259,7 +259,39 @@ def probe_skewinterval():
           f"hot_bypass={t_skew:.1f}s speedup={t_plain / t_skew:.2f}x")
 
 
+def probe_defertags():
+    """Deferred vs hoisted conflation tag fill at GRAFT_SCALE volume.
+    Shortcut for the two-run A/B:
+
+        GRAFT_SCALE=30 GRAFT_STAGES=conflate GRAFT_WARM=0 \\
+            GRAFT_DEFER_TAGS={0|1} python bench.py
+
+    Run the bench form for the recorded numbers (this inline variant
+    shares one Ray session, so the second leg benefits from page cache)."""
+    import os
+    import time
+
+    import ray
+
+    _init()
+    cache = os.environ.get(
+        "GRAFT_CACHE", "/tmp/overmatch_bench/v9-0.1-x30"
+    )
+    from overmatch_ray.pipelines.conflate import conflate
+
+    results = {}
+    for label, defer in (("hoisted", False), ("deferred", True)):
+        osm = ray.data.read_parquet(os.path.join(cache, "osm")).repartition(32)
+        ovt = ray.data.read_parquet(os.path.join(cache, "overture")).repartition(32)
+        t0 = time.time()
+        n = conflate(osm, ovt, num_buckets=64, defer_tags=defer).materialize().count()
+        results[label] = (time.time() - t0, n)
+        print(f"defertags[{label}]: {results[label][0]:.1f}s rows={n}")
+    assert results["hoisted"][1] == results["deferred"][1]
+
+
 PROBES = {
+    "defertags": probe_defertags,
     "hausdorff": probe_hausdorff,
     "raster": probe_raster,
     "colocation": probe_colocation,
