@@ -350,3 +350,61 @@ def corpus_stages(
         ("split_pack", s_split_pack),
         ("shards_sink", s_shards_sink),
     ]
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    """``ray job submit``-style entrypoint: the whole nightly as one driver
+    script. On a real cluster:
+
+        ray job submit --address http://head:8265 -- \\
+            python -m overmatch_ray.pipelines.run_all \\
+            --sf-dir /data/sf1 --out /artifacts/nightly --pipeline both
+
+    Locally (and in tests) it runs against an auto-initialized local Ray.
+    Owns its Ray session ONLY when none exists (the driver-contract rule:
+    library code never calls ray.init; this is a __main__ script)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="overmatch-ray-nightly")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True, help="artifact/receipt directory")
+    p.add_argument("--pipeline", choices=["flagship", "corpus", "both"],
+                   default="flagship")
+    p.add_argument("--only", default="", help="comma list of stage names")
+    p.add_argument("--skip", default="", help="comma list of stage names")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing stage receipts")
+    p.add_argument("--num-buckets", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+
+    only = set(s for s in args.only.split(",") if s) or None
+    skip = set(s for s in args.skip.split(",") if s)
+    stage_lists: list = []
+    if args.pipeline in ("flagship", "both"):
+        stage_lists.append(("flagship", flagship_stages(
+            args.sf_dir, os.path.join(args.out, "flagship"),
+            num_buckets=args.num_buckets)))
+    if args.pipeline in ("corpus", "both"):
+        stage_lists.append(("corpus", corpus_stages(
+            args.sf_dir, os.path.join(args.out, "corpus"))))
+
+    rc = 0
+    for name, stages in stage_lists:
+        out_dir = os.path.join(args.out, name)
+        receipts = run_pipeline(stages, {}, out_dir, only=only, skip=skip,
+                                resume=not args.no_resume)
+        for r in receipts:
+            print(json.dumps({"pipeline": name, **r}, sort_keys=True))
+        if any(r.get("status") not in ("done", "filtered") for r in receipts):
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
