@@ -143,3 +143,39 @@ long om_pack_codes(const int64_t *codes, const uint8_t *lens,
     }
     return o;
 }
+
+/* Bit-parallel LCS length (Allison-Dix) per string pair, over Unicode
+ * codepoints, for the conflation matcher's fuzz.ratio gate. `codes` packs
+ * every string's UTF-32 codepoints; pair i compares
+ * codes[a_off[i] .. +la[i]) vs codes[b_off[i] .. +lb[i]), both <= 64
+ * (the Python caller routes longer pairs to its big-int scalar).
+ * Integer-exact twin of text.py's numpy lane kernel: the ratio division
+ * happens in numpy on the returned counts, so floats never diverge. */
+void om_lcs_pairs(const uint32_t *codes, const int64_t *a_off,
+                  const int64_t *b_off, const int64_t *la,
+                  const int64_t *lb, long n, int64_t *out) {
+    for (long i = 0; i < n; i++) {
+        const uint32_t *A = codes + a_off[i];
+        const uint32_t *B = codes + b_off[i];
+        int m = (int)la[i];
+        int nb = (int)lb[i];
+        /* mirror the numpy kernel's 64-column clip exactly: mask bits and
+         * scanned b-chars clip to 64, the width mask saturates at m>=64
+         * (lengths beyond 64 only reach here for non-string oddities —
+         * normal >64-char pairs take the Python big-int scalar path) */
+        int mscan = m > 64 ? 64 : m;
+        int nbscan = nb > 64 ? 64 : nb;
+        uint64_t wmask = (m >= 64) ? ~0ull : ((1ull << m) - 1ull);
+        uint64_t row = 0;
+        for (int j = 0; j < nbscan; j++) {
+            uint32_t c = B[j];
+            uint64_t mask = 0;
+            for (int k = 0; k < mscan; k++)
+                if (A[k] == c) mask |= 1ull << k;
+            uint64_t x = row | mask;
+            uint64_t y = x - ((row << 1) | 1ull);
+            row = (x & ~y) & wmask;
+        }
+        out[i] = (int64_t)__builtin_popcountll(row);
+    }
+}

@@ -72,6 +72,16 @@ def _build() -> "ctypes.CDLL | None":
         c.c_void_p,  # seg_end int64[nseg]
         c.c_void_p,  # out uint8[...]
     ]
+    lib.om_lcs_pairs.restype = None
+    lib.om_lcs_pairs.argtypes = [
+        c.c_void_p,  # codes uint32[total]
+        c.c_void_p,  # a_off int64[n]
+        c.c_void_p,  # b_off int64[n]
+        c.c_void_p,  # la int64[n]
+        c.c_void_p,  # lb int64[n]
+        c.c_long,    # n
+        c.c_void_p,  # out int64[n]
+    ]
     return lib
 
 

@@ -60,12 +60,57 @@ def _encode_padded(names: np.ndarray, maxlen: int, sentinel: int) -> tuple[np.nd
     return out, lens
 
 
+def _norm_str(s) -> str:
+    # the exact normalization _encode_padded applies (None → "", else str)
+    return s if isinstance(s, str) else ("" if s is None else str(s))
+
+
+def _ratio_pairs_native(names_a, names_b, fast_idx, la_all, lb_all,
+                        out) -> None:
+    """Compiled fast path (imaging/_native.c om_lcs_pairs): one UTF-32
+    encode of the concatenated fast-pair strings, then the integer
+    bit-parallel LCS per pair in C. The ratio division runs in numpy with
+    the SAME expression as the lane kernel, so outputs are bit-identical
+    (parity-tested in tests/test_native_parity.py)."""
+    from .imaging import native as _native
+
+    sa = [_norm_str(names_a[i]) for i in fast_idx]
+    sb = [_norm_str(names_b[i]) for i in fast_idx]
+    codes = np.frombuffer(
+        ("".join(sa) + "".join(sb)).encode("utf-32-le"), dtype=np.uint32
+    )
+    # normalized lengths — the lane kernel's denominators come from
+    # _encode_padded's lens (post str()/None normalization), not la_all
+    la = np.fromiter((len(s) for s in sa), np.int64, fast_idx.size)
+    lb = np.fromiter((len(s) for s in sb), np.int64, fast_idx.size)
+    a_off = np.concatenate([[0], np.cumsum(la)])
+    b_off = a_off[-1] + np.concatenate([[0], np.cumsum(lb)])
+    m = fast_idx.size
+    lcs = np.zeros(m, dtype=np.int64)
+    codes = np.ascontiguousarray(codes)
+    a_off = np.ascontiguousarray(a_off[:-1])
+    b_off2 = np.ascontiguousarray(b_off[:-1])
+    la_c = np.ascontiguousarray(la)
+    lb_c = np.ascontiguousarray(lb)
+    _native.LIB.om_lcs_pairs(
+        codes.ctypes.data, a_off.ctypes.data, b_off2.ctypes.data,
+        la_c.ctypes.data, lb_c.ctypes.data, m, lcs.ctypes.data,
+    )
+    denom = (la + lb).astype(np.float64)
+    out[fast_idx] = np.where(
+        denom > 0, 200.0 * lcs.astype(np.float64) / np.maximum(denom, 1.0),
+        100.0,
+    )
+
+
 def ratio_pairs(names_a, names_b, chunk: int = 4096) -> np.ndarray:
     """Vectorized ``ratio`` over aligned pair arrays → float64 in [0, 100].
 
     The matcher's hot kernel: one call per candidate-pair batch instead of a
     Python call per pair. Pairs where either side exceeds 64 chars use the
-    exact scalar fallback.
+    exact scalar fallback. With the compiled kernel available the ≤64-char
+    pairs run through C (``_ratio_pairs_native``); the numpy lane kernel
+    below is the reference implementation and permanent fallback.
     """
     names_a = np.asarray(names_a, dtype=object)
     names_b = np.asarray(names_b, dtype=object)
@@ -86,6 +131,13 @@ def ratio_pairs(names_a, names_b, chunk: int = 4096) -> np.ndarray:
         out[i] = ratio(str(names_a[i]), str(names_b[i]))
 
     fast_idx = np.nonzero(fast)[0]
+    if fast_idx.size:
+        from .imaging import codec as _codec
+
+        if _codec._use_native():
+            _ratio_pairs_native(names_a, names_b, fast_idx, la_all, lb_all,
+                                out)
+            return out
     pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     ones = np.uint64(1)
     for s in range(0, fast_idx.size, chunk):

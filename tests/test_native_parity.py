@@ -109,3 +109,29 @@ def test_pack_codes_empty_and_tiny():
     ref = codec._pack_codes(codes, lens)
     codec._FORCE_NUMPY = False
     assert codec._pack_codes(codes, lens) == ref == b"\xff\x00"
+
+
+def test_ratio_pairs_bit_identity():
+    # mixed corpus: unicode, empty, None, exactly-64, >64 (scalar path),
+    # non-string oddities — outputs must be bitwise-identical float64
+    rng = np.random.default_rng(41)
+    pool = ["Joe's Diner", "Starbucks Coffee #123", "", None,
+            "Ünïcode Café ☕", "x" * 64, "y" * 70, "x" * 63 + "q",
+            "The Corner Bakery & Cafe", 12345, "Quick Mart"]
+    a = np.array([pool[int(rng.integers(len(pool)))] for _ in range(5000)],
+                 object)
+    b = np.array([pool[int(rng.integers(len(pool)))] for _ in range(5000)],
+                 object)
+    from overmatch_ray import text
+
+    codec._FORCE_NUMPY = True
+    ref = text.ratio_pairs(a, b)
+    codec._FORCE_NUMPY = False
+    got = text.ratio_pairs(a, b)
+    assert (ref == got).all()
+    # spot-check against the scalar big-int reference
+    for i in range(0, 5000, 97):
+        sa = a[i] if isinstance(a[i], str) else ("" if a[i] is None else str(a[i]))
+        sb = b[i] if isinstance(b[i], str) else ("" if b[i] is None else str(b[i]))
+        if len(sa) <= 64 and len(sb) <= 64:
+            assert got[i] == text.ratio(sa, sb) or (not sa and not sb)
