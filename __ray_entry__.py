@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_common_users": ro.q_approx_common_users,
         "compacted_sink": ro.q_compacted_sink,
         "corpus_card": ro.q_corpus_card,
+        "image_quality": ro.q_image_quality,
+        "image_filter": ro.q_image_filter,
+        "neardup_verified": ro.q_neardup_verified,
     }
 
 

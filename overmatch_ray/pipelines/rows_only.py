@@ -1271,3 +1271,33 @@ def q_corpus_card(sf_dir: str):
             [round(quality_keep_rate, 6)], pa.float64()),
         "n_pii_hits": pa.array([n_pii], pa.int64()),
     })
+
+
+def q_image_quality(sf_dir: str):
+    """Pixel-level quality metrics over the image corpus: sharpness
+    (Laplacian variance), brightness/contrast, histogram entropy,
+    colorfulness — real decoded pixels, actor pool, no shuffle."""
+    from ..stages.imagequality import quality_stats
+
+    return quality_stats(_images_ds(sf_dir), concurrency=2)
+
+
+def q_image_filter(sf_dir: str):
+    """The pretraining image-filter chain (resolution / aspect / blur /
+    exposure / flatness gates over real pixels); survivors with their
+    metric columns, payload dropped for the compare."""
+    from ..stages.imagequality import filter_images
+
+    out = filter_images(
+        _images_ds(sf_dir), concurrency=2,
+        min_sharpness=0.5, min_entropy=4.0,
+    )
+    return out.drop_columns(["bytes"])
+
+
+def q_neardup_verified(sf_dir: str):
+    """Two-phase near-dup: banded phash candidates verified by real
+    pixel block-SSIM (LSH proposes, SSIM confirms)."""
+    from ..stages.imagequality import ssim_verify_pairs
+
+    return ssim_verify_pairs(_images_ds(sf_dir), max_hamming=6, concurrency=2)

@@ -1,0 +1,358 @@
+"""Pixel-level image quality analytics + SSIM near-dup verification.
+
+The image-corpus quality sweep of a pretraining-data pipeline: real
+decoded-pixel metrics for filtering a web-scraped image+caption table, and
+a structural-similarity verification pass over the banded perceptual-hash
+near-duplicate candidates (LSH proposes, SSIM confirms — the standard
+two-phase shape, same posture as the text-side MinHash→Jaccard verify in
+``stages/dedup.py``).
+
+No reference analog (the reference has no image tier; this extends the
+graft image axis that ``stages/images.py`` M24/T5/D4 carry). All metrics
+are pure numpy over the REAL decoded pixels (the in-repo T.81 JPEG / PNG
+codecs), vectorized per image; the per-image Python loop is inherent to
+per-blob codecs, identical to ``DecodeValidate``.
+
+Metrics (one row per image):
+- ``sharpness``  — variance of the 3×3 Laplacian of luma (the classic
+  blur detector; flat/blurred images score near 0)
+- ``brightness`` / ``contrast`` — mean / std of BT.601 luma
+- ``entropy``    — Shannon entropy (bits) of the 256-bin luma histogram
+  (0 for a constant image, ≤8 for uniform noise)
+- ``colorfulness`` — Hasler–Süsstrunk metric over the rg/yb opponent axes
+
+Scale notes: ``quality_stats`` is an actor-pool map over the corpus — no
+shuffle. ``ssim_verify_pairs`` shuffles only the CANDIDATE subset: a
+distributed semi-join keeps candidate images (no driver id set), an actor
+pool reduces each to a fixed ``size×size`` luma thumb (size² bytes/row,
+~4 KB at the default 64 — the full-resolution bytes never cross a
+shuffle), and two bucketed hash joins attach thumbs to the pair list;
+SSIM itself is vectorized across the whole pair batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """BT.601 luma as float64, shape (h, w)."""
+    f = img.astype(np.float64)
+    return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+
+def quality_metrics(img: np.ndarray) -> dict:
+    """All quality metrics for one decoded (h, w, 3) uint8 image."""
+    y = _luma(img)
+    h, w = y.shape
+    brightness = float(y.mean())
+    contrast = float(y.std())
+
+    # 3×3 Laplacian on the interior (valid region — no padding bias)
+    if h >= 3 and w >= 3:
+        lap = (
+            4.0 * y[1:-1, 1:-1]
+            - y[:-2, 1:-1]
+            - y[2:, 1:-1]
+            - y[1:-1, :-2]
+            - y[1:-1, 2:]
+        )
+        sharpness = float(lap.var())
+    else:
+        sharpness = 0.0
+
+    hist = np.bincount(
+        np.clip(np.rint(y), 0, 255).astype(np.int64).ravel(), minlength=256
+    )
+    p = hist[hist > 0] / y.size
+    entropy = float(-(p * np.log2(p)).sum())
+
+    f = img.astype(np.float64)
+    rg = f[..., 0] - f[..., 1]
+    yb = 0.5 * (f[..., 0] + f[..., 1]) - f[..., 2]
+    colorfulness = float(
+        np.hypot(rg.std(), yb.std()) + 0.3 * np.hypot(rg.mean(), yb.mean())
+    )
+    return {
+        "sharpness": sharpness,
+        "brightness": brightness,
+        "contrast": contrast,
+        "entropy": entropy,
+        "colorfulness": colorfulness,
+    }
+
+
+class QualityStats:
+    """Actor-pool map_batches callable (stateful stage family T5): decode
+    once per image, emit the metric row. ``keep_bytes=True`` carries the
+    payload through for a downstream filter→write chain."""
+
+    _METRICS = ("sharpness", "brightness", "contrast", "entropy",
+                "colorfulness")
+
+    def __init__(self, keep_bytes: bool = False):
+        from ..imaging import codec as _codec  # warm the DCT/zigzag consts
+
+        self._codec = _codec
+        self.keep_bytes = keep_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import decode_image, decode_jpeg_batch
+
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+
+        # JPEGs through the lane-parallel batch decoder, PNGs scalar
+        imgs: list = [None] * n
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            imgs[i] = r
+
+        ok = np.zeros(n, dtype=bool)
+        vals = {m: np.zeros(n, dtype=np.float64) for m in self._METRICS}
+        for i in range(n):
+            try:
+                img = imgs[i]
+                if img is None:
+                    img = decode_image(blobs[i], fmts[i])
+                elif isinstance(img, Exception):
+                    raise img
+                row = quality_metrics(img)
+                for m in self._METRICS:
+                    vals[m][i] = row[m]
+                ok[i] = True
+            except Exception:
+                pass  # corrupt blob: ok=False row, metrics stay 0
+
+        cols: dict = {
+            "image_id": batch["image_id"],
+            "w": batch["w"],
+            "h": batch["h"],
+        }
+        if self.keep_bytes:
+            cols["bytes"] = batch["bytes"]
+            cols["fmt"] = batch["fmt"]
+            if "caption" in batch.column_names:
+                cols["caption"] = batch["caption"]
+        for m in self._METRICS:
+            cols[m] = pa.array(vals[m])
+        cols["decode_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
+def quality_stats(images_ds, concurrency=(2, 8), batch_size: int = 128,
+                  keep_bytes: bool = False):
+    """Per-image quality metrics over an input_hint-schema image table."""
+    return images_ds.map_batches(
+        QualityStats,
+        fn_constructor_kwargs={"keep_bytes": keep_bytes},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def filter_images(
+    images_ds,
+    min_w: int = 32,
+    min_h: int = 32,
+    max_aspect: float = 4.0,
+    min_sharpness: float = 10.0,
+    brightness_range: tuple = (16.0, 240.0),
+    min_entropy: float = 1.0,
+    concurrency=(2, 8),
+    batch_size: int = 128,
+):
+    """The standard pretraining image-filter chain: resolution / aspect /
+    blur / exposure / flatness gates over real decoded pixels. Returns the
+    surviving rows (metrics attached, payload kept) — compose with
+    ``sources.write_images`` for the cleaned corpus.
+
+    Pure map: no shuffle, streams at any corpus size."""
+    import pyarrow.compute as pc
+
+    scored = quality_stats(
+        images_ds, concurrency=concurrency, batch_size=batch_size,
+        keep_bytes=True,
+    )
+    lo_b, hi_b = brightness_range
+
+    def gate(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        aspect = np.maximum(w, h) / np.maximum(np.minimum(w, h), 1.0)
+        m = (
+            batch["decode_ok"].to_numpy(zero_copy_only=False)
+            & (w >= min_w)
+            & (h >= min_h)
+            & (aspect <= max_aspect)
+            & (batch["sharpness"].to_numpy(zero_copy_only=False)
+               >= min_sharpness)
+            & (batch["brightness"].to_numpy(zero_copy_only=False) >= lo_b)
+            & (batch["brightness"].to_numpy(zero_copy_only=False) <= hi_b)
+            & (batch["entropy"].to_numpy(zero_copy_only=False) >= min_entropy)
+        )
+        return batch.filter(pa.array(m))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
+# --- SSIM verification of near-duplicate candidates -------------------------
+
+
+def ssim_blocks(a: np.ndarray, b: np.ndarray, block: int = 8) -> np.ndarray:
+    """Mean structural similarity over non-overlapping ``block×block``
+    windows, vectorized across a stack of pairs.
+
+    a, b: (k, s, s) float64 luma stacks with s % block == 0. Uniform
+    windows instead of the 11×11 Gaussian of Wang et al. — deterministic,
+    one reshape, and rank-equivalent for the duplicate/non-duplicate
+    decision this stage makes. Returns (k,) mean SSIM per pair."""
+    k, s, _ = a.shape
+    nb = s // block
+    av = a.reshape(k, nb, block, nb, block)
+    bv = b.reshape(k, nb, block, nb, block)
+    axes = (2, 4)
+    mu_a = av.mean(axis=axes)
+    mu_b = bv.mean(axis=axes)
+    var_a = av.var(axis=axes)
+    var_b = bv.var(axis=axes)
+    cov = (av * bv).mean(axis=axes) - mu_a * mu_b
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    ssim = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return ssim.mean(axis=(1, 2))
+
+
+class _LumaThumb:
+    """Actor-pool stage: decode → area-mean luma thumb, serialized as
+    size² uint8 bytes (the only image payload that crosses the pair
+    shuffle)."""
+
+    def __init__(self, size: int = 64):
+        from ..imaging import codec as _codec
+
+        self._codec = _codec
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import _resize_area, decode_image, decode_jpeg_batch
+
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        imgs: list = [None] * n
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            imgs[i] = r
+        thumbs: list = []
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                img = imgs[i]
+                if img is None:
+                    img = decode_image(blobs[i], fmts[i])
+                elif isinstance(img, Exception):
+                    raise img
+                t = _resize_area(_luma(img), self.size)
+                thumbs.append(
+                    np.clip(np.rint(t), 0, 255).astype(np.uint8).tobytes()
+                )
+                keep[i] = True
+            except Exception:
+                thumbs.append(None)
+        return pa.table(
+            {"image_id": batch["image_id"],
+             "thumb": pa.array(thumbs, pa.large_binary())}
+        ).filter(pa.array(keep))
+
+
+def ssim_verify_pairs(
+    images_ds,
+    pairs_ds=None,
+    max_hamming: int = 6,
+    size: int = 64,
+    threshold: float = 0.85,
+    num_buckets: int = 32,
+    concurrency=(2, 8),
+    batch_size: int = 128,
+):
+    """Verify near-duplicate CANDIDATE pairs with real pixel SSIM.
+
+    pairs_ds: (id_a, id_b[, hamming]) — defaults to the banded-Hamming
+    phash candidates from ``stages.images.near_dup_pairs``. Output: one
+    row per candidate pair with its ``ssim`` and ``verified`` flag.
+
+    Plan (all distributed, nothing on the driver):
+      candidate ids  = pairs exploded to one id column (distinct per block)
+      candidate imgs = semi_join_shuffled(images, ids)   [bytes stay put]
+      thumbs         = actor pool → (image_id, size² luma bytes)
+      pair table     = bucket_hash_join ×2 (thumb_a, thumb_b)
+      ssim           = vectorized block-SSIM over the stacked pairs
+    """
+    from .images import near_dup_pairs
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    if pairs_ds is None:
+        pairs_ds = near_dup_pairs(
+            images_ds, max_hamming=max_hamming, num_buckets=num_buckets
+        )
+    # the pair list feeds three consumers (id explode + two joins):
+    # materialize once — it is the small side by construction
+    pairs_ds = pairs_ds.materialize()
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch["id_a"].combine_chunks().cast(pa.string()),
+             batch["id_b"].combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"image_id": ids.unique()})
+
+    cand_ids = pairs_ds.map_batches(explode_ids, batch_format="pyarrow")
+    cand_imgs = semi_join_shuffled(
+        images_ds, cand_ids, "image_id", "image_id", num_buckets=num_buckets
+    )
+    thumbs = cand_imgs.map_batches(
+        _LumaThumb,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).materialize()  # actor pool → all-to-all boundary (CLAUDE.md rule)
+
+    def rename(col: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({col: batch["image_id"], f"thumb{col[-2:]}": batch["thumb"]})
+
+        return _r
+
+    ta = thumbs.map_batches(rename("id_a"), batch_format="pyarrow")
+    tb = thumbs.map_batches(rename("id_b"), batch_format="pyarrow")
+    j = bucket_hash_join(pairs_ds, ta, "id_a", "id_a", num_buckets=num_buckets)
+    j = bucket_hash_join(j, tb, "id_b", "id_b", num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        out = batch.drop_columns(["thumb_a", "thumb_b"])
+        if k == 0:
+            return out.append_column(
+                "ssim", pa.array([], pa.float64())
+            ).append_column("verified", pa.array([], pa.bool_()))
+        a = np.frombuffer(
+            b"".join(batch["thumb_a"].to_pylist()), dtype=np.uint8
+        ).astype(np.float64).reshape(k, size, size)
+        b = np.frombuffer(
+            b"".join(batch["thumb_b"].to_pylist()), dtype=np.uint8
+        ).astype(np.float64).reshape(k, size, size)
+        s = np.round(ssim_blocks(a, b), 6)
+        return out.append_column("ssim", pa.array(s)).append_column(
+            "verified", pa.array(s >= threshold)
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
