@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality": ro.q_image_quality,
         "image_filter": ro.q_image_filter,
         "neardup_verified": ro.q_neardup_verified,
+        "image_embed": ro.q_image_embed,
+        "image_knn": ro.q_image_knn,
     }
 
 

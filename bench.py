@@ -206,11 +206,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # pool = 3/4 of the session (the real-JPEG decode is the stage's
         # compute; never size a pool >= session CPUs — the task stages
         # around it need headroom)
+        # batch 250 = one call per parquet block (measured ~2% over 128);
+        # the projected output is ~1.3 MB, so the dedup groupby wants FEW
+        # blocks — 2*num_cpus paid ~2s of pure block coordination
         validated = decode_validate(
-            img_ds, concurrency=max(2, num_cpus * 3 // 4), batch_size=128,
+            img_ds, concurrency=max(2, num_cpus * 3 // 4), batch_size=250,
             select=["phash", "image_id"], psnr_sample=4,
         ).materialize()
-        return dedup_exact(validated.repartition(2 * num_cpus)).count()
+        return dedup_exact(validated.repartition(max(8, num_cpus // 2))).count()
 
     # GRAFT_STAGES: comma-list subset of conflate,images,postmatch,
     # textdedup,corpusprep,spatial,pricing_summary,priority_revenue

@@ -252,7 +252,13 @@ GROUP BY c_mktsegment
 def q_priority_revenue(sf_dir: str):
     from ..stages.joins import bucket_hash_join
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    # coalesce before the wide op (CLAUDE.md rule): the default parquet
+    # split hands the join's sort-shuffle 64+64 tiny blocks, and the
+    # all-to-all pays per-block coordination that dwarfs the compute at
+    # this row size (measured at sf0.1: 5.3s -> 2.8s with 16+16 blocks)
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).repartition(16)
 
     def rev(batch: pa.Table) -> pa.Table:
         r = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
@@ -263,7 +269,9 @@ def q_priority_revenue(sf_dir: str):
         )
 
     li_rev = li.map_batches(rev, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    ).repartition(16)
     joined = bucket_hash_join(li_rev, orders, "l_orderkey", "o_orderkey", num_buckets=32)
 
     # partial pre-aggregation per block (combiner) — the final groupby then

@@ -1301,3 +1301,35 @@ def q_neardup_verified(sf_dir: str):
     from ..stages.imagequality import ssim_verify_pairs
 
     return ssim_verify_pairs(_images_ds(sf_dir), max_hamming=6, concurrency=2)
+
+
+def q_image_embed(sf_dir: str):
+    """Per-image feature embeddings (DCT low-freq + luma histogram + RGB
+    moments over real decoded pixels) — the (vec_id, embedding) table the
+    ANN family consumes."""
+    from ..stages.imagequality import embed_images
+
+    return embed_images(_images_ds(sf_dir), concurrency=2)
+
+
+def q_image_knn(sf_dir: str):
+    """Image similarity search end-to-end over real pixels: decode →
+    feature embedding → exact cosine top-k against a deterministic query
+    subset (every 100th image)."""
+    from ..stages.imagequality import embed_images
+    from ..stages.knn import brute_force_topk
+
+    emb = embed_images(_images_ds(sf_dir), concurrency=2).materialize()
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        m = np.array(
+            [int(s.rsplit("-", 1)[1]) % 100 == 0 for s in ids], dtype=bool
+        )
+        return batch.filter(pa.array(m))
+
+    queries = pa.concat_tables(
+        [pa.table(b) for b in emb.map_batches(
+            pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    )
+    return brute_force_topk(emb, queries, k=3, id_col="vec_id")

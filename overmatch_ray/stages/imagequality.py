@@ -356,3 +356,94 @@ def ssim_verify_pairs(
         )
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+# --- image feature embeddings (similarity search over real pixels) ----------
+
+
+def image_feature_vector(img: np.ndarray) -> np.ndarray:
+    """Deterministic 74-dim feature embedding of one decoded image, built
+    from real pixel statistics (no learned model exists in this container;
+    the vector is the classic pre-deep-learning retrieval descriptor):
+
+    - 36 low-frequency 2D-DCT coefficients of the 32×32 area-mean luma
+      thumb (global structure — the same subspace the perceptual hash
+      thresholds, kept as magnitudes here)
+    - 32-bin luma histogram, density-normalized (tonal distribution)
+    - per-channel RGB mean and std, /255 (color layout)
+
+    L2-normalized, so dot product = cosine. Identical pixels ⇒ identical
+    vector; the output feeds the ANN family (`stages.knn`) unchanged."""
+    from ..imaging.codec import _DCT32, _resize_area
+
+    y = _luma(img)
+    thumb = _resize_area(y, 32)
+    dct = _DCT32 @ thumb @ _DCT32.T
+    f_dct = dct[:6, :6].ravel() / 255.0
+
+    hist = np.bincount(
+        np.clip(np.rint(y), 0, 255).astype(np.int64).ravel() >> 3,
+        minlength=32,
+    )[:32] / y.size
+
+    f = img.astype(np.float64) / 255.0
+    rgb = np.concatenate([
+        f.reshape(-1, 3).mean(axis=0), f.reshape(-1, 3).std(axis=0)
+    ])
+
+    v = np.concatenate([f_dct, hist, rgb])
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+class _EmbedImages:
+    """Actor-pool stage: decode → feature embedding (vec_id, embedding)."""
+
+    def __init__(self):
+        from ..imaging import codec as _codec  # warm DCT consts per actor
+
+        self._codec = _codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import decode_image, decode_jpeg_batch
+
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        imgs: list = [None] * n
+        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            imgs[i] = r
+        vecs: list = []
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                img = imgs[i]
+                if img is None:
+                    img = decode_image(blobs[i], fmts[i])
+                elif isinstance(img, Exception):
+                    raise img
+                vecs.append(image_feature_vector(img))
+                keep[i] = True
+            except Exception:
+                vecs.append(None)
+        return pa.table(
+            {"vec_id": batch["image_id"],
+             "embedding": pa.array(
+                 [v.tolist() if v is not None else None for v in vecs],
+                 pa.list_(pa.float32()))}
+        ).filter(pa.array(keep))
+
+
+def embed_images(images_ds, concurrency=(2, 8), batch_size: int = 128):
+    """Per-image feature embeddings over an input_hint-schema table.
+    Output schema (vec_id, embedding list<float32>) is exactly what the
+    ANN stages (`brute_force_topk`, `near_dup_embeddings`, `ivf_topk`,
+    `lsh_topk`) consume — image similarity search composes directly."""
+    return images_ds.map_batches(
+        _EmbedImages,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -192,3 +192,40 @@ class TestSsimVerifyPairs:
         assert r[("a", "b")]["verified"]
         assert not r[("a", "c")]["verified"]
         assert r[("a", "b")]["ssim"] > 0.8 > r[("a", "c")]["ssim"]
+
+
+class TestImageEmbeddings:
+    def test_unit_norm_and_identical_pixels(self):
+        from overmatch_ray.stages.imagequality import image_feature_vector
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        v1 = image_feature_vector(img)
+        v2 = image_feature_vector(img.copy())
+        assert v1.shape == (74,)
+        assert np.linalg.norm(v1) == pytest.approx(1.0, abs=1e-5)
+        assert np.array_equal(v1, v2)  # identical pixels => identical vector
+        other = image_feature_vector(255 - img)
+        assert float(v1 @ other) < 0.999
+
+    def test_embed_stage_and_knn_finds_planted_dup(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.imagequality import embed_images
+        from overmatch_ray.stages.knn import brute_force_topk
+
+        emb = embed_images(
+            ray.data.from_arrow(images).repartition(4), concurrency=2
+        ).materialize()
+        assert emb.count() == N
+        # the synth corpus plants an exact duplicate at every 17th row:
+        # its nearest neighbor must be its partner at cosine ~1
+        queries = pa.Table.from_pylist(
+            [r for r in emb.take_all()
+             if int(r["vec_id"].rsplit("-", 1)[1]) in (17, 34)]
+        )
+        out = brute_force_topk(emb, queries, k=1, id_col="vec_id").take_all()
+        by_q = {r["query_id"]: r for r in out}
+        assert by_q["img-000000000017"]["neighbor_id"] == "img-000000000016"
+        assert by_q["img-000000000017"]["cos_sim"] == pytest.approx(1.0)
+        assert by_q["img-000000000034"]["neighbor_id"] == "img-000000000033"
