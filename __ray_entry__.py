@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_verified": ro.q_neardup_verified,
         "image_embed": ro.q_image_embed,
         "image_knn": ro.q_image_knn,
+        "best_of_cluster": ro.q_best_of_cluster,
     }
 
 

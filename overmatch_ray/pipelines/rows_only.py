@@ -1333,3 +1333,13 @@ def q_image_knn(sf_dir: str):
             pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
     )
     return brute_force_topk(emb, queries, k=3, id_col="vec_id")
+
+
+def q_best_of_cluster(sf_dir: str):
+    """Keep-the-best-copy dedup policy: per near-dup cluster, the member
+    with the highest pixel sharpness (real decode of members only)."""
+    from ..stages.imagequality import best_of_cluster
+
+    imgs = _images_ds(sf_dir).materialize()
+    clusters = q_image_dedup_clusters(sf_dir)
+    return best_of_cluster(imgs, clusters)

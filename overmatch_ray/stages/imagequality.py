@@ -447,3 +447,61 @@ def embed_images(images_ds, concurrency=(2, 8), batch_size: int = 128):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def best_of_cluster(
+    images_ds,
+    clusters_ds,
+    id_col: str = "image_id",
+    cluster_col: str = "cluster_id",
+    num_buckets: int = 32,
+    concurrency=(2, 8),
+    batch_size: int = 128,
+):
+    """Duplicate-cluster representative selection — the "keep the best
+    copy" policy of a pretraining image dedup: for every near-dup cluster
+    (``clusters_ds``: one (image_id, cluster_id) row per member), decode
+    the MEMBER images only, score them, and keep the member with the
+    highest sharpness (ties: lowest id — deterministic at any
+    parallelism).
+
+    Output: one row per cluster (cluster_id, image_id, sharpness,
+    n_members). Scale: cluster members are a small fraction of a
+    deduped-ish corpus; the semi-join keeps the decode pool off the
+    non-duplicate majority, and the one bucketed shuffle carries only
+    (id, cluster, sharpness) triples."""
+    import pandas as pd
+
+    from .groupops import bucketed_group_apply
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    clusters_ds = clusters_ds.materialize()  # feeds two consumers
+    members = semi_join_shuffled(
+        images_ds, clusters_ds, id_col, id_col, num_buckets=num_buckets
+    )
+    scored = quality_stats(
+        members, concurrency=concurrency, batch_size=batch_size
+    ).materialize()  # actor pool → all-to-all boundary (CLAUDE.md rule)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "sharpness": batch["sharpness"]}
+        )
+
+    slim = scored.map_batches(project, batch_format="pyarrow")
+    j = bucket_hash_join(
+        clusters_ds, slim, id_col, id_col, num_buckets=num_buckets
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sharpness", id_col], ascending=[False, True], kind="mergesort"
+        )
+        agg = g.groupby(cluster_col, as_index=False).agg(
+            **{id_col: (id_col, "first")},
+            sharpness=("sharpness", "first"),
+            n_members=(id_col, "size"),
+        )
+        return agg[[cluster_col, id_col, "sharpness", "n_members"]]
+
+    return bucketed_group_apply(j, [cluster_col], pick, num_buckets)

@@ -229,3 +229,33 @@ class TestImageEmbeddings:
         assert by_q["img-000000000017"]["neighbor_id"] == "img-000000000016"
         assert by_q["img-000000000017"]["cos_sim"] == pytest.approx(1.0)
         assert by_q["img-000000000034"]["neighbor_id"] == "img-000000000033"
+
+
+class TestBestOfCluster:
+    def test_picks_sharpest_member(self, ray_session, images):
+        import ray.data
+
+        from overmatch_ray.stages.imagequality import best_of_cluster, quality_stats
+
+        ds = ray.data.from_arrow(images).repartition(4)
+        # ground truth: per-image sharpness from the same metric path
+        sharp = {
+            r["image_id"]: r["sharpness"]
+            for r in quality_stats(ds, concurrency=2).take_all()
+        }
+        # synthetic clusters: ids 0-2 -> cluster "c0", ids 3-4 -> "c1"
+        members = [f"img-{i:012d}" for i in range(5)]
+        clusters = pa.table({
+            "image_id": pa.array(members),
+            "cluster_id": pa.array(["c0", "c0", "c0", "c1", "c1"]),
+        })
+        out = best_of_cluster(ds, ray.data.from_arrow(clusters)).take_all()
+        got = {r["cluster_id"]: r for r in out}
+        assert set(got) == {"c0", "c1"}
+        assert got["c0"]["n_members"] == 3
+        assert got["c1"]["n_members"] == 2
+        best0 = max(members[:3], key=lambda i: (sharp[i], ))
+        best1 = max(members[3:5], key=lambda i: (sharp[i], ))
+        assert got["c0"]["image_id"] == best0
+        assert got["c1"]["image_id"] == best1
+        assert got["c0"]["sharpness"] == pytest.approx(sharp[best0])
