@@ -26,9 +26,25 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Row-aware read: block count sized from the parquet footer's row
+    count (one metadata read, no data pass). Ray's default split hands a
+    5000-row table 64 blocks, and every downstream all-to-all then pays
+    ~2s of pure per-block coordination (measured: priority_revenue 5.3s →
+    2.8s, pack_sequences Sort 1.9s → sub-second after coalescing). Results
+    are partitioning-invariant by contract, so block count is a pure
+    performance knob."""
     from ..sources import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    nb = None
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(path).metadata.num_rows
+        nb = max(4, min(64, -(-rows // 20_000)))
+    except Exception:
+        pass
+    return read_parquet_clean(path, columns=columns, override_num_blocks=nb)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -252,13 +268,12 @@ GROUP BY c_mktsegment
 def q_priority_revenue(sf_dir: str):
     from ..stages.joins import bucket_hash_join
 
-    # coalesce before the wide op (CLAUDE.md rule): the default parquet
-    # split hands the join's sort-shuffle 64+64 tiny blocks, and the
-    # all-to-all pays per-block coordination that dwarfs the compute at
-    # this row size (measured at sf0.1: 5.3s -> 2.8s with 16+16 blocks)
+    # block widths come row-aware from _read (the join's sort-shuffle paid
+    # per-block coordination far above compute at the default 64+64 split;
+    # measured at sf0.1: 5.3s -> 2.8s)
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).repartition(16)
+    )
 
     def rev(batch: pa.Table) -> pa.Table:
         r = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
@@ -269,9 +284,7 @@ def q_priority_revenue(sf_dir: str):
         )
 
     li_rev = li.map_batches(rev, batch_format="pyarrow")
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
-    ).repartition(16)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = bucket_hash_join(li_rev, orders, "l_orderkey", "o_orderkey", num_buckets=32)
 
     # partial pre-aggregation per block (combiner) — the final groupby then
