@@ -39,7 +39,7 @@ _VALUE_INT = 32  # Value.int_value = 4, varint
 _VALUE_BOOL = 56  # Value.bool_value = 7, varint
 
 
-def _varint(n: int) -> bytes:
+def _varint_slow(n: int) -> bytes:
     out = bytearray()
     n &= 0xFFFFFFFFFFFFFFFF
     while True:
@@ -50,6 +50,19 @@ def _varint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+# the overwhelming majority of varints in a point tile (tag indices,
+# field keys, lengths, zigzagged extent-grid coordinates ≤ 2*4096) fit in
+# two bytes — a precomputed table turns the hot encode into a list index
+# (bit-identical to the loop; ~1 MB once per process)
+_VARINT_TABLE = [_varint_slow(i) for i in range(16384)]
+
+
+def _varint(n: int) -> bytes:
+    if 0 <= n < 16384:
+        return _VARINT_TABLE[n]
+    return _varint_slow(n)
 
 
 def _zigzag(n: int) -> int:
@@ -87,7 +100,14 @@ def encode_mvt_tile(
     tile-local integer coordinates (already clipped to [0, extent])."""
     keys: dict[str, int] = {}
     values: dict[bytes, int] = {}
+    # memoize value encoding per (type, value): tiles repeat property
+    # values heavily and _encode_value dominates the profile otherwise.
+    # The type name is part of the key because encoding is type-dependent
+    # and e.g. True == 1 under dict equality.
+    vcache: dict = {}
     feats = []
+    vt = _VARINT_TABLE
+    type_point = _varint(_FEATURE_TYPE) + _varint(1)  # POINT
     for rec, x, y in zip(props, px, py):
         tags: list[int] = []
         for k in sorted(rec):
@@ -95,15 +115,17 @@ def encode_mvt_tile(
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             ki = keys.setdefault(k, len(keys))
-            vb = _encode_value(v)
+            ck = (type(v).__name__, v)
+            vb = vcache.get(ck)
+            if vb is None:
+                vb = vcache[ck] = _encode_value(v)
             vi = values.setdefault(vb, len(values))
             tags.extend((ki, vi))
-        tag_payload = b"".join(_varint(t) for t in tags)
-        geom = _varint(9) + _varint(_zigzag(int(x))) + _varint(_zigzag(int(y)))
+        tag_payload = b"".join([vt[t] if t < 16384 else _varint(t) for t in tags])
+        geom = vt[9] + _varint(_zigzag(int(x))) + _varint(_zigzag(int(y)))
         feat = (
             _ld(_FEATURE_TAGS, tag_payload)
-            + _varint(_FEATURE_TYPE)
-            + _varint(1)  # POINT
+            + type_point
             + _ld(_FEATURE_GEOM, geom)
         )
         feats.append(_ld(_LAYER_FEATURE, feat))
