@@ -56,10 +56,14 @@ def _gen_inputs(sf_dir: str, cache: str) -> dict:
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     ).count())
     # 16× the documents count at 64-160 px: decode compute (~2 ms/image)
-    # dominates actor startup, so the image stage scales with the pool
-    n_img = 16 * ray.data.read_parquet(
+    # dominates actor startup, so the image stage scales with the pool.
+    # GRAFT_IMG_SCALE multiplies the image corpus independently of the geo
+    # corpus (the scaling criterion scales both; the conflate-only scale
+    # probes scale geo only so they don't regenerate 100k+ JPEGs).
+    img_scale = float(os.environ.get("GRAFT_IMG_SCALE", "1"))
+    n_img = int(img_scale * 16 * ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).count()
+    ).count())
     nb = max(8, n_osm // 20_000)
 
     ray.data.range(n_osm, override_num_blocks=nb).map_batches(
@@ -105,10 +109,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from overmatch_ray.stages.tiles import build_tiles
 
     scale = float(os.environ.get("GRAFT_SCALE", "1"))
+    img_scale = float(os.environ.get("GRAFT_IMG_SCALE", "1"))
     # v9: JPEG payloads carry restart markers (one per MCU row) so the
     # lane-parallel batch decoder gets its segment parallelism
-    cache = f"/tmp/overmatch_bench/v9-{_sf_of(sf_dir)}" + (
-        f"-x{scale:g}" if scale != 1 else ""
+    cache = (
+        f"/tmp/overmatch_bench/v9-{_sf_of(sf_dir)}"
+        + (f"-x{scale:g}" if scale != 1 else "")
+        + (f"-i{img_scale:g}" if img_scale != 1 else "")
     )
     meta = _gen_inputs(sf_dir, cache)
     n_osm, n_img = meta["n_osm"], meta["n_img"]
@@ -336,10 +343,24 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     memory bandwidth above ~16 Arrow-heavy workers, so 8→32 measures the
     machine, not the engine. 4→16 keeps both levels in the linear region —
     the local stand-in for N vs 4N nodes that each run below saturation.
+
+    The criterion input is 3× the headline corpus (GRAFT_SCALE=3 geo ×
+    GRAFT_IMG_SCALE=3 images, override via env; IDENTICAL input at both
+    levels). At 1× the round-4 kernels finish the 16-CPU run in ~25 s
+    across four stages, so per-stage fixed coordination (actor-pool
+    spin-up, shuffle scheduling — constants that don't grow with data)
+    was ~30% of wall and the ratio measured the harness, not the engine;
+    at 3× both levels are work-dominated, which is what N vs 4N nodes
+    each streaming large shards of a 100 TB input look like. Only the
+    four headline stages run (the efficiency is defined over them).
     """
+    sc = os.environ.get("GRAFT_SCALE", "3")
+    isc = os.environ.get("GRAFT_IMG_SCALE", sc)
 
     def once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_WARM="1",
+                   GRAFT_SCALE=sc, GRAFT_IMG_SCALE=isc,
+                   GRAFT_STAGES="conflate,images,postmatch,textdedup",
                    GRAFT_REPS=os.environ.get("GRAFT_REPS", "2"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -361,6 +382,9 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "sf": r_lo["sf"],
+        "scale": float(sc),
+        "img_scale": float(isc),
+        "n_rows": r_lo["n_osm"] + r_lo["n_images"] + r_lo["n_docs"],
         f"sec_{lo}": round(headline_sec(r_lo), 3),
         f"sec_{hi}": round(headline_sec(r_hi), 3),
         f"throughput_{lo}": thr_lo,
