@@ -1322,9 +1322,18 @@ def q_image_knn(sf_dir: str):
     emb = embed_images(_images_ds(sf_dir), concurrency=2).materialize()
 
     def pick(batch: pa.Table) -> pa.Table:
+        # bounded-by-construction query set: every 100th image AND
+        # counter < 10^5, so q ≤ 1000 no matter the corpus size (the
+        # queries table is driver-collected then ray.put-broadcast —
+        # it must stay O(1k), not O(corpus/100))
         ids = batch["vec_id"].to_pylist()
         m = np.array(
-            [int(s.rsplit("-", 1)[1]) % 100 == 0 for s in ids], dtype=bool
+            [
+                int(s.rsplit("-", 1)[1]) % 100 == 0
+                and int(s.rsplit("-", 1)[1]) < 100_000
+                for s in ids
+            ],
+            dtype=bool,
         )
         return batch.filter(pa.array(m))
 
