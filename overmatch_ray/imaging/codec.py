@@ -1290,6 +1290,28 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
+def decode_image_batch(blobs: "list[bytes]", fmts: "list[str]") -> list:
+    """Decode a mixed-format blob list: JPEGs through the lane-parallel
+    batch decoder (one call per batch), everything else scalar. Returns
+    one entry per input — a (h, w, 3) uint8 array, or the Exception the
+    decode raised, so callers quarantine per image. This is THE shared
+    decode loop for every actor-pool image stage (DecodeValidate,
+    QualityStats, _LumaThumb, _EmbedImages)."""
+    n = len(blobs)
+    out: list = [None] * n
+    jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+    if jidx:
+        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
+            out[i] = r
+    for i in range(n):
+        if out[i] is None:
+            try:
+                out[i] = decode_image(blobs[i], fmts[i])
+            except Exception as e:  # noqa: BLE001 — per-image quarantine
+                out[i] = e
+    return out
+
+
 def encode_image(img: np.ndarray, fmt: str, quality: int = 98) -> bytes:
     if fmt == "png":
         return encode_png(img)
@@ -1316,22 +1338,37 @@ _PHASH_K = 8
 _DCT32 = _dct_matrix(_PHASH_N)
 
 
+def _area_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) row-stochastic resample weights: W[i, j] = fractional
+    overlap of source pixel [j, j+1) with destination cell
+    [i·src/dst, (i+1)·src/dst), normalized by the cell width. Exact for
+    both down- AND up-sampling (the former integer-floor grid produced
+    zero-area — hence all-zero — output rows whenever src < dst). When
+    src is a multiple of dst the weights reduce to the integer grid, so
+    e.g. 32/64 px phashes are unchanged. Cached: thumb/phash loops call
+    this with a handful of distinct shapes per batch."""
+    key = (src, dst)
+    w = _AREA_W_CACHE.get(key)
+    if w is None:
+        scale = src / dst
+        lo = np.arange(dst, dtype=np.float64) * scale
+        j = np.arange(src, dtype=np.float64)
+        ov = np.minimum(lo[:, None] + scale, j + 1.0) - np.maximum(lo[:, None], j)
+        w = np.clip(ov, 0.0, None) / scale
+        if len(_AREA_W_CACHE) < 1024:
+            _AREA_W_CACHE[key] = w
+    return w
+
+
+_AREA_W_CACHE: dict = {}
+
+
 def _resize_area(gray: np.ndarray, n: int) -> np.ndarray:
     """Area-mean resample of a (h, w) array to (n, n) — deterministic,
-    library-free."""
+    library-free, exact fractional pixel coverage (separable weight
+    matrices, one matmul per axis)."""
     h, w = gray.shape
-    ys = (np.arange(n + 1) * h // n).astype(np.int64)
-    xs = (np.arange(n + 1) * w // n).astype(np.int64)
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    out = (
-        csum[ys[1:, None], xs[None, 1:]]
-        - csum[ys[:-1, None], xs[None, 1:]]
-        - csum[ys[1:, None], xs[None, :-1]]
-        + csum[ys[:-1, None], xs[None, :-1]]
-    )
-    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
-    return out / np.maximum(area, 1)
+    return _area_weights(h, n) @ gray @ _area_weights(w, n).T
 
 
 def phash64(img: np.ndarray) -> int:

@@ -354,13 +354,20 @@ def q_image_dedup_clusters(sf_dir: str):
     cluster_id, drop the rest, exactly the corpus-dedup final step but on
     the image modality. String image ids ride as their numeric suffix
     (img-%012d) and are restored after."""
+    return _image_clusters_from(_images_ds(sf_dir))
+
+
+def _image_clusters_from(images_ds):
+    """Cluster formation over an already-built image dataset (callers that
+    consume the corpus twice pass their materialized handle — the synth +
+    JPEG encode is the most expensive input stage, never pay it twice)."""
     from ..stages.dedup import dedup_clusters
     from ..stages.images import near_dup_pairs
 
     import numpy as np
     import pyarrow as pa
 
-    pairs = near_dup_pairs(_images_ds(sf_dir), max_hamming=6)
+    pairs = near_dup_pairs(images_ds, max_hamming=6)
 
     def to_int(batch: pa.Table) -> pa.Table:
         a = [int(s.rsplit("-", 1)[1]) for s in batch["id_a"].to_pylist()]
@@ -1297,10 +1304,13 @@ def q_image_filter(sf_dir: str):
 
 def q_neardup_verified(sf_dir: str):
     """Two-phase near-dup: banded phash candidates verified by real
-    pixel block-SSIM (LSH proposes, SSIM confirms)."""
+    pixel block-SSIM (LSH proposes, SSIM confirms). The corpus feeds two
+    consumers (the phash pair graph + the candidate semi-join), so it is
+    materialized once — the synth/encode never runs twice."""
     from ..stages.imagequality import ssim_verify_pairs
 
-    return ssim_verify_pairs(_images_ds(sf_dir), max_hamming=6, concurrency=2)
+    imgs = _images_ds(sf_dir).materialize()
+    return ssim_verify_pairs(imgs, max_hamming=6, concurrency=2)
 
 
 def q_image_embed(sf_dir: str):
@@ -1350,5 +1360,5 @@ def q_best_of_cluster(sf_dir: str):
     from ..stages.imagequality import best_of_cluster
 
     imgs = _images_ds(sf_dir).materialize()
-    clusters = q_image_dedup_clusters(sf_dir)
+    clusters = _image_clusters_from(imgs)  # reuse — no second synth pass
     return best_of_cluster(imgs, clusters)

@@ -98,33 +98,21 @@ class QualityStats:
         self.keep_bytes = keep_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_image, decode_jpeg_batch
+        from ..imaging.codec import decode_image_batch
 
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        n = len(blobs)
-
-        # JPEGs through the lane-parallel batch decoder, PNGs scalar
-        imgs: list = [None] * n
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            imgs[i] = r
-
+        imgs = decode_image_batch(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        )
+        n = len(imgs)
         ok = np.zeros(n, dtype=bool)
         vals = {m: np.zeros(n, dtype=np.float64) for m in self._METRICS}
-        for i in range(n):
-            try:
-                img = imgs[i]
-                if img is None:
-                    img = decode_image(blobs[i], fmts[i])
-                elif isinstance(img, Exception):
-                    raise img
-                row = quality_metrics(img)
-                for m in self._METRICS:
-                    vals[m][i] = row[m]
-                ok[i] = True
-            except Exception:
-                pass  # corrupt blob: ok=False row, metrics stay 0
+        for i, img in enumerate(imgs):
+            if isinstance(img, Exception):
+                continue  # corrupt blob: ok=False row, metrics stay 0
+            row = quality_metrics(img)
+            for m in self._METRICS:
+                vals[m][i] = row[m]
+            ok[i] = True
 
         cols: dict = {
             "image_id": batch["image_id"],
@@ -241,31 +229,23 @@ class _LumaThumb:
         self.size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import _resize_area, decode_image, decode_jpeg_batch
+        from ..imaging.codec import _resize_area, decode_image_batch
 
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        n = len(blobs)
-        imgs: list = [None] * n
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            imgs[i] = r
+        imgs = decode_image_batch(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        )
+        n = len(imgs)
         thumbs: list = []
         keep = np.zeros(n, dtype=bool)
-        for i in range(n):
-            try:
-                img = imgs[i]
-                if img is None:
-                    img = decode_image(blobs[i], fmts[i])
-                elif isinstance(img, Exception):
-                    raise img
-                t = _resize_area(_luma(img), self.size)
-                thumbs.append(
-                    np.clip(np.rint(t), 0, 255).astype(np.uint8).tobytes()
-                )
-                keep[i] = True
-            except Exception:
+        for i, img in enumerate(imgs):
+            if isinstance(img, Exception):
                 thumbs.append(None)
+                continue
+            t = _resize_area(_luma(img), self.size)
+            thumbs.append(
+                np.clip(np.rint(t), 0, 255).astype(np.uint8).tobytes()
+            )
+            keep[i] = True
         return pa.table(
             {"image_id": batch["image_id"],
              "thumb": pa.array(thumbs, pa.large_binary())}
@@ -286,7 +266,10 @@ def ssim_verify_pairs(
 
     pairs_ds: (id_a, id_b[, hamming]) — defaults to the banded-Hamming
     phash candidates from ``stages.images.near_dup_pairs``. Output: one
-    row per candidate pair with its ``ssim`` and ``verified`` flag.
+    row per candidate pair with its ``ssim`` and ``verified`` flag —
+    EVERY candidate pair survives: if either member fails decode, the
+    pair row comes through with ``ssim`` null and ``verified`` false
+    (unverifiable ≠ never-proposed; the thumb joins are LEFT joins).
 
     Plan (all distributed, nothing on the driver):
       candidate ids  = pairs exploded to one id column (distinct per block)
@@ -334,25 +317,44 @@ def ssim_verify_pairs(
 
     ta = thumbs.map_batches(rename("id_a"), batch_format="pyarrow")
     tb = thumbs.map_batches(rename("id_b"), batch_format="pyarrow")
-    j = bucket_hash_join(pairs_ds, ta, "id_a", "id_a", num_buckets=num_buckets)
-    j = bucket_hash_join(j, tb, "id_b", "id_b", num_buckets=num_buckets)
+    j = bucket_hash_join(
+        pairs_ds, ta, "id_a", "id_a", num_buckets=num_buckets, how="left"
+    )
+    j = bucket_hash_join(
+        j, tb, "id_b", "id_b", num_buckets=num_buckets, how="left"
+    )
 
     def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         k = batch.num_rows
         out = batch.drop_columns(["thumb_a", "thumb_b"])
         if k == 0:
             return out.append_column(
                 "ssim", pa.array([], pa.float64())
             ).append_column("verified", pa.array([], pa.bool_()))
-        a = np.frombuffer(
-            b"".join(batch["thumb_a"].to_pylist()), dtype=np.uint8
-        ).astype(np.float64).reshape(k, size, size)
-        b = np.frombuffer(
-            b"".join(batch["thumb_b"].to_pylist()), dtype=np.uint8
-        ).astype(np.float64).reshape(k, size, size)
-        s = np.round(ssim_blocks(a, b), 6)
-        return out.append_column("ssim", pa.array(s)).append_column(
-            "verified", pa.array(s >= threshold)
+        # a pair whose member failed decode has a null thumb (LEFT join):
+        # emit it with ssim null / verified False instead of dropping it
+        valid = pc.and_(
+            pc.is_valid(batch["thumb_a"]), pc.is_valid(batch["thumb_b"])
+        )
+        vmask = valid.to_numpy(zero_copy_only=False)
+        s = np.full(k, np.nan)
+        if vmask.any():
+            vb = batch.filter(valid)
+            kv = vb.num_rows
+            a = np.frombuffer(
+                b"".join(vb["thumb_a"].to_pylist()), dtype=np.uint8
+            ).astype(np.float64).reshape(kv, size, size)
+            b = np.frombuffer(
+                b"".join(vb["thumb_b"].to_pylist()), dtype=np.uint8
+            ).astype(np.float64).reshape(kv, size, size)
+            s[np.flatnonzero(vmask)] = np.round(ssim_blocks(a, b), 6)
+        return out.append_column(
+            "ssim", pa.array(s, mask=~vmask)
+        ).append_column(
+            "verified",
+            pa.array(np.where(vmask, np.greater_equal(s, threshold), False)),
         )
 
     return j.map_batches(score, batch_format="pyarrow")
@@ -405,28 +407,20 @@ class _EmbedImages:
         self._codec = _codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_image, decode_jpeg_batch
+        from ..imaging.codec import decode_image_batch
 
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        n = len(blobs)
-        imgs: list = [None] * n
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            imgs[i] = r
+        imgs = decode_image_batch(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        )
+        n = len(imgs)
         vecs: list = []
         keep = np.zeros(n, dtype=bool)
-        for i in range(n):
-            try:
-                img = imgs[i]
-                if img is None:
-                    img = decode_image(blobs[i], fmts[i])
-                elif isinstance(img, Exception):
-                    raise img
-                vecs.append(image_feature_vector(img))
-                keep[i] = True
-            except Exception:
+        for i, img in enumerate(imgs):
+            if isinstance(img, Exception):
                 vecs.append(None)
+                continue
+            vecs.append(image_feature_vector(img))
+            keep[i] = True
         return pa.table(
             {"vec_id": batch["image_id"],
              "embedding": pa.array(
@@ -463,13 +457,15 @@ def best_of_cluster(
     (``clusters_ds``: one (image_id, cluster_id) row per member), decode
     the MEMBER images only, score them, and keep the member with the
     highest sharpness (ties: lowest id — deterministic at any
-    parallelism).
+    parallelism). Members whose blob fails decode never compete (a
+    representative must be decodable); a cluster whose EVERY member
+    fails decode emits no row.
 
     Output: one row per cluster (cluster_id, image_id, sharpness,
-    n_members). Scale: cluster members are a small fraction of a
-    deduped-ish corpus; the semi-join keeps the decode pool off the
-    non-duplicate majority, and the one bucketed shuffle carries only
-    (id, cluster, sharpness) triples."""
+    n_members) — n_members counts the decodable members. Scale: cluster
+    members are a small fraction of a deduped-ish corpus; the semi-join
+    keeps the decode pool off the non-duplicate majority, and the one
+    bucketed shuffle carries only (id, cluster, sharpness) triples."""
     import pandas as pd
 
     from .groupops import bucketed_group_apply
@@ -479,13 +475,22 @@ def best_of_cluster(
     members = semi_join_shuffled(
         images_ds, clusters_ds, id_col, id_col, num_buckets=num_buckets
     )
+    if id_col != "image_id":
+        # QualityStats reads the input_hint column names; alias the id in
+        def _rn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["image_id" if n == id_col else n for n in batch.column_names]
+            )
+
+        members = members.map_batches(_rn, batch_format="pyarrow")
     scored = quality_stats(
         members, concurrency=concurrency, batch_size=batch_size
     ).materialize()  # actor pool → all-to-all boundary (CLAUDE.md rule)
 
     def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["decode_ok"])  # undecodable ≠ candidate
         return pa.table(
-            {id_col: batch[id_col], "sharpness": batch["sharpness"]}
+            {id_col: batch["image_id"], "sharpness": batch["sharpness"]}
         )
 
     slim = scored.map_batches(project, batch_format="pyarrow")

@@ -30,13 +30,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..imaging.codec import decode_image, encode_image, hamming64, phash64, psnr
+from ..imaging.codec import encode_image, hamming64, psnr
 
 
 class DecodeValidate:
-    """Actor-pool map_batches callable (stateful stage T5)."""
+    """Actor-pool map_batches callable (stateful stage T5).
 
-    def __init__(self, max_hamming: int = 6, min_psnr_db: float = 40.0,
+    ``max_hamming`` is the LOSSY-ROUNDTRIP phash budget (decoded pixels
+    vs the stored source-pixel phash): 10 bits — the measured ceiling of
+    JPEG quantization noise over the corpus (median-threshold hashes flip
+    near-tied low-frequency coefficients in pairs). Distinct from the
+    near-dup BAND threshold (6), which compares source phashes only."""
+
+    def __init__(self, max_hamming: int = 10, min_psnr_db: float = 40.0,
                  select: list | None = None, psnr_sample: int = 1):
         # per-actor state: warm the DCT basis once (module-level lazy const)
         from ..imaging import codec as _codec
@@ -53,7 +59,7 @@ class DecodeValidate:
         self.psnr_sample = max(1, psnr_sample)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_jpeg_batch
+        from ..imaging.codec import decode_image_batch, decode_jpeg_batch
 
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
@@ -68,19 +74,9 @@ class DecodeValidate:
         mean_rgb = np.zeros((n, 3), dtype=np.float64)
         errors: list[str | None] = [None] * n
 
-        # phase 1 — decode: JPEGs go through the lane-parallel batch
-        # decoder (one call per map_batches batch; per-image failures come
-        # back as Exception objects), PNGs are cheap scalar decodes
-        imgs: list = [None] * n
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            imgs[i] = r
-        for i, f in enumerate(fmts):
-            if f not in ("jpeg", "jpg"):
-                try:
-                    imgs[i] = decode_image(blobs[i], f)
-                except Exception as e:
-                    imgs[i] = e
+        # phase 1 — decode: JPEGs lane-parallel batched, PNGs scalar;
+        # per-image failures come back as Exception objects
+        imgs = decode_image_batch(blobs, fmts)
 
         # phase 2 — shape gate + collect the sampled lossy roundtrips
         rt_idx: list[int] = []
@@ -273,22 +269,16 @@ class Resize:
         self.size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import _resize_area, decode_jpeg_batch, encode_png
+        from ..imaging.codec import _resize_area, decode_image_batch, encode_png
 
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        srcs: list = [None] * len(blobs)
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            srcs[i] = r
+        srcs = decode_image_batch(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        )
         thumbs = []
         ok = []
-        for bi, (blob, fmt) in enumerate(zip(blobs, fmts)):
+        for img in srcs:
             try:
-                img = srcs[bi]
-                if img is None:
-                    img = decode_image(blob, fmt)
-                elif isinstance(img, Exception):
+                if isinstance(img, Exception):
                     raise img
                 small = np.stack(
                     [_resize_area(img[..., c].astype(np.float64), self.size)
@@ -501,24 +491,17 @@ class Augment:
         return bool(h & 1), bool(h & 2), crop_frac if (h & 4) else 1.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..imaging.codec import decode_jpeg_batch, encode_png
+        from ..imaging.codec import decode_image_batch, encode_png
 
         ids = batch["image_id"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        # decode: JPEGs through the batched decoder, others scalar
-        srcs: list = [None] * len(ids)
-        jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
-        for i, r in zip(jidx, decode_jpeg_batch([blobs[i] for i in jidx])):
-            srcs[i] = r
+        srcs = decode_image_batch(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        )
         out_id, out_bytes, out_ph, out_ops, ok = [], [], [], [], []
         aug_imgs: list = []  # successful augmented pixels, phash batched below
-        for bi, (iid, blob, fmt) in enumerate(zip(ids, blobs, fmts)):
+        for iid, img in zip(ids, srcs):
             try:
-                img = srcs[bi]
-                if img is None:
-                    img = decode_image(blob, fmt)
-                elif isinstance(img, Exception):
+                if isinstance(img, Exception):
                     raise img
                 hflip, vflip, cf = self.plan(iid, self.crop_frac)
                 if hflip:

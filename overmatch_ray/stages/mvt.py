@@ -103,7 +103,9 @@ def encode_mvt_tile(
     # memoize value encoding per (type, value): tiles repeat property
     # values heavily and _encode_value dominates the profile otherwise.
     # The type name is part of the key because encoding is type-dependent
-    # and e.g. True == 1 under dict equality.
+    # and e.g. True == 1 under dict equality; floats additionally carry
+    # their sign so -0.0 (== and hash-equal to 0.0, but a different
+    # IEEE-754 payload) doesn't reuse 0.0's bytes.
     vcache: dict = {}
     feats = []
     vt = _VARINT_TABLE
@@ -115,7 +117,10 @@ def encode_mvt_tile(
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             ki = keys.setdefault(k, len(keys))
-            ck = (type(v).__name__, v)
+            if isinstance(v, (float, np.floating)):
+                ck = (type(v).__name__, v, math.copysign(1.0, v))
+            else:
+                ck = (type(v).__name__, v)
             vb = vcache.get(ck)
             if vb is None:
                 vb = vcache[ck] = _encode_value(v)

@@ -193,6 +193,43 @@ class TestSsimVerifyPairs:
         assert not r[("a", "c")]["verified"]
         assert r[("a", "b")]["ssim"] > 0.8 > r[("a", "c")]["ssim"]
 
+    def test_corrupt_member_pair_survives_unverified(self, ray_session):
+        """Contract: EVERY candidate pair emits a row. A pair whose member
+        fails decode must come through with ssim null / verified False —
+        not silently vanish (unverifiable ≠ never-proposed)."""
+        import ray.data
+
+        from overmatch_ray.stages.imagequality import ssim_verify_pairs
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        blob = encode_image(img, "png")
+        ph = phash64_batch([img, img])
+        tbl = pa.table({
+            "image_id": pa.array(["a", "b", "c"]),
+            "bytes": pa.array([blob, blob, b"corrupt"], pa.large_binary()),
+            "w": pa.array([40, 40, 40], pa.int32()),
+            "h": pa.array([40, 40, 40], pa.int32()),
+            "fmt": pa.array(["png"] * 3),
+            "caption": pa.array(["", "", ""]),
+            "phash": pa.array([ph[0], ph[1], 0], pa.int64()),
+        })
+        pairs = pa.table({
+            "id_a": pa.array(["a", "a"]),
+            "id_b": pa.array(["b", "c"]),
+            "hamming": pa.array([0, 0], pa.int64()),
+        })
+        out = ssim_verify_pairs(
+            ray.data.from_arrow(tbl),
+            pairs_ds=ray.data.from_arrow(pairs),
+            concurrency=1,
+        ).take_all()
+        r = {(x["id_a"], x["id_b"]): x for x in out}
+        assert set(r) == {("a", "b"), ("a", "c")}  # no pair dropped
+        assert r[("a", "b")]["verified"] and r[("a", "b")]["ssim"] == pytest.approx(1.0)
+        assert r[("a", "c")]["ssim"] is None
+        assert r[("a", "c")]["verified"] is False
+
 
 class TestImageEmbeddings:
     def test_unit_norm_and_identical_pixels(self):
@@ -259,3 +296,37 @@ class TestBestOfCluster:
         assert got["c0"]["image_id"] == best0
         assert got["c1"]["image_id"] == best1
         assert got["c0"]["sharpness"] == pytest.approx(sharp[best0])
+
+    def test_corrupt_member_never_representative(self, ray_session):
+        """A decode-failed member (sharpness forced 0.0) must not win the
+        (sharpness desc, id asc) tiebreak against a legitimate flat image
+        that also scores 0.0 — undecodable images can't represent a
+        cluster. A cluster of ONLY corrupt members emits no row."""
+        import ray.data
+
+        from overmatch_ray.stages.imagequality import best_of_cluster
+
+        flat = np.full((32, 32, 3), 128, np.uint8)  # sharpness exactly 0.0
+        tbl = pa.table({
+            # corrupt member sorts FIRST on id — the old code picked it
+            "image_id": pa.array(["a-corrupt", "b-flat", "z-corrupt"]),
+            "bytes": pa.array(
+                [b"junk", encode_image(flat, "png"), b"junk"],
+                pa.large_binary()),
+            "w": pa.array([32, 32, 32], pa.int32()),
+            "h": pa.array([32, 32, 32], pa.int32()),
+            "fmt": pa.array(["png"] * 3),
+            "caption": pa.array(["", "", ""]),
+            "phash": pa.array([0, 0, 0], pa.int64()),
+        })
+        clusters = pa.table({
+            "image_id": pa.array(["a-corrupt", "b-flat", "z-corrupt"]),
+            "cluster_id": pa.array(["c0", "c0", "c1"]),
+        })
+        out = best_of_cluster(
+            ray.data.from_arrow(tbl), ray.data.from_arrow(clusters)
+        ).take_all()
+        got = {r["cluster_id"]: r for r in out}
+        assert set(got) == {"c0"}  # all-corrupt c1 emits nothing
+        assert got["c0"]["image_id"] == "b-flat"
+        assert got["c0"]["n_members"] == 1  # decodable members only

