@@ -132,7 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         osm_ds = ray.data.read_parquet(os.path.join(cache, "osm")).repartition(nb)
         ovt_ds = ray.data.read_parquet(os.path.join(cache, "overture")).repartition(nb)
         # GRAFT_DEFER_TAGS=0/1 pins the tag-fill plan for A/B probes;
-        # unset = the size-based auto-switch
+        # unset = the default (hoisted — selectivity governs the trade,
+        # see SCALE.md "deferred tag fill")
         dt_env = os.environ.get("GRAFT_DEFER_TAGS", "")
         matches_mat["ds"] = conflate(
             osm_ds, ovt_ds, num_buckets=2 * num_cpus,

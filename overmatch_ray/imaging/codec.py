@@ -837,12 +837,17 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
     grid_w = [mcux * c["h"] for c, *_ in order]
     pred = [0] * ncomp
     br = _EntropyReader(data, off)
-    # hot loop: bit reads inlined on local (win, pos); IndexError past the
-    # zero-padded window list ⇒ corrupt stream, surfaces as a decode error
+    # hot loop: bit reads inlined on local (win, pos). The window list is
+    # zero-padded by 3 bytes, and zero bits can decode as VALID short
+    # Huffman codes — so a slightly-truncated stream would silently emit
+    # wrong pixels unless pos is checked against the segment bit length
+    # at every segment end (the lane decoder flags pos > end the same way)
     win = br.win
     pos = 0
     for m in range(mcux * mcuy):
         if ri and m and m % ri == 0:
+            if pos > br.nbits:
+                raise ValueError("truncated entropy stream")
             br.restart()
             win = br.win
             pos = 0
@@ -885,6 +890,8 @@ def _decode_scan(data, off, frame, qts, hdc, hac, scomps, ri):
                         pos += s
                         buf[base + k] = val - (1 << s) + 1 if val < (1 << (s - 1)) else val
                         k += 1
+    if pos > br.nbits:
+        raise ValueError("truncated entropy stream")
     # dequantize + batch IDCT + assemble per component
     planes = []
     for ci, (c, *_t) in enumerate(order):

@@ -308,10 +308,12 @@ def _fill_tags(matches0, overture_ds, num_buckets: int):
 
     import ray as _ray
 
+    from ..stages.enrich import _cached_get
+
     bloom_ref = _ray.put(bloom)
 
     def bloom_filt(batch: pa.Table) -> pa.Table:
-        bf: BloomFilter = _ray.get(bloom_ref)
+        bf: BloomFilter = _cached_get(bloom_ref)  # one deserialize/worker
         h = hash_columns(batch, ["id"]).view(np.int64)
         return batch.filter(pa.array(bf.might_contain(h)))
 

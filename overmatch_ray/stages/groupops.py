@@ -72,6 +72,21 @@ def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
             h = _splitmix64(
                 col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             )
+        elif pa.types.is_floating(col.type):
+            # floats bucket CONSISTENTLY with integers for integral
+            # values (groupby shuffles can float64-upcast nulled int
+            # columns — a chained join must co-bucket 5 and 5.0); exact
+            # bit patterns otherwise, with -0.0 normalized to 0.0 and
+            # every NaN/null collapsed to one canonical pattern. The old
+            # str()-CRC fallback bucketed "-0.0" vs "0.0" apart, so the
+            # within-bucket kernel never saw value-equal rows meet.
+            f = col.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
+            f[np.isnan(f)] = np.nan
+            f[f == 0.0] = 0.0
+            u = f.view(np.uint64).copy()
+            integral = (np.trunc(f) == f) & (np.abs(f) < 2.0**63)
+            u[integral] = f[integral].astype(np.int64).view(np.uint64)
+            h = _splitmix64(u)
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             h = _splitmix64(_hash_strings(col))
         else:

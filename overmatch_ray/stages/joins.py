@@ -34,7 +34,23 @@ def _encode_key_pair(lc, rc) -> "tuple[np.ndarray, ...]":
     lnull = pc.is_null(lc).to_numpy(zero_copy_only=False).astype(np.int64)
     rnull = pc.is_null(rc).to_numpy(zero_copy_only=False).astype(np.int64)
     lt = lc.type
-    if pa.types.is_integer(lt) or pa.types.is_floating(lt):
+    if pa.types.is_floating(lt) or pa.types.is_floating(rc.type):
+        # EXACT float semantics (pandas merge compares exact float64
+        # values — common-type promotion when one side is integer):
+        # compare IEEE-754 bit patterns after normalizing -0.0 → +0.0
+        # (value-equal, different bits) and collapsing every NaN to one
+        # canonical pattern (pandas merge matches NaN with NaN). A
+        # cast-to-int64 here would TRUNCATE fractional keys — 1.5 and
+        # 1.2 must not join as equal.
+        def _fbits(c) -> np.ndarray:
+            f = pc.fill_null(pc.cast(c, pa.float64(), safe=False), 0.0
+                             ).to_numpy(zero_copy_only=False).copy()
+            f[f == 0.0] = 0.0
+            f[np.isnan(f)] = np.nan
+            return f.view(np.int64)
+
+        lv, rv = _fbits(lc), _fbits(rc)
+    elif pa.types.is_integer(lt):
         lv = pc.fill_null(pc.cast(lc, pa.int64(), safe=False), 0).to_numpy(
             zero_copy_only=False
         )
@@ -312,9 +328,13 @@ def semi_join_shuffled(
         cols["__semi_key"] = batch["__semi_key"].cast(key_type)
         return pa.table(cols)
 
+    # materialize the union→all-to-all boundary (CLAUDE.md livelock rule:
+    # never stream two task-pool branches through a union directly into a
+    # shuffle); the two branches still execute concurrently inside the one
+    # materialize, and the shuffle would hold every block anyway
     both = left_t.map_batches(align_left, batch_format="pyarrow").union(
         right_t.map_batches(align_right, batch_format="pyarrow")
-    )
+    ).materialize()
 
     def filter_bucket(g: pa.Table) -> pa.Table:
         # ARROW-native filtering: no pandas conversion anywhere, so int64
@@ -352,10 +372,37 @@ def semi_join_shuffled(
     return both.groupby("__bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
-def _collect_arrow(ds) -> "pa.Table | None":
-    """Materialize a (small) Dataset to one driver-side Arrow table."""
-    tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+def _collect_arrow(ds, limit: "int | None" = None) -> "pa.Table | None":
+    """Materialize a (small) Dataset to one driver-side Arrow table.
+
+    ``limit`` BOUNDS what the driver will ever hold: batch pulling stops
+    as soon as the accumulated row count exceeds it, and the (partial)
+    table is returned for the caller's ``num_rows > limit`` rejection
+    check. Without this, a size guard placed after collection would
+    OOM the driver before it ever ran."""
+    tbls, n = [], 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        tbls.append(t)
+        n += t.num_rows
+        if limit is not None and n > limit:
+            break
     return pa.concat_tables(tbls) if tbls else None
+
+
+def _narrow_probe(ds, cols: "list[str]"):
+    """Project to the skew-probe column(s) (IN-KERNEL — never
+    ``select_columns`` after a ``map_groups``, per the schema-staleness
+    rule) and materialize. ``heavy_hitters`` makes three sketch-bounded
+    scans of its input; fed the caller's lazy chain directly, each scan
+    re-executes the whole chain (~4× input cost on completely unskewed
+    inputs). The materialized projection is key-column-narrow, so the
+    chain runs once and the three scans hit cached blocks."""
+
+    def _p(batch: pa.Table) -> pa.Table:
+        return batch.select(cols)
+
+    return ds.map_batches(_p, batch_format="pyarrow").materialize()
 
 
 def _hot_mask_fn(col: str, hot_vals: pa.Array, keep_hot: bool):
@@ -404,14 +451,15 @@ def asof_join(
     if hot_denom:
         from .groupops import heavy_hitters
 
-        hot = heavy_hitters(left_ds, by, denom=hot_denom)
+        hot = heavy_hitters(_narrow_probe(left_ds, [by]), by, denom=hot_denom)
         if hot.num_rows:
             hot_vals = hot["item"].combine_chunks()
             right_hot = _collect_arrow(
                 right_ds.map_batches(
                     _hot_mask_fn(right_by, hot_vals, True),
                     batch_format="pyarrow",
-                )
+                ),
+                limit=hot_right_limit,  # driver never buffers past the cap
             )
             if right_hot is not None and 0 < right_hot.num_rows <= hot_right_limit:
                 hot_out = _asof_hot_map(
@@ -555,9 +603,10 @@ def _asof_bucketed(
         cols["__side"] = batch["__side"]
         return pa.table(cols)
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     both = left_t.map_batches(align, batch_format="pyarrow").union(
         right_t.map_batches(align, batch_format="pyarrow")
-    )
+    ).materialize()
 
     int_restore = {
         n: f"{'UInt' if pa.types.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
@@ -677,9 +726,10 @@ def bucket_hash_join(
 
     types_all = dict(l_types)
     types_all.update({n: r_types[n] for n in r_names})
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     both = left_t.map_batches(align(l_names, types_all), batch_format="pyarrow").union(
         right_t.map_batches(align(r_names, types_all), batch_format="pyarrow")
-    )
+    ).materialize()
 
     out_names = [n for n in all_names if n not in ("__bucket", "__side")]
     l_set = set(n for n in l_names if n not in ("__bucket", "__side"))
@@ -851,11 +901,7 @@ def interval_join(
 
         left_c = left_t.map_batches(cell_of(by), batch_format="pyarrow")
         hot = heavy_hitters(
-            left_c.map_batches(
-                lambda b: b.select(["__cell"]), batch_format="pyarrow"
-            ),
-            "__cell",
-            denom=hot_denom,
+            _narrow_probe(left_c, ["__cell"]), "__cell", denom=hot_denom
         )
         if hot.num_rows:
             import ray
@@ -867,7 +913,8 @@ def interval_join(
             right_hot = _collect_arrow(
                 right_c.map_batches(
                     _hot_mask_fn("__cell", hot_vals, True), batch_format="pyarrow"
-                )
+                ),
+                limit=hot_right_limit,  # driver never buffers past the cap
             )
             if right_hot is not None and 0 < right_hot.num_rows <= hot_right_limit:
 
@@ -912,9 +959,10 @@ def interval_join(
                     _hot_mask_fn("__cell", hot_vals, False), batch_format="pyarrow"
                 )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     both = left_t.map_batches(align, batch_format="pyarrow").union(
         right_t.map_batches(align, batch_format="pyarrow")
-    )
+    ).materialize()
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         def side(mask, names):
@@ -953,6 +1001,7 @@ def skew_hash_join(
     right_on: str,
     num_buckets: int = 64,
     hot_denom: int = 100,
+    hot_right_limit: int = 2_000_000,
 ):
     """Skew-aware inner hash join: HOT join keys (left-side frequency ≥
     N/hot_denom, found with the exact Misra-Gries two-pass — sketch-sized
@@ -964,13 +1013,18 @@ def skew_hash_join(
 
     Contract: the RIGHT rows of hot keys must be broadcast-small (hot
     keys are ≤ hot_denom by construction; right side is typically the
-    dimension side). Inner-join semantics, identical output to
-    ``bucket_hash_join`` (parity-pinned by tests)."""
+    dimension side) — guarded by ``hot_right_limit``: past it the driver
+    stops collecting and everything takes the bucketed path. Inner-join
+    semantics, identical output to ``bucket_hash_join`` (parity-pinned
+    by tests)."""
     import ray
 
+    from .enrich import _cached_get
     from .groupops import heavy_hitters
 
-    hot = heavy_hitters(left_ds, left_on, denom=hot_denom)
+    hot = heavy_hitters(
+        _narrow_probe(left_ds, [left_on]), left_on, denom=hot_denom
+    )
     hot_keys = set(hot["item"].to_pylist()) if hot.num_rows else set()
     if not hot_keys:
         return bucket_hash_join(left_ds, right_ds, left_on, right_on,
@@ -987,17 +1041,19 @@ def skew_hash_join(
         return _split
 
     # hot path: broadcast the right rows of hot keys, join as a pure map
-    right_hot = pa.concat_tables(
-        [pa.table(b) for b in right_ds.map_batches(
-            split(right_on, True), batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")]
+    right_hot = _collect_arrow(
+        right_ds.map_batches(split(right_on, True), batch_format="pyarrow"),
+        limit=hot_right_limit,  # driver never buffers past the cap
     )
-    rref = ray.put(right_hot)
+    if right_hot is None or right_hot.num_rows > hot_right_limit:
+        # hot right side too big to broadcast (or empty): bucketed path
+        return bucket_hash_join(left_ds, right_ds, left_on, right_on,
+                                num_buckets=num_buckets)
+    # broadcast the pandas frame once; workers deserialize once each
+    rref = ray.put(right_hot.to_pandas())
 
     def hot_join(batch: pa.Table) -> pa.Table:
-        import pandas as pd_
-
-        r = ray.get(rref).to_pandas()
+        r = _cached_get(rref)  # per-worker cached deserialization
         l = batch.to_pandas()
         out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
         return pa.Table.from_pandas(out, preserve_index=False

@@ -618,6 +618,10 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
             "c": pa.array(out_c, pa.int64()),
         })
 
+    # materialize BOTH join inputs: bucket_hash_join's schema() probes
+    # would otherwise execute these lazy chains (vocab's groupby shuffle
+    # included) once for the probe and again for the join — the exact
+    # measured pitfall _fill_tags documents (0.8 s → 7.7 s fed lazily)
     vocab = (
         ds.map_batches(word_partials, batch_format="pyarrow")
         .repartition(32)
@@ -627,8 +631,10 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
         .union(_rd.from_arrow(pa.table(
             {"word": pa.array([" "]), "ntok": pa.array([0], pa.int64())}
         )))
-    )
-    docwords = ds.map_batches(doc_word_partials, batch_format="pyarrow")
+    ).materialize()
+    docwords = ds.map_batches(
+        doc_word_partials, batch_format="pyarrow"
+    ).materialize()
     joined = bucket_hash_join(
         docwords, vocab, "word", "word", num_buckets=num_buckets
     )

@@ -313,6 +313,31 @@ class TestPhash:
         assert d > 10
 
 
+class TestTruncatedStream:
+    def test_truncated_entropy_raises_both_paths(self):
+        """A stream cut short by its last entropy bytes must RAISE, not
+        silently decode the zero padding (zero bits form valid short
+        Huffman codes, so without the segment-length check the final
+        blocks decode to wrong pixels with no error). Scalar and batch
+        decoders must agree."""
+        from overmatch_ray.imaging.codec import (
+            decode_jpeg,
+            decode_jpeg_batch,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        blob = encode_jpeg(img, 95)
+        assert decode_jpeg(blob).shape == (40, 56, 3)  # intact is fine
+        for cut in (1, 2, 3):
+            t = blob[: -2 - cut] + blob[-2:]  # drop entropy, keep EOI
+            with pytest.raises(ValueError, match="truncated entropy"):
+                decode_jpeg(t)
+            (r,) = decode_jpeg_batch([t])
+            assert isinstance(r, Exception)
+
+
 class TestResizeArea:
     """Exact fractional-edge area resampler (r4 review fix: the former
     integer-floor grid emitted all-zero rows whenever src < dst, garbling

@@ -1165,6 +1165,54 @@ class TestSkewHashJoin:
         )
         assert out.count() == 1000
 
+    def test_oversized_hot_right_side_takes_bucketed_path(self, ray_session):
+        """When the hot keys' right side exceeds hot_right_limit, the
+        broadcast bypass must step aside (the driver stops pulling at the
+        cap — it never buffers the oversized side) and the bucketed path
+        must still produce the full join."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import skew_hash_join
+
+        n = 5_000
+        left = pa.table({
+            "k": pa.array(np.zeros(n, dtype=np.int64)),  # ONE hot key
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        right = pa.table({
+            "rk": pa.array(np.zeros(200, dtype=np.int64)),
+            "rv": pa.array(np.arange(200, dtype=np.int64)),
+        })
+        out = skew_hash_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(4),
+            "k", "rk", hot_denom=10, hot_right_limit=50,  # 200 > 50
+        )
+        assert out.count() == n * 200
+
+    def test_float_keys_join_exact(self, ray_session):
+        """Float join keys compare EXACT values (bit patterns with -0.0
+        normalized): 1.5 must not join 1.2 (the old cast-to-int64 kernel
+        truncated both to 1), and -0.0 joins 0.0."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import bucket_hash_join
+
+        left = pa.table({
+            "k": pa.array([1.5, 1.2, -0.0, 2.25]),
+            "lv": pa.array([0, 1, 2, 3], pa.int64()),
+        })
+        right = pa.table({
+            "rk": pa.array([1.5, 0.0, 2.25, 1.0]),
+            "rv": pa.array([10, 20, 30, 40], pa.int64()),
+        })
+        out = bucket_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "rk", num_buckets=4,
+        ).take_all()
+        got = sorted((r["lv"], r["rv"]) for r in out)
+        assert got == [(0, 10), (2, 20), (3, 30)]  # 1.2 matches nothing
+
 
 class TestSkewAsofIntervalJoins:
     """VERDICT r4 #8: the Misra-Gries hot-key bypass wired into
