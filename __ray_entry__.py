@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nsw_knn": ro.q_nsw_knn,
         "type_distinct_users": ro.q_type_distinct_users,
         "embedding_norm_quantiles": ro.q_embedding_norm_quantiles,
+        "semantic_dedup": ro.q_semantic_dedup,
         "marked_counters": ro.q_marked_counters,
         "corpus_pipeline": ro.q_corpus_pipeline,
         "s2_cells": ro.q_s2_cells,

@@ -274,6 +274,20 @@ def q_winnow_pairs(sf_dir: str):
     return winnow_jaccard_pairs(_derived_corpus(sf_dir), threshold=0.5)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table: k-means-clustered semantic
+    dedup (stages.knn.semantic_dedup — cluster, within-cluster cosine
+    near-dup components, keep the member farthest from its centroid).
+    Iterative k-means training is not SQL-expressible → rows-only;
+    partition-invariance + keep-policy semantics pinned by tests."""
+    from ..stages.knn import semantic_dedup
+
+    emb = _rpq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, threshold=0.92, n_lists=16)
+
+
 def q_embedding_norm_quantiles(sf_dir: str):
     """Histogram-sketch quantiles of a CONTINUOUS column (embedding L2
     norms) — the scale path where the exact value-count collapse doesn't

@@ -742,3 +742,115 @@ def hard_negative_topk(
         )
 
     return _merge_topk(corpus_ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+# --- semantic deduplication (SemDeDup) --------------------------------------
+
+
+def semantic_dedup(
+    corpus_ds,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    max_cluster: int = 5000,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication of an embedding corpus, the k-means-clustered
+    complement to the LSH-bucketed ``near_dup_embeddings``:
+
+    1. k-means cluster the corpus (``train_ivf_centroids`` — the
+       distributed deterministic spherical Lloyd already backing IVF);
+    2. WITHIN each cluster, pairs with cosine ≥ ``threshold`` form
+       near-dup groups (connected components, vectorized min-label);
+    3. each group keeps ONE representative — the member FARTHEST from
+       its cluster centroid (the paper's keep policy: prefer the least
+       prototypical copy), ties broken by lowest id.
+
+    Output: one row per input vector — (id_col, cluster_id, dup_group,
+    keep) with ``dup_group`` = the smallest member id of its near-dup
+    group (singletons are their own group, keep=True). Filtering
+    ``keep`` yields the deduplicated corpus.
+
+    Scale: centroids broadcast once (``ray.put`` + per-worker cache);
+    assignment is a pure map carrying exact-integer centroid scores (no
+    BLAS ulp flap in the keep tie-break); the ONE shuffle co-locates
+    (cluster, vector) rows, and a cluster averages corpus/n_lists rows —
+    size ``n_lists`` so a cluster fits a task (same rule as the LSH
+    bucket count), with oversized clusters recursively split by
+    deterministic hyperplanes (``_bucket_pairs_recursive``) rather than
+    ever going all-pairs. cluster_id cardinality is ≤ n_lists, so the
+    groupby is low-cardinality by construction (CLAUDE.md rule).
+    """
+    import ray
+
+    from .enrich import _cached_get
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus_ds, n_lists, vec_col, id_col)
+    qcent = np.round(centroids * _IVF_ASSIGN_SCALE).astype(np.int64)
+    cref = ray.put(qcent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        qcent_ = _cached_get(cref)
+        bm = _normalize(_to_matrix(batch[vec_col]))
+        qv = np.round(bm * _IVF_ASSIGN_SCALE).astype(np.int64)
+        scores = qv @ qcent_.T
+        cl = scores.argmax(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster_id": pa.array(cl.astype(np.int64)),
+            "cent_score": pa.array(scores[np.arange(cl.size), cl]),
+            "vec": pa.array(bm.tolist(), pa.list_(pa.float64())),
+        })
+
+    assigned = corpus_ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy().astype(np.int64)
+        cs = g["cent_score"].to_numpy().astype(np.int64)
+        cl = np.int64(g["cluster_id"].iloc[0])
+        m = np.stack(g["vec"].to_numpy())
+        chunks: list = []
+        _bucket_pairs_recursive(ids, m, threshold, max_cluster, 0, chunks)
+        lbl = np.arange(ids.size, dtype=np.int64)
+        if chunks:
+            a = np.concatenate([c[0] for c in chunks])
+            b = np.concatenate([c[1] for c in chunks])
+            ui = np.searchsorted(ids, a)  # ids sorted+unique → exact index
+            vi = np.searchsorted(ids, b)
+            # vectorized min-label components with edge contraction (the
+            # in-task twin of dedup_clusters' broadcast path)
+            while ui.size:
+                new = lbl.copy()
+                np.minimum.at(new, ui, lbl[vi])
+                np.minimum.at(new, vi, lbl[ui])
+                while True:  # pointer jumping: label <- label of label
+                    hop = new[new]
+                    if np.array_equal(hop, new):
+                        break
+                    new = hop
+                if np.array_equal(new, lbl):
+                    break
+                lbl = new
+                eu, ev = lbl[ui], lbl[vi]
+                live = eu != ev
+                ui, vi = eu[live], ev[live]
+        # keep policy: per group, LOWEST centroid score (farthest from
+        # the centroid), then lowest id — exact ints, fully deterministic
+        order = np.lexsort((ids, cs))
+        _, first_idx = np.unique(lbl[order], return_index=True)
+        keep = np.zeros(ids.size, dtype=bool)
+        keep[order[first_idx]] = True
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster_id": pa.array(np.full(ids.size, cl)),
+            "dup_group": pa.array(ids[lbl]),
+            "keep": pa.array(keep),
+        })
+
+    return assigned.groupby("cluster_id").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )

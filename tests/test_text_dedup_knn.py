@@ -798,3 +798,102 @@ class TestHardNegatives:
                 for r in rows:
                     assert bylab[r["neighbor_id"]] != bylab[qi]
                     assert abs(r["cos_sim"] - round(sims[r["neighbor_id"]], 6)) < 1e-12
+
+
+class TestSemanticDedup:
+    """SemDeDup (stages.knn.semantic_dedup): cluster → within-cluster
+    cosine components → keep the member farthest from its centroid."""
+
+    @staticmethod
+    def _corpus():
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(50, 16))
+        vecs = [v for v in base]
+        ids = list(range(50))
+        for i in range(10):  # planted near-dup of vector i at id 100+i
+            vecs.append(base[i] + rng.normal(scale=1e-4, size=16))
+            ids.append(100 + i)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        })
+
+    def test_planted_dups_grouped_one_kept(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.knn import semantic_dedup
+
+        out = semantic_dedup(
+            ray.data.from_arrow(self._corpus()).repartition(4),
+            threshold=0.98, n_lists=8,
+        ).take_all()
+        assert len(out) == 60  # one row per input vector
+        by_id = {r["vec_id"]: r for r in out}
+        for i in range(10):
+            a, b = by_id[i], by_id[100 + i]
+            # pair forms one group labelled by its smallest member id...
+            assert a["dup_group"] == b["dup_group"] == i
+            assert a["cluster_id"] == b["cluster_id"]
+            # ...and exactly one of the two survives
+            assert a["keep"] ^ b["keep"]
+        assert sum(r["keep"] for r in out) == 50  # 60 vectors - 10 dups
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.knn import semantic_dedup
+
+        t = self._corpus()
+
+        def rows(nparts):
+            out = semantic_dedup(
+                ray.data.from_arrow(t).repartition(nparts),
+                threshold=0.98, n_lists=8,
+            ).take_all()
+            return sorted(
+                (r["vec_id"], r["cluster_id"], r["dup_group"], r["keep"])
+                for r in out
+            )
+
+        assert rows(3) == rows(13)
+
+    def test_keep_policy_farthest_from_centroid(self, ray_session):
+        """Within a duplicate group the survivor is the member with the
+        LOWEST centroid affinity (the SemDeDup paper's
+        least-prototypical-copy policy) under the SAME deterministic
+        int64 quantizer the kernel uses (score differences below the
+        quantizer resolution are ties and fall to the lowest id)."""
+        import ray.data
+
+        from overmatch_ray.stages.knn import (
+            _IVF_ASSIGN_SCALE,
+            _normalize,
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        t = self._corpus()
+        ds = ray.data.from_arrow(t)
+        cents = train_ivf_centroids(ds, n_lists=8)
+        qcent = np.round(cents * _IVF_ASSIGN_SCALE).astype(np.int64)
+        out = semantic_dedup(
+            ds, threshold=0.98, n_lists=8, centroids=cents
+        ).take_all()
+        by_id = {r["vec_id"]: r for r in out}
+        qvecs = {
+            i: np.round(v * _IVF_ASSIGN_SCALE).astype(np.int64)
+            for i, v in zip(
+                t["vec_id"].to_pylist(),
+                _normalize(np.array(t["embedding"].to_pylist())),
+            )
+        }
+        for i in range(10):
+            pair = [by_id[i], by_id[100 + i]]
+            kept = next(r for r in pair if r["keep"])
+            dropped = next(r for r in pair if not r["keep"])
+            c = qcent[kept["cluster_id"]]
+            k_key = (int(qvecs[kept["vec_id"]] @ c), kept["vec_id"])
+            d_key = (int(qvecs[dropped["vec_id"]] @ c), dropped["vec_id"])
+            assert k_key < d_key  # (score asc, id asc) lexicographic min
