@@ -462,9 +462,10 @@ def q_distance_join_100m(sf_dir: str):
             }
         )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     both = cust.map_batches(probe, batch_format="pyarrow").union(
         orders.map_batches(index_side, batch_format="pyarrow")
-    )
+    ).materialize()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         cell = batch["cell"].to_numpy(zero_copy_only=False)

@@ -32,16 +32,11 @@ import pyarrow as pa
 _U64 = np.uint64
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
-    return z ^ (z >> _U64(31))
-
-
-_FNV_BASIS = _U64(0xCBF29CE484222325)
-_FNV_PRIME = _U64(0x100000001B3)
+# ONE copy of the determinism-critical hash primitives: groupops owns
+# splitmix64 and the FNV constants; every other bit-identical consumer
+# (shingle hashing here, bucket hashing there) imports them, so a change
+# can never silently diverge the text-dedup and bucketing paths
+from .groupops import _FNV_BASIS, _FNV_PRIME, _splitmix64  # noqa: E402
 
 
 def _token_hashes_batch(texts: list[str | None]) -> list[np.ndarray]:
@@ -439,7 +434,10 @@ def dedup_clusters(
             batch_format="pyarrow",
         )
         labels = bucketed_group_apply(
-            labels.union(offers), ["node"], local_min, num_buckets=num_buckets
+            # union→all-to-all boundary materialized (CLAUDE.md rule):
+            # offers is a live task-pool chain off the round's join
+            labels.union(offers).materialize(),
+            ["node"], local_min, num_buckets=num_buckets,
         ).materialize()
     if not converged and labels.sum("lbl") != prev_sum:
         # never silent (brief rule): a pair-graph with diameter > max_iters
@@ -462,7 +460,6 @@ def dedup_clusters(
 # --- MinHash + LSH ---------------------------------------------------------
 
 _NUM_PERM = 64
-_PRIME = np.uint64(0xFFFFFFFFFFFFFFC5)  # large 64-bit prime-ish modulus base
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -622,7 +619,30 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
         )
 
     keyed = with_hash.map_batches(rename, batch_format="pyarrow")
-    return near_dup_pairs(keyed, max_hamming=max_hamming, bands=4)
+    pairs = near_dup_pairs(keyed, max_hamming=max_hamming, bands=4)
+
+    def restore(batch: pa.Table) -> pa.Table:
+        # back to the caller's integer id space with NUMERIC lo/hi order —
+        # the banding machinery ordered the string-cast ids
+        # lexicographically, which inverts pairs like (9, 10) → ('10','9')
+        # and silently changes the id type, breaking the id_a < id_b
+        # contract every other pair producer honors (and unions with them)
+        try:
+            a = pa.compute.cast(batch["id_a"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = pa.compute.cast(batch["id_b"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        except pa.ArrowInvalid:
+            return batch  # genuinely non-numeric ids: keep as strings
+        return pa.table({
+            "id_a": pa.array(np.minimum(a, b)),
+            "id_b": pa.array(np.maximum(a, b)),
+            "hamming": batch["hamming"],
+        })
+
+    return pairs.map_batches(restore, batch_format="pyarrow")
 
 
 # --- exact duplicate-substring spans ---------------------------------------

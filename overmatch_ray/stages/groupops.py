@@ -20,8 +20,15 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _U64 = np.uint64
+
+# bit pattern every null/NaN key canonicalizes to before hashing, across
+# BOTH the int and float branches of hash_columns (int64 view of the
+# canonical quiet NaN) — nullable int keys and their float64-upcast twins
+# must co-bucket their null rows in chained joins
+_CANON_NAN_BITS = np.int64(np.float64(np.nan).view(np.int64))
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -68,10 +75,19 @@ def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
     for c in cols:
         col = batch[c]
         if pa.types.is_integer(col.type):
-            # widen to int64 first so e.g. int32(-5) and int64(-5) hash alike
-            h = _splitmix64(
-                col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            )
+            # widen to int64 first so e.g. int32(-5) and int64(-5) hash
+            # alike; NULLS canonicalize to the SAME bit pattern the float
+            # branch uses, so a nullable int key and its float64-upcast
+            # twin co-bucket their null rows too (the old NaN→astype path
+            # produced INT64_MIN here but canonical-NaN bits there)
+            i64 = pc.fill_null(col.cast(pa.int64(), safe=False), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            if col.null_count:
+                i64 = i64.copy()
+                nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+                i64[nulls] = _CANON_NAN_BITS
+            h = _splitmix64(i64.view(np.uint64))
         elif pa.types.is_floating(col.type):
             # floats bucket CONSISTENTLY with integers for integral
             # values (groupby shuffles can float64-upcast nulled int
@@ -84,7 +100,7 @@ def hash_columns(batch: pa.Table, cols: list[str]) -> np.ndarray:
             f[np.isnan(f)] = np.nan
             f[f == 0.0] = 0.0
             u = f.view(np.uint64).copy()
-            integral = (np.trunc(f) == f) & (np.abs(f) < 2.0**63)
+            integral = (np.trunc(f) == f) & (f >= -(2.0**63)) & (f < 2.0**63)
             u[integral] = f[integral].astype(np.int64).view(np.uint64)
             h = _splitmix64(u)
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
@@ -207,9 +223,13 @@ def exact_quantiles_by(
                 hi = vals[
                     np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1, side="left")
                 ]
+                q = float(lo + frac * (hi - lo))
                 out_g.append(key)
                 out_p.append(float(p))
-                out_q.append(round(float(lo + frac * (hi - lo)), round_to))
+                # round_to=None means NO rounding (round(x, None) would
+                # round to the nearest INTEGER — same guard as
+                # exact_quantiles)
+                out_q.append(q if round_to is None else round(q, round_to))
         return pd.DataFrame({group_col: out_g, "p": out_p, "q": out_q})
 
     return bucketed_group_apply(
@@ -271,7 +291,9 @@ def histogram_quantiles(
         prev = cum[b - 1] if b else 0
         inside = counts[b] if counts[b] else 1
         frac = (rank + 1 - prev) / inside
-        qs.append(round(lo + (b + min(max(frac, 0.0), 1.0)) * width, round_to))
+        q = lo + (b + min(max(frac, 0.0), 1.0)) * width
+        # round_to=None = NO rounding (same guard as exact_quantiles)
+        qs.append(q if round_to is None else round(q, round_to))
     return pa.table(
         {"p": pa.array(list(ps), pa.float64()), "q": pa.array(qs, pa.float64())}
     )

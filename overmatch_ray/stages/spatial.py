@@ -180,8 +180,10 @@ def _pair_plan(left_ds, right_ds, radius_m, *, left_id, right_id, lon_col,
         _encode_side(right_id, lon_col, lat_col, nb, 1, replicate=True),
         batch_format="pyarrow",
     )
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     return (
         probe.union(cand)
+        .materialize()
         .groupby("bucket")
         .map_groups(
             _bucket_pairs_fn(radius_m, k, exclude_self, round_to, emit_dist),
@@ -319,7 +321,10 @@ def zonal_stats(raster_ds, zones, x_col: str = "cell_x",
         cx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64) + 0.5
         cy = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64) + 0.5
         val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        zid_out, val_out = [], []
+        # seed with typed empties: zones=[] must yield an empty result,
+        # not a np.concatenate crash in every task
+        zid_out = [np.empty(0, np.int64)]
+        val_out = [np.empty(0, np.int64)]
         for zid, quad in zones:
             inside = np.ones(cx.shape, bool)
             for (x1, y1), (x2, y2) in zip(quad, quad[1:] + quad[:1]):
@@ -497,8 +502,10 @@ def bbox_intersection_join(
             }
         )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     return (
         left.union(right)
+        .materialize()
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
@@ -644,9 +651,11 @@ def triangle_point_join(
             }
         )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     return (
         pts_ds.map_batches(pt_own, batch_format="pyarrow")
         .union(tri_ds.map_batches(tri_cover, batch_format="pyarrow"))
+        .materialize()
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
@@ -802,9 +811,11 @@ def snap_points_to_segments(
             }
         )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     return (
         pts_ds.map_batches(pt_own, batch_format="pyarrow")
         .union(seg_ds.map_batches(seg_cover, batch_format="pyarrow"))
+        .materialize()
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
@@ -901,18 +912,32 @@ def dbscan_points(
             as_noise, batch_format="pyarrow"
         )
 
-    # core-core ε-edges; self-edges keep isolated cores as singleton clusters
+    # core-core ε-edges; self-edges keep isolated cores as singleton
+    # clusters. The ε self-join emitted every pair in BOTH directions and
+    # dedup_clusters symmetrizes its input anyway — keep only id_a ≤ id_b
+    # (a pure map: its mirror always exists) so the component step sees
+    # half the edges and the driver fast path keeps its full edge budget.
+    def _undirected(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less_equal(batch["id_a"], batch["id_b"])
+        )
+
     cc_edges = semi_join_shuffled(
-        semi_join_shuffled(pairs, core, "id_a", "id"), core, "id_b", "id"
+        semi_join_shuffled(
+            pairs.map_batches(_undirected, batch_format="pyarrow"),
+            core, "id_a", "id",
+        ),
+        core, "id_b", "id",
     )
 
     def self_edges(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False)
         return pa.table({"id_a": pa.array(ids), "id_b": pa.array(ids)})
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     cc_edges = cc_edges.union(
         core.map_batches(self_edges, batch_format="pyarrow")
-    ).repartition(nb)
+    ).materialize().repartition(nb)
     core_clusters = dedup_clusters(cc_edges)  # (doc_id, cluster_id)
 
     def as_assign(role: str):
@@ -1033,10 +1058,21 @@ def simplify_tracks(
     sorted by ``order_cols`` inside the kernel, DP mask per track. Emits
     the KEPT points as (key, seq, x, y) — ``seq`` is the 0-based position
     in the ORIGINAL track, so downstream can interleave or diff. Output is
-    a deterministic function of the input rows at any parallelism."""
+    a deterministic function of the input rows at any parallelism.
+
+    ``order_cols`` is REQUIRED (typically the timestamp): without it the
+    within-track point order would be whatever the shuffle delivered —
+    not a contract Ray Data makes — so the DP mask and ``seq`` could flap
+    across parallelism levels, silently."""
     from .groupops import bucketed_group_apply
 
-    order = list(order_cols or [])
+    if not order_cols:
+        raise ValueError(
+            "simplify_tracks: order_cols is required — within-track point "
+            "order must come from the data (e.g. ['t']), not from shuffle "
+            "arrival order, or the simplification is nondeterministic"
+        )
+    order = list(order_cols)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col] + order, kind="mergesort")
@@ -1279,8 +1315,10 @@ def track_hausdorff_pairs(
             ["min_d"].min()
         )
 
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
     minper = (
         probe.union(cand)
+        .materialize()
         .groupby("bucket")
         .map_groups(
             lambda g: pa.Table.from_pandas(

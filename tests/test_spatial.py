@@ -834,6 +834,15 @@ class TestZonalStats:
         # empty zone is simply absent
         assert 3 not in out
 
+    def test_empty_zone_list(self, ray_session):
+        """zones=[] yields an empty result, not a per-task concat crash."""
+        import ray
+
+        from overmatch_ray.stages.spatial import zonal_stats
+
+        out = zonal_stats(ray.data.from_arrow(self._raster()), [])
+        assert out.count() == 0
+
     def test_partition_invariance(self, ray_session):
         import ray
 

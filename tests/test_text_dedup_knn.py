@@ -135,7 +135,29 @@ class TestDedup:
         assert simhash64(texts[0]) == simhash64(texts[1])
         pairs = simhash_pairs(ray.data.from_arrow(_docs()), max_hamming=8).take_all()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
-        assert ("0", "1") in got
+        assert (0, 1) in got  # integer ids restored, numeric order
+        # pair contract: id_a < id_b NUMERICALLY and the caller's int64
+        # type survives (the banding detour stringifies; lexicographic
+        # order would invert e.g. (9, 10) → ('10', '9'))
+        for r in pairs:
+            assert isinstance(r["id_a"], int) and isinstance(r["id_b"], int)
+            assert r["id_a"] < r["id_b"]
+
+    def test_simhash_pairs_numeric_order_above_ten(self, ray_session):
+        """Ids spanning the 9/10 lexicographic boundary keep numeric
+        (id_a < id_b) order through the string-keyed banding detour."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import simhash_pairs
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        t = pa.table({
+            "doc_id": pa.array([9, 10, 100], pa.int64()),
+            "text": pa.array([text, text, text]),
+        })
+        pairs = simhash_pairs(ray.data.from_arrow(t), max_hamming=2).take_all()
+        got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+        assert got == [(9, 10), (9, 100), (10, 100)]
 
 
 def _vectors(n=80, d=16, seed=5):
