@@ -321,7 +321,11 @@ def _pack_native(codes: np.ndarray, lens: np.ndarray, segs: np.ndarray,
     trailer = np.ascontiguousarray(trailer, dtype=np.uint16)
     seg_end = np.zeros(max(nseg, 1), dtype=np.int64)
     total_bits = int(lens.sum()) if lens.size else 0
-    out = np.empty(2 * ((total_bits + 7) // 8) + 3 * nseg + 16, dtype=np.uint8)
+    # worst case: Σ ceil(seg_bits/8) data bytes ≤ ceil(total/8) + nseg, each
+    # byte may stuff to two (0xFF 0x00), plus a 2-byte trailer per segment
+    # → 2·ceil + 4·nseg; the old 3·nseg margin was 16 bytes short of the
+    # adversarial all-0xFF-stream bound once nseg > 16
+    out = np.empty(2 * ((total_bits + 7) // 8) + 4 * nseg + 16, dtype=np.uint8)
     n = lib.om_pack_codes(
         codes.ctypes.data, lens8.ctypes.data, segs32.ctypes.data,
         codes.size, nseg, trailer.ctypes.data, seg_end.ctypes.data,
