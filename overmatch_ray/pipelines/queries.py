@@ -703,8 +703,14 @@ FROM events GROUP BY 1
 
 
 def q_match_stats(sf_dir: str):
+    from ..stages.groupops import bucketed_aggregate
+
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    per_cust = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    # bucketed: one group per CUSTOMER (corpus-scale at real size; Ray's
+    # native aggregate reduce pays ~30 µs of Python per group)
+    per_cust = bucketed_aggregate(
+        ds, ["o_custkey"], {"n_orders": ("o_custkey", "size")}
+    )
     stats = per_cust.aggregate(
         Count(alias_name="n_customers"),
         Sum("n_orders", alias_name="total_orders"),

@@ -106,14 +106,21 @@ def shingle_hashes_batch(texts: list[str | None], k: int = 3) -> list[np.ndarray
 # --- exact dedup -----------------------------------------------------------
 
 
-def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id"):
-    """Keep the smallest id per key; report group size. Vectorized
-    sort-based aggregate (no per-group dispatch — key cardinality ≈ corpus
-    size). Output columns: (key_col, id_col=min, dup_count)."""
-    from ray.data.aggregate import Count, Min
+def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id",
+                num_buckets: int = 32):
+    """Keep the smallest id per key; report group size. Bucketed, not
+    ``groupby(key).aggregate(...)``: key cardinality ≈ corpus size, and
+    Ray's sort-aggregate reduce pays ~30 µs of Python PER GROUP — the
+    bucketed plan runs one vectorized pandas groupby per hash bucket
+    instead (same rows shuffled once, same output; measured 7 s → 3 s on
+    224k singleton groups, and the constant scales with the corpus).
+    Output columns: (key_col, id_col=min, dup_count)."""
+    from .groupops import bucketed_aggregate
 
-    agg = docs_ds.groupby(key_col).aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="__n")
+    agg = bucketed_aggregate(
+        docs_ds.select_columns([key_col, id_col]), [key_col],
+        {id_col: (id_col, "min"), "__n": (id_col, "size")},
+        num_buckets=num_buckets,
     )
 
     def finish(batch: pa.Table) -> pa.Table:

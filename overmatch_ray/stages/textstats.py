@@ -222,9 +222,15 @@ def term_doc_freq(ds, text_col: str = "text"):
             }
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "word"
-    ).sum("df_partial")
+    from .groupops import bucketed_aggregate
+
+    # bucketed: the word domain is vocabulary-scale (1e6-1e8 distinct),
+    # and Ray's native sum reduce pays ~30 µs of Python per group; the
+    # legacy "sum(df_partial)" output name is preserved for consumers
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"],
+        {"sum(df_partial)": ("df_partial", "sum")},
+    )
 
 
 def corpus_term_logprobs(ds, text_col: str = "text"):
@@ -245,10 +251,13 @@ def corpus_term_logprobs(ds, text_col: str = "text"):
             }
         )
 
+    from .groupops import bucketed_aggregate
+
     rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .sum("tf_partial")
+        bucketed_aggregate(  # vocab-scale groups: skip the per-group reduce
+            ds.map_batches(partial, batch_format="pyarrow"), ["word"],
+            {"sum(tf_partial)": ("tf_partial", "sum")},
+        )
         .take_all()
     )  # vocabulary-bounded (natural-language vocab ≈1e6-1e8 at any corpus size)
     total = float(sum(r["sum(tf_partial)"] for r in rows))
@@ -414,7 +423,6 @@ def bpe_train(ds, text_col: str, n_merges: int = 10, min_freq: int = 1):
     import re
 
     import pandas as pd_
-    from ray.data.aggregate import Sum
 
     def word_partials(batch: pa.Table) -> pa.Table:
         _, _, flat = _split_tokens(batch[text_col])
@@ -438,13 +446,17 @@ def bpe_train(ds, text_col: str, n_merges: int = 10, min_freq: int = 1):
     # merge iteration pays per-block overhead on it — 8 blocks keeps the
     # pair count parallel while making each iteration O(vocab), not
     # O(corpus blocks). (Measured: 180 s -> ~3 s for 12 merges, 50k docs.)
+    from .groupops import bucketed_aggregate
+
     words = (
-        ds.map_batches(word_partials, batch_format="pyarrow")
-        # per-block partials are word-count rows (vocab-bounded, tiny);
-        # coalesce them so the sort shuffle sees 32 blocks, not #corpus
-        .repartition(32)
-        .groupby("word")
-        .aggregate(Sum("freq", alias_name="freq"))
+        bucketed_aggregate(
+            # per-block partials are word-count rows (vocab-bounded, tiny);
+            # coalesce them so the shuffle sees 32 blocks, not #corpus.
+            # bucketed: vocab-scale groups skip the per-group native reduce
+            ds.map_batches(word_partials, batch_format="pyarrow")
+            .repartition(32),
+            ["word"], {"freq": ("freq", "sum")},
+        )
         .map_batches(init_seg, batch_format="pyarrow")
         .repartition(8)
         .materialize()
@@ -488,9 +500,10 @@ def bpe_train(ds, text_col: str, n_merges: int = 10, min_freq: int = 1):
     counts_out: "list[int]" = []
     for _ in range(n_merges):
         pairs = (
-            words.map_batches(pair_partials, batch_format="pyarrow")
-            .groupby(["left", "right"])
-            .aggregate(Sum("c", alias_name="c"))
+            bucketed_aggregate(  # pair domain is vocab-scale, every iteration
+                words.map_batches(pair_partials, batch_format="pyarrow"),
+                ["left", "right"], {"c": ("c", "sum")},
+            )
             .take_all()
         )
         best = None
@@ -559,7 +572,6 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
     import pandas as pd_
     import ray as _ray
     import ray.data as _rd
-    from ray.data.aggregate import Sum
 
     from .joins import bucket_hash_join
 
@@ -622,11 +634,14 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
     # would otherwise execute these lazy chains (vocab's groupby shuffle
     # included) once for the probe and again for the join — the exact
     # measured pitfall _fill_tags documents (0.8 s → 7.7 s fed lazily)
+    from .groupops import bucketed_aggregate
+
     vocab = (
-        ds.map_batches(word_partials, batch_format="pyarrow")
-        .repartition(32)
-        .groupby("word")
-        .aggregate(Sum("freq", alias_name="freq"))
+        bucketed_aggregate(  # vocab-scale groups: skip the per-group reduce
+            ds.map_batches(word_partials, batch_format="pyarrow")
+            .repartition(32),
+            ["word"], {"freq": ("freq", "sum")},
+        )
         .map_batches(encode_words, batch_format="pyarrow")
         .union(_rd.from_arrow(pa.table(
             {"word": pa.array([" "]), "ntok": pa.array([0], pa.int64())}
@@ -647,8 +662,8 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
             "n_bpe_tokens": pa.array(c * nt),
         })
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+    return bucketed_aggregate(  # one group per DOCUMENT — corpus-scale
+        joined.map_batches(partial, batch_format="pyarrow"),
+        [id_col], {"n_bpe_tokens": ("n_bpe_tokens", "sum")},
+        num_buckets=num_buckets,
     )

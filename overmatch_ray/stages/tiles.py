@@ -261,10 +261,8 @@ def build_raster_heat_tiles(
     group-apply rasterizing each tile with the repo's pure-zlib PNG
     encoder (`imaging.codec.encode_png` — the same codec the image
     pipeline validates). Output (zoom, tx, ty, n_points, png)."""
-    from ray.data.aggregate import Sum
-
     from ..imaging.codec import encode_png
-    from .groupops import bucketed_group_apply
+    from .groupops import bucketed_aggregate, bucketed_group_apply
 
     def pix(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
@@ -285,10 +283,14 @@ def build_raster_heat_tiles(
             "n": pa.array(vc.to_numpy().astype(np.int64)),
         })
 
-    counts = (
-        points_ds.map_batches(pix, batch_format="pyarrow")
-        .groupby(["tx", "ty", "px", "py"])
-        .aggregate(Sum("n", alias_name="n"))
+    # bucketed: groups = touched PIXELS (millions at scale), and Ray's
+    # native aggregate reduce pays ~30 µs of Python per group — see
+    # groupops.bucketed_aggregate. Partial per-batch counts above already
+    # shrink the shuffle; this keeps the reduce vectorized too.
+    counts = bucketed_aggregate(
+        points_ds.map_batches(pix, batch_format="pyarrow"),
+        ["tx", "ty", "px", "py"], {"n": ("n", "sum")},
+        num_buckets=num_buckets,
     )
 
     def raster_bucket(g: pd.DataFrame) -> pa.Table:

@@ -33,12 +33,18 @@ def upsert_tracking(ds, now_iso: str):
     ``ds`` has columns (element_id, first_seen, last_seen); rows seen in the
     current run should be appended beforehand with
     first_seen = last_seen = now_iso.
-    """
-    from ray.data.aggregate import Max, Min
 
-    return ds.groupby("element_id").aggregate(
-        Min("first_seen", alias_name="first_seen"),
-        Max("last_seen", alias_name="last_seen"),
+    Bucketed aggregate: element_id cardinality ≈ tracked-corpus size, and
+    Ray's native aggregate reduce pays a per-group Python constant (see
+    ``groupops.bucketed_aggregate``) — per-element min/max runs as one
+    vectorized pandas groupby per hash bucket instead.
+    """
+    from ..stages.groupops import bucketed_aggregate
+
+    return bucketed_aggregate(
+        ds, ["element_id"],
+        {"first_seen": ("first_seen", "min"),
+         "last_seen": ("last_seen", "max")},
     )
 
 
