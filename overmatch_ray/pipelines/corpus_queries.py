@@ -24,6 +24,18 @@ from .queries import ORACLE_SQL, _read
 _MERC = "6378137.0"
 
 
+def _distinct_users(d):
+    """Bucketed DISTINCT on user_id: per-user groups are corpus-scale, so
+    the native groupby().count() reduce would pay ~30 us of Python per
+    group (groupops.bucketed_aggregate note); one vectorized
+    drop_duplicates per hash bucket instead."""
+    from ..stages.groupops import bucketed_group_apply
+
+    return bucketed_group_apply(
+        d, ["user_id"], lambda g: g.drop_duplicates("user_id")
+    )
+
+
 def _formula_coords(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     key = key.astype(np.int64)
     lon = -77.05 + (key % 1000).astype(np.float64) * 1e-4
@@ -2704,11 +2716,19 @@ def q_pagerank(sf_dir: str):
         .repartition(8)
         .materialize()
     )
+    from ..stages.groupops import bucketed_aggregate
+
+    # per-NODE groups (corpus-scale in general; ≤2M here by the pagerank
+    # contract) — bucketed skips the native reduce's per-group constant
     outdeg = {
-        r["u"]: r["count()"] for r in e.groupby("u").count().take_all()
+        r["u"]: r["count()"]
+        for r in bucketed_aggregate(
+            e, ["u"], {"count()": ("u", "size")}).take_all()
     }
     nodes = sorted(
-        set(outdeg) | {r["v"] for r in e.groupby("v").count().take_all()}
+        set(outdeg)
+        | {r["v"] for r in bucketed_aggregate(
+            e, ["v"], {"count()": ("v", "size")}).take_all()}
     )
     ranks = {n: _PR_SCALE for n in nodes}
 
@@ -2730,8 +2750,10 @@ def q_pagerank(sf_dir: str):
 
         sums = {
             r["dst"]: r["sum(c)"]
-            for r in e.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst").sum("c").take_all()
+            for r in bucketed_aggregate(
+                e.map_batches(contrib, batch_format="pyarrow"),
+                ["dst"], {"sum(c)": ("c", "sum")},
+            ).take_all()
         }
         ranks = {n: _PR_BASE + int(sums.get(n, 0)) for n in nodes}
 
@@ -3000,13 +3022,8 @@ def q_click_purchase_users(sf_dir: str):
 
         return _s
 
-    clicks = (
+    clicks = _distinct_users(
         ds.map_batches(side("click"), batch_format="pyarrow")
-        .groupby("user_id").count()
-        .map_batches(
-            lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
-            batch_format="pyarrow",
-        )
     )
     purchases = ds.map_batches(side("purchase"), batch_format="pyarrow")
     return semi_join_shuffled(clicks, purchases, "user_id", "user_id")
@@ -3337,13 +3354,8 @@ def q_purchase_except_click_users(sf_dir: str):
 
         return _s
 
-    buyers = (
+    buyers = _distinct_users(
         ds.map_batches(side("purchase"), batch_format="pyarrow")
-        .groupby("user_id").count()
-        .map_batches(
-            lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
-            batch_format="pyarrow",
-        )
     )
     clickers = ds.map_batches(side("click"), batch_format="pyarrow")
     return semi_join_shuffled(buyers, clickers, "user_id", "user_id",
