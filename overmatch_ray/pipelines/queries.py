@@ -859,20 +859,37 @@ def q_yearly_orders(sf_dir: str):
             micros.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
             + 1970
         )
-        return pa.table({"year": pa.array(y), "o_totalprice": batch["o_totalprice"]})
+        # Sum in exact integer cents: float64 accumulation order diverges from
+        # the oracle at ~1e9 magnitude (order-dependent ulps flip round(...,2)).
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100.0).astype(np.int64)
+        return pa.table({"year": pa.array(y), "cents": pa.array(cents)})
 
     agg = (
         ds.map_batches(years, batch_format="pyarrow")
         .groupby("year")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents_sum"))
     )
-    return agg.map_batches(lambda b: _round_col(b, "total", 2), batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = np.round(
+            batch["cents_sum"].to_numpy(zero_copy_only=False) / 100.0, 2
+        )
+        return pa.table(
+            {
+                "year": batch["year"],
+                "n_orders": batch["n_orders"],
+                "total": pa.array(total),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 ORACLE_SQL["yearly_orders"] = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
 FROM orders GROUP BY 1
 """
 
