@@ -157,7 +157,11 @@ def bucketed_aggregate(ds, key_cols: "list[str]",
     groupby per bucket (C-speed) — same results, the constant gone.
 
     ``spec``: output_column → (input_column, op); op is any pandas named-
-    agg reduction ("min", "max", "sum", "size", "nunique", "first", ...).
+    agg reduction ("min", "max", "sum", "size", "nunique", ...).
+    ONLY order-insensitive ops are safe: within-bucket row order tracks
+    block arrival, which varies with parallelism — "first"/"last" and
+    float "sum" would break the partition-invariance every caller relies
+    on (every current site uses min/max/size or INTEGER sums).
     For row counts use ("<any col>", "size") — matches Ray's ``Count()``.
     Output: one row per distinct key (key_cols + spec keys), unordered
     across buckets (key-sorted within). Use Ray's native aggregate for
