@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": cq.q_bm25_search,
         "user_rolling_spend": cq.q_user_rolling_spend,
         "triangle_count": cq.q_triangle_count,
+        "chunk_documents": cq.q_chunk_documents,
         "funnel_counts": cq.q_funnel_counts,
         "pagerank": cq.q_pagerank,
         "rollup_revenue": cq.q_rollup_revenue,

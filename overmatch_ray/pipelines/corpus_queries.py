@@ -2437,12 +2437,14 @@ FROM events
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (compact-forward / degree
     orientation): a deterministic synthetic graph from order keys
-    (u = k % 500, v = k·31 % 500, dedup (min, max)), edges oriented
-    low-(degree, id) → high, wedges generated per source, closed by a
-    shuffled semi join against the oriented edge set. Every triangle is
-    counted exactly once at its lowest-ordered vertex; oriented
-    out-degree is O(√m)-bounded, so the wedge explosion is too. Output
-    one row (n_triangles)."""
+    (u = (k%991)·(k%997) % 500, v = (k%977)·(k%983) % 500, dedup
+    (min, max) — independent residue products, NOT the pagerank
+    permutation graph u=k%500→31k%500, which is triangle-FREE and made
+    this oracle check vacuous), edges oriented low-(degree, id) → high,
+    wedges generated per source, closed by a shuffled semi join against
+    the oriented edge set. Every triangle is counted exactly once at its
+    lowest-ordered vertex; oriented out-degree is O(√m)-bounded, so the
+    wedge explosion is too. Output one row (n_triangles)."""
     from ray.data.aggregate import Count
 
     from ..stages.joins import bucket_hash_join, semi_join_shuffled
@@ -2452,8 +2454,8 @@ def q_triangle_count(sf_dir: str):
 
     def edges(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = k % N
-        v = (k * 31) % N
+        u = ((k % 991) * (k % 997)) % N
+        v = ((k % 977) * (k % 983)) % N
         keep = u != v
         lo = np.minimum(u[keep], v[keep])
         hi = np.maximum(u[keep], v[keep])
@@ -2591,9 +2593,13 @@ def q_triangle_count(sf_dir: str):
 
 ORACLE_SQL["triangle_count"] = """
 WITH raw AS (
-  SELECT least(o_orderkey % 500, (o_orderkey * 31) % 500) AS u,
-         greatest(o_orderkey % 500, (o_orderkey * 31) % 500) AS v
-  FROM orders WHERE o_orderkey % 500 <> (o_orderkey * 31) % 500),
+  SELECT least(((o_orderkey % 991) * (o_orderkey % 997)) % 500,
+               ((o_orderkey % 977) * (o_orderkey % 983)) % 500) AS u,
+         greatest(((o_orderkey % 991) * (o_orderkey % 997)) % 500,
+                  ((o_orderkey % 977) * (o_orderkey % 983)) % 500) AS v
+  FROM orders
+  WHERE ((o_orderkey % 991) * (o_orderkey % 997)) % 500
+     <> ((o_orderkey % 977) * (o_orderkey % 983)) % 500),
 e AS (SELECT DISTINCT u, v FROM raw)
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac
@@ -5569,4 +5575,71 @@ SELECT a.user_id AS user_a, b.user_id AS user_b,
 FROM zoned a JOIN zoned b
   ON a.zone = b.zone AND a.hour = b.hour AND a.user_id < b.user_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+# ---------------------------------------------------------------------------
+# chunk_documents — RAG-style sliding token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window document chunking (size 64 tokens, stride 48 — the
+    fixed-overlap windows a RAG / retrieval index build emits). Tokens are
+    single-space splits (``text.split(' ')`` == DuckDB
+    ``string_split(text, ' ')``, empty strings preserved) so the oracle
+    mirrors byte-exactly. Pure per-document map — streams, no shuffle; the
+    per-doc Python split is the same per-blob cost model as the rest of
+    the text family (work is per doc, never per corpus)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    S, T = _CHUNK_SIZE, _CHUNK_STRIDE
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_text: list[str] = []
+        out_n: list[int] = []
+        for did, tx in zip(ids, texts):
+            toks = (tx or "").split(" ")
+            n = len(toks)
+            start = 0
+            while start < n:
+                w = toks[start:start + S]
+                out_id.append(did)
+                out_idx.append(start // T)
+                out_text.append(" ".join(w))
+                out_n.append(len(w))
+                start += T
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+ORACLE_SQL["chunk_documents"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(
+         toks[start + 1 : start + {_CHUNK_SIZE}], ' '
+       ) AS chunk_text,
+       CAST(least({_CHUNK_SIZE}, len(toks) - start) AS BIGINT) AS n_tokens
+FROM s
 """

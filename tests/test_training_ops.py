@@ -1243,3 +1243,50 @@ class TestBpeEncode:
             )
 
         assert run(1) == run(6)
+
+
+class TestChunkDocuments:
+    def test_windows_cover_and_overlap(self, ray_session):
+        """Every token index is covered; consecutive chunks overlap by
+        size-stride tokens; reconstruction from stride-prefixes equals the
+        original text (the RAG-chunking invariants)."""
+        from overmatch_ray.pipelines.corpus_queries import (
+            _CHUNK_SIZE,
+            _CHUNK_STRIDE,
+            q_chunk_documents,
+        )
+
+        out = q_chunk_documents("/root/testdata/sf0.001")
+        rows = sorted(
+            out.take_all(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+        )
+        assert rows, "no chunks produced"
+        import pyarrow.parquet as pq
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in pq.read_table(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"],
+            ).to_pylist()
+        }
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(texts)
+        for did, chs in by_doc.items():
+            toks = texts[did].split(" ")
+            # chunk_idx are 0..n-1 dense
+            assert [c["chunk_idx"] for c in chs] == list(range(len(chs)))
+            for c in chs:
+                start = c["chunk_idx"] * _CHUNK_STRIDE
+                want = toks[start:start + _CHUNK_SIZE]
+                assert c["chunk_text"] == " ".join(want)
+                assert c["n_tokens"] == len(want)
+            # stride-prefix reconstruction: first STRIDE tokens of every
+            # chunk plus the final chunk's tail reassemble the document
+            rebuilt: list = []
+            for c in chs[:-1]:
+                rebuilt.extend(c["chunk_text"].split(" ")[:_CHUNK_STRIDE])
+            rebuilt.extend(chs[-1]["chunk_text"].split(" "))
+            assert rebuilt == toks
