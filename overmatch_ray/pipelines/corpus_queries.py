@@ -1845,12 +1845,19 @@ def q_snap_to_segments(sf_dir: str):
         )
 
     def pts(batch: pa.Table) -> pa.Table:
+        # integer offsets (x: k%9-4, y: k%11-5) push points OFF the
+        # segment-start lattice so the snap exercises nontrivial clamped
+        # projections (varied t, nonzero floor-decimeter distances) — the
+        # original formula placed every point exactly on its own segment's
+        # start vertex, so the oracle only ever validated d=0.0 / t=0.0
         k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "id": pa.array(k),
-                "x": pa.array((11 * (k % 1000)).astype(np.float64)),
-                "y": pa.array((14 * ((k // 1000) % 1000)).astype(np.float64)),
+                "x": pa.array((11 * (k % 1000) + k % 9 - 4).astype(np.float64)),
+                "y": pa.array(
+                    (14 * ((k // 1000) % 1000) + k % 11 - 5).astype(np.float64)
+                ),
             }
         )
 
@@ -1871,8 +1878,8 @@ WITH s AS (
   FROM part),
 p AS (
   SELECT c_custkey AS id,
-         CAST(11 * (c_custkey % 1000) AS DOUBLE) AS x,
-         CAST(14 * ((c_custkey // 1000) % 1000) AS DOUBLE) AS y
+         CAST(11 * (c_custkey % 1000) + c_custkey % 9 - 4 AS DOUBLE) AS x,
+         CAST(14 * ((c_custkey // 1000) % 1000) + c_custkey % 11 - 5 AS DOUBLE) AS y
   FROM customer),
 cand AS (
   SELECT p.id AS pt_id, s.id AS seg_id, p.x, p.y, s.ax, s.ay, s.bx, s.by,
@@ -2120,10 +2127,13 @@ WHERE o.id IS NULL OR n.id IS NULL OR o.v <> n.v
 
 def q_duplicate_spans(sf_dir: str):
     """Span-level exact dedup (stages.dedup.duplicate_spans): documents ∪
-    planted partial copies (doc_id+200000 = tokens 10..59 of each doc_id
-    < 15) → maximal shared token runs ≥ 20 tokens with 0-based offsets.
-    The oracle re-derives spans with string-exact 8-gram equality +
-    gaps-and-islands — pinning both the hashing and the diagonal merge."""
+    planted partial copies (doc_id+200000 = tokens 40..51 ++ tokens 10..59
+    of each doc_id < 15 — the 12-token prefix sits below min_tokens, so
+    the emitted span starts at a NONZERO offset in the copy; the original
+    all-span copy validated start_b=0 only) → maximal shared token runs
+    ≥ 20 tokens with 0-based offsets. The oracle re-derives spans with
+    string-exact 8-gram equality + gaps-and-islands — pinning both the
+    hashing and the diagonal merge."""
     from ..stages.dedup import duplicate_spans
 
     base = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2135,8 +2145,8 @@ def q_duplicate_spans(sf_dir: str):
             {
                 "doc_id": pc.add(f["doc_id"], pa.scalar(200000, pa.int64())),
                 "text": pa.array(
-                    [" ".join(t.split(" ")[10:60]) for t in
-                     f["text"].to_pylist()],
+                    [" ".join(t.split(" ")[40:52] + t.split(" ")[10:60])
+                     for t in f["text"].to_pylist()],
                     pa.string(),
                 ),
             }
@@ -2155,7 +2165,9 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 200000,
-         array_to_string(string_split(text, ' ')[11:60], ' ')
+         array_to_string(
+           list_concat(string_split(text, ' ')[41:52],
+                       string_split(text, ' ')[11:60]), ' ')
   FROM documents WHERE doc_id < 15),
 toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

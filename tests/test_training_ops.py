@@ -1290,3 +1290,28 @@ class TestChunkDocuments:
                 rebuilt.extend(c["chunk_text"].split(" ")[:_CHUNK_STRIDE])
             rebuilt.extend(chs[-1]["chunk_text"].split(" "))
             assert rebuilt == toks
+
+
+class TestProfileColumns:
+    def test_null_counting_and_all_null_block(self, ray_session):
+        """n_nulls must count Arrow nulls across blocks, and an all-null
+        block must not poison min/max (the lineitem_profile oracle can
+        only ever validate n_nulls=0 — TPC-H carries no nulls)."""
+        import ray.data
+
+        from overmatch_ray.stages.groupops import profile_columns
+
+        t = pa.table(
+            {
+                "a": pa.array([1.0, None, 3.0, None, 5.0, None, None, 8.0]),
+                "b": pa.array([None, None, None, None] + [2.0, 4.0, 6.0, 0.5]),
+            }
+        )
+        # 4 blocks of 2 rows — the first "b" blocks are ALL null
+        ds = ray.data.from_arrow(t).repartition(4)
+        rows = {r["column_name"]: r for r in
+                profile_columns(ds, ["a", "b"]).take_all()}
+        assert rows["a"]["n_rows"] == 8 and rows["a"]["n_nulls"] == 4
+        assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 8.0
+        assert rows["b"]["n_rows"] == 8 and rows["b"]["n_nulls"] == 4
+        assert rows["b"]["min_v"] == 0.5 and rows["b"]["max_v"] == 6.0
