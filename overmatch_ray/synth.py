@@ -373,8 +373,15 @@ def images_block(idx: np.ndarray, captions: np.ndarray | None = None, n_total: i
     lon = box[0] + (box[2] - box[0]) * _uniform(idx, 53)
     lat = box[1] + (box[3] - box[1]) * _uniform(idx, 54)
     if captions is None:
+        # half the planted duplicates (every 34th row) are TRUE mirrors —
+        # same pixels AND same alt-text as their predecessor — so the
+        # caption-consistency sweep sees both consistent and conflicting
+        # duplicate groups; the other half (17 mod 34) keep their own
+        # caption (the conflicting-label web-mirror case)
+        cap_idx = np.where((idx % 34 == 0) & (idx > 0), idx - 1, idx)
         captions = np.array(
-            [f"photo #{i} near {s}" for i, s in zip(idx, _pick(_STREETS, idx, 55))],
+            [f"photo #{i} near {s}"
+             for i, s in zip(cap_idx, _pick(_STREETS, cap_idx, 55))],
             dtype=object,
         )
     return pa.table(
