@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import time
 
@@ -61,8 +62,12 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR")
+    # GRAFT_CHECK_CPUS: run the gate at a different parallelism (e.g. 2 or
+    # 32) as an end-to-end partition-invariance sweep — every oracle hash
+    # must be identical at any level
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+             include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
