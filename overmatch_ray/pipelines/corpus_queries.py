@@ -5616,7 +5616,9 @@ def q_chunk_documents(sf_dir: str):
         out_text: list[str] = []
         out_n: list[int] = []
         for did, tx in zip(ids, texts):
-            toks = (tx or "").split(" ")
+            if tx is None:
+                continue  # SQL semantics: string_split(NULL) unnests to 0 rows
+            toks = tx.split(" ")
             n = len(toks)
             start = 0
             while start < n:

@@ -861,8 +861,7 @@ def q_yearly_orders(sf_dir: str):
         )
         # Sum in exact integer cents: float64 accumulation order diverges from
         # the oracle at ~1e9 magnitude (order-dependent ulps flip round(...,2)).
-        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        cents = np.rint(price * 100.0).astype(np.int64)
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
         return pa.table({"year": pa.array(y), "cents": pa.array(cents)})
 
     agg = (
