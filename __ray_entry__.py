@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compacted_sink": ro.q_compacted_sink,
         "corpus_card": ro.q_corpus_card,
         "image_quality": ro.q_image_quality,
+        "images_quarantine": ro.q_images_quarantine,
         "image_filter": ro.q_image_filter,
         "neardup_verified": ro.q_neardup_verified,
         "image_embed": ro.q_image_embed,

@@ -1376,3 +1376,58 @@ def q_best_of_cluster(sf_dir: str):
     imgs = _images_ds(sf_dir).materialize()
     clusters = _image_clusters_from(imgs)  # reuse — no second synth pass
     return best_of_cluster(imgs, clusters)
+
+
+def q_images_quarantine(sf_dir: str):
+    """Error-quarantine sweep: every 50th image blob is deterministically
+    corrupted (truncated to 60%, keyed off image_id — partition-invariant)
+    before DecodeValidate, making the bad-row path driver-visible (the
+    clean-corpus images_validate can only ever report error=None). Rows
+    are never dropped — corrupt blobs come back flagged. Output: per-fmt
+    (n_images, n_quarantined)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.images import decode_validate
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out = []
+        for i, (iid, b) in enumerate(zip(ids, blobs)):
+            # image_id is "img-NNNNNNNNNNNN" — key off the counter
+            if int(iid.split("-")[1]) % 50 == 0:
+                out.append(b[: max(8, (len(b) * 3) // 5)])
+            else:
+                out.append(b)
+        return batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes",
+            pa.array(out, pa.large_binary()),
+        )
+
+    validated = decode_validate(
+        _images_ds(sf_dir).map_batches(corrupt, batch_format="pyarrow"),
+        concurrency=2, batch_size=128,
+        select=["image_id", "fmt", "error"],
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bad = pc.is_valid(batch["error"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "fmt": batch["fmt"],
+                "n_images": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_quarantined": pa.array(bad.astype(np.int64)),
+            }
+        )
+
+    return (
+        validated.map_batches(flag, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Sum("n_images", alias_name="n_images"),
+                   Sum("n_quarantined", alias_name="n_quarantined"))
+    )
