@@ -1276,7 +1276,10 @@ def _decode_lanes(metas):
 
     # ---- dequantize + IDCT + assemble per image (per-image working sets
     # stay cache-sized; one whole-batch IDCT was measured slower — its
-    # ~100 MB transients stall on hugepage defrag) ----
+    # ~100 MB transients stall on hugepage defrag; a CHUNKED variant
+    # (32k-block flushes, ~50 MB transients) was also measured 1.9x
+    # slower bit-identical — the dequant scatter/repeat materializations
+    # dominate, not numpy call overhead) ----
     for mi, (i, fh, fw, mcux, mcuy, _ri, qts, order, _segs) in enumerate(metas):
         if img_bad[mi]:
             yield i, None
