@@ -5371,17 +5371,23 @@ def q_incremental_sessions(sf_dir: str):
     import ray as _ray
 
     sessions_b = sessions_b.materialize()
-    # no select_columns after map_groups (CLAUDE.md schema-staleness rule)
-    b_keys = {
-        (r["user_id"], r["session_idx"]) for r in sessions_b.take_all()
-    }
+    # no select_columns after map_groups (CLAUDE.md schema-staleness rule).
+    # Driver-bounded: B-phase sessions come from the INCREMENTAL batch
+    # only (the design premise of incremental processing — the increment
+    # is small relative to the snapshot); composite int64 keys so the
+    # anti-filter is one vectorized np.isin, not a per-row set probe.
+    b_keys = np.array(
+        sorted(r["user_id"] * (2**32) + r["session_idx"]
+               for r in sessions_b.take_all()),
+        np.int64,
+    )
     bref = _ray.put(b_keys)
 
     def drop_superseded(batch: pa.Table) -> pa.Table:
         keys = _ray.get(bref)
         u = batch["user_id"].to_numpy(zero_copy_only=False)
         si = batch["session_idx"].to_numpy(zero_copy_only=False)
-        keep = np.array([(a, b_) not in keys for a, b_ in zip(u, si)], bool)
+        keep = ~np.isin(u * (2**32) + si, keys, assume_unique=False)
         return batch.filter(pa.array(keep))
 
     final_a = sessions_a.map_batches(drop_superseded, batch_format="pyarrow")
