@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_spend": cq.q_user_rolling_spend,
         "triangle_count": cq.q_triangle_count,
         "chunk_documents": cq.q_chunk_documents,
+        "ppjoin_neardup_pairs": cq.q_ppjoin_neardup_pairs,
         "funnel_counts": cq.q_funnel_counts,
         "pagerank": cq.q_pagerank,
         "rollup_revenue": cq.q_rollup_revenue,

