@@ -5678,3 +5678,107 @@ def q_ppjoin_neardup_pairs(sf_dir: str):
 
 
 ORACLE_SQL["ppjoin_neardup_pairs"] = ORACLE_SQL["ngram_neardup_pairs"]
+
+
+def q_join_sample(sf_dir: str):
+    """Weighted sampling over a JOIN's output WITHOUT materializing the
+    join (the "Streaming Weighted Sampling over Join Queries" family —
+    PAPERS.md, EDBT 2023): 100 rows sampled from the events-by-user
+    SELF-join, key inclusion ∝ its join multiplicity n_k² (A-ES top-k
+    over the count table), then ONE deterministic (i, j) grid position
+    per sampled key via md5 — so the engine touches the per-key count
+    table and the 100 sampled keys' rows, never the |join| = Σ n_k²
+    pairs. Everything md5-keyed and integer-valued: the oracle mirrors
+    the expressions literally and the output carries no floats.
+
+    Plan: bucketed count per user (corpus-scale keys) → A-ES top-100
+    (per-block exact combiner, no corpus sort) → broadcast the 100
+    (user, i, j) picks → filter + one bucketed group apply fetches the
+    i-th / j-th event per sampled user (deterministic (ts, event_id)
+    order). Driver state: exactly 100 sampled keys — bounded by k."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from ..stages.groupops import bucketed_aggregate, bucketed_group_apply
+    from ..stages.splits import weighted_sample_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    counts = bucketed_aggregate(
+        ds.select_columns(["user_id"]), ["user_id"],
+        {"n": ("user_id", "size")},
+    )
+
+    def wcol(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("w", pa.array(n * n))
+
+    top = weighted_sample_topk(
+        counts.map_batches(wcol, batch_format="pyarrow"),
+        "user_id", "w", k=100, salt="js:",
+    ).take_all()  # bounded: exactly k sampled keys
+
+    picks = {}
+    for r in top:
+        uid, n = int(r["user_id"]), int(np.sqrt(r["w"]))
+        i = int(_hl.md5(f"ji:{uid}".encode()).hexdigest()[:8], 16) % n
+        j = int(_hl.md5(f"jj:{uid}".encode()).hexdigest()[:8], 16) % n
+        picks[uid] = (i, j)
+    pref = _ray.put(picks)
+
+    def only_sampled(batch: pa.Table) -> pa.Table:
+        p = _ray.get(pref)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(np.isin(u, np.fromiter(p.keys(), np.int64)))
+        )
+
+    def fetch(g: pd.DataFrame) -> pd.DataFrame:
+        p = _ray.get(pref)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, u.size])
+        out = {"user_id": [], "event_a": [], "event_b": []}
+        for s, ln_ in zip(starts, lens):
+            i, j = p[int(u[s])]
+            out["user_id"].append(int(u[s]))
+            out["event_a"].append(int(e[s + i]))
+            out["event_b"].append(int(e[s + j]))
+        return pd.DataFrame(out).astype(np.int64)
+
+    sampled = bucketed_group_apply(
+        ds.map_batches(only_sampled, batch_format="pyarrow"),
+        ["user_id"], fetch, num_buckets=8,
+    )
+    return sampled.sort("user_id")
+
+
+ORACLE_SQL["join_sample"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+keyed AS (
+  SELECT user_id, n,
+         ln((CAST(('0x' || substr(md5('js:' || CAST(user_id AS VARCHAR)), 1, 8))
+             AS BIGINT) + 1) / 4294967296.0) / (n * n) AS pri
+  FROM c WHERE n > 0),
+top AS (SELECT user_id, n FROM keyed ORDER BY pri DESC, user_id LIMIT 100),
+pos AS (
+  SELECT user_id, n,
+         CAST(('0x' || substr(md5('ji:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % n AS i,
+         CAST(('0x' || substr(md5('jj:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % n AS j
+  FROM top),
+o AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+             AS rn
+  FROM events)
+SELECT p.user_id, a.event_id AS event_a, b.event_id AS event_b
+FROM pos p
+JOIN o a ON a.user_id = p.user_id AND a.rn = p.i
+JOIN o b ON b.user_id = p.user_id AND b.rn = p.j
+ORDER BY p.user_id
+"""
