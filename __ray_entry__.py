@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": cq.q_chunk_documents,
         "ppjoin_neardup_pairs": cq.q_ppjoin_neardup_pairs,
         "join_sample": cq.q_join_sample,
+        "ranking_simjoin": cq.q_ranking_simjoin,
         "funnel_counts": cq.q_funnel_counts,
         "pagerank": cq.q_pagerank,
         "rollup_revenue": cq.q_rollup_revenue,

@@ -5782,3 +5782,142 @@ JOIN o a ON a.user_id = p.user_id AND a.rn = p.i
 JOIN o b ON b.user_id = p.user_id AND b.rn = p.j
 ORDER BY p.user_id
 """
+
+
+_FOOTRULE_MAX = 2  # similarity threshold θ (max footrule distance)
+
+
+def q_ranking_simjoin(sf_dir: str):
+    """Similarity join over TOP-K RANKINGS (the "Distributed Similarity
+    Joins over Top-K Rankings" family — PAPERS.md, EDBT 2020): pairs of
+    users whose event-type preference rankings are within Spearman
+    footrule distance θ=2. Rankings order the FULL type domain by
+    (count DESC, type ASC) — a total order, zero-count types included,
+    so every user ranks the same item set and the oracle mirrors it with
+    one window function.
+
+    Prefix blocking (the paper's filter, footrule analog of the PPJoin
+    prefix): if F(A,B) ≤ θ then A's top item x satisfies rank_B(x) ≤ θ,
+    so x is inside BOTH users' top-(θ+1) prefixes — indexing each user
+    under its top-(θ+1) types finds every qualifying pair. Each posting
+    carries the user's whole ranking PACKED into one int64 (4 bits per
+    type, domain ≤ 12 guarded), so candidate verification needs no
+    further join: pairs are footrule-checked vectorized inside the
+    blocking bucket. Driver state: the type DOMAIN only (bounded)."""
+    from ..stages.groupops import (
+        bucketed_aggregate,
+        bucketed_group_apply,
+        dedup_pairs,
+        group_pair_indices,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = bucketed_aggregate(
+        ds, ["user_id", "event_type"], {"n": ("user_id", "size")},
+    )
+
+    types = sorted(
+        r["event_type"]
+        for r in counts.groupby("event_type").count().take_all()
+    )  # driver-bounded: the event-type DOMAIN
+    if len(types) > 12:
+        raise ValueError("rank packing supports <= 12 items (4-bit ranks)")
+    D = len(types)
+    t_idx = {t: i for i, t in enumerate(types)}
+    P = _FOOTRULE_MAX + 1  # blocking prefix length
+
+    def rank_pack(g: pd.DataFrame) -> pd.DataFrame:
+        out_user: list = []
+        out_type: list = []
+        out_pack: list = []
+        g = g.sort_values(["user_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, u.size])
+        et = g["event_type"].to_numpy()
+        nn = g["n"].to_numpy()
+        for s, ln_ in zip(starts, lens):
+            n_full = np.zeros(D, np.int64)
+            for j in range(s, s + ln_):
+                n_full[t_idx[et[j]]] = nn[j]
+            # total order (count DESC, type ASC); types[] is ASC already
+            order = np.lexsort((np.arange(D), -n_full))
+            rank = np.empty(D, np.int64)
+            rank[order] = np.arange(D)
+            pack = int(np.sum(rank << (4 * np.arange(D))))
+            for b in order[:P]:  # top-(θ+1) blocking postings
+                out_user.append(int(u[s]))
+                out_type.append(types[b])
+                out_pack.append(pack)
+        return pd.DataFrame(
+            {"user_id": out_user, "btype": out_type, "pack": out_pack}
+        )
+
+    postings = bucketed_group_apply(
+        counts, ["user_id"], rank_pack, num_buckets=16
+    )
+
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["btype", "user_id"], kind="mergesort")
+        run = (g["btype"] != g["btype"].shift()).cumsum().to_numpy()
+        ia, ib = group_pair_indices(run, max_group=np.iinfo(np.int64).max)
+        if ia.size == 0:
+            return pd.DataFrame({"user_a": pd.Series(dtype=np.int64),
+                                 "user_b": pd.Series(dtype=np.int64),
+                                 "footrule": pd.Series(dtype=np.int64)})
+        uu = g["user_id"].to_numpy()
+        pk = g["pack"].to_numpy()
+        a, b = uu[ia], uu[ib]
+        pa_, pb_ = pk[ia], pk[ib]
+        fr = np.zeros(a.size, np.int64)
+        for ti in range(D):
+            fr += np.abs(((pa_ >> (4 * ti)) & 15) - ((pb_ >> (4 * ti)) & 15))
+        keep = (fr <= _FOOTRULE_MAX) & (a != b)
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "user_a": np.where(swap, b, a)[keep],
+                "user_b": np.where(swap, a, b)[keep],
+                "footrule": fr[keep],
+            }
+        ).drop_duplicates(["user_a", "user_b"])
+
+    pairs = dedup_pairs(
+        bucketed_group_apply(postings, ["btype"], cand_kernel,
+                             num_buckets=8),
+        "user_a", "user_b", num_buckets=8,
+    )
+    return pairs.sort(["user_a", "user_b"]).map_batches(
+        lambda b: pa.table(
+            {
+                "user_a": b["user_a"].cast(pa.int64()),
+                "user_b": b["user_b"].cast(pa.int64()),
+                "footrule": b["footrule"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["ranking_simjoin"] = f"""
+WITH ut AS (
+  SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN (
+    SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+  ) c ON c.user_id = u.user_id AND c.event_type = t.event_type),
+r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) - 1 AS rnk
+  FROM ut),
+d AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         sum(abs(a.rnk - b.rnk)) AS footrule
+  FROM r a JOIN r b
+    ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b, CAST(footrule AS BIGINT) AS footrule
+FROM d WHERE footrule <= {_FOOTRULE_MAX}
+"""
