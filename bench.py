@@ -335,8 +335,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_merged": n_merged,
         "n_tiles": n_tiles,
         "n_dedup_pairs": n_dedup_pairs,
-        "throughput_rows_per_sec": round(
-            (n_osm + n_img + n_docs) / max(headline, 1e-9), 1
+        # headline throughput only means something when the headline stages
+        # actually ran (GRAFT_STAGES subsets otherwise divide by ~0)
+        "throughput_rows_per_sec": (
+            round((n_osm + n_img + n_docs) / headline, 1)
+            if headline > 0.0
+            else None
         ),
         "peak_object_store_gb": round(peak["bytes"] / 2**30, 2),
     }

@@ -502,12 +502,10 @@ def q_distance_join_100m(sf_dir: str):
         lo = np.searchsorted(bc, a["cell"].to_numpy(), "left")
         hi = np.searchsorted(bc, a["cell"].to_numpy(), "right")
         counts = hi - lo
+        from ..stages.groupops import concat_ranges
+
         ai = np.repeat(np.arange(len(a)), counts)
-        bi = (
-            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-            if counts.sum()
-            else np.empty(0, np.int64)
-        )
+        bi = concat_ranges(lo, hi)
         ax = a["x"].to_numpy()[ai]
         ay = a["y"].to_numpy()[ai]
         bx = b["x"].to_numpy()[bi]

@@ -101,16 +101,9 @@ def match_bucket(
         o_idx = np.repeat(osm_rows[sel], counts[sel])
         # candidate index ranges, one vectorized gather (measured 23x over
         # the per-row np.arange comprehension at 200k probe rows/chunk)
-        c_sel = counts[sel]
-        if end > start:
-            offs = np.concatenate([[0], np.cumsum(c_sel)[:-1]])
-            v_idx = (
-                np.arange(int(c_sel.sum()))
-                - np.repeat(offs, c_sel)
-                + np.repeat(lo[sel], c_sel)
-            )
-        else:
-            v_idx = np.empty(0, np.int64)
+        from .groupops import concat_ranges
+
+        v_idx = concat_ranges(lo[sel], lo[sel] + counts[sel])
         start = end
 
         # exact planar distance filter (match.py:222-227)

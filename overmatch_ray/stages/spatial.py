@@ -24,6 +24,8 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
+
+from .groupops import concat_ranges
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -129,7 +131,7 @@ def _bucket_pairs_fn(radius_m: float, k: int | None, exclude_self: bool,
         counts = hi - lo
         ai = np.repeat(np.arange(ac.size), counts)
         bi = (
-            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            concat_ranges(lo, hi)
             if counts.sum()
             else np.empty(0, np.int64)
         )
@@ -476,7 +478,7 @@ def bbox_intersection_join(
         if counts.sum() == 0:
             return empty
         ai = np.repeat(np.arange(ac.size), counts)
-        bsel = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        bsel = order[concat_ranges(lo, hi)]
 
         def col(name):
             return g[name].to_numpy(zero_copy_only=False)
@@ -627,7 +629,7 @@ def triangle_point_join(
         if counts.sum() == 0:
             return empty
         pi = np.repeat(np.arange(pc_.size), counts)
-        ti = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        ti = order[concat_ranges(lo, hi)]
 
         def col(name):
             return g[name].to_numpy(zero_copy_only=False)
@@ -777,7 +779,7 @@ def snap_points_to_segments(
         if counts.sum() == 0:
             return empty
         pi = np.repeat(np.arange(pc_.size), counts)
-        si = order[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        si = order[concat_ranges(lo, hi)]
 
         def col(name):
             return g[name].to_numpy(zero_copy_only=False)
@@ -1288,7 +1290,7 @@ def track_hausdorff_pairs(
         counts = hi - lo
         ai = np.repeat(np.arange(len(a)), counts)
         bi = (
-            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            concat_ranges(lo, hi)
             if counts.sum()
             else np.empty(0, np.int64)
         )

@@ -170,8 +170,13 @@ def overture_block(osm_idx: np.ndarray, max_cands: int = 3, n_total: int | None 
     u = _uniform(osm_idx, 20)
     k = np.select([u < 0.25, u < 0.70, u < 0.90], [0, 1, 2], default=3)
     parent = np.repeat(osm_idx, k)
-    # j-th candidate of its parent
-    j = np.concatenate([np.arange(c) for c in k]) if parent.size else np.empty(0, np.int64)
+    # j-th candidate of its parent (vectorized: stages.groupops.concat_ranges form)
+    if parent.size:
+        kk = k.astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(kk)[:-1]])
+        j = np.arange(int(kk.sum())) - np.repeat(offs, kk)
+    else:
+        j = np.empty(0, np.int64)
     pair = parent * np.int64(7) + j  # unique per (parent, j), j<7
 
     # geometry: offset in EPSG:3857 meters from the parent point
