@@ -2527,18 +2527,23 @@ def q_triangle_count(sf_dir: str):
     else:
         import ray as _ray
 
-        dmap = {r["node"]: r["d"] for r in deg_mat.take_all()}
-        dref = _ray.put(dmap)
+        _drows = deg_mat.take_all()
+        _dn = np.array([r["node"] for r in _drows], np.int64)
+        _dd = np.array([r["d"] for r in _drows], np.int64)
+        _do = np.argsort(_dn)
+        # sorted lookup arrays: vectorized searchsorted per batch, not a
+        # Python dict probe per EDGE row
+        dref = _ray.put((_dn[_do], _dd[_do]))
         pre_orient = e
 
         def du_dv(batch: pa.Table):
             import ray as _ray2
 
-            dm = _ray2.get(dref)
+            nodes_s, degs_s = _ray2.get(dref)
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            return (np.array([dm[x] for x in u], np.int64),
-                    np.array([dm[x] for x in v], np.int64))
+            return (degs_s[np.searchsorted(nodes_s, u)],
+                    degs_s[np.searchsorted(nodes_s, v)])
 
     def orient(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1338,19 +1338,25 @@ def track_hausdorff_pairs(
         {"n_covered": ("min_d", "size"), "h": ("min_d", "max")},
     )
 
-    sizes = {
-        r[key_col]: r["count()"]
-        for r in points_ds.groupby(key_col).count().take_all()
-    }
-    sizes_ref = _ray.put(sizes)
+    size_rows = points_ds.groupby(key_col).count().take_all()
+    _sk = np.array([r[key_col] for r in size_rows], np.int64)
+    _sc = np.array([r["count()"] for r in size_rows], np.int64)
+    _o = np.argsort(_sk)
+    # broadcast SORTED lookup arrays — vectorized searchsorted per batch,
+    # not a Python dict probe per pair row
+    sizes_ref = _ray.put((_sk[_o], _sc[_o]))
 
     def covered(batch: pa.Table) -> pa.Table:
-        sz = _ray.get(sizes_ref)
+        keys_s, cnts_s = _ray.get(sizes_ref)
         ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch["n_covered"].to_numpy(zero_copy_only=False)
         h = batch["h"].to_numpy(zero_copy_only=False)
-        keep = np.array([c == sz.get(k, -1) for k, c in zip(ka, n)], bool)
+        pos = np.clip(np.searchsorted(keys_s, ka), 0, max(keys_s.size - 1, 0))
+        expect = np.where(
+            keys_s[pos] == ka, cnts_s[pos], -1
+        ) if keys_s.size else np.full(ka.size, -1, np.int64)
+        keep = expect == n
         return pa.table({
             "u": pa.array(np.minimum(ka[keep], kb[keep])),
             "v": pa.array(np.maximum(ka[keep], kb[keep])),
