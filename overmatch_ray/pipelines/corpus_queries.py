@@ -5724,7 +5724,9 @@ def q_join_sample(sf_dir: str):
 
     picks = {}
     for r in top:
-        uid, n = int(r["user_id"]), int(np.sqrt(r["w"]))
+        # weighted_sample_topk preserves the exact n column — never invert
+        # w = n² through float sqrt (exact only while n² ≤ 2^53; ADVICE r4)
+        uid, n = int(r["user_id"]), int(r["n"])
         i = int(_hl.md5(f"ji:{uid}".encode()).hexdigest()[:8], 16) % n
         j = int(_hl.md5(f"jj:{uid}".encode()).hexdigest()[:8], 16) % n
         picks[uid] = (i, j)

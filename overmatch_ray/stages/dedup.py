@@ -117,8 +117,14 @@ def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id",
     Output columns: (key_col, id_col=min, dup_count)."""
     from .groupops import bucketed_aggregate
 
+    def project(batch: pa.Table) -> pa.Table:
+        # in-kernel projection, not select_columns: the caller may feed a
+        # map_groups output whose Dataset.schema() is stale (ADVICE r4 /
+        # CLAUDE.md schema pitfall) — blocks are the source of truth
+        return pa.table({key_col: batch[key_col], id_col: batch[id_col]})
+
     agg = bucketed_aggregate(
-        docs_ds.select_columns([key_col, id_col]), [key_col],
+        docs_ds.map_batches(project, batch_format="pyarrow"), [key_col],
         {id_col: (id_col, "min"), "__n": (id_col, "size")},
         num_buckets=num_buckets,
     )
@@ -615,6 +621,15 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
     image phash banding machinery (same 64-bit sketch shape)."""
     from .images import near_dup_pairs
 
+    # decide the restore cast ONCE from the id column's SOURCE type
+    # (ADVICE r4: a per-batch ArrowInvalid fallback made mixed corpora —
+    # mostly-numeric string ids plus a few non-numeric — emit blocks with
+    # HETEROGENEOUS schemas, which downstream unions/shuffles mis-bucket)
+    id_schema = docs_ds.schema()
+    numeric_ids = pa.types.is_integer(
+        dict(zip(id_schema.names, id_schema.types))[id_col]
+    )
+
     with_hash = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -633,16 +648,17 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
         # the banding machinery ordered the string-cast ids
         # lexicographically, which inverts pairs like (9, 10) → ('10','9')
         # and silently changes the id type, breaking the id_a < id_b
-        # contract every other pair producer honors (and unions with them)
-        try:
-            a = pa.compute.cast(batch["id_a"], pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            b = pa.compute.cast(batch["id_b"], pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-        except pa.ArrowInvalid:
+        # contract every other pair producer honors (and unions with them).
+        # Integer source ids round-trip through the string cast exactly, so
+        # a cast failure here is a REAL bug, not a format switch.
+        if not numeric_ids:
             return batch  # genuinely non-numeric ids: keep as strings
+        a = pa.compute.cast(batch["id_a"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = pa.compute.cast(batch["id_b"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table({
             "id_a": pa.array(np.minimum(a, b)),
             "id_b": pa.array(np.maximum(a, b)),
@@ -790,6 +806,7 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     num_buckets: int = 64,
     _sets_fn=None,
+    max_posting: int = 200_000,
 ):
     """EXACT Jaccard-similar pairs via PREFIX FILTERING — the AllPairs /
     PPJoin candidate bound (the distributed set-similarity-join lineage,
@@ -812,8 +829,9 @@ def prefix_jaccard_pairs(
     Plan (all shuffles linear in corpus/candidates, nothing on the
     driver): explode ← shared with the plain path → global DF (bucketed,
     vocab-scale) → DF join → per-doc prefix slice → rare-gram candidate
-    pairs (uncapped: rarity-ordered prefixes bound the group sizes by
-    construction) → pair dedup → semi-filter the per-doc gram lists to
+    pairs (no silent cap — the rarity order bounds posting sizes only
+    heuristically, so a posting above ``max_posting`` raises loudly
+    instead of OOMing a worker) → pair dedup → semi-filter the per-doc gram lists to
     candidate docs → two hash joins attach both sides' sorted gram lists
     → exact intersection verify. Trades two extra LINEAR shuffles for
     removing the posting-list² blowup — wins exactly where gram-frequency
@@ -861,6 +879,21 @@ def prefix_jaccard_pairs(
     def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
         run = (g["shingle"] != g["shingle"].shift()).cumsum().to_numpy()
+        # The rarity-order prefix bound is a HEURISTIC on posting size:
+        # short documents made of globally-frequent grams still index
+        # those grams, so an adversarial corpus can inflate one posting
+        # quadratically. Fail LOUDLY before a worker OOMs (ADVICE r4) —
+        # the exact-output contract (shared oracle) forbids silently
+        # capping like the plain ngram path's stop-gram cutoff does.
+        if run.size:
+            biggest = int(np.bincount(run).max())
+            if biggest > max_posting:
+                raise ValueError(
+                    f"prefix_jaccard_pairs: a prefix posting list has "
+                    f"{biggest} docs (> max_posting={max_posting}); the "
+                    f"pair blowup would be quadratic. Raise max_posting "
+                    f"or use ngram_jaccard_pairs' capped plain path."
+                )
         ia, ib = group_pair_indices(run, max_group=np.iinfo(np.int64).max)
         if ia.size == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),

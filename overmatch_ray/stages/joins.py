@@ -118,6 +118,35 @@ def _join_indices(lcols, rcols, how: str) -> "tuple[np.ndarray, np.ndarray]":
     return li, ri
 
 
+def _promote_mixed_key(l_type, r_type) -> bool:
+    """True when an integer key column joins a float key column. The
+    in-bucket kernels compare such pairs through float64 promotion
+    (``_encode_key_pair``'s float branch / pandas merge common-type rule),
+    so bucket ROUTING must hash through the same promotion: an int64 key
+    above 2^53 otherwise hashes by its exact bits while its rounded
+    float64 twin hashes by the rounded value — matching rows land in
+    different buckets and silently never meet."""
+    return (pa.types.is_integer(l_type) and pa.types.is_floating(r_type)) or (
+        pa.types.is_floating(l_type) and pa.types.is_integer(r_type)
+    )
+
+
+def _key_hash(batch: pa.Table, on: str, promote: bool) -> np.ndarray:
+    """hash_columns on one key column, promoting INT → float64 first when
+    the other join side is float (routing must match kernel semantics —
+    see _promote_mixed_key). hash_columns maps integral floats to their
+    int64 bit pattern, so promotion changes nothing for keys ≤ 2^53 and
+    co-buckets the rounded value above it, exactly like the kernel."""
+    from .groupops import hash_columns
+
+    col = batch[on]
+    if promote and pa.types.is_integer(col.type):
+        return hash_columns(
+            pa.table({on: pc.cast(col, pa.float64(), safe=False)}), [on]
+        )
+    return hash_columns(batch, [on])
+
+
 def _take_pad(col, idx: np.ndarray, out_type) -> "pa.ChunkedArray":
     """``col[idx]`` with -1 → null, cast to the declared output type (undoes
     any float64 upcast a groupby shuffle applied to nulled int columns)."""
@@ -259,8 +288,6 @@ def semi_join_shuffled(
     per-bucket filter still runs, so results are identical."""
     import ray
 
-    from .groupops import hash_columns
-
     if bloom_prefilter and not anti:
         # materialize the PROJECTED key column once: the bloom build and the
         # co-shuffle tag both read it, so the (possibly wide) right pipeline
@@ -283,8 +310,17 @@ def semi_join_shuffled(
 
         left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
 
+    # mixed int/float key pair → route through the float64 promotion the
+    # in-bucket comparison implies (see _promote_mixed_key)
+    _rs = right_ds.schema()
+    _lsch = left_ds.schema()
+    promote = _promote_mixed_key(
+        dict(zip(_lsch.names, _lsch.types))[left_on],
+        dict(zip(_rs.names, _rs.types))[right_on],
+    )
+
     def tag_left(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, [left_on])
+        h = _key_hash(batch, left_on, promote)
         return batch.append_column(
             "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
         ).append_column("__side", pa.array(np.zeros(batch.num_rows, np.int8)))
@@ -292,7 +328,7 @@ def semi_join_shuffled(
     def tag_right(batch: pa.Table) -> pa.Table:
         keys = pc.unique(batch[right_on].combine_chunks())
         t = pa.table({"__semi_key": keys})
-        h = hash_columns(t, ["__semi_key"])
+        h = _key_hash(t, "__semi_key", promote)
         return t.append_column(
             "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
         ).append_column("__side", pa.array(np.ones(len(keys), np.int8)))
@@ -300,9 +336,19 @@ def semi_join_shuffled(
     left_t = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_t = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    l_schema = left_ds.schema()
-    key_type = dict(zip(l_schema.names, l_schema.types))[left_on]
+    l_schema = _lsch
+    # mixed pair: the comparison domain IS the promotion — both sides'
+    # keys ride the shuffle as float64 (matches the promoted routing
+    # above; an int→float cast must be safe=False, it merely rounds >2^53
+    # keys exactly like the promotion semantics demand)
+    key_type = (pa.float64() if promote
+                else dict(zip(l_schema.names, l_schema.types))[left_on])
     l_names = list(l_schema.names)
+
+    def _to_key(col):
+        return pc.cast(col, key_type, safe=False) if promote else col.cast(
+            key_type
+        )
 
     def align_left(batch: pa.Table) -> pa.Table:
         # left rows carry their OWN key in __semi_key too: the column is
@@ -318,14 +364,14 @@ def semi_join_shuffled(
                        else pa.nulls(batch.num_rows, t))
         cols["__bucket"] = batch["__bucket"]
         cols["__side"] = batch["__side"]
-        cols["__semi_key"] = batch[left_on].cast(key_type)
+        cols["__semi_key"] = _to_key(batch[left_on])
         return pa.table(cols)
 
     def align_right(batch: pa.Table) -> pa.Table:
         cols = {n: pa.nulls(batch.num_rows, t) for n, t in zip(l_schema.names, l_schema.types)}
         cols["__bucket"] = batch["__bucket"]
         cols["__side"] = batch["__side"]
-        cols["__semi_key"] = batch["__semi_key"].cast(key_type)
+        cols["__semi_key"] = _to_key(batch["__semi_key"])
         return pa.table(cols)
 
     # materialize the union→all-to-all boundary (CLAUDE.md livelock rule:
@@ -688,12 +734,17 @@ def bucket_hash_join(
     """Partitioned hash join: co-shuffle both sides by hash(key) % B, merge
     per bucket. Key columns must be integer-typed; payload columns of the
     two sides must be disjoint (they are concatenated)."""
+    # mixed int/float key pair → route through the same float64 promotion
+    # the in-bucket kernel compares with (_promote_mixed_key)
+    _ls, _rs = left_ds.schema(), right_ds.schema()
+    promote = _promote_mixed_key(
+        dict(zip(_ls.names, _ls.types))[left_on],
+        dict(zip(_rs.names, _rs.types))[right_on],
+    )
 
     def tag(side: int, on: str):
         def _tag(batch: pa.Table) -> pa.Table:
-            from .groupops import hash_columns
-
-            h = hash_columns(batch, [on])  # int or string keys
+            h = _key_hash(batch, on, promote)  # int, float or string keys
             return batch.append_column(
                 "__bucket", pa.array((h % _U64(num_buckets)).astype(np.int64))
             ).append_column("__side", pa.array(np.full(len(h), side, np.int8)))

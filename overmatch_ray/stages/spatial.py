@@ -1225,13 +1225,12 @@ def track_hausdorff_pairs(
     one cell co-shuffle (candidates pay the ×9 replication) → per-bucket
     per-(point, other-track) min distance (vectorized, pairs masked to
     ≤ D) → one groupby (key_a, key_b) folding count+max — a pair is
-    COVERED iff its count equals |A| (per-track sizes broadcast once;
-    track-count-bounded state, same ≤2M contract as pagerank) → one
+    COVERED iff its count equals |A| (per-track sizes computed as a
+    Dataset and bucketed-hash-joined back on key_a; nothing track-scale
+    ever reaches the driver) → one
     groupby on the unordered pair requiring both directions. Distances
     evaluate term-for-term like the SQL oracle, so max-of-min picks the
     bit-identical winner. Returns (key_a, key_b, hausdorff_m)."""
-    import ray as _ray
-
     from .. import CELL_SIZE_M
 
     if max_dist_m > CELL_SIZE_M:
@@ -1338,24 +1337,42 @@ def track_hausdorff_pairs(
         {"n_covered": ("min_d", "size"), "h": ("min_d", "max")},
     )
 
-    size_rows = points_ds.groupby(key_col).count().take_all()
-    _sk = np.array([r[key_col] for r in size_rows], np.int64)
-    _sc = np.array([r["count()"] for r in size_rows], np.int64)
-    _o = np.argsort(_sk)
-    # broadcast SORTED lookup arrays — vectorized searchsorted per batch,
-    # not a Python dict probe per pair row
-    sizes_ref = _ray.put((_sk[_o], _sc[_o]))
+    # per-track sizes as a DATASET joined back bucketed (r4 VERDICT #1c:
+    # the former groupby().count().take_all() broadcast held one row per
+    # TRACK on the driver — 1e8–1e9 tracks at fleet scale). bucketed, not
+    # native count(): track cardinality ≈ corpus keys.
+    from .joins import bucket_hash_join
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__hkey": pa.array(k)})
+
+    directed_m = directed.materialize()
+    if directed_m.count() == 0:  # empty group-apply output has no schema
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+            "hausdorff_m": pa.array([], pa.float64()),
+        }))
+    sizes = bucketed_aggregate(
+        points_ds.map_batches(key_only, batch_format="pyarrow"),
+        ["__hkey"], {"__expect": ("__hkey", "size")},
+    ).materialize()  # join inputs materialized (schema-probe re-exec pitfall)
+    with_size = bucket_hash_join(
+        directed_m, sizes, "key_a", "__hkey",
+        num_buckets=nb,
+    )
 
     def covered(batch: pa.Table) -> pa.Table:
-        keys_s, cnts_s = _ray.get(sizes_ref)
         ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch["n_covered"].to_numpy(zero_copy_only=False)
         h = batch["h"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys_s, ka), 0, max(keys_s.size - 1, 0))
-        expect = np.where(
-            keys_s[pos] == ka, cnts_s[pos], -1
-        ) if keys_s.size else np.full(ka.size, -1, np.int64)
+        expect = batch["__expect"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         keep = expect == n
         return pa.table({
             "u": pa.array(np.minimum(ka[keep], kb[keep])),
@@ -1364,7 +1381,7 @@ def track_hausdorff_pairs(
         })
 
     sym = bucketed_aggregate(  # pair-scale groups again
-        directed.map_batches(covered, batch_format="pyarrow"),
+        with_size.map_batches(covered, batch_format="pyarrow"),
         ["u", "v"], {"ndir": ("h", "size"), "hmax": ("h", "max")},
     )
 

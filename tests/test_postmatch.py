@@ -1213,6 +1213,50 @@ class TestSkewHashJoin:
         got = sorted((r["lv"], r["rv"]) for r in out)
         assert got == [(0, 10), (2, 20), (3, 30)]  # 1.2 matches nothing
 
+    def test_mixed_int_float_keys_above_2_53(self, ray_session):
+        """ADVICE r4: mixed int/float joins compare through float64
+        promotion in the kernel, so bucket ROUTING must promote too — an
+        int64 key 2^53+1 must meet float64 2^53 (they are equal after
+        promotion) instead of hashing to different buckets and silently
+        never joining. Both directions, at every bucket count."""
+        import ray.data
+
+        from overmatch_ray.stages.joins import (
+            bucket_hash_join,
+            semi_join_shuffled,
+        )
+
+        big = 2**53  # float64(2^53 + 1) == float64(2^53)
+        ints = pa.table({
+            "k": pa.array([big + 1, big, 7, 2**60 + 3], pa.int64()),
+            "lv": pa.array([0, 1, 2, 3], pa.int64()),
+        })
+        floats = pa.table({
+            "rk": pa.array([float(big), 7.0, float(2**60)], pa.float64()),
+            "rv": pa.array([10, 20, 30], pa.int64()),
+        })
+        for nb in (3, 16):
+            out = bucket_hash_join(
+                ray.data.from_arrow(ints), ray.data.from_arrow(floats),
+                "k", "rk", num_buckets=nb,
+            ).take_all()
+            got = sorted((r["lv"], r["rv"]) for r in out)
+            # 2^60+3 rounds to 2^60 under promotion → joins 2^60.0
+            assert got == [(0, 10), (1, 10), (2, 20), (3, 30)], got
+            # reversed sides: float left, int right
+            rev = bucket_hash_join(
+                ray.data.from_arrow(floats), ray.data.from_arrow(ints),
+                "rk", "k", num_buckets=nb,
+            ).take_all()
+            got_rev = sorted((r["rv"], r["lv"]) for r in rev)
+            assert got_rev == [(10, 0), (10, 1), (20, 2), (30, 3)], got_rev
+            # semi join, float left vs int right keys (the broken quadrant)
+            semi = semi_join_shuffled(
+                ray.data.from_arrow(floats), ray.data.from_arrow(ints),
+                "rk", "k", num_buckets=nb,
+            ).take_all()
+            assert sorted(r["rv"] for r in semi) == [10, 20, 30]
+
 
 class TestSkewAsofIntervalJoins:
     """VERDICT r4 #8: the Misra-Gries hot-key bypass wired into
