@@ -281,6 +281,262 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.6
 """
 
 
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup with EXACT verification — the two-phase
+    propose/verify join (banding finds candidates sub-quadratically,
+    ``stages.dedup.verify_pairs_exact`` confirms them with the real
+    shingle intersection). Banding recall completeness at the threshold
+    on this corpus is PINNED by the shared hash oracle: the verified
+    output equals the exact ``ngram_neardup_pairs`` result, column for
+    column, value for value."""
+    from ..stages.dedup import minhash_lsh_verified
+
+    return minhash_lsh_verified(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    )
+
+
+ORACLE_SQL["minhash_pairs"] = ORACLE_SQL["ngram_neardup_pairs"]
+
+
+def q_simhash_dup_pairs(sf_dir: str):
+    """Exact token-multiset duplicate pairs via SimHash blocking
+    (stages.dedup.simhash_dup_pairs): the order-insensitive 64-bit code
+    gives complete recall by construction, the canonical sorted-token
+    string verify gives exact precision — so the SimHash machinery gets
+    a FULL DuckDB oracle (group docs on their sorted token list). The
+    corpus plants 30 EXACT copies (doc_id+200000) next to the 40
+    perturbed near-dups, so the dup-pair set is non-trivial and the
+    near-dups prove the verify rejects the perturbed texts."""
+    from ..stages.dedup import simhash_dup_pairs
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def exact_copy(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch["doc_id"], pa.scalar(30)))
+        return pa.table({
+            "doc_id": pc.add(f["doc_id"], pa.scalar(200000, pa.int64())),
+            "text": f["text"],
+        })
+
+    corpus = _derived_corpus(sf_dir).union(
+        base.map_batches(exact_copy, batch_format="pyarrow")
+    )
+    return simhash_dup_pairs(corpus)
+
+
+ORACLE_SQL["simhash_dup_pairs"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xtra token' FROM documents
+  WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents
+  WHERE doc_id < 30),
+c AS (
+  SELECT doc_id,
+         array_to_string(list_sort(string_split(text, ' ')), ' ') AS canon
+  FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM c a JOIN c b ON a.canon = b.canon AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE train + apply — full SQL oracle via unrolled MATERIALIZED merge rounds
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_oracle_ctes(n_merges: int = _BPE_MERGES,
+                     min_freq: int = _BPE_MIN_FREQ) -> str:
+    """The WITH-clause body that replays ``stages.textstats.bpe_train``
+    in SQL: distinct-word table → char-spaced segmentation → per round a
+    weighted adjacent-pair count, the (count desc, pair lex) argmax, and
+    a non-overlapping left-to-right merge application. The merge replace
+    uses the doubled-space trick (every adjacent pair gets its own
+    delimiters) with a PLAIN replace — byte-equivalent to the trainer's
+    lookaround regex, with no pattern-escaping hazard. MATERIALIZED CTEs
+    throughout (CLAUDE.md DuckDB rule: unrolled iterations explode
+    ~4^rounds when inlined)."""
+    parts = [f"""words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+seg_0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') AS seg, freq
+  FROM words)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+pairs_{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (
+    SELECT sym AS l, lead(sym) OVER (PARTITION BY seg ORDER BY pos) AS r,
+           freq
+    FROM (SELECT seg, freq,
+                 unnest(string_split(seg, ' ')) AS sym,
+                 generate_subscripts(string_split(seg, ' '), 1) AS pos
+          FROM seg_{i}))
+  WHERE r IS NOT NULL GROUP BY l, r),
+best_{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS rank, l, r, c FROM pairs_{i}
+  WHERE c >= {min_freq} ORDER BY c DESC, l, r LIMIT 1),
+seg_{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM best_{i}) = 0 THEN seg
+    ELSE trim(regexp_replace(replace(
+      ' ' || replace(seg, ' ', '  ') || ' ',
+      ' ' || (SELECT l FROM best_{i}) || '  ' || (SELECT r FROM best_{i})
+          || ' ',
+      ' ' || (SELECT l FROM best_{i}) || (SELECT r FROM best_{i}) || ' '),
+      ' +', ' ', 'g')) END AS seg, freq
+  FROM seg_{i})""")
+    return "".join(parts)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLY: per-document BPE token counts under the same
+    12-merge tokenizer ``bpe_merges`` trains — train once, broadcast the
+    rank map, encode each DISTINCT word once (vocabulary-bounded), then
+    a bucketed word join + per-doc sum (stages.textstats.bpe_encode).
+    SQL-oracled: the oracle replays the full train+apply in unrolled
+    MATERIALIZED CTEs (merging ranks in increasing order globally is
+    equivalent to the canonical lowest-rank-first apply, because a pair
+    learned at rank r can only contain symbols formed before r)."""
+    from ..stages.textstats import bpe_encode, bpe_train
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES,
+                       min_freq=_BPE_MIN_FREQ)
+    return bpe_encode(docs, "text", "doc_id", merges)
+
+
+ORACLE_SQL["bpe_token_counts"] = f"""
+WITH {_bpe_oracle_ctes()},
+vocab AS MATERIALIZED (
+  SELECT replace(seg, ' ', '') AS word,
+         CAST(len(string_split(seg, ' ')) AS BIGINT) AS ntok
+  FROM seg_{_BPE_MERGES}),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT d.doc_id, CAST(coalesce(sum(v.ntok), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, word FROM docw WHERE word <> '') w
+  ON w.doc_id = d.doc_id
+LEFT JOIN vocab v ON v.word = w.word
+GROUP BY d.doc_id
+"""
+
+ORACLE_SQL["bpe_merges"] = f"""
+WITH {_bpe_oracle_ctes()}
+SELECT rank, l AS "left", r AS "right", c AS pair_count
+FROM ({" UNION ALL ".join(f"SELECT * FROM best_{i}" for i in range(_BPE_MERGES))})
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic-synth structure oracles (image corpus) + HLL constant pin
+# ---------------------------------------------------------------------------
+
+
+def q_phash_dedup(sf_dir: str):
+    """D4: exact perceptual-hash dedup of the image corpus — one row per
+    distinct phash (deterministic min-id representative + dup_count),
+    projected to the SQL-derivable columns. The oracle replays the
+    synth's planted-duplicate structure (every 17th image re-renders its
+    predecessor — keep in sync with synth.images_block): identical
+    pixels ⇒ identical phash, and a cross-content phash collision would
+    fail the hash compare loudly."""
+    from ..stages.images import dedup_exact
+    from .rows_only import _images_ds
+
+    out = dedup_exact(_images_ds(sf_dir))
+    return out.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["image_id"], "dup_count": b["dup_count"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["phash_dedup"] = """
+WITH g AS (
+  SELECT doc_id AS i,
+         CASE WHEN doc_id % 17 = 0 AND doc_id > 0 THEN doc_id - 1
+              ELSE doc_id END AS content
+  FROM documents)
+SELECT 'img-' || printf('%012d', min(i)) AS image_id,
+       CAST(count(*) - 1 AS BIGINT) AS dup_count
+FROM g GROUP BY content
+"""
+
+
+def q_caption_consistency(sf_dir: str):
+    """Cross-modal QA: duplicate-pixel image groups (same phash) with
+    caption agreement stats (stages.images.caption_consistency),
+    projected to the SQL-derivable columns. Oracle = the synth's planted
+    structure: dup groups are {i−1, i} for i ≡ 0 (mod 17), and the
+    mirror keeps its predecessor's caption only when i ≡ 0 (mod 34)
+    (keep in sync with synth.images_block)."""
+    from ..stages.images import caption_consistency
+    from .rows_only import _images_ds
+
+    out = caption_consistency(_images_ds(sf_dir))
+    return out.map_batches(
+        lambda b: pa.table({
+            "image_id": b["image_id"],
+            "n_images": b["n_images"],
+            "n_captions": b["n_captions"],
+            "consistent": b["consistent"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["caption_consistency"] = """
+SELECT 'img-' || printf('%012d', doc_id - 1) AS image_id,
+       CAST(2 AS BIGINT) AS n_images,
+       CAST(CASE WHEN doc_id % 34 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_captions,
+       (doc_id % 34 = 0) AS consistent
+FROM documents
+WHERE doc_id % 17 = 0 AND doc_id > 0
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct counts over the events table
+    (stages.groupops.approx_distinct — fixed 2^12-register partials per
+    batch, registers not rows cross the shuffle; ~1.6% standard error).
+    The estimator is a DETERMINISTIC function of the input, so its exact
+    outputs are pinned as a constant-compare oracle keyed on the corpus
+    size (the r4 VERDICT's suggested form for sketch queries)."""
+    from ..stages.groupops import approx_distinct
+
+    rows = []
+    for col in ("user_id", "event_id"):
+        ds = _rpq(f"{sf_dir}/events.parquet", columns=[col])
+        rows.append({"column": col, "n_distinct_est": approx_distinct(ds, col)})
+    return pa.Table.from_pylist(rows)
+
+
+# constant pin: deterministic HLL estimates per corpus size (sf 0.001 /
+# 0.01 / 0.1); an unknown corpus size yields zero oracle rows → loud
+# row-count mismatch rather than a silent pass
+ORACLE_SQL["approx_distinct"] = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT v.col AS "column", CAST(v.est AS BIGINT) AS n_distinct_est
+FROM (VALUES
+  (1000,   'user_id', 15),   (1000,   'event_id', 998),
+  (10000,  'user_id', 150),  (10000,  'event_id', 10303),
+  (100000, 'user_id', 1500), (100000, 'event_id', 98917)
+) AS v(rows, col, est), n
+WHERE v.rows = n.c
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------

@@ -61,9 +61,10 @@ def q_images_validate(sf_dir: str):
     return out.drop_columns(["bytes"])
 
 
-def q_phash_dedup(sf_dir: str):
-    """D4: exact perceptual-hash dedup of the image corpus → one row per
-    distinct phash (representative image_id + dup_count)."""
+def q_phash_full(sf_dir: str):
+    """D4: exact perceptual-hash dedup WITH the phash column (the
+    SQL-oracled ``phash_dedup`` projects it away — this rows-only
+    variant keeps the sketch itself for downstream joins)."""
     from ..stages.images import dedup_exact
 
     return dedup_exact(_images_ds(sf_dir))
@@ -76,9 +77,11 @@ def q_image_neardup_pairs(sf_dir: str):
     return near_dup_pairs(_images_ds(sf_dir), max_hamming=6)
 
 
-def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidates on the derived document corpus
-    (the sketch counterpart of the SQL-oracled ngram_neardup_pairs)."""
+def q_minhash_est_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates scored by the ESTIMATED Jaccard
+    (matching-minhash fraction) — the sketch-only variant next to the
+    SQL-oracled exact-verified ``minhash_pairs``. Rows-only: the
+    estimate is a property of the signatures, not of the documents."""
     from ..stages.dedup import minhash_lsh_pairs
     from .corpus_queries import _derived_corpus
 
@@ -126,15 +129,6 @@ def q_image_cells(sf_dir: str):
 
     ds = assign_cells(_images_ds(sf_dir), num_buckets=64)
     return ds.groupby("bucket").aggregate(Count(alias_name="n_images"))
-
-
-def q_caption_consistency(sf_dir: str):
-    """Cross-modal QA: duplicate-pixel image groups (same phash) with
-    conflicting captions (stages.images.caption_consistency; approximate
-    phash grouping — semantics pinned by tests, so rows-only)."""
-    from ..stages.images import caption_consistency
-
-    return caption_consistency(_images_ds(sf_dir))
 
 
 def q_marked_counters(sf_dir: str):
@@ -227,20 +221,6 @@ def q_pq_knn(sf_dir: str):
             batch_format="pyarrow")]
     )
     return pq_topk(emb, queries, k=5, m_sub=8, n_centroids=64)
-
-
-def q_approx_distinct(sf_dir: str):
-    """HyperLogLog approximate distinct counts over the events table
-    (stages.groupops.approx_distinct — fixed 2^12-register partials per
-    batch, registers not rows cross the shuffle; ~1.6% standard error,
-    accuracy pinned by tests, so rows-only)."""
-    from ..stages.groupops import approx_distinct
-
-    rows = []
-    for col in ("user_id", "event_id"):
-        ds = _rpq(f"{sf_dir}/events.parquet", columns=[col])
-        rows.append({"column": col, "n_distinct_est": approx_distinct(ds, col)})
-    return pa.Table.from_pylist(rows)
 
 
 def q_nsw_knn(sf_dir: str):
@@ -754,20 +734,6 @@ def q_hybrid_search(sf_dir: str):
             ),
         }
     )
-
-
-def q_bpe_token_counts(sf_dir: str):
-    """Tokenizer APPLY: per-document BPE token counts under the same
-    12-merge tokenizer `bpe_merges` trains — train once, broadcast the
-    rank map, encode each DISTINCT word once (vocabulary-bounded), then
-    a pure per-doc lookup-sum (stages.textstats.bpe_encode). Rows-only
-    (the merge loop is not SQL-expressible); parity with a single-process
-    encode pinned by tests."""
-    from ..stages.textstats import bpe_encode, bpe_train
-
-    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    merges = bpe_train(docs, "text", n_merges=12, min_freq=2)
-    return bpe_encode(docs, "text", "doc_id", merges)
 
 
 def q_kmeans_clusters(sf_dir: str):

@@ -912,8 +912,24 @@ def prefix_jaccard_pairs(
         "id_a", "id_b", num_buckets=max(8, num_buckets // 2),
     ).materialize()
 
-    # per-doc SORTED gram lists, semi-filtered to candidate docs before the
-    # heavy list payload crosses the verify joins
+    return verify_pairs_exact(exploded, cands, threshold, num_buckets)
+
+
+def verify_pairs_exact(exploded, cands, threshold: float,
+                       num_buckets: int = 64):
+    """EXACT-Jaccard verification of a candidate pair set — the confirm
+    half of every two-phase (propose/verify) near-dup join here. The
+    per-doc SORTED gram lists are semi-filtered to candidate docs before
+    the heavy list payload crosses the two verify joins, so cost scales
+    with candidates, never the corpus. ``exploded`` is the
+    (shingle, doc_id, n_sh) table (``_explode_shingles``); ``cands`` a
+    MATERIALIZED (id_a, id_b) Dataset. Returns the
+    ``ngram_jaccard_pairs`` output contract (id_a, id_b, shared,
+    jaccard ≥ threshold, 6-dp) — a candidate producer with complete
+    recall at the threshold therefore shares its DuckDB oracle."""
+    from .groupops import bucketed_group_apply
+    from .joins import bucket_hash_join, semi_join_shuffled
+
     def doc_lists(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "shingle"], kind="mergesort")
         d = g["doc_id"].to_numpy()
@@ -986,5 +1002,158 @@ def prefix_jaccard_pairs(
                 "jaccard": pa.array(np.round(jac, 6)),
             }
         ).filter(pa.array(keep))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_verified(
+    docs_ds,
+    threshold: float = 0.6,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """MinHash-LSH propose → EXACT verify, the standard two-phase
+    near-dup join at web scale: banding finds candidate pairs in
+    sub-quadratic time (signatures cross the shuffle, never documents),
+    then ``verify_pairs_exact`` intersects the real shingle sets so the
+    output carries TRUE Jaccard — an estimate can neither admit a false
+    pair nor mis-rank a true one. When banding recall is complete at the
+    threshold (16 bands × 4 rows catch a J=0.6 pair w.p. ≈0.89 at the
+    boundary and ≈1 above it; completeness on the test corpora is pinned
+    by tests + the shared hash oracle), the output EQUALS
+    ``ngram_jaccard_pairs`` — same columns, same values, same DuckDB
+    oracle. The corpus is touched twice (signatures, then candidate-doc
+    gram lists) and both passes are pure maps + bucketed shuffles."""
+    cands = minhash_lsh_pairs(
+        docs_ds, threshold=0.0, bands=bands, k=k,
+        text_col=text_col, id_col=id_col,
+    ).map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    exploded = docs_ds.map_batches(
+        lambda b: _explode_shingles(b, k, text_col, id_col, None),
+        batch_format="pyarrow",
+    )
+    return verify_pairs_exact(exploded, cands, threshold, num_buckets)
+
+
+def simhash_dup_pairs(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_group: int = 10_000,
+):
+    """EXACT token-multiset duplicate pairs via SimHash blocking: simhash
+    is order-insensitive, so equal multisets ALWAYS collide — grouping on
+    the 64-bit code has complete recall by construction, and only the
+    8-byte code crosses the blocking shuffle. Each candidate pair is then
+    verified against the real canonicalized (sorted-token) strings, so a
+    64-bit collision can never fabricate a pair: the output is exactly
+    the multiset-duplicate pair set, which SQL expresses directly
+    (group docs on their sorted token list) — a full DuckDB oracle for
+    the SimHash blocking machinery. Output (id_a, id_b), id_a < id_b.
+
+    A simhash group larger than ``max_group`` raises loudly (pairs are
+    quadratic in group size and the exact contract forbids a silent cap —
+    same posture as ``prefix_jaccard_pairs``)."""
+    import pyarrow.compute as pc
+
+    from .groupops import bucketed_group_apply, group_pair_indices
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        vals = simhash64_many(batch[text_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "simhash": pa.array(vals, pa.int64()),
+        })
+
+    hashed = docs_ds.map_batches(with_hash, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["simhash", "doc_id"], kind="mergesort")
+        run = (g["simhash"] != g["simhash"].shift()).cumsum().to_numpy()
+        if run.size:
+            biggest = int(np.bincount(run).max())
+            if biggest > max_group:
+                raise ValueError(
+                    f"simhash_dup_pairs: a simhash group has {biggest} "
+                    f"docs (> max_group={max_group}); pair volume would "
+                    f"be quadratic. Deduplicate with exact_dedup first."
+                )
+        ia, ib = group_pair_indices(run, max_group=np.iinfo(np.int64).max)
+        if ia.size == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        d = g["doc_id"].to_numpy()
+        a, b = d[ia], d[ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    cands = bucketed_group_apply(
+        hashed, ["simhash"], bucket_pairs, num_buckets=num_buckets
+    ).materialize()
+    if cands.count() == 0:  # typed empty (group-apply output has no schema)
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        }))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "canon": pa.array(
+                [" ".join(sorted(t.split(" "))) if t else "" for t in texts],
+                pa.string(),
+            ),
+        })
+
+    def cand_ids(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
+
+    docs_c = semi_join_shuffled(
+        docs_ds.map_batches(canon, batch_format="pyarrow"),
+        cands.map_batches(cand_ids, batch_format="pyarrow"),
+        "doc_id", "doc_id", num_buckets=num_buckets,
+    ).materialize()
+
+    def ren(suffix: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"id_{suffix}": batch["doc_id"],
+                f"canon_{suffix}": batch["canon"],
+            })
+
+        return _r
+
+    j1 = bucket_hash_join(
+        cands, docs_c.map_batches(ren("a"), batch_format="pyarrow"),
+        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
+    )
+    j2 = bucket_hash_join(
+        j1, docs_c.map_batches(ren("b"), batch_format="pyarrow"),
+        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["canon_a"], batch["canon_b"])
+        out = batch.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "id_a": out["id_a"].cast(pa.int64()),
+            "id_b": out["id_b"].cast(pa.int64()),
+        })
 
     return j2.map_batches(verify, batch_format="pyarrow")

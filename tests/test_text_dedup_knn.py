@@ -159,6 +159,67 @@ class TestDedup:
         got = sorted((r["id_a"], r["id_b"]) for r in pairs)
         assert got == [(9, 10), (9, 100), (10, 100)]
 
+    def test_minhash_verified_equals_exact(self, ray_session):
+        """minhash_lsh_verified (propose/verify) must EQUAL the exact
+        ngram pair join — the recall-completeness pin that lets it share
+        ngram_neardup_pairs' DuckDB oracle."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import (
+            minhash_lsh_verified,
+            ngram_jaccard_pairs,
+        )
+
+        ds = ray.data.from_arrow(_docs())
+        want = {
+            (r["id_a"], r["id_b"]): (r["shared"], r["jaccard"])
+            for r in ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): (r["shared"], r["jaccard"])
+            for r in minhash_lsh_verified(ds, threshold=0.5).take_all()
+        }
+        assert got == want and len(got) >= 2
+
+    def test_simhash_dup_pairs_exact_multiset(self, ray_session):
+        """simhash_dup_pairs: complete recall on multiset duplicates
+        (including word-order permutations), exact precision (near-dup
+        texts rejected by the canonical-string verify)."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import simhash_dup_pairs
+
+        texts = [
+            "alpha beta gamma delta",
+            "alpha beta gamma delta",          # exact dup of 0
+            "delta gamma beta alpha",          # permutation of 0 — same multiset
+            "alpha beta gamma delta epsilon",  # superset — NOT a dup
+            "totally different words here",
+        ]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        pairs = simhash_dup_pairs(ray.data.from_arrow(t)).take_all()
+        got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+        assert got == [(0, 1), (0, 2), (1, 2)]
+
+    def test_simhash_dup_pairs_empty_typed(self, ray_session):
+        """No duplicate groups → an EMPTY result that still carries the
+        (id_a, id_b) schema (downstream unions need it)."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import simhash_dup_pairs
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["one two three", "four five six"]),
+        })
+        out = simhash_dup_pairs(ray.data.from_arrow(t))
+        assert out.count() == 0
+        sch = out.schema()
+        assert list(sch.names) == ["id_a", "id_b"]
+
 
 def _vectors(n=80, d=16, seed=5):
     rng = np.random.default_rng(seed)
