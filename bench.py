@@ -233,8 +233,77 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).materialize()
         return dedup_exact(validated.repartition(max(8, num_cpus // 2))).count()
 
+    # GRAFT_DOC_SCALE: text/corpus-family scale probe (VERDICT r4 #2 — the
+    # doc corpus is 5k rows at sf0.1, the only family whose 100× story was
+    # argued, not measured). When ≥ 1 is set, a synthetic document corpus
+    # of DOC_SCALE × the sf's documents count (synth.docs_block: Heaps-law
+    # tail vocabulary, constant planted-dup RATE) is materialized once and
+    # the four text workhorses run over it as separate timings:
+    # minhash-LSH pair-gen, duplicate_spans, BPE train+apply, BM25 top-k.
+    # Driver peak RSS rides along in the result (the vocab-join designs
+    # must keep it flat as the vocabulary grows).
+    doc_scale = float(os.environ.get("GRAFT_DOC_SCALE", "1"))
+
+    def run_textscale():
+        from overmatch_ray.stages.dedup import (
+            duplicate_spans,
+            minhash_lsh_pairs,
+        )
+        from overmatch_ray.stages.textstats import (
+            bm25_topk,
+            bpe_encode,
+            bpe_train,
+        )
+
+        n_base = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()
+        n_docs_scaled = int(doc_scale * n_base)
+        dcache = f"/tmp/overmatch_bench/docs-v1-{_sf_of(sf_dir)}-d{doc_scale:g}"
+        if not os.path.exists(os.path.join(dcache, "_SUCCESS")):
+            from overmatch_ray.synth import docs_block
+
+            os.makedirs(dcache, exist_ok=True)
+            ray.data.range(
+                n_docs_scaled,
+                override_num_blocks=max(16, n_docs_scaled // 20_000),
+            ).map_batches(
+                lambda b: docs_block(b["id"], n_total=n_docs_scaled),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(dcache, "docs"))
+            open(os.path.join(dcache, "_SUCCESS"), "w").close()
+
+        def docs():
+            return ray.data.read_parquet(
+                os.path.join(dcache, "docs"), columns=["doc_id", "text"]
+            ).repartition(max(16, num_cpus))
+
+        counts = {}
+        t0 = time.time()
+        counts["minhash_pairs"] = minhash_lsh_pairs(
+            docs(), threshold=0.5
+        ).count()
+        timings["textscale_minhash"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        counts["dup_spans"] = duplicate_spans(docs()).count()
+        timings["textscale_spans"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        merges = bpe_train(docs(), "text", n_merges=12, min_freq=2)
+        counts["bpe_docs"] = bpe_encode(
+            docs(), "text", "doc_id", merges
+        ).count()
+        timings["textscale_bpe"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        counts["bm25_topk"] = len(
+            bm25_topk(docs(), ["hash", "join", "scan"], k=10)
+        )
+        timings["textscale_bm25"] = round(time.time() - t0, 3)
+        counts["n_docs_scaled"] = n_docs_scaled
+        return counts
+
     # GRAFT_STAGES: comma-list subset of conflate,images,postmatch,
     # textdedup,corpusprep,spatial,pricing_summary,priority_revenue
+    # (+ textscale, which additionally needs GRAFT_DOC_SCALE) —
     # (default all) — the scale probe runs only the shuffle-bound stages
     stages_env = os.environ.get("GRAFT_STAGES", "")
     stages = set(s.strip() for s in stages_env.split(",") if s.strip()) or None
@@ -310,6 +379,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("pricing_summary", lambda: q_pricing_summary(sf_dir).to_pandas())
     if want("priority_revenue"):
         timed("priority_revenue", lambda: q_priority_revenue(sf_dir).to_pandas())
+    textscale_counts = (
+        run_textscale() if doc_scale != 1 and want("textscale") else None
+    )
 
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
@@ -344,8 +416,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ),
         "peak_object_store_gb": round(peak["bytes"] / 2**30, 2),
     }
+    import resource
+
+    result["driver_peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2
+    )
     if scale != 1:
         result["scale"] = scale
+    if textscale_counts is not None:
+        result["doc_scale"] = doc_scale
+        result["textscale"] = textscale_counts
     ray.shutdown()
     return result
 

@@ -741,45 +741,50 @@ def q_distance_join_100m(sf_dir: str):
             "bucket", pa.array((cell.view(np.uint64) % np.uint64(32)).astype(np.int64))
         )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1].sort_values("cell", kind="mergesort")
-        if a.empty or b.empty:
-            # typed empty: untyped [] columns become null-typed Arrow
-            # blocks and trip the executor's schema-divergence warning
-            return pd.DataFrame(
-                {
-                    "cust_id": pd.Series(dtype=np.int64),
-                    "order_id": pd.Series(dtype=np.int64),
-                    "dist_m": pd.Series(dtype=np.float64),
-                }
-            )
-        bc = b["cell"].to_numpy()
-        lo = np.searchsorted(bc, a["cell"].to_numpy(), "left")
-        hi = np.searchsorted(bc, a["cell"].to_numpy(), "right")
-        counts = hi - lo
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r4 #4): numpy views straight off the
+        # Arrow block, no pandas frame per bucket
         from ..stages.groupops import concat_ranges
 
-        ai = np.repeat(np.arange(len(a)), counts)
-        bi = concat_ranges(lo, hi)
-        ax = a["x"].to_numpy()[ai]
-        ay = a["y"].to_numpy()[ai]
-        bx = b["x"].to_numpy()[bi]
-        by = b["y"].to_numpy()[bi]
-        d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)  # matches SQL sqrt form
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = g["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        a_idx = np.flatnonzero(side == 0)
+        b_idx = np.flatnonzero(side != 0)
+        # typed empty: untyped [] columns become null-typed Arrow blocks
+        # and trip the executor's schema-divergence warning
+        empty = pa.table({
+            "cust_id": pa.array([], pa.int64()),
+            "order_id": pa.array([], pa.int64()),
+            "dist_m": pa.array([], pa.float64()),
+        })
+        if a_idx.size == 0 or b_idx.size == 0:
+            return empty
+        bo = b_idx[np.argsort(cells[b_idx], kind="mergesort")]
+        bc = cells[bo]
+        lo = np.searchsorted(bc, cells[a_idx], "left")
+        hi = np.searchsorted(bc, cells[a_idx], "right")
+        counts = hi - lo
+        if not counts.sum():
+            return empty
+        ai = np.repeat(a_idx, counts)
+        bi = bo[concat_ranges(lo, hi)]
+        d = np.sqrt((x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2)  # SQL form
         m = d <= 100.0
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cust_id": a["id"].to_numpy()[ai][m],
-                "order_id": b["id"].to_numpy()[bi][m],
-                "dist_m": np.round(d[m], 1),
+                "cust_id": pa.array(ids[ai][m]),
+                "order_id": pa.array(ids[bi][m]),
+                "dist_m": pa.array(np.round(d[m], 1)),
             }
         )
 
     return (
         both.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 

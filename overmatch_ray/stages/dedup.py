@@ -491,6 +491,26 @@ def minhash_signature(sh: np.ndarray, num_perm: int = _NUM_PERM) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def minhash_signature_batch(shingles: "list[np.ndarray]") -> np.ndarray:
+    """(n_docs, 64) minhash signatures for a whole batch in ONE numpy
+    sweep: all docs' shingles concatenate into a single (S, 64) affine-
+    hash matrix and ``np.minimum.reduceat`` folds per-doc minima — no
+    per-document Python in the loop (bit-identical to the scalar
+    ``minhash_signature``, pinned by test). Empty docs get the all-max
+    sentinel signature, same as the scalar path."""
+    n = len(shingles)
+    out = np.full((n, _NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sizes = np.array([sh.size for sh in shingles], dtype=np.int64)
+    nz = np.flatnonzero(sizes)
+    if nz.size == 0:
+        return out
+    concat = np.concatenate([shingles[i] for i in nz])
+    vals = (concat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) & _MASK
+    starts = np.concatenate([[0], np.cumsum(sizes[nz])[:-1]])
+    out[nz] = np.minimum.reduceat(vals, starts, axis=0)
+    return out
+
+
 _PERM_A, _PERM_B = _perm_params(_NUM_PERM)
 
 
@@ -501,45 +521,41 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _emit_est: bool = True,
 ):
     """Candidate pairs from banded minhash, scored by estimated Jaccard
     (fraction of matching minhashes) ≥ threshold. 16 bands × 4 rows catches
-    J=0.5 pairs w.p. ~0.9998."""
+    J=0.5 pairs w.p. ~0.9998.
+
+    Signature work is ONE numpy sweep per batch
+    (``minhash_signature_batch`` — no per-document Python). With
+    ``_emit_est=False`` (the verified path, which re-scores candidates
+    exactly anyway) the banded rows carry only (id, band, band_hash) —
+    8 KB/doc of tiled signature payload never enters the shuffle, the
+    measured store cost at corpus scale."""
     rows_per_band = _NUM_PERM // bands
+    band_starts = np.arange(0, _NUM_PERM, rows_per_band)
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        out_id, out_band, out_bh, out_sig = [], [], [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         shingles = shingle_hashes_batch(batch[text_col].to_pylist(), k)
-        for did, sh in zip(batch[id_col].to_pylist(), shingles):
-            sig = minhash_signature(sh)
-            bh = _splitmix64(
-                np.add.reduceat(
-                    _splitmix64(sig), np.arange(0, _NUM_PERM, rows_per_band)
-                )
-            ).view(np.int64)
-            out_id.append(np.full(bands, did, dtype=np.int64))
-            out_band.append(np.arange(bands, dtype=np.int8))
-            out_bh.append(bh)
-            out_sig.append(np.tile(sig.view(np.int64), (bands, 1)))
-        if not out_id:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int8()),
-                    "band_hash": pa.array([], pa.int64()),
-                    "sig": pa.array([], pa.list_(pa.int64())),
-                }
+        sig = minhash_signature_batch(shingles)  # (n, 64)
+        bh = _splitmix64(
+            np.add.reduceat(_splitmix64(sig.ravel()).reshape(sig.shape),
+                            band_starts, axis=1).ravel()
+        ).view(np.int64)  # (n*bands,) row-major: doc-major, band-minor
+        n = ids.size
+        cols = {
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int8), n)),
+            "band_hash": pa.array(bh),
+        }
+        if _emit_est:
+            cols["sig"] = pa.array(
+                np.repeat(sig.view(np.int64), bands, axis=0).tolist(),
+                pa.list_(pa.int64()),
             )
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(out_id)),
-                "band": pa.array(np.concatenate(out_band)),
-                "band_hash": pa.array(np.concatenate(out_bh)),
-                "sig": pa.array(
-                    np.concatenate(out_sig, axis=0).tolist(), pa.list_(pa.int64())
-                ),
-            }
-        )
+        return pa.table(cols)
 
     exploded = docs_ds.map_batches(sig_rows, batch_format="pyarrow")
 
@@ -556,19 +572,25 @@ def minhash_lsh_pairs(
         )
         ia, ib = group_pair_indices(run, 1000)
         if ia.size == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64),
-                 "id_b": pd.Series(dtype=np.int64),
-                 "est_jaccard": pd.Series(dtype=np.float64)}
-            )
+            cols = {"id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64)}
+            if _emit_est:
+                cols["est_jaccard"] = pd.Series(dtype=np.float64)
+            return pd.DataFrame(cols)
         ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        m = est >= threshold
-        a, b = ids[ia[m]], ids[ib[m]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if _emit_est:
+            sigs = np.stack(g["sig"].to_numpy())
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            m = est >= threshold
+            a, b = ids[ia[m]], ids[ib[m]]
+            return pd.DataFrame({
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "est_jaccard": np.round(est[m], 6),
+            })
+        a, b = ids[ia], ids[ib]
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "est_jaccard": np.round(est[m], 6)}
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
         )
 
     pairs = bucketed_group_apply(
@@ -1029,10 +1051,7 @@ def minhash_lsh_verified(
     gram lists) and both passes are pure maps + bucketed shuffles."""
     cands = minhash_lsh_pairs(
         docs_ds, threshold=0.0, bands=bands, k=k,
-        text_col=text_col, id_col=id_col,
-    ).map_batches(
-        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
-        batch_format="pyarrow",
+        text_col=text_col, id_col=id_col, _emit_est=False,
     ).materialize()
     exploded = docs_ds.map_batches(
         lambda b: _explode_shingles(b, k, text_col, id_col, None),

@@ -164,18 +164,42 @@ def broadcast_join(
     right_on: str,
     how: str = "inner",
 ):
-    """left ⋈ broadcast(right). Right side shipped once via ray.put."""
+    """left ⋈ broadcast(right). Right side shipped once via ray.put.
+
+    Arrow in/out (VERDICT r4 #4): the per-batch merge runs the same
+    vectorized ``_join_indices`` selector the bucketed join uses — no
+    pandas round-trip, no float64 null-pad upcast to repair after. Payload
+    columns of the two sides must be disjoint (same contract as
+    ``bucket_hash_join``); the zero-copy Arrow blocks ship straight from
+    the object store into the kernel."""
     import ray
 
     from .enrich import _cached_get
 
-    right_ref = ray.put(right_table.to_pandas())  # convert once, ship once
+    overlap = [
+        n for n in right_table.column_names
+        if n != right_on and n in getattr(left_ds.schema(), "names", [])
+    ]
+    if overlap:
+        raise ValueError(
+            f"broadcast_join: overlapping payload columns {overlap}; "
+            "rename one side (disjoint-columns contract)"
+        )
+    right_ref = ray.put(right_table.combine_chunks())  # ship once
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def join_batch(batch: pa.Table) -> pa.Table:
         right = _cached_get(right_ref)  # per-worker cached deserialization
-        return batch.merge(right, left_on=left_on, right_on=right_on, how=how)
+        li, ri = _join_indices([batch[left_on]], [right[right_on]], how)
+        cols = {}
+        for n, t in zip(batch.column_names, batch.schema.types):
+            cols[n] = _take_pad(batch[n], li, t)
+        for n, t in zip(right.column_names, right.schema.types):
+            if n == right_on and right_on == left_on:
+                continue  # single key column, from the left side
+            cols[n] = _take_pad(right[n], ri, t)
+        return pa.table(cols)
 
-    return left_ds.map_batches(join_batch, batch_format="pandas")
+    return left_ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def semi_join_filter(left_ds, keys: set | np.ndarray, on: str, anti: bool = False):

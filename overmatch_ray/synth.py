@@ -421,3 +421,68 @@ def images_meta_block(idx: np.ndarray, min_px: int = 16, max_px: int = 64) -> pa
             "h": pa.array(h.astype(np.int32), pa.int32()),
         }
     )
+
+
+_DOC_CORE = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "join", "sort", "shuffle", "block", "index",
+    "read", "write", "filter", "group", "count", "sum", "spill", "actor",
+    "task", "plan", "stage", "stream", "arrow", "pool", "queue", "store",
+    "cache", "page", "disk", "net", "cpu", "ram", "node",
+]
+_DOC_LANGS = ["en", "es", "de", "fr", "zh"]
+_DOC_SOURCES = ["web", "wiki", "forum", "docs"]
+
+
+def docs_block(idx: np.ndarray, n_total: int, mean_tokens: int = 50,
+               tail_every: int = 6) -> pa.Table:
+    """Deterministic document rows with the testdata schema
+    (doc_id, text, lang, source, n_chars) for corpus-scale probes.
+
+    Web-corpus-shaped on the axes the text family stresses:
+    - a Zipf-ish CORE vocabulary plus a LONG TAIL of per-corpus words
+      ("t<hex>", ~1 tail word per ``tail_every`` tokens, tail-vocab size
+      ∝ corpus size) — so distinct-word tables grow with the corpus the
+      way Heaps' law says they do, which is exactly what the BPE /
+      vocab-join driver-RSS probes need to exercise;
+    - a constant planted-duplicate RATE, not constant group size: every
+      17th doc re-renders its predecessor (same contract as
+      ``images_block``), so dedup pair volume stays linear at any scale.
+
+    Counter-hash deterministic (no RNG state): identical at any batch
+    partitioning."""
+    idx = np.asarray(idx, dtype=np.int64)
+    content_idx = np.where((idx % 17 == 0) & (idx > 0), idx - 1, idx)
+    lens = (
+        mean_tokens // 2
+        + (_splitmix64(content_idx.astype(np.uint64) ^ _U64(70))
+           % _U64(mean_tokens)).astype(np.int64)
+    )
+    texts: list = [None] * len(idx)
+    core = np.array(_DOC_CORE, dtype=object)
+    for i, (ci, ln) in enumerate(zip(content_idx, lens)):
+        pos = np.arange(ln, dtype=np.uint64)
+        h = _splitmix64(pos * _U64(0x9E3779B97F4A7C15) ^ _U64(int(ci) * 2654435761 + 71))
+        # Zipf-ish core draw: square the uniform so low ranks dominate
+        u = h.astype(np.float64) / 2.0**64
+        ranks = (u * u * len(core)).astype(np.int64)
+        toks = core[ranks].copy()
+        tail = np.flatnonzero(pos % _U64(tail_every) == _U64(tail_every - 1))
+        if tail.size:
+            # tail-word ids spread over a corpus-proportional domain
+            tw = _splitmix64(h[tail]) % _U64(max(n_total // 2, 1))
+            toks[tail] = np.array(
+                [f"t{int(v):x}" for v in tw], dtype=object
+            )
+        texts[i] = " ".join(toks.tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(idx),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(_pick(_DOC_LANGS, content_idx, 72), pa.string()),
+            "source": pa.array(_pick(_DOC_SOURCES, content_idx, 73), pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )

@@ -159,6 +159,21 @@ class TestDedup:
         got = sorted((r["id_a"], r["id_b"]) for r in pairs)
         assert got == [(9, 10), (9, 100), (10, 100)]
 
+    def test_minhash_signature_batch_parity(self):
+        """The batched one-sweep signature kernel is bit-identical to the
+        scalar per-doc path, empty docs included."""
+        from overmatch_ray.stages.dedup import (
+            minhash_signature,
+            minhash_signature_batch,
+            shingle_hashes_batch,
+        )
+
+        texts = _docs()["text"].to_pylist() + ["", None, "one token only x"]
+        shingles = shingle_hashes_batch(texts, 3)
+        batched = minhash_signature_batch(shingles)
+        for i, sh in enumerate(shingles):
+            assert np.array_equal(batched[i], minhash_signature(sh)), i
+
     def test_minhash_verified_equals_exact(self, ray_session):
         """minhash_lsh_verified (propose/verify) must EQUAL the exact
         ngram pair join — the recall-completeness pin that lets it share
