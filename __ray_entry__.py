@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,
+        "match_diff": ro.q_match_diff,
+        "incremental_match_tiles": ro.q_incremental_match_tiles,
         "winnow_pairs": ro.q_winnow_pairs,
         "langid_docs": ro.q_langid_docs,
         "pq_knn": ro.q_pq_knn,

@@ -452,6 +452,85 @@ def q_dirty_tiles(sf_dir: str):
     return dirty_tiles(old, new)
 
 
+def _perturbed_matches(matches):
+    """Tonight's match table as a deterministic perturbation of last
+    night's (key-derived, partition-invariant): osm suffix % 5 == 0
+    dropped (removed), % 7 == 1 gets a tag edit (changed), % 11 == 2
+    additionally emits a re-keyed overture twin (added)."""
+    def perturb(batch: pa.Table) -> pa.Table:
+        suf = np.array(
+            [int(s.rsplit("/", 1)[1]) for s in batch["osm_id"].to_pylist()],
+            np.int64,
+        )
+        t = batch.filter(pa.array(suf % 5 != 0))
+        suf_t = suf[suf % 5 != 0]
+        tags = t["overture_tags"].to_pylist()
+        tags = [
+            (tg or "") + ' {"edited":1}' if s % 7 == 1 else tg
+            for tg, s in zip(tags, suf_t)
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("overture_tags"), "overture_tags",
+            pa.array(tags, pa.string()),
+        )
+        add_mask = suf_t % 11 == 2
+        if add_mask.any():
+            a = t.filter(pa.array(add_mask))
+            a = a.set_column(
+                a.schema.get_field_index("overture_id"), "overture_id",
+                pa.array(
+                    [f"{v}-new" for v in a["overture_id"].to_pylist()],
+                    pa.string(),
+                ),
+            )
+            t = pa.concat_tables([t, a])
+        return t
+
+    return matches.map_batches(perturb, batch_format="pyarrow")
+
+
+def q_match_diff(sf_dir: str):
+    """Nightly incremental conflation CDC (stages.enrich.match_diff):
+    diff last night's flagship match table against a deterministic
+    perturbation of it → (osm_id, overture_id, change_type, lon, lat).
+    One conflation run feeds both sides (materialized once). Rows-only;
+    classification semantics are pinned by tests."""
+    from ..stages.enrich import match_diff
+    from .conflate import flagship_matches
+
+    matches = flagship_matches(sf_dir).repartition(32).materialize()
+    out = match_diff(matches, _perturbed_matches(matches))
+    return out.map_batches(
+        lambda b: pa.table({
+            "osm_id": b["osm_id"],
+            "overture_id": b["overture_id"],
+            "change_type": b["change_type"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_incremental_match_tiles(sf_dir: str):
+    """Dirty-tile republish after the nightly match diff
+    (stages.tiles.incremental_tiles over stages.enrich.match_diff): only
+    tiles containing a diff row are rebuilt, byte-identical to the same
+    tiles of a full rebuild (equality pinned by tests — that equality IS
+    the incremental path's correctness argument)."""
+    from ..stages.enrich import match_diff
+    from ..stages.tiles import incremental_tiles
+    from .conflate import flagship_matches
+
+    matches = flagship_matches(sf_dir).repartition(32).materialize()
+    new = _perturbed_matches(matches).materialize()
+    diff = match_diff(matches, new).materialize()
+    tiles = incremental_tiles(new, diff, zooms=[8, 12], max_per_tile=200)
+    return tiles.map_batches(
+        lambda b: b.select(["zoom", "tx", "ty", "n_features"])
+        if "n_features" in b.column_names else b,
+        batch_format="pyarrow",
+    )
+
+
 def q_s2_cells(sf_dir: str):
     """S2 cell encode + hierarchy rollup — the north star's literal
     "S2 level-14" index (overmatch_ray/s2.py, pure-numpy Hilbert-curve

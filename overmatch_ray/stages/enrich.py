@@ -286,3 +286,116 @@ def marked_counters(enriched_ds):
           ("n_overture_marked", totals["sum(n_overture_marked)"]),
           ("n_both_marked", totals["sum(n_both_marked)"]))}
     )
+
+
+def match_diff(old_ds, new_ds, num_buckets: int = 32):
+    """Nightly incremental conflation CDC (r4 VERDICT #5; reference
+    semantics: the nightly full rebuild + DynamoDB first_seen/last_seen
+    upsert, reference api/db.py:54-91): diff two match tables on the
+    EXACT (osm_id, overture_id) pair key → one row per difference with
+    ``change_type`` ∈ added / removed / changed.
+
+    - ``changed`` = any of (distance_m, similarity, overture_tags)
+      differ; distance/similarity compare as decimeter / 1e-6 ints (the
+      match contract's own quantization — no float equality), tags by a
+      blake2b content hash folded BEFORE the shuffle (16 B crosses, not
+      tag blobs).
+    - The join key is the literal pair STRING (osm_id ∥ 0x1F ∥
+      overture_id) — exact, no 64-bit-collision misclassification;
+      ``bucket_hash_join`` hashes it only for routing.
+    - Each output row carries the surviving side's (lon, lat) so
+      dirty-tile selection (``stages.tiles.incremental_tiles``) knows
+      where to republish.
+
+    One bucketed OUTER hash join; both sides are manifest-shaped
+    projections, unchanged pairs are dropped in the classify map, so
+    output ≪ input at steady state."""
+    import pyarrow.compute as pc
+
+    from .joins import bucket_hash_join
+
+    def manifest(suffix: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            osm = batch["osm_id"].to_pylist()
+            ovt = batch["overture_id"].to_pylist()
+            tags = batch["overture_tags"].to_pylist()
+            d10 = np.round(
+                batch["distance_m"].to_numpy(zero_copy_only=False) * 10.0
+            ).astype(np.int64)
+            s6 = np.round(
+                batch["similarity"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            th = [
+                hashlib.blake2b(
+                    (t or "").encode(), digest_size=8
+                ).hexdigest()
+                for t in tags
+            ]
+            return pa.table({
+                f"pair_{suffix}": pa.array(
+                    [f"{a}\x1f{b}" for a, b in zip(osm, ovt)], pa.string()
+                ),
+                f"lon_{suffix}": batch["lon"],
+                f"lat_{suffix}": batch["lat"],
+                f"d10_{suffix}": pa.array(d10),
+                f"s6_{suffix}": pa.array(s6),
+                f"th_{suffix}": pa.array(th, pa.string()),
+            })
+
+        return _m
+
+    old_m = old_ds.map_batches(manifest("o"), batch_format="pyarrow").materialize()
+    new_m = new_ds.map_batches(manifest("n"), batch_format="pyarrow").materialize()
+    joined = bucket_hash_join(
+        old_m, new_m, "pair_o", "pair_n", how="outer",
+        num_buckets=num_buckets,
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        has_o = pc.is_valid(batch["pair_o"]).to_numpy(zero_copy_only=False)
+        has_n = pc.is_valid(batch["pair_n"]).to_numpy(zero_copy_only=False)
+        same = (
+            has_o & has_n
+            & (pc.fill_null(batch["d10_o"], -1).to_numpy(zero_copy_only=False)
+               == pc.fill_null(batch["d10_n"], -2).to_numpy(zero_copy_only=False))
+            & (pc.fill_null(batch["s6_o"], -1).to_numpy(zero_copy_only=False)
+               == pc.fill_null(batch["s6_n"], -2).to_numpy(zero_copy_only=False))
+            & (pc.fill_null(batch["th_o"], "").to_numpy(zero_copy_only=False)
+               == pc.fill_null(batch["th_n"], "!").to_numpy(zero_copy_only=False))
+        )
+        keep = ~same
+        t = batch.filter(pa.array(keep))
+        has_o = has_o[keep]
+        has_n = has_n[keep]
+        typ = np.where(
+            ~has_o, "added", np.where(~has_n, "removed", "changed")
+        ).astype(object)
+        pair = np.where(
+            has_n,
+            pc.fill_null(t["pair_n"], "").to_numpy(zero_copy_only=False),
+            pc.fill_null(t["pair_o"], "").to_numpy(zero_copy_only=False),
+        )
+        lon = np.where(
+            has_n,
+            pc.fill_null(t["lon_n"], 0.0).to_numpy(zero_copy_only=False),
+            pc.fill_null(t["lon_o"], 0.0).to_numpy(zero_copy_only=False),
+        )
+        lat = np.where(
+            has_n,
+            pc.fill_null(t["lat_n"], 0.0).to_numpy(zero_copy_only=False),
+            pc.fill_null(t["lat_o"], 0.0).to_numpy(zero_copy_only=False),
+        )
+        split = [p.split("\x1f", 1) for p in pair.tolist()]
+        # old-side coordinate rides along (null for added): a changed pair
+        # whose feature MOVED dirties both its old and new tiles
+        return pa.table({
+            "osm_id": pa.array([s[0] for s in split], pa.string()),
+            "overture_id": pa.array([s[1] for s in split], pa.string()),
+            "change_type": pa.array(typ, pa.string()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon_old": t["lon_o"],
+            "lat_old": t["lat_o"],
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")

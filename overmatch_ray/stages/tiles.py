@@ -630,3 +630,91 @@ def build_hull_tiles(
     return bucketed_group_apply(
         hulls, ["tx", "ty"], encode_bucket, num_buckets=num_buckets
     )
+
+
+def incremental_tiles(
+    new_features_ds,
+    diff_ds,
+    zooms: "list[int]",
+    max_per_tile: int = 500,
+    num_buckets: int = 32,
+):
+    """Rebuild ONLY the dirty tiles after a nightly match diff (r4
+    VERDICT #5 — the match-side composition of ``enrich.match_diff`` and
+    ``dirty_tiles``): every diff row dirties the tile(s) containing its
+    new coordinate and, for changed/removed pairs, its old coordinate;
+    features of tonight's match table falling in a dirty tile are
+    selected by a broadcast key-set filter and re-encoded by the same
+    deterministic ``build_tiles`` path.
+
+    Because a tile's bytes are a pure function of exactly the features
+    inside it (deterministic cap + ordering — the O6 byte-determinism
+    contract), the rebuilt dirty tiles are BYTE-IDENTICAL to the
+    corresponding tiles of a full-pyramid rebuild; tests pin that
+    equality, which is the incremental path's correctness argument.
+
+    The dirty key set is diff-bounded (≪ #tiles at steady state) and
+    broadcasts once via ``ray.put``; the feature scan is one pure map."""
+    import ray as _ray
+
+    def dirty_keys_partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon_o = batch["lon_old"].to_numpy(zero_copy_only=False)
+        lat_o = batch["lat_old"].to_numpy(zero_copy_only=False)
+        has_old = ~np.isnan(lon_o)
+        keys = []
+        for z in zooms:
+            tx, ty = tile_xy(lon, lat, z)
+            keys.append(
+                (np.int64(z) << np.int64(44)) | (tx << np.int64(22)) | ty
+            )
+            if has_old.any():
+                txo, tyo = tile_xy(lon_o[has_old], lat_o[has_old], z)
+                keys.append(
+                    (np.int64(z) << np.int64(44)) | (txo << np.int64(22)) | tyo
+                )
+        return pa.table({"k": pa.array(np.unique(np.concatenate(keys)))})
+
+    dirty = np.unique(np.concatenate([
+        b["k"].to_numpy(zero_copy_only=False)
+        for b in diff_ds.map_batches(
+            dirty_keys_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    ] or [np.empty(0, np.int64)]))
+    dirty_ref = _ray.put(dirty)
+
+    # vectorized sorted-set membership — no Python dict probes
+    def in_dirty(batch: pa.Table) -> pa.Table:
+        dk = _ray.get(dirty_ref)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lon), dtype=bool)
+        if dk.size:
+            for z in zooms:
+                tx, ty = tile_xy(lon, lat, z)
+                k = (np.int64(z) << np.int64(44)) | (tx << np.int64(22)) | ty
+                pos = np.clip(np.searchsorted(dk, k), 0, dk.size - 1)
+                keep |= dk[pos] == k
+        return batch.filter(pa.array(keep))
+
+    subset = new_features_ds.map_batches(in_dirty, batch_format="pyarrow")
+    tiles = build_tiles(
+        subset, zooms=zooms, max_per_tile=max_per_tile,
+        num_buckets=num_buckets,
+    )
+
+    # a feature in a dirty z-a tile may land in a CLEAN z-b tile: keep
+    # only tiles whose own key is dirty
+    def only_dirty_tiles(batch: pa.Table) -> pa.Table:
+        dk = _ray.get(dirty_ref)
+        z = batch["zoom"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = batch["tx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch["ty"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (z << np.int64(44)) | (tx << np.int64(22)) | ty
+        if not dk.size:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(dk, k), 0, dk.size - 1)
+        return batch.filter(pa.array(dk[pos] == k))
+
+    return tiles.map_batches(only_dirty_tiles, batch_format="pyarrow")
