@@ -183,8 +183,19 @@ def write_pmtiles(
 
     entries: list[tuple[int, int, int, int]] = []
     # unique per-call sidecar (concurrent writers to the same target can't
-    # interleave), removed on ANY exit path
-    data_path = f"{path}.{_uuid.uuid4().hex[:12]}.data.tmp"
+    # interleave), removed on ANY exit path. URI outputs (s3://, file://,
+    # … — S16's one-config-value upload story, see state.fsio) spill the
+    # tile-data stream to local tmp and stream the final assembly to the
+    # object store.
+    if "://" in str(path):
+        import tempfile
+
+        data_path = _os.path.join(
+            tempfile.gettempdir(),
+            f"pmtiles.{_uuid.uuid4().hex[:12]}.data.tmp",
+        )
+    else:
+        data_path = f"{path}.{_uuid.uuid4().hex[:12]}.data.tmp"
     data_off = 0
     zmin, zmax = 99, 0
     n_addressed = 0
@@ -303,12 +314,11 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
     hdr[118] = zmin
     struct.pack_into("<ii", hdr, 119, 0, 0)
 
-    import os as _os
+    # atomic local write (tmp + rename) or a direct object-store stream
+    # for URI paths — state.fsio owns both contracts
+    from ..state import fsio
 
-    # assemble at a unique temp path, then atomic-rename: concurrent
-    # writers / crashes never leave a partial archive at the final path
-    final_tmp = data_path + ".archive"
-    with open(final_tmp, "wb") as f:
+    with fsio.open_write_atomic(path) as f:
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
@@ -316,7 +326,6 @@ def _assemble_pmtiles(path, data_path, entries, metadata, max_root_bytes,
         with open(data_path, "rb") as df:
             while chunk := df.read(1 << 22):
                 f.write(chunk)
-    _os.replace(final_tmp, path)
     n_leaves = (
         (len(entries) + _LEAF_ENTRIES - 1) // _LEAF_ENTRIES if leaf_bytes else 0
     )
@@ -341,7 +350,9 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
     """Minimal reader: header → root directory → (optional leaf) → raw MVT
     bytes. run_length=0 root entries point into the leaf-directory section
     (the spec's spill mechanism)."""
-    with open(path, "rb") as f:
+    from ..state import fsio
+
+    with fsio.open_read(path, "rb") as f:
         hdr = f.read(_HDR_LEN)
         if hdr[0:7] != _MAGIC or hdr[7] != 3:
             raise ValueError("not a PMTiles v3 archive")

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from . import fsio
+
 
 def upsert_tracking(ds, now_iso: str):
     """D1: merge tracking generations, preserving the earliest first_seen
@@ -56,12 +58,16 @@ class PartitionedSink:
     Layout:
         out_dir/part-<key>.parquet        (atomic: .tmp-* then rename)
         out_dir/_manifest/<key>.json      ({key, rows, metrics, complete})
+
+    ``out_dir`` may be a plain local path OR any fsspec URI (``file://``,
+    ``s3://``, …) — S16's object-store upload is this one config value
+    (VERDICT r4 #7; see ``state.fsio`` for the URI atomicity contract).
     """
 
     def __init__(self, out_dir: str, key_col: str, scheme: "str | None" = None):
         self.out_dir = out_dir
         self.key_col = key_col
-        os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+        fsio.makedirs(fsio.join(out_dir, "_manifest"))
         if scheme is not None:
             self._check_scheme(scheme)
 
@@ -72,9 +78,9 @@ class PartitionedSink:
         old 'complete' partition ids and silently never write rows the new
         scheme maps to them — so the scheme is stamped in a sentinel and a
         mismatch (or an unstamped non-empty manifest) refuses to resume."""
-        spath = os.path.join(self.out_dir, "_manifest", "_scheme.json")
-        if os.path.exists(spath):
-            recorded = json.load(open(spath)).get("scheme")
+        spath = fsio.join(self.out_dir, "_manifest", "_scheme.json")
+        if fsio.exists(spath):
+            recorded = fsio.read_json(spath).get("scheme")
             if recorded != scheme:
                 raise ValueError(
                     f"partition-scheme mismatch in {self.out_dir!r}: manifest "
@@ -83,28 +89,25 @@ class PartitionedSink:
                     "fresh out_dir (or delete the old output) instead."
                 )
             return
-        mdir = os.path.join(self.out_dir, "_manifest")
-        if any(f.endswith(".json") for f in os.listdir(mdir)):
+        mdir = fsio.join(self.out_dir, "_manifest")
+        if any(f.endswith(".json") for f in fsio.listdir(mdir)):
             raise ValueError(
                 f"unversioned manifest in {self.out_dir!r} (written by "
                 "pre-scheme-stamp code); cannot verify the partition scheme "
                 f"matches {scheme!r}. Use a fresh out_dir."
             )
-        tmp = spath + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"scheme": scheme}, f)
-        os.replace(tmp, spath)
+        fsio.write_json_atomic(spath, {"scheme": scheme})
 
     def completed_partitions(self) -> set:
-        mdir = os.path.join(self.out_dir, "_manifest")
+        mdir = fsio.join(self.out_dir, "_manifest")
         done = set()
-        if not os.path.isdir(mdir):
+        if not fsio.isdir(mdir):
             return done
-        for f in os.listdir(mdir):
+        for f in fsio.listdir(mdir):
             if f.endswith(".json"):
                 try:
-                    meta = json.load(open(os.path.join(mdir, f)))
-                except (json.JSONDecodeError, OSError):
+                    meta = fsio.read_json(fsio.join(mdir, f))
+                except (json.JSONDecodeError, OSError, ValueError):
                     continue  # torn write: treat as incomplete
                 if meta.get("complete"):
                     done.add(meta["key"])
@@ -120,21 +123,18 @@ class PartitionedSink:
             group = pa.Table.from_pandas(group, preserve_index=False)
         group = group.replace_schema_metadata(None)
         key = group[self.key_col][0].as_py()
-        fname = os.path.join(self.out_dir, f"part-{key}.parquet")
-        tmp = fname + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(group, tmp)
-        os.replace(tmp, fname)  # atomic on POSIX
+        fname = fsio.join(self.out_dir, f"part-{key}.parquet")
+        with fsio.open_write_atomic(fname) as f:
+            pq.write_table(group, f)
         manifest = {
             "key": int(key) if isinstance(key, int) else str(key),
             "rows": int(group.num_rows),
             "metrics": metrics or {},
             "complete": True,
         }
-        mpath = os.path.join(self.out_dir, "_manifest", f"{key}.json")
-        mtmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, mpath)
+        fsio.write_json_atomic(
+            fsio.join(self.out_dir, "_manifest", f"{key}.json"), manifest
+        )
         return pa.table(
             {"key": pa.array([manifest["key"]]),
              "rows": pa.array([manifest["rows"]], pa.int64())}
@@ -178,13 +178,13 @@ def read_partitioned(out_dir: str):
     when several keys share one compacted file) and deduplicates paths."""
     import ray.data
 
-    mdir = os.path.join(out_dir, "_manifest")
+    mdir = fsio.join(out_dir, "_manifest")
     entries = []
-    for f in os.listdir(mdir):
+    for f in fsio.listdir(mdir):
         if f.endswith(".json") and not f.startswith("_"):
             try:
-                m = json.load(open(os.path.join(mdir, f)))
-            except (json.JSONDecodeError, OSError):
+                m = fsio.read_json(fsio.join(mdir, f))
+            except (json.JSONDecodeError, OSError, ValueError):
                 continue
             if m.get("complete"):
                 entries.append(m)
@@ -193,7 +193,7 @@ def read_partitioned(out_dir: str):
         fname = m.get("file", f"part-{m['key']}.parquet")
         if fname not in seen:
             seen.add(fname)
-            files.append(os.path.join(out_dir, fname))
+            files.append(fsio.ray_path(fsio.join(out_dir, fname)))
     from ..sources import read_parquet_clean
 
     return read_parquet_clean(files)
@@ -213,6 +213,12 @@ def compact_partitions(out_dir: str, target_rows: int = 500_000):
     Returns {"files_before", "files_after", "rows"}."""
     import ray
 
+    if "://" in str(out_dir):
+        raise NotImplementedError(
+            "compact_partitions swaps directories with os.replace — run it "
+            "against local storage, then sync the compacted layout to the "
+            "object store (the sink itself accepts URIs; see state.fsio)"
+        )
     mdir = os.path.join(out_dir, "_manifest")
     spath = os.path.join(mdir, "_scheme.json")
     scheme = None

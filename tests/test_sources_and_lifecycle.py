@@ -607,3 +607,132 @@ class TestImagesWriteSink:
         t = images_block(np.arange(4)).drop_columns(["caption"])
         with pytest.raises(Exception, match="contract column"):
             write_images(ray.data.from_arrow(t), str(tmp_path / "bad"))
+
+
+class TestLanceFeatureDetect:
+    """S19 (VERDICT r4 #6): read_images/write_images must take the lance
+    path exactly when the library exists, and the parquet fallback
+    otherwise — asserted in BOTH directions by injecting a fake ``lance``
+    module, so the dispatch logic is pinned in this container even
+    though the real lib is absent."""
+
+    def test_parquet_fallback_when_lance_absent(self, ray_session, tmp_path):
+        import importlib.util
+
+        import ray
+
+        from overmatch_ray.sources import IMAGES_SCHEMA, read_images, write_images
+        from overmatch_ray.synth import images_block
+
+        assert importlib.util.find_spec("lance") is None  # this container
+        t = images_block(np.arange(6))
+        out = str(tmp_path / "imgs")
+        write_images(ray.data.from_arrow(t), out)
+        back = read_images(out)
+        schema = back.schema()
+        for f in IMAGES_SCHEMA:
+            assert schema.base_schema.field(f.name).type == f.type, f.name
+        assert back.count() == 6
+
+    def test_lance_path_taken_when_lib_exists(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import sys
+        import types
+
+        import ray
+        import ray.data
+
+        from overmatch_ray.sources import read_images, write_images
+        from overmatch_ray.synth import images_block
+
+        calls = {}
+        monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+
+        def fake_read_lance(path, columns=None):
+            calls["read"] = (path, tuple(columns or ()))
+            return ray.data.from_arrow(images_block(np.arange(2)))
+
+        monkeypatch.setattr(ray.data, "read_lance", fake_read_lance)
+        ds = read_images("some/table.lance", columns=["image_id"])
+        assert calls["read"][0] == "some/table.lance"
+        assert ds.count() == 2
+
+        written = {}
+
+        def fake_write_lance(self, path):
+            written["path"] = path
+            return None
+
+        monkeypatch.setattr(
+            ray.data.Dataset, "write_lance", fake_write_lance, raising=False
+        )
+        write_images(
+            ray.data.from_arrow(images_block(np.arange(2))),
+            str(tmp_path / "lance_out"),
+        )
+        assert written["path"] == str(tmp_path / "lance_out")
+
+
+class TestUriSinks:
+    """S16 fsspec-URI glue (VERDICT r4 #7): the partitioned sink and the
+    PMTiles writer accept file:// URIs through the same code path an
+    s3:// target would take (state.fsio)."""
+
+    def test_partitioned_sink_file_uri(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import ray.data
+
+        from overmatch_ray.state.checkpoint import (
+            read_partitioned,
+            write_partitioned_resumable,
+        )
+
+        t = pa.table({
+            "k": pa.array([0, 0, 1, 1, 2], pa.int64()),
+            "v": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        })
+        uri = "file://" + str(tmp_path / "uri_sink")
+        receipts = write_partitioned_resumable(
+            ray.data.from_arrow(t), uri, "k"
+        ).to_pandas()
+        assert sorted(receipts["key"].tolist()) == [0, 1, 2]
+        # plain-path view of the same dir: files really landed there
+        local = str(tmp_path / "uri_sink")
+        assert os.path.exists(os.path.join(local, "part-1.parquet"))
+        back = read_partitioned(uri).to_pandas()
+        assert sorted(back["v"].tolist()) == [10, 11, 12, 13, 14]
+        # resume against the URI skips everything
+        again = write_partitioned_resumable(
+            ray.data.from_arrow(t), uri, "k"
+        ).to_pandas()
+        assert len(again) == 0
+
+    def test_pmtiles_file_uri(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.stages.pmtiles import read_pmtiles_tile, write_pmtiles
+        from overmatch_ray.stages.tiles import build_tiles
+
+        feats = pa.table({
+            "osm_id": pa.array([f"node/{i}" for i in range(50)]),
+            "lon": pa.array(-77.05 + (np.arange(50) % 10) * 1e-3),
+            "lat": pa.array(38.85 + (np.arange(50) // 10) * 1e-3),
+        })
+        tiles = build_tiles(
+            ray.data.from_arrow(feats), zooms=[8], max_per_tile=100
+        ).materialize()
+        uri = "file://" + str(tmp_path / "arch.pmtiles")
+        stats = write_pmtiles(tiles, uri)
+        assert stats["n_tiles"] >= 1
+        row = tiles.take(1)[0]
+        got = read_pmtiles_tile(uri, row["zoom"], row["tx"], row["ty"])
+        assert got == bytes(row["mvt"])
+        # byte-identical to a plain-path write
+        plain = str(tmp_path / "arch2.pmtiles")
+        write_pmtiles(tiles, plain)
+        a = open(str(tmp_path / "arch.pmtiles"), "rb").read()
+        b = open(plain, "rb").read()
+        assert a == b
