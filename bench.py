@@ -298,6 +298,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             bm25_topk(docs(), ["hash", "join", "scan"], k=10)
         )
         timings["textscale_bm25"] = round(time.time() - t0, 3)
+        # the r4 VERDICT's #1a evidence: the unigram-LM scorer's vocab
+        # join must keep driver RSS flat as the vocabulary grows — the
+        # result JSON's driver_peak_rss_gb is the reading
+        from overmatch_ray.stages.textstats import lm_score
+
+        t0 = time.time()
+        counts["lm_scored"] = lm_score(docs()).count()
+        timings["textscale_lmscore"] = round(time.time() - t0, 3)
         counts["n_docs_scaled"] = n_docs_scaled
         return counts
 
