@@ -1124,15 +1124,23 @@ def skew_hash_join(
         # hot right side too big to broadcast (or empty): bucketed path
         return bucket_hash_join(left_ds, right_ds, left_on, right_on,
                                 num_buckets=num_buckets)
-    # broadcast the pandas frame once; workers deserialize once each
-    rref = ray.put(right_hot.to_pandas())
+    # broadcast the Arrow table once; workers deserialize once each
+    rref = ray.put(right_hot.combine_chunks())
 
     def hot_join(batch: pa.Table) -> pa.Table:
+        # Arrow in/out (VERDICT r4 #4): same _join_indices kernel as
+        # broadcast_join — no pandas round-trip, column order matches the
+        # cold bucketed path (left columns, then right-only columns)
         r = _cached_get(rref)  # per-worker cached deserialization
-        l = batch.to_pandas()
-        out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
-        return pa.Table.from_pandas(out, preserve_index=False
-                                    ).replace_schema_metadata(None)
+        li, ri = _join_indices([batch[left_on]], [r[right_on]], "inner")
+        cols = {}
+        for n, t in zip(batch.column_names, batch.schema.types):
+            cols[n] = _take_pad(batch[n], li, t)
+        for n, t in zip(r.column_names, r.schema.types):
+            if n == right_on and right_on == left_on:
+                continue
+            cols[n] = _take_pad(r[n], ri, t)
+        return pa.table(cols)
 
     hot_out = left_ds.map_batches(
         split(left_on, True), batch_format="pyarrow"
