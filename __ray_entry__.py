@@ -224,7 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pmtiles": ro.q_raster_pmtiles,
         "track_line_tiles": ro.q_track_line_tiles,
         "hull_polygon_tiles": ro.q_hull_polygon_tiles,
-        "approx_common_users": ro.q_approx_common_users,
+        "approx_common_users": cq.q_approx_common_users,
         "compacted_sink": ro.q_compacted_sink,
         "corpus_card": ro.q_corpus_card,
         "image_quality": ro.q_image_quality,

@@ -537,6 +537,49 @@ WHERE v.rows = n.c
 """
 
 
+def q_approx_common_users(sf_dir: str):
+    """HLL SKETCH ALGEBRA: approximate |clickers ∩ buyers| by
+    inclusion-exclusion over three HyperLogLog estimates (|A| + |B| −
+    |A∪B|; union = HLL over the concatenated streams — sketch union is
+    exact for HLL). The scale path beside the exact shuffled-semi-join
+    INTERSECT (`click_purchase_users`): registers, never user ids, cross
+    the wire. Deterministic → constant-pin oracle keyed on corpus size
+    (same form as `approx_distinct`); the relative-error bound vs the
+    exact count is additionally test-pinned."""
+    from ..stages.groupops import approx_distinct
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def side(t):
+        return ev.filter(expr=f"event_type == '{t}'")
+
+    clicks = side("click")
+    buys = side("purchase")
+    a = approx_distinct(clicks, "user_id")
+    b = approx_distinct(buys, "user_id")
+    u = approx_distinct(clicks.union(buys), "user_id")
+    est = max(0, a + b - u)
+    return pa.table({
+        "est_clickers": pa.array([a], pa.int64()),
+        "est_buyers": pa.array([b], pa.int64()),
+        "est_union": pa.array([u], pa.int64()),
+        "est_common_users": pa.array([est], pa.int64()),
+    })
+
+
+ORACLE_SQL["approx_common_users"] = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT CAST(v.a AS BIGINT) AS est_clickers,
+       CAST(v.b AS BIGINT) AS est_buyers,
+       CAST(v.u AS BIGINT) AS est_union,
+       CAST(v.a + v.b - v.u AS BIGINT) AS est_common_users
+FROM (VALUES
+  (1000, 15, 15, 15), (10000, 150, 150, 150), (100000, 1500, 1500, 1500)
+) AS v(rows, a, b, u), n
+WHERE v.rows = n.c
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------

@@ -1111,35 +1111,6 @@ def q_hull_polygon_tiles(sf_dir: str):
     return tiles.map_batches(summarize, batch_format="pyarrow")
 
 
-def q_approx_common_users(sf_dir: str):
-    """HLL SKETCH ALGEBRA: approximate |clickers ∩ buyers| by
-    inclusion-exclusion over three HyperLogLog estimates (|A| + |B| −
-    |A∪B|; union = HLL over the concatenated streams — sketch union is
-    exact for HLL). The scale path beside the exact shuffled-semi-join
-    INTERSECT (`click_purchase_users`): registers, never user ids, cross
-    the wire. Rows-only; the relative-error bound vs the exact count is
-    test-pinned."""
-    from ..stages.groupops import approx_distinct
-
-    ev = _rpq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-
-    def side(t):
-        return ev.filter(expr=f"event_type == '{t}'")
-
-    clicks = side("click")
-    buys = side("purchase")
-    a = approx_distinct(clicks, "user_id")
-    b = approx_distinct(buys, "user_id")
-    u = approx_distinct(clicks.union(buys), "user_id")
-    est = max(0, a + b - u)
-    return pa.table({
-        "est_clickers": pa.array([a], pa.int64()),
-        "est_buyers": pa.array([b], pa.int64()),
-        "est_union": pa.array([u], pa.int64()),
-        "est_common_users": pa.array([est], pa.int64()),
-    })
-
-
 def q_video_frames(sf_dir: str):
     """Video frame sampling end-to-end (the multimodal family's video
     member): 100 deterministic AVI/MJPEG videos (12 counter-hash
