@@ -536,21 +536,34 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     _emit_est: bool = True,
+    num_buckets: int = 32,
+    driver_pair_limit: int = 100_000,
 ):
     """Candidate pairs from banded minhash, scored by estimated Jaccard
     (fraction of matching minhashes) ≥ threshold. 16 bands × 4 rows catches
     J=0.5 pairs w.p. ~0.9998.
 
-    Signature work is ONE numpy sweep per batch
-    (``minhash_signature_batch`` — no per-document Python). With
-    ``_emit_est=False`` (the verified path, which re-scores candidates
-    exactly anyway) the banded rows carry only (id, band, band_hash) —
-    8 KB/doc of tiled signature payload never enters the shuffle, the
-    measured store cost at corpus scale."""
+    Scale plan: band rows NEVER carry signatures — the banding shuffle
+    moves 24 B/row (id, band, band_hash), and the est scorer joins the
+    per-doc 512 B signature (emitted ONCE per doc, semi-filtered to
+    candidate docs) back onto the DEDUPED candidate pairs only. The
+    former design tiled the full signature onto every band row
+    (8 KB/doc through the all-to-all — measured 8+ GB of store at a
+    500k-doc probe and the dominant stage cost). Signature work is one
+    tiled numpy sweep per batch (``minhash_signature_batch``).
+
+    When the candidate-pair count (the OUTPUT cardinality, known after
+    the dedup materialize) is ≤ ``driver_pair_limit``, scoring skips the
+    three shuffle rounds (semi-join + two bucket joins ≈ 2 s of fixed
+    all-to-all cost EACH at any data size) for a driver gather bounded
+    by output size: candidate ids broadcast sorted, signatures computed
+    in one distributed pass with in-kernel membership filter, and the
+    ≤ 2·limit×512 B filtered table scored on the driver — the same
+    thresholded driver/distributed split as ``dedup_clusters``."""
     rows_per_band = _NUM_PERM // bands
     band_starts = np.arange(0, _NUM_PERM, rows_per_band)
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
+    def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         shingles = shingle_hashes_batch(batch[text_col].to_pylist(), k)
         sig = minhash_signature_batch(shingles)  # (n, 64)
@@ -559,19 +572,13 @@ def minhash_lsh_pairs(
                             band_starts, axis=1).ravel()
         ).view(np.int64)  # (n*bands,) row-major: doc-major, band-minor
         n = ids.size
-        cols = {
+        return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int8), n)),
             "band_hash": pa.array(bh),
-        }
-        if _emit_est:
-            cols["sig"] = pa.array(
-                np.repeat(sig.view(np.int64), bands, axis=0).tolist(),
-                pa.list_(pa.int64()),
-            )
-        return pa.table(cols)
+        })
 
-    exploded = docs_ds.map_batches(sig_rows, batch_format="pyarrow")
+    exploded = docs_ds.map_batches(band_rows, batch_format="pyarrow")
 
     from .groupops import bucketed_group_apply, dedup_pairs, group_pair_indices
 
@@ -586,31 +593,162 @@ def minhash_lsh_pairs(
         )
         ia, ib = group_pair_indices(run, 1000)
         if ia.size == 0:
-            cols = {"id_a": pd.Series(dtype=np.int64),
-                    "id_b": pd.Series(dtype=np.int64)}
-            if _emit_est:
-                cols["est_jaccard"] = pd.Series(dtype=np.float64)
-            return pd.DataFrame(cols)
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
         ids = g["doc_id"].to_numpy()
-        if _emit_est:
-            sigs = np.stack(g["sig"].to_numpy())
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
-            m = est >= threshold
-            a, b = ids[ia[m]], ids[ib[m]]
-            return pd.DataFrame({
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "est_jaccard": np.round(est[m], 6),
-            })
         a, b = ids[ia], ids[ib]
         return pd.DataFrame(
             {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
         )
 
-    pairs = bucketed_group_apply(
-        exploded, ["band", "band_hash"], bucket_pairs, num_buckets=32
+    cands = dedup_pairs(
+        bucketed_group_apply(
+            exploded, ["band", "band_hash"], bucket_pairs,
+            num_buckets=num_buckets,
+        ),
+        num_buckets=max(8, num_buckets // 2),
     )
-    return dedup_pairs(pairs, num_buckets=16)
+    if not _emit_est:
+        return cands
+
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    cands = cands.materialize()
+    n_pairs = cands.count()
+    if n_pairs == 0:  # typed empty (group-apply output has no schema)
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }))
+
+    if n_pairs <= driver_pair_limit:
+        import ray
+        import ray.data as _rd
+
+        # skip zero-row blocks: group-apply emptiness leaves them with a
+        # columnless schema that poisons concat_tables
+        ptbl = pa.concat_tables(
+            t for t in ray.get(cands.to_arrow_refs()) if t.num_rows
+        )
+        a = ptbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ptbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand_sorted_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+        def sig_filtered(batch: pa.Table) -> pa.Table:
+            cand_sorted = ray.get(cand_sorted_ref)
+            ids = batch[id_col].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pos = np.searchsorted(cand_sorted, ids)
+            pos[pos == cand_sorted.size] = 0
+            mask = cand_sorted[pos] == ids
+            if not mask.any():
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                })
+            sig = minhash_signature_batch(
+                shingle_hashes_batch(
+                    batch.filter(pa.array(mask))[text_col].to_pylist(), k
+                )
+            )
+            return pa.table({
+                "doc_id": pa.array(ids[mask]),
+                "sig": pa.array(
+                    sig.view(np.int64).tolist(), pa.list_(pa.int64())
+                ),
+            })
+
+        stbl = pa.concat_tables(
+            t for t in ray.get(
+                docs_ds.map_batches(
+                    sig_filtered, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ) if t.num_rows
+        )
+        import pyarrow.compute as pc
+
+        sids = stbl["doc_id"].to_numpy(zero_copy_only=False)
+        # list_flatten (NOT .values): concatenated list chunks may slice
+        # a larger child buffer — flatten honors the logical offsets
+        sigs = pc.list_flatten(stbl["sig"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(sids.size, _NUM_PERM)
+        order = np.argsort(sids, kind="mergesort")
+        sids, sigs = sids[order], sigs[order]
+        est = (
+            sigs[np.searchsorted(sids, a)] == sigs[np.searchsorted(sids, b)]
+        ).mean(axis=1)
+        keep = est >= threshold
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array(a[keep]),
+            "id_b": pa.array(b[keep]),
+            "est_jaccard": pa.array(np.round(est[keep], 6)),
+        }))
+
+    def sig_table(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = minhash_signature_batch(
+            shingle_hashes_batch(batch[text_col].to_pylist(), k)
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "sig": pa.array(sig.view(np.int64).tolist(), pa.list_(pa.int64())),
+        })
+
+    def cand_ids(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
+
+    sigs_f = semi_join_shuffled(
+        docs_ds.map_batches(sig_table, batch_format="pyarrow"),
+        cands.map_batches(cand_ids, batch_format="pyarrow"),
+        "doc_id", "doc_id", num_buckets=num_buckets,
+    ).materialize()
+
+    def ren(suffix: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"id_{suffix}": batch["doc_id"],
+                f"sig_{suffix}": batch["sig"],
+            })
+
+        return _r
+
+    j1 = bucket_hash_join(
+        cands, sigs_f.map_batches(ren("a"), batch_format="pyarrow"),
+        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
+    )
+    j2 = bucket_hash_join(
+        j1, sigs_f.map_batches(ren("b"), batch_format="pyarrow"),
+        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # list_flatten (NOT .values): taken/joined list arrays may slice a
+        # larger child buffer — flatten honors the logical offsets
+        n = batch.num_rows
+        ma = pc.list_flatten(batch["sig_a"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(n, _NUM_PERM)
+        mb = pc.list_flatten(batch["sig_b"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(n, _NUM_PERM)
+        est = (ma == mb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].cast(pa.int64()),
+            "id_b": batch["id_b"].cast(pa.int64()),
+            "est_jaccard": pa.array(np.round(est, 6)),
+        }).filter(pa.array(keep))
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 # --- SimHash ---------------------------------------------------------------
