@@ -126,6 +126,27 @@ class TestDedup:
         assert (0, 2) in got  # J≈0.8 — 16×4 bands catch it essentially always
         assert (0, 3) not in got
 
+    def test_minhash_est_driver_vs_join_parity(self, ray_session):
+        """The est scorer has two implementations — the output-bounded
+        driver gather (pair count ≤ driver_pair_limit) and the
+        distributed semi-join + bucket-join fallback. Both must emit
+        bit-identical (id_a, id_b, est_jaccard) sets."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = ray.data.from_arrow(_docs())
+        key = lambda rows: sorted(  # noqa: E731
+            (r["id_a"], r["id_b"], r["est_jaccard"]) for r in rows
+        )
+        driver = key(minhash_lsh_pairs(ds, threshold=0.5).take_all())
+        joined = key(
+            minhash_lsh_pairs(
+                ds, threshold=0.5, driver_pair_limit=0
+            ).take_all()
+        )
+        assert driver == joined and len(driver) > 0
+
     def test_simhash(self, ray_session):
         import ray.data
 
