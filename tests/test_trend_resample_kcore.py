@@ -401,7 +401,9 @@ class TestApproxCommonUsers:
     def test_within_hll_error_of_exact(self, ray_session):
         import duckdb
 
-        from overmatch_ray.pipelines.rows_only import q_approx_common_users
+        from overmatch_ray.pipelines.corpus_queries import (
+            q_approx_common_users,
+        )
 
         sf = "/root/testdata/sf0.01"
         out = _to_table(q_approx_common_users(sf))
