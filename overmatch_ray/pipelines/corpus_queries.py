@@ -580,6 +580,34 @@ WHERE v.rows = n.c
 """
 
 
+# constant pin for rows_only.q_type_distinct_users (grouped HLL — a
+# deterministic function of the corpus): at these cardinalities the
+# p=12 estimator is in its linear-counting regime, so each event type's
+# estimate lands exactly on the true per-type distinct-user count.
+# Keyed on corpus size; an unknown size yields zero oracle rows → loud
+# row-count mismatch rather than a silent pass.
+ORACLE_SQL["type_distinct_users"] = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT t.event_type AS event_type,
+       CAST(v.est AS BIGINT) AS n_distinct_est
+FROM (VALUES (1000, 15), (10000, 150), (100000, 1500)) AS v(rows, est),
+     n,
+     (SELECT DISTINCT event_type FROM events) AS t
+WHERE v.rows = n.c
+"""
+
+
+# constant pin for rows_only.q_embedding_norm_quantiles (deterministic
+# histogram-sketch quantiles): the synth embeddings are L2-normalized,
+# so every norm is 1.0 and the sketch must return EXACTLY 1.0 at every
+# p — a bin-midpoint or edge-interpolation bug would miss it. The pin
+# is corpus-size-independent because the value column is constant.
+ORACLE_SQL["embedding_norm_quantiles"] = """
+SELECT CAST(v.p AS DOUBLE) AS p, CAST(v.q AS DOUBLE) AS q
+FROM (VALUES (0.05, 1.0), (0.5, 1.0), (0.95, 1.0)) AS v(p, q)
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------

@@ -272,7 +272,9 @@ def q_embedding_norm_quantiles(sf_dir: str):
     """Histogram-sketch quantiles of a CONTINUOUS column (embedding L2
     norms) — the scale path where the exact value-count collapse doesn't
     apply (stages.groupops.histogram_quantiles; deterministic, error ≤ one
-    bin width — accuracy pinned by tests, so rows-only)."""
+    bin width — accuracy pinned by tests). Constant-pin oracled: the
+    synth embeddings are L2-normalized, so the sketch must return
+    exactly 1.0 at every p (see corpus_queries.ORACLE_SQL)."""
     from ..stages.groupops import histogram_quantiles
     from ..stages.knn import _to_matrix
 
@@ -333,8 +335,10 @@ def q_corpus_pipeline(sf_dir: str):
 
 def q_type_distinct_users(sf_dir: str):
     """Per-event-type approximate distinct users (grouped HyperLogLog —
-    stages.groupops.approx_distinct_by; ~1.6% standard error at p=12, so
-    rows-only; accuracy + partition-invariance pinned by tests)."""
+    stages.groupops.approx_distinct_by; ~1.6% standard error at p=12;
+    accuracy + partition-invariance pinned by tests). Deterministic →
+    constant-pin oracle keyed on corpus size (the `approx_distinct`
+    form; see corpus_queries.ORACLE_SQL)."""
     from ..stages.groupops import approx_distinct_by
 
     ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
