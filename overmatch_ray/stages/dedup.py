@@ -1104,6 +1104,16 @@ def verify_pairs_exact(exploded, cands, threshold: float,
     from .groupops import bucketed_group_apply
     from .joins import bucket_hash_join, semi_join_shuffled
 
+    if cands.count() == 0:  # typed empty: a schemaless empty candidate
+        import ray.data as _rd  # set would poison the verify joins
+
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "shared": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+
     def doc_lists(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "shingle"], kind="mergesort")
         d = g["doc_id"].to_numpy()
@@ -1204,6 +1214,7 @@ def minhash_lsh_verified(
     cands = minhash_lsh_pairs(
         docs_ds, threshold=0.0, bands=bands, k=k,
         text_col=text_col, id_col=id_col, _emit_est=False,
+        num_buckets=num_buckets,
     ).materialize()
     exploded = docs_ds.map_batches(
         lambda b: _explode_shingles(b, k, text_col, id_col, None),
@@ -1238,6 +1249,11 @@ def simhash_dup_pairs(
     from .joins import bucket_hash_join, semi_join_shuffled
 
     def with_hash(batch: pa.Table) -> pa.Table:
+        # NULL text has no token multiset and never pairs — mirrors the
+        # oracle's SQL semantics (string_split(NULL) is NULL and
+        # NULL = NULL is never true), which would otherwise omit pairs
+        # the engine emitted on null-text corpora
+        batch = batch.filter(pc.is_valid(batch[text_col]))
         vals = simhash64_many(batch[text_col].to_pylist())
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({

@@ -126,9 +126,22 @@ def _promote_mixed_key(l_type, r_type) -> bool:
     above 2^53 otherwise hashes by its exact bits while its rounded
     float64 twin hashes by the rounded value — matching rows land in
     different buckets and silently never meet."""
+    if l_type is None or r_type is None:
+        return False
     return (pa.types.is_integer(l_type) and pa.types.is_floating(r_type)) or (
         pa.types.is_floating(l_type) and pa.types.is_integer(r_type)
     )
+
+
+def _key_type(ds, col):
+    """Key column type for the mixed-key promotion probe, or None when it
+    can't be known: an EMPTY materialized group-apply output has no
+    schema (Dataset.schema() is None) — a side with no rows routes
+    nothing, so no-promotion is always safe there."""
+    s = ds.schema()
+    if s is None or col not in s.names:
+        return None
+    return dict(zip(s.names, s.types))[col]
 
 
 def _key_hash(batch: pa.Table, on: str, promote: bool) -> np.ndarray:
@@ -334,13 +347,18 @@ def semi_join_shuffled(
 
         left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
 
+    # A schemaless side is an EMPTY dataset: no shuffle needed. Empty
+    # left → nothing to filter; empty right keys → semi keeps nothing,
+    # anti keeps everything.
+    if left_ds.schema() is None:
+        return left_ds
+    if right_ds.schema() is None:
+        return left_ds if anti else left_ds.limit(0)
+
     # mixed int/float key pair → route through the float64 promotion the
     # in-bucket comparison implies (see _promote_mixed_key)
-    _rs = right_ds.schema()
-    _lsch = left_ds.schema()
     promote = _promote_mixed_key(
-        dict(zip(_lsch.names, _lsch.types))[left_on],
-        dict(zip(_rs.names, _rs.types))[right_on],
+        _key_type(left_ds, left_on), _key_type(right_ds, right_on)
     )
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -360,7 +378,7 @@ def semi_join_shuffled(
     left_t = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_t = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    l_schema = _lsch
+    l_schema = left_ds.schema()
     # mixed pair: the comparison domain IS the promotion — both sides'
     # keys ride the shuffle as float64 (matches the promoted routing
     # above; an int→float cast must be safe=False, it merely rounds >2^53
@@ -758,12 +776,20 @@ def bucket_hash_join(
     """Partitioned hash join: co-shuffle both sides by hash(key) % B, merge
     per bucket. Key columns must be integer-typed; payload columns of the
     two sides must be disjoint (they are concatenated)."""
+    # A schemaless side is an EMPTY dataset (e.g. a zero-row materialized
+    # group-apply output): an inner/left join against it needs no shuffle
+    # at all. The empty result keeps whatever schema the surviving side
+    # has — callers wanting a fully-typed empty produce it themselves
+    # (repo convention for the propose/verify pipelines).
+    if left_ds.schema() is None:
+        return left_ds
+    if right_ds.schema() is None:
+        return left_ds.limit(0) if how == "inner" else left_ds
+
     # mixed int/float key pair → route through the same float64 promotion
     # the in-bucket kernel compares with (_promote_mixed_key)
-    _ls, _rs = left_ds.schema(), right_ds.schema()
     promote = _promote_mixed_key(
-        dict(zip(_ls.names, _ls.types))[left_on],
-        dict(zip(_rs.names, _rs.types))[right_on],
+        _key_type(left_ds, left_on), _key_type(right_ds, right_on)
     )
 
     def tag(side: int, on: str):

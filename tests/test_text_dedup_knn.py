@@ -126,6 +126,47 @@ class TestDedup:
         assert (0, 2) in got  # J≈0.8 — 16×4 bands catch it essentially always
         assert (0, 3) not in got
 
+    def test_empty_candidate_set_returns_typed_empty(self, ray_session):
+        """A corpus with NO near-dup candidates must yield an empty,
+        TYPED result — not crash. Regression: the propose stage's empty
+        materialized group-apply output has no schema, which poisoned
+        the verify joins' mixed-key promotion probe (schema() is None)."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_verified,
+            prefix_jaccard_pairs,
+        )
+
+        lonely = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine",
+            ]),
+        })
+        ds = ray.data.from_arrow(lonely)
+        assert minhash_lsh_verified(ds, threshold=0.6).take_all() == []
+        assert prefix_jaccard_pairs(ds, threshold=0.5).take_all() == []
+        assert minhash_lsh_pairs(ds, threshold=0.5).take_all() == []
+
+    def test_simhash_null_text_never_pairs(self, ray_session):
+        """NULL text must not pair (SQL oracle semantics: NULL canon is
+        never equal to anything, itself included); empty strings DO pair
+        with each other on both sides."""
+        import ray.data
+
+        from overmatch_ray.stages.dedup import simhash_dup_pairs
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([None, None, "", ""], pa.string()),
+        })
+        pairs = simhash_dup_pairs(ray.data.from_arrow(t)).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(2, 3)}
+
     def test_minhash_est_driver_vs_join_parity(self, ray_session):
         """The est scorer has two implementations — the output-bounded
         driver gather (pair count ≤ driver_pair_limit) and the
