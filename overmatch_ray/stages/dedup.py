@@ -611,8 +611,6 @@ def minhash_lsh_pairs(
     if not _emit_est:
         return cands
 
-    from .joins import bucket_hash_join, semi_join_shuffled
-
     cands = cands.materialize()
     n_pairs = cands.count()
     if n_pairs == 0:  # typed empty (group-apply output has no schema)
@@ -699,33 +697,9 @@ def minhash_lsh_pairs(
             "sig": pa.array(sig.view(np.int64).tolist(), pa.list_(pa.int64())),
         })
 
-    def cand_ids(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
-
-    sigs_f = semi_join_shuffled(
-        docs_ds.map_batches(sig_table, batch_format="pyarrow"),
-        cands.map_batches(cand_ids, batch_format="pyarrow"),
-        "doc_id", "doc_id", num_buckets=num_buckets,
-    ).materialize()
-
-    def ren(suffix: str):
-        def _r(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                f"id_{suffix}": batch["doc_id"],
-                f"sig_{suffix}": batch["sig"],
-            })
-
-        return _r
-
-    j1 = bucket_hash_join(
-        cands, sigs_f.map_batches(ren("a"), batch_format="pyarrow"),
-        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
-    )
-    j2 = bucket_hash_join(
-        j1, sigs_f.map_batches(ren("b"), batch_format="pyarrow"),
-        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    j2 = attach_pair_payload(
+        cands, docs_ds.map_batches(sig_table, batch_format="pyarrow"),
+        num_buckets,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1019,7 +993,7 @@ def prefix_jaccard_pairs(
         dedup_pairs,
         group_pair_indices,
     )
-    from .joins import bucket_hash_join, semi_join_shuffled
+    from .joins import bucket_hash_join
 
     exploded = docs_ds.map_batches(
         lambda b: _explode_shingles(b, k, text_col, id_col, _sets_fn),
@@ -1089,6 +1063,50 @@ def prefix_jaccard_pairs(
     return verify_pairs_exact(exploded, cands, threshold, num_buckets)
 
 
+def attach_pair_payload(cands, payload_ds, num_buckets: int = 64):
+    """Attach per-doc payload columns onto a candidate pair set — the
+    shared confirm-half scaffold of every two-phase (propose/verify)
+    near-dup join here: exact-Jaccard verify, simhash canon verify, and
+    minhash est scoring all ride it. The payload is semi-filtered to
+    candidate docs BEFORE its (usually heavy) columns cross the two
+    attach joins, so cost scales with candidates, never the corpus.
+
+    ``cands`` must be a MATERIALIZED, NON-EMPTY (id_a, id_b) Dataset
+    (callers return a typed empty at the candidate materialize — the
+    schemaless-empty rule); ``payload_ds`` carries "doc_id" + payload
+    columns. Output: id_a, id_b plus each payload column c as c_a/c_b."""
+    from .joins import bucket_hash_join, semi_join_shuffled
+
+    def cand_ids(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
+
+    filt = semi_join_shuffled(
+        payload_ds, cands.map_batches(cand_ids, batch_format="pyarrow"),
+        "doc_id", "doc_id", num_buckets=num_buckets,
+    ).materialize()
+
+    def ren(suffix: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                (f"id_{suffix}" if n == "doc_id" else f"{n}_{suffix}"):
+                    batch[n]
+                for n in batch.column_names
+            })
+
+        return _r
+
+    j1 = bucket_hash_join(
+        cands, filt.map_batches(ren("a"), batch_format="pyarrow"),
+        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
+    )
+    return bucket_hash_join(
+        j1, filt.map_batches(ren("b"), batch_format="pyarrow"),
+        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    )
+
+
 def verify_pairs_exact(exploded, cands, threshold: float,
                        num_buckets: int = 64):
     """EXACT-Jaccard verification of a candidate pair set — the confirm
@@ -1102,7 +1120,6 @@ def verify_pairs_exact(exploded, cands, threshold: float,
     jaccard ≥ threshold, 6-dp) — a candidate producer with complete
     recall at the threshold therefore shares its DuckDB oracle."""
     from .groupops import bucketed_group_apply
-    from .joins import bucket_hash_join, semi_join_shuffled
 
     if cands.count() == 0:  # typed empty: a schemaless empty candidate
         import ray.data as _rd  # set would poison the verify joins
@@ -1130,40 +1147,11 @@ def verify_pairs_exact(exploded, cands, threshold: float,
     L = bucketed_group_apply(
         exploded, ["doc_id"], doc_lists, num_buckets=num_buckets
     )
-
-    def cand_ids(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
-
-    ids = cands.map_batches(cand_ids, batch_format="pyarrow")
-    L_f = semi_join_shuffled(L, ids, "doc_id", "doc_id",
-                             num_buckets=num_buckets).materialize()
-
-    def ren(suffix: str):
-        def _r(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    f"id_{suffix}": batch["doc_id"],
-                    f"sh_{suffix}": batch["shingles"],
-                    f"n_{suffix}": batch["n_sh"],
-                }
-            )
-
-        return _r
-
-    j1 = bucket_hash_join(
-        cands, L_f.map_batches(ren("a"), batch_format="pyarrow"),
-        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
-    )
-    j2 = bucket_hash_join(
-        j1, L_f.map_batches(ren("b"), batch_format="pyarrow"),
-        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
-    )
+    j2 = attach_pair_payload(cands, L, num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        la = batch["sh_a"].to_pylist()
-        lb = batch["sh_b"].to_pylist()
+        la = batch["shingles_a"].to_pylist()
+        lb = batch["shingles_b"].to_pylist()
         shared = np.array(
             [
                 np.intersect1d(
@@ -1174,8 +1162,12 @@ def verify_pairs_exact(exploded, cands, threshold: float,
             ],
             np.int64,
         )
-        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_sh_a"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        nb = batch["n_sh_b"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         jac = shared / np.maximum(na + nb - shared, 1.0)
         keep = jac >= threshold
         return pa.table(
@@ -1246,7 +1238,6 @@ def simhash_dup_pairs(
     import pyarrow.compute as pc
 
     from .groupops import bucketed_group_apply, group_pair_indices
-    from .joins import bucket_hash_join, semi_join_shuffled
 
     def with_hash(batch: pa.Table) -> pa.Table:
         # NULL text has no token multiset and never pairs — mirrors the
@@ -1306,33 +1297,9 @@ def simhash_dup_pairs(
             ),
         })
 
-    def cand_ids(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
-
-    docs_c = semi_join_shuffled(
-        docs_ds.map_batches(canon, batch_format="pyarrow"),
-        cands.map_batches(cand_ids, batch_format="pyarrow"),
-        "doc_id", "doc_id", num_buckets=num_buckets,
-    ).materialize()
-
-    def ren(suffix: str):
-        def _r(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                f"id_{suffix}": batch["doc_id"],
-                f"canon_{suffix}": batch["canon"],
-            })
-
-        return _r
-
-    j1 = bucket_hash_join(
-        cands, docs_c.map_batches(ren("a"), batch_format="pyarrow"),
-        "id_a", "id_a", num_buckets=max(8, num_buckets // 2),
-    )
-    j2 = bucket_hash_join(
-        j1, docs_c.map_batches(ren("b"), batch_format="pyarrow"),
-        "id_b", "id_b", num_buckets=max(8, num_buckets // 2),
+    j2 = attach_pair_payload(
+        cands, docs_ds.map_batches(canon, batch_format="pyarrow"),
+        num_buckets,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
