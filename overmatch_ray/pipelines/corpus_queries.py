@@ -1163,6 +1163,16 @@ FROM m
 
 ORACLE_SQL["langid_docs"] = _langid_oracle_sql()
 
+# rows_only.q_lang_confusion rides the SAME generated marker-argmax SQL:
+# the per-doc prediction CTE joined back to the declared label, counted.
+ORACLE_SQL["lang_confusion"] = f"""
+WITH det AS ({_langid_oracle_sql()})
+SELECT d.lang AS declared_lang, det.lang_pred AS detected_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN det USING (doc_id)
+GROUP BY 1, 2
+"""
+
 
 def q_lm_score(sf_dir: str):
     """Unigram-LM document scoring (median token log-probability under the
@@ -2721,6 +2731,93 @@ LIMIT 10
 
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle_sql()
+
+
+def _hybrid_oracle_sql() -> str:
+    """Oracle for rows_only.q_hybrid_search: RRF fusion of the two
+    independently-oracled retrievers (bm25_search's literal-mirrored BM25
+    expression at k=20, knn_topk's list_cosine_similarity at k=20 around
+    vec_id 0). Each doc carries at most TWO 1/(60+rank) terms, so the SQL
+    sum() is bit-identical to the Ray side's add order (IEEE addition of
+    two doubles is commutative); ordering is by the UNROUNDED fused score
+    with doc_id tie-break on both sides, rounding only in the projection
+    (the knn_topk precedent)."""
+    terms = ["hash", "join", "scan"]
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, {tf_cols}
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_cols}
+  FROM tf),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({contribs}) DESC, doc_id) AS rnk
+  FROM tf, stats
+  QUALIFY rnk <= 20),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rnk
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != 0
+  QUALIFY rnk <= 20),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rnk)) AS s
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+         AS rrf_rank,
+       round(s, 6) AS rrf_score
+FROM fused
+ORDER BY s DESC, doc_id
+LIMIT 10
+"""
+
+
+ORACLE_SQL["hybrid_search"] = _hybrid_oracle_sql()
+
+# rows_only.q_contrastive_pairs: the positive half IS the
+# ngram_neardup_pairs oracle (same derived corpus, threshold, k) reused
+# verbatim as a CTE; the negative half is the hard_negatives form at the
+# manifest's parameters (anchors vec_id < 20, k = 3).
+ORACLE_SQL["contrastive_pairs"] = f"""
+WITH pos AS ({ORACLE_SQL["ngram_neardup_pairs"]}),
+q AS (SELECT vec_id AS qid, label AS qlab, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cs
+  FROM q CROSS JOIN embeddings e WHERE e.label != q.qlab),
+neg AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 3)
+SELECT anchor_id, other_id, pair_type FROM (
+  SELECT id_a AS anchor_id, id_b AS other_id,
+         'positive' AS pair_type FROM pos
+  UNION ALL
+  SELECT query_id AS anchor_id, neighbor_id AS other_id,
+         'hard_negative' AS pair_type FROM neg)
+"""
 
 
 def q_user_rolling_spend(sf_dir: str):

@@ -784,9 +784,10 @@ def q_hybrid_search(sf_dir: str):
     documents and embeddings are parallel tables on the same ids).
     RRF score = Σ 1/(60 + rank) over the lists a doc appears in; fusion
     runs on the two k-bounded ranklists (driver-small by construction),
-    the heavy lifting stays in the two streaming retrievers. Rows-only
-    (the composition is pinned by a test against the two underlying
-    oracled operators)."""
+    the heavy lifting stays in the two streaming retrievers. Oracled:
+    corpus_queries._hybrid_oracle_sql composes the two retrievers'
+    proven SQL forms and fuses in-SQL (≤ 2 terms per doc, so sum() is
+    bit-stable); also pinned by a composition test."""
     from ..stages.knn import brute_force_topk
     from ..stages.textstats import bm25_topk
 
@@ -868,8 +869,9 @@ def q_lang_confusion(sf_dir: str):
     """Language QA confusion matrix: declared `lang` column × detected
     language (stages.textstats.langid_batch) with counts — the
     label-quality audit a corpus curator runs before trusting either
-    side. One bounded groupby (|langs|² cells). Rows-only (the marker
-    heuristic is not SQL-expressible); langid itself is test-pinned."""
+    side. One bounded groupby (|langs|² cells). Oracled: reuses the
+    generated marker-argmax SQL that proves langid_docs, joined back to
+    the declared label (corpus_queries.ORACLE_SQL["lang_confusion"])."""
     from ray.data.aggregate import Count
 
     from ..stages.textstats import langid_batch
@@ -904,9 +906,10 @@ def q_contrastive_pairs(sf_dir: str):
     `ngram_neardup_pairs`) unioned with HARD NEGATIVES (the most-similar
     different-label vectors per anchor, `stages.knn.hard_negative_topk`)
     — the two halves every contrastive fine-tune needs, shaped as one
-    (anchor_id, other_id, pair_type) table. Rows-only; the components are
-    each oracle-checked on their own, and the composition is pinned by a
-    test against the two underlying operators."""
+    (anchor_id, other_id, pair_type) table. Oracled: the positive half
+    reuses the ngram_neardup_pairs SQL verbatim, the negative half the
+    hard_negatives form at this manifest's parameters
+    (corpus_queries.ORACLE_SQL["contrastive_pairs"])."""
     import pyarrow.compute as _pc
 
     from ..pipelines.corpus_queries import _NEARDUP_THRESHOLD, _derived_corpus
