@@ -1382,6 +1382,66 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
 """
 
 
+_MIX_WEIGHTS = {"en": 0.2, "es": 0.2, "de": 0.2, "fr": 0.2, "zh": 0.2}
+_MIX_BUDGET_FRACTION = 0.4
+
+
+def q_domain_mix(sf_dir: str):
+    """Static data-mixture resampling (stages.splits.domain_mix): equalize
+    the five languages' TOKEN mass at a 40%-of-corpus budget — per-lang
+    keep-rates derived from the measured per-lang token totals (one
+    bounded groupby), then the md5-threshold sample. The dominant
+    language is down-sampled hard, scarce ones kept whole (rate capped at
+    1) — the standard static-mixture step before training export."""
+    from ..stages.splits import domain_mix
+    from ..stages.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    with_tok = docs.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return domain_mix(
+        with_tok, "doc_id", "lang", "n_tokens",
+        target_weights=_MIX_WEIGHTS,
+        budget_fraction=_MIX_BUDGET_FRACTION,
+    )
+
+
+def _domain_mix_oracle_sql() -> str:
+    """Mirrors splits.domain_mix bit-for-bit: the rate expression is the
+    same left-assoc float64 chain (bf * total * w / t), _hex_bound's
+    int-truncation is floor-of-positive, and the kept set is the md5
+    prefix compare both engines share."""
+    vals = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())
+    bf = _MIX_BUDGET_FRACTION
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM tok GROUP BY 1),
+alltot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ta FROM tok),
+rate AS (
+  SELECT lang, {bf} * ta * w / t AS r
+  FROM tot, alltot, (VALUES {vals}) AS v(vl, w)
+  WHERE v.vl = tot.lang AND t > 0),
+thr AS (
+  SELECT lang,
+         CASE WHEN r >= 1.0 THEN 'gggggggg'
+              ELSE printf('%08x', CAST(floor(r * 4294967296.0) AS BIGINT))
+         END AS bound
+  FROM rate)
+SELECT tok.doc_id, tok.lang, tok.n_tokens
+FROM tok JOIN thr USING (lang)
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < bound
+"""
+
+
+ORACLE_SQL["domain_mix"] = _domain_mix_oracle_sql()
+
+
 def q_pack_sequences(sf_dir: str):
     """Token-budget shard assignment for training export: documents in
     doc_id order fill 2048-token shards; a row's shard is the exclusive

@@ -206,6 +206,61 @@ def sample_deterministic(ds, id_col: str, fraction: float, salt: str = ""):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def domain_mix(
+    ds,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    target_weights: "dict[str, float]",
+    budget_fraction: float,
+    salt: str = "",
+):
+    """Static data-mixture resampling (the Pile / DoReMi-static recipe):
+    given target mixture ``target_weights`` per domain and a total token
+    budget expressed as ``budget_fraction`` of the MEASURED corpus mass,
+    derive each domain's keep-rate from its measured mass and apply the
+    deterministic md5-threshold sample at that rate:
+
+        rate_g = budget_fraction * total_mass * w_g / mass_g   (capped at 1)
+
+    Domains absent from ``target_weights`` get weight 0 → dropped.
+
+    Scale shape: pass 1 is a native groupby-sum over a BOUNDED key domain
+    (per-block partial combine; |domains| rows to the driver — the small
+    side of the computation by definition); pass 2 is a pure filter map.
+    No corpus shuffle, no RNG — same partitioning/retry invariance and
+    monotone-subset property as ``sample_deterministic``, so raising the
+    budget only ADDS documents (stable curriculum growth).
+
+    Oracle parity: rate is computed as the literal expression
+    ``budget_fraction * total * w / t`` (left-assoc float64) and bounds
+    via ``_hex_bound`` — mirrored verbatim in SQL (see
+    corpus_queries.ORACLE_SQL["domain_mix"])."""
+    totals = ds.groupby(group_col).sum(weight_col).take_all()
+    mass = {
+        r[group_col]: int(r[f"sum({weight_col})"]) for r in totals
+    }
+    total = sum(mass.values())
+    bounds = {
+        g: _hex_bound(budget_fraction * total * target_weights[g] / t)
+        for g, t in mass.items()
+        if g in target_weights and t > 0
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        mask = [
+            g in bounds
+            and hashlib.md5((salt + str(k)).encode()).hexdigest()[:8]
+            < bounds[g]
+            for k, g in zip(keys, groups)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def global_shuffle_rank(ds, id_col: str, salt: str = "", num_buckets: int = 32):
     """Deterministic global training-data shuffle: every row gets
     ``shuffle_rank`` = its position when the corpus is ordered by

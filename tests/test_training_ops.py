@@ -60,6 +60,57 @@ class TestStratifiedSample:
         }
 
 
+class TestDomainMix:
+    def test_rates_invariance_and_monotone_budget(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.splits import domain_mix
+
+        n = 6000
+        # en: heavy docs (9 tokens), de: light (3), xx: unlisted domain
+        langs = ["en", "de", "xx"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(langs[i % 3] for i in range(n)),
+                "n_tok": pa.array(
+                    [9, 3, 5][i % 3] for i in range(n)
+                ),
+            }
+        )
+        weights = {"en": 0.5, "de": 0.5}
+
+        def sample(nblocks, bf):
+            return {
+                r["doc_id"]
+                for r in domain_mix(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "doc_id", "lang", "n_tok",
+                    target_weights=weights, budget_fraction=bf,
+                ).take_all()
+            }
+
+        a = sample(2, 0.3)
+        assert sample(7, 0.3) == a, "partitioning must not matter"
+        lang_of = t["lang"].to_pylist()
+        assert not any(lang_of[i] == "xx" for i in a), "unlisted → dropped"
+        # measured masses: en 9n/3, de 3n/3, total (9+3+5)n/3.
+        # rate_en = 0.3·17/(2·9) ≈ 0.283, rate_de = 0.3·17/(2·3) = 0.85
+        by = {"en": 0, "de": 0}
+        for i in a:
+            by[lang_of[i]] += 1
+        assert abs(by["en"] / (n / 3) - 0.3 * 17 / 18) < 0.04
+        assert abs(by["de"] / (n / 3) - 0.85) < 0.04
+        # same token budget per listed domain, to within doc granularity
+        # (that is the point of the op): 9·n_en ≈ 3·n_de
+        assert abs(9 * by["en"] - 3 * by["de"]) / (3 * by["de"]) < 0.15
+        # a bigger budget only ADDS documents (monotone curriculum)
+        assert a <= sample(2, 0.6)
+        # rate cap: a budget that wants more de than exists keeps all de
+        big = sample(2, 1.2)
+        assert sum(1 for i in big if lang_of[i] == "de") == n / 3
+
+
 class TestPackSequences:
     def test_matches_sequential_reference(self, ray_session):
         import ray.data
