@@ -130,6 +130,36 @@ FROM s
 """
 
 
+def q_quality_prune(sf_dir: str):
+    """Calibrated quality pruning (stages.groupops.filter_by_group_quantile):
+    keep documents at or above their OWN language's median token count —
+    the per-domain-threshold move that stops a global length cut from
+    wiping out short-form languages. Integer scores make the interpolated
+    threshold exact in float64, so the boundary compare is bit-stable vs
+    quantile_cont."""
+    from ..stages.groupops import filter_by_group_quantile
+    from ..stages.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    with_tok = docs.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return filter_by_group_quantile(with_tok, "lang", "n_tokens", 0.5)
+
+
+ORACLE_SQL["quality_prune"] = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+thr AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS q FROM tok GROUP BY 1)
+SELECT tok.doc_id, tok.lang, tok.n_tokens
+FROM tok JOIN thr USING (lang)
+WHERE tok.n_tokens >= thr.q
+"""
+
+
 def q_lang_distribution(sf_dir: str):
     return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
         Count(alias_name="n")

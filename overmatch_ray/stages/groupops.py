@@ -274,6 +274,46 @@ def exact_quantiles_by(
     )
 
 
+def filter_by_group_quantile(
+    ds, group_col: str, value_col: str, p: float, keep: str = "ge",
+    num_buckets: int = 16,
+):
+    """Per-group quantile threshold filter — calibrated pruning (the
+    FineWeb-style move: threshold each language/source against ITS OWN
+    score distribution so a global cut can't wipe out low-resource
+    domains). Keeps rows whose value is >= (``keep="ge"``) or <=
+    (``keep="le"``) their group's exact p-quantile.
+
+    Two passes: the ``exact_quantiles_by`` value-count collapse (shuffle
+    volume = distinct (group, value) pairs), a driver gather BOUNDED by
+    the group count (calibration domains are small by construction —
+    document the assumption, don't feed it 1e9 groups), then a pure
+    broadcast-bound filter map over sorted key arrays (no per-row dict
+    probes). With integer-valued measures the (n−1)p interpolation is
+    exact in float64, so the boundary compare is bit-stable against a
+    quantile_cont SQL oracle."""
+    rows = exact_quantiles_by(
+        ds, group_col, value_col, [p], round_to=None, num_buckets=num_buckets
+    ).take_all()
+    keys = np.array([str(r[group_col]) for r in rows])
+    thrs = np.array([float(r["q"]) for r in rows], dtype=np.float64)
+    order = np.argsort(keys)
+    keys, thrs = keys[order], thrs[order]
+    ge = keep == "ge"
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pylist(), dtype=keys.dtype)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(keys, g)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        known = keys[idx_c] == g
+        t = thrs[idx_c]
+        mask = known & ((v >= t) if ge else (v <= t))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def histogram_quantiles(
     ds, col: str, ps: "list[float]", bins: int = 4096, round_to: int = 6,
 ):

@@ -111,6 +111,48 @@ class TestDomainMix:
         assert sum(1 for i in big if lang_of[i] == "de") == n / 3
 
 
+class TestFilterByGroupQuantile:
+    def test_matches_reference_and_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from overmatch_ray.stages.groupops import filter_by_group_quantile
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+        vals = rng.integers(0, 50, n)
+        t = pa.table(
+            {
+                "rid": pa.array(range(n), pa.int64()),
+                "g": pa.array(groups),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+
+        def got(nblocks, keep):
+            return {
+                r["rid"]
+                for r in filter_by_group_quantile(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "g", "v", 0.5, keep=keep,
+                ).take_all()
+            }
+
+        # reference: numpy per-group linear-interpolated median
+        want = set()
+        for g in "abc":
+            sel = groups == g
+            med = np.quantile(vals[sel].astype(np.float64), 0.5)
+            want |= set(np.flatnonzero(sel & (vals >= med)).tolist())
+        a = got(2, "ge")
+        assert a == want
+        assert got(9, "ge") == a, "partitioning must not matter"
+        # "le" keeps the complement plus the boundary rows
+        le = got(2, "le")
+        assert le | a == set(range(n)) and (le & a)  # boundary overlaps
+
+
 class TestPackSequences:
     def test_matches_sequential_reference(self, ray_session):
         import ray.data
