@@ -227,6 +227,72 @@ def _derived_corpus(sf_dir: str):
     return base.union(base.map_batches(perturb, batch_format="pyarrow"))
 
 
+def q_source_dedup_stats(sf_dir: str):
+    """Cross-source duplicate-leakage matrix — the dedup-POLICY readout a
+    curator needs before picking a keep rule: for every unordered source
+    pair, how many exact near-dup pairs span it (how much of source A is
+    already inside source B). Rides the oracled exact pair graph and the
+    shared attach_pair_payload scaffold (payload = the 1-column source
+    tag, semi-filtered to candidate docs before the attach joins), then
+    one bounded-domain groupby (|sources|² cells). The derived corpus's
+    perturbed copies inherit their base doc's source."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import attach_pair_payload, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _derived_corpus(sf_dir), threshold=_NEARDUP_THRESHOLD, k=3
+    ).materialize()
+    if pairs.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "source_lo": pa.array([], pa.string()),
+            "source_hi": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }))
+
+    base = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def perturb_src(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch["doc_id"], pa.scalar(40)))
+        return pa.table({
+            "doc_id": pc.add(f["doc_id"], pa.scalar(100000, pa.int64())),
+            "source": f["source"],
+        })
+
+    # materialize the union boundary before the attach scaffold's
+    # all-to-alls (the two-branch-union livelock rule)
+    src = base.union(
+        base.map_batches(perturb_src, batch_format="pyarrow")
+    ).materialize()
+
+    withsrc = attach_pair_payload(pairs, src)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        sa = np.asarray(batch["source_a"].to_pylist())
+        sb = np.asarray(batch["source_b"].to_pylist())
+        le = sa <= sb  # np.minimum has no unicode loop; where() does
+        return pa.table({
+            "source_lo": pa.array(np.where(le, sa, sb)),
+            "source_hi": pa.array(np.where(le, sb, sa)),
+        })
+
+    return (
+        withsrc.map_batches(canon, batch_format="pyarrow")
+        .groupby(["source_lo", "source_hi"])
+        .aggregate(Count(alias_name="n_pairs"))
+        .map_batches(
+            lambda b: pa.table({
+                "source_lo": b["source_lo"],
+                "source_hi": b["source_hi"],
+                "n_pairs": b["n_pairs"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_ngram_neardup_pairs(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
@@ -327,6 +393,23 @@ def q_minhash_pairs(sf_dir: str):
 
 
 ORACLE_SQL["minhash_pairs"] = ORACLE_SQL["ngram_neardup_pairs"]
+
+# q_source_dedup_stats: the exact pair oracle reused verbatim, each side
+# joined to its source (perturbed copies inherit their base's source),
+# counted per unordered source pair.
+ORACLE_SQL["source_dedup_stats"] = f"""
+WITH pairs AS ({ORACLE_SQL["ngram_neardup_pairs"]}),
+src AS (SELECT doc_id, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, source FROM documents WHERE doc_id < 40)
+SELECT least(sa.source, sb.source) AS source_lo,
+       greatest(sa.source, sb.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN src sa ON sa.doc_id = pairs.id_a
+JOIN src sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
 
 
 def q_simhash_dup_pairs(sf_dir: str):
