@@ -1854,6 +1854,54 @@ FROM a JOIN b
 """
 
 
+def q_areal_interp(sf_dir: str):
+    """Areal interpolation (stages.spatial.areal_interpolate): transfer a
+    per-part integer measure (1 + k % 97) onto customer boxes by overlap
+    fraction of the SOURCE area — the census-tract→grid value-transfer
+    workload. Terms floored to a 1e-6 grid and summed as integers, so the
+    result is order-free and SQL-mirrorable bit-exactly."""
+    from ..stages.spatial import areal_interpolate
+
+    parts = _formula_boxes(
+        _read(sf_dir, "part", ["p_partkey"]), "p_partkey", 13, 11
+    )
+
+    def addv(batch: pa.Table) -> pa.Table:
+        k = batch["id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("val", pa.array(1 + k % 97))
+
+    custs = _formula_boxes(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", 13, 11
+    )
+    out = areal_interpolate(
+        parts.map_batches(addv, batch_format="pyarrow"), custs, "val"
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "cust_id": b["id"].cast(pa.int64()),
+            "interp_scaled": b["interp_scaled"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["areal_interp"] = f"""
+WITH a AS ({_BOX_SQL.format(k='p_partkey', t='part')}),
+b AS ({_BOX_SQL.format(k='c_custkey', t='customer')})
+SELECT b.id AS cust_id,
+       CAST(sum(CAST(floor(
+         1000000.0 * (1 + a.id % 97)
+                   * ((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+                    * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)))
+                   / ((a.xmax - a.xmin) * (a.ymax - a.ymin))
+       ) AS BIGINT)) AS BIGINT) AS interp_scaled
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+ AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+GROUP BY 1
+"""
+
+
 def q_cell_heatmap(sf_dir: str):
     """Sparse-grid heatmap: per-cell customer counts convolved with a 3×3
     binomial kernel (stages.spatial.kernel_smooth_counts) — 9 rows per

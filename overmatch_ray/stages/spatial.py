@@ -513,6 +513,76 @@ def bbox_intersection_join(
     )
 
 
+def areal_interpolate(
+    src_ds,
+    dst_ds,
+    value_col: str,
+    *,
+    scale: int = 1_000_000,
+    src_id: str = "id",
+    dst_id: str = "id",
+    num_buckets: int | None = None,
+    cell_size: float | None = None,
+):
+    """Area-weighted areal interpolation — the standard polygon-to-polygon
+    value transfer (census-tract → grid style), axis-aligned-box geometry:
+    each source box spreads its value uniformly over its own area, and a
+    target box receives ``Σ_src value · overlap / area_src``.
+
+    Each term is FLOORED onto a 1/``scale`` grid and summed as INTEGERS,
+    so the per-target sum is order-free (the decimeter-floor trick) and a
+    SQL oracle can mirror it bit-exactly: with integer-valued box edges
+    and integer values, ``scale·v·overlap`` is exact in float64 and the
+    single division is the only rounding — identical in both engines.
+
+    Shape: the PBSM box join (one all-to-all), then (value, area) attach
+    via a bucketed hash join on the src id — pair-count-bounded, the src
+    corpus never re-replicates — then a bucketed integer sum per target
+    (group count ≈ targets, so the native reduce's per-group Python cost
+    is avoided). Output: (``dst_id``, interp_scaled int64)."""
+    from .groupops import bucketed_aggregate
+    from .joins import bucket_hash_join
+
+    pairs = bbox_intersection_join(
+        src_ds, dst_ds, left_id=src_id, right_id=dst_id,
+        num_buckets=num_buckets, cell_size=cell_size,
+    )
+
+    def payload(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy(zero_copy_only=False)
+        ymin = batch["ymin"].to_numpy(zero_copy_only=False)
+        xmax = batch["xmax"].to_numpy(zero_copy_only=False)
+        ymax = batch["ymax"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": batch[src_id].cast(pa.int64()),
+            "__v": batch[value_col].to_numpy(zero_copy_only=False)
+                   .astype(np.float64),
+            "__area": pa.array((xmax - xmin) * (ymax - ymin)),
+        })
+
+    src_pay = src_ds.map_batches(payload, batch_format="pyarrow")
+    joined = bucket_hash_join(
+        pairs.materialize(), src_pay, "id_a", "id_a",
+        num_buckets=num_buckets or 32,
+    )
+
+    def term(batch: pa.Table) -> pa.Table:
+        v = batch["__v"].to_numpy(zero_copy_only=False)
+        o = batch["overlap_m2"].to_numpy(zero_copy_only=False)
+        area = batch["__area"].to_numpy(zero_copy_only=False)
+        t = np.floor(float(scale) * v * o / area).astype(np.int64)
+        return pa.table({
+            dst_id: batch["id_b"].cast(pa.int64()),
+            "__t": pa.array(t),
+        })
+
+    return bucketed_aggregate(
+        joined.map_batches(term, batch_format="pyarrow"),
+        [dst_id], {"interp_scaled": ("__t", "sum")},
+        num_buckets=num_buckets or 32,
+    )
+
+
 def triangle_point_join(
     tri_ds,
     pts_ds,

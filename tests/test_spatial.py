@@ -866,3 +866,62 @@ class TestZonalStats:
             ))
         )
         assert a == b
+
+
+class TestArealInterpolate:
+    def _boxes(self, rng, n, id0=0):
+        x = rng.integers(0, 40, n)
+        y = rng.integers(0, 40, n)
+        hw = rng.integers(1, 6, n)
+        hh = rng.integers(1, 6, n)
+        return pa.table({
+            "id": pa.array(np.arange(id0, id0 + n, dtype=np.int64)),
+            "xmin": pa.array((x - hw).astype(np.float64)),
+            "ymin": pa.array((y - hh).astype(np.float64)),
+            "xmax": pa.array((x + hw).astype(np.float64)),
+            "ymax": pa.array((y + hh).astype(np.float64)),
+        })
+
+    def test_matches_bruteforce_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import areal_interpolate
+
+        rng = np.random.default_rng(5)
+        src = self._boxes(rng, 120).append_column(
+            "val", pa.array(rng.integers(1, 50, 120).astype(np.int64))
+        )
+        dst = self._boxes(rng, 80, id0=1000)
+
+        # brute-force reference with the SAME floored-term rule
+        s = {c: src[c].to_numpy() for c in src.column_names}
+        d = {c: dst[c].to_numpy() for c in dst.column_names}
+        want = {}
+        for j in range(80):
+            tot = 0
+            for i in range(120):
+                ox = min(s["xmax"][i], d["xmax"][j]) - max(s["xmin"][i], d["xmin"][j])
+                oy = min(s["ymax"][i], d["ymax"][j]) - max(s["ymin"][i], d["ymin"][j])
+                if ox >= 0 and oy >= 0:
+                    area = (s["xmax"][i] - s["xmin"][i]) * (s["ymax"][i] - s["ymin"][i])
+                    tot += int(np.floor(1e6 * float(s["val"][i]) * (ox * oy) / area))
+            if tot or any(
+                min(s["xmax"][i], d["xmax"][j]) >= max(s["xmin"][i], d["xmin"][j])
+                and min(s["ymax"][i], d["ymax"][j]) >= max(s["ymin"][i], d["ymin"][j])
+                for i in range(120)
+            ):
+                want[1000 + j] = tot
+
+        def got(nblocks):
+            return {
+                r["id"]: r["interp_scaled"]
+                for r in areal_interpolate(
+                    ray.data.from_arrow(src).repartition(nblocks),
+                    ray.data.from_arrow(dst).repartition(nblocks),
+                    "val", cell_size=16.0,
+                ).take_all()
+            }
+
+        a = got(2)
+        assert a == want
+        assert got(7) == a, "partitioning must not matter"
