@@ -227,6 +227,45 @@ def _derived_corpus(sf_dir: str):
     return base.union(base.map_batches(perturb, batch_format="pyarrow"))
 
 
+def q_segment_dedup(sf_dir: str):
+    """Sub-document exact dedup (stages.dedup.segment_dedup): C4-style
+    line dedup adapted to a delimiter-free corpus — non-overlapping
+    5-token segments, first occurrence (doc, position) wins, partial
+    tails always survive, documents reassembled from survivors. Run over
+    the derived corpus (which actually contains duplicates): a perturbed
+    copy keeps only the segments its extra token shifted off the
+    originals' grid."""
+    from ..stages.dedup import segment_dedup
+
+    return segment_dedup(_derived_corpus(sf_dir), "text", "doc_id", window=5)
+
+
+ORACLE_SQL["segment_dedup"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xtra token' FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus),
+segs AS (
+  SELECT doc_id, pos // 5 AS seg_idx, count(*) AS n,
+         string_agg(tok, ' ' ORDER BY pos) AS seg
+  FROM toks GROUP BY doc_id, pos // 5),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg
+                               ORDER BY doc_id, seg_idx) AS rn
+  FROM segs WHERE n = 5),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, seg_idx, seg FROM segs WHERE n < 5)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_source_dedup_stats(sf_dir: str):
     """Cross-source duplicate-leakage matrix — the dedup-POLICY readout a
     curator needs before picking a keep rule: for every unordered source

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _U64 = np.uint64
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -138,6 +139,122 @@ def exact_dedup(docs_ds, key_col: str, id_col: str = "doc_id",
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def segment_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                  window: int = 5, num_buckets: int = 64,
+                  idx_bits: int = 20):
+    """Sub-document exact dedup at fixed token-window granularity — the
+    C4 line-dedup move for delimiter-free corpora: the corpus is cut into
+    NON-OVERLAPPING ``window``-token segments, each distinct full segment
+    survives only at its FIRST occurrence in (doc, position) order,
+    partial tail segments always survive, and documents are reassembled
+    from their surviving segments (an exact duplicate document keeps only
+    its sub-``window`` tail).
+
+    Segment identity is the order-sensitive FNV/splitmix combine of the
+    window's token hashes (string equality modulo 64-bit collisions — the
+    bm25/shingle precedent; the DuckDB oracle compares true strings).
+    Input contract: no empty/NULL texts (the corpus convention every
+    text-stats oracle already relies on).
+
+    Shape: one explode (seg_hash, packed first-occurrence key, seg text —
+    corpus volume crosses ONCE), a bucketed min-aggregate over seg_hash
+    (group count ≈ segment count → never the native per-group reduce), a
+    bucketed LEFT join back (partials ride through with is_full=0 and
+    ignore the winner column), and a per-doc reassembly group apply.
+    ``packed = doc_id << idx_bits | seg_idx`` — guarded loudly."""
+    from .groupops import bucketed_aggregate, bucketed_group_apply
+    from .joins import bucket_hash_join
+
+    w = int(window)
+    max_idx = 1 << idx_bits
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        ths = _token_hashes_batch(texts)
+        o_id, o_idx, o_hash, o_full, o_seg = [], [], [], [], []
+        for did, th, text in zip(ids, ths, texts):
+            toks = text.split(" ") if text else []
+            nfull = len(toks) // w
+            if nfull >= max_idx:
+                raise ValueError(
+                    f"segment_dedup: doc {did} has {nfull} segments "
+                    f"(>= 2^{idx_bits}); raise idx_bits"
+                )
+            if nfull:
+                kg = _ordered_kgrams(th, w)[:: w][:nfull]
+                o_hash.extend(kg.view(np.int64).tolist())
+                o_id.extend([int(did)] * nfull)
+                o_idx.extend(range(nfull))
+                o_full.extend([1] * nfull)
+                o_seg.extend(
+                    " ".join(toks[j * w:(j + 1) * w]) for j in range(nfull)
+                )
+            if len(toks) % w:
+                o_hash.append(0)
+                o_id.append(int(did))
+                o_idx.append(nfull)
+                o_full.append(0)
+                o_seg.append(" ".join(toks[nfull * w:]))
+        did_a = np.asarray(o_id, dtype=np.int64)
+        idx_a = np.asarray(o_idx, dtype=np.int64)
+        return pa.table({
+            "seg_hash": pa.array(np.asarray(o_hash, dtype=np.int64)),
+            "packed": pa.array((did_a << idx_bits) | idx_a),
+            id_col: pa.array(did_a),
+            "seg_idx": pa.array(idx_a),
+            "is_full": pa.array(np.asarray(o_full, dtype=np.int64)),
+            "seg": pa.array(o_seg, pa.string()),
+        })
+
+    segs = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def fulls_only(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["is_full"], pa.scalar(1)))
+        return pa.table({"seg_hash": f["seg_hash"], "packed": f["packed"]})
+
+    winners = bucketed_aggregate(
+        segs.map_batches(fulls_only, batch_format="pyarrow"), ["seg_hash"],
+        {"min_packed": ("packed", "min")}, num_buckets=num_buckets,
+    )
+
+    joined = bucket_hash_join(
+        segs, winners, "seg_hash", "seg_hash",
+        num_buckets=num_buckets, how="left",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        full = batch["is_full"].to_numpy(zero_copy_only=False) == 1
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        # partials miss the left join → NULL min_packed, possibly
+        # float64-upcast (the nulled-int pitfall); fill and round-trip to
+        # int64 — exact while packed < 2^53, i.e. doc_id < 2^(53-idx_bits)
+        mp = np.asarray(
+            pc.fill_null(batch["min_packed"], -1).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.float64,
+        ).astype(np.int64)
+        f = batch.filter(pa.array(~full | (packed == mp)))
+        return pa.table({
+            id_col: f[id_col], "seg_idx": f["seg_idx"], "seg": f["seg"],
+        })
+
+    kept = joined.map_batches(keep, batch_format="pyarrow")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seg_idx", kind="mergesort")
+        out = g.groupby(id_col, sort=False)["seg"].agg(" ".join)
+        return pd.DataFrame({
+            id_col: out.index.to_numpy(dtype=np.int64),
+            "text_dedup": out.to_numpy(),
+        })
+
+    return bucketed_group_apply(
+        kept, [id_col], reassemble, num_buckets=num_buckets,
+    )
 
 
 # --- exact n-gram Jaccard pairs -------------------------------------------

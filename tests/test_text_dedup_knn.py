@@ -1109,3 +1109,62 @@ class TestPrefixJaccardPairs:
         assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in exact] == [
             (1, 3, 1.0)
         ]
+
+
+class TestSegmentDedup:
+    def test_matches_reference_and_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from overmatch_ray.stages.dedup import segment_dedup
+
+        rng = np.random.default_rng(3)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        texts = [
+            " ".join(vocab[i] for i in rng.integers(0, 6, int(n)))
+            for n in rng.integers(3, 40, 60)
+        ]
+        texts += texts[:10]          # exact duplicate documents
+        texts += [texts[5] + " zz"]  # near-dup: same grid + new tail
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+        # single-process reference: first occurrence in (doc, idx) order
+        W = 5
+        seen: dict[str, tuple] = {}
+        want = {}
+        for did, text in enumerate(texts):
+            toks = text.split(" ")
+            segs = []
+            for j in range(0, len(toks) - len(toks) % W, W):
+                s = " ".join(toks[j:j + W])
+                if s not in seen:
+                    seen[s] = (did, j // W)
+                if seen[s] == (did, j // W):
+                    segs.append(s)
+            if len(toks) % W:
+                segs.append(" ".join(toks[len(toks) - len(toks) % W:]))
+            if segs:
+                want[did] = " ".join(segs)
+
+        def got(nblocks):
+            return {
+                r["doc_id"]: r["text_dedup"]
+                for r in segment_dedup(
+                    ray.data.from_arrow(t).repartition(nblocks)
+                ).take_all()
+            }
+
+        a = got(2)
+        assert a == want
+        assert got(9) == a, "partitioning must not matter"
+        # an exact duplicate document keeps at most its partial tail
+        dup = 60 + 5  # copy of texts[5]
+        n5 = len(texts[5].split(" "))
+        if n5 % 5:
+            assert a[dup] == " ".join(texts[5].split(" ")[n5 - n5 % 5:])
+        else:
+            assert dup not in a
