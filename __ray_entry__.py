@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dedup_stats": cq.q_source_dedup_stats,
         "areal_interp": cq.q_areal_interp,
         "segment_dedup": cq.q_segment_dedup,
+        "idw_interp": cq.q_idw_interp,
         "repetition_stats": cq.q_repetition_stats,
         "heavy_tokens": cq.q_heavy_tokens,
         "lang_heavy_tokens": cq.q_lang_heavy_tokens,

@@ -1029,6 +1029,69 @@ WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100
 """
 
 
+def q_idw_interp(sf_dir: str):
+    """IDW point interpolation (stages.spatial.idw_interpolate): customer
+    lattice points receive Σ value/d² over the part points within 50 m
+    (coincident lattice points excluded — IDW-at-a-sample semantics).
+    Integer lattice coordinates and integer values make every d² and
+    scale·v exact, so the floored terms are bit-identical to SQL."""
+    from ..stages.spatial import idw_interpolate
+
+    def lattice(key_col):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.table({
+                "id": pa.array(k),
+                "x": pa.array((11 * (k % 1000)).astype(np.float64)),
+                "y": pa.array((14 * ((k // 1000) % 1000)).astype(np.float64)),
+            })
+            if key_col == "p_partkey":
+                t = t.append_column("val", pa.array(1 + k % 97))
+            return t
+
+        return f
+
+    parts = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lattice("p_partkey"), batch_format="pyarrow"
+    )
+    custs = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lattice("c_custkey"), batch_format="pyarrow"
+    )
+    out = idw_interpolate(parts, custs, "val", radius_m=50.0)
+    return out.map_batches(
+        lambda b: pa.table({
+            "cust_id": b["id"].cast(pa.int64()),
+            "idw_scaled": b["idw_scaled"].cast(pa.int64()),
+            "n_src": b["n_src"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["idw_interp"] = """
+WITH a AS (
+  SELECT c_custkey AS id,
+         CAST(11 * (c_custkey % 1000) AS DOUBLE) AS x,
+         CAST(14 * ((c_custkey // 1000) % 1000) AS DOUBLE) AS y
+  FROM customer),
+b AS (
+  SELECT p_partkey AS id, 1 + p_partkey % 97 AS v,
+         CAST(11 * (p_partkey % 1000) AS DOUBLE) AS x,
+         CAST(14 * ((p_partkey // 1000) % 1000) AS DOUBLE) AS y
+  FROM part)
+SELECT a.id AS cust_id,
+       CAST(sum(CAST(floor(
+         1000000.0 * b.v
+         / ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+       ) AS BIGINT)) AS BIGINT) AS idw_scaled,
+       CAST(count(*) AS BIGINT) AS n_src
+FROM a JOIN b
+  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) > 0.0
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500.0
+GROUP BY 1
+"""
+
+
 def q_tile_assign(sf_dir: str):
     """z14 tile occupancy of formula-derived customer points (S15 analog)."""
     ds = _read(sf_dir, "customer", ["c_custkey"])

@@ -583,6 +583,143 @@ def areal_interpolate(
     )
 
 
+def idw_interpolate(
+    src_ds,
+    dst_ds,
+    value_col: str,
+    radius_m: float,
+    *,
+    scale: int = 1_000_000,
+    src_id: str = "id",
+    dst_id: str = "id",
+    num_buckets: int | None = None,
+):
+    """Inverse-distance-weighted point interpolation — the point-sample
+    sibling of ``areal_interpolate``: every target point receives
+    ``Σ_src value / d²`` over the sources within ``radius_m`` (coincident
+    points d²=0 are EXCLUDED, standard IDW-at-a-sample semantics), plus
+    the contributing-source count. Terms are FLOORED onto a 1/``scale``
+    grid and summed as integers — order-free and, with integer-valued
+    planar coordinates and integer values, bit-exactly SQL-mirrorable
+    (d² is exact, ``scale·v`` is exact, the one division is the only
+    rounding). With raw-trig float coordinates the floor grid is subject
+    to cross-engine ulps — keep oracle corpora on an integer lattice
+    (the ``_formula_boxes`` rule).
+
+    Shape: the k-ring cell co-shuffle of the 100 m conflation join —
+    sources replicate ×9 (the NARROW side replicates), targets carry
+    their one cell, pairs meet in exactly one bucket group (no dedup
+    rule needed: the target's own cell is unique) — then a bucketed
+    integer sum per target. Requires ``radius_m`` ≤ the cell size."""
+    from .. import CELL_SIZE_M
+    from ..cell import cell_id, kring1_cells
+    from .groupops import bucketed_aggregate, concat_ranges
+
+    if radius_m > CELL_SIZE_M:
+        raise ValueError(
+            f"idw_interpolate: radius {radius_m} exceeds the k-ring-1 "
+            f"guarantee at cell size {CELL_SIZE_M}"
+        )
+    r2 = float(radius_m) * float(radius_m)
+    nb = _auto_buckets(num_buckets)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "id": batch[dst_id].cast(pa.int64()),
+            "x": pa.array(x), "y": pa.array(y),
+            "v": pa.array(np.zeros(len(x))),
+            "cell": pa.array(cell_id(x, y).view(np.int64)),
+            "side": pa.array(np.zeros(len(x), np.int8)),
+        })
+
+    def index_side(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[src_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = kring1_cells(cell_id(x, y)).ravel()
+        rep = np.repeat(np.arange(ids.size), 9)
+        return pa.table({
+            "id": pa.array(ids[rep]),
+            "x": pa.array(x[rep]), "y": pa.array(y[rep]),
+            "v": pa.array(v[rep]),
+            "cell": pa.array(cells.view(np.int64)),
+            "side": pa.array(np.ones(rep.size, np.int8)),
+        })
+
+    # union→all-to-all boundary materialized (CLAUDE.md livelock rule)
+    both = dst_ds.map_batches(probe, batch_format="pyarrow").union(
+        src_ds.map_batches(index_side, batch_format="pyarrow")
+    ).materialize()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((cell.view(np.uint64) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = g["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "id": pa.array([], pa.int64()),
+            "__t": pa.array([], pa.int64()),
+            "__one": pa.array([], pa.int64()),
+        })
+        a_idx = np.flatnonzero(side == 0)
+        b_idx = np.flatnonzero(side != 0)
+        if a_idx.size == 0 or b_idx.size == 0:
+            return empty
+        bo = b_idx[np.argsort(cells[b_idx], kind="mergesort")]
+        bc = cells[bo]
+        lo = np.searchsorted(bc, cells[a_idx], "left")
+        hi = np.searchsorted(bc, cells[a_idx], "right")
+        counts = hi - lo
+        if not counts.sum():
+            return empty
+        ai = np.repeat(a_idx, counts)
+        bi = bo[concat_ranges(lo, hi)]
+        d2 = (x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2  # SQL form
+        m = (d2 > 0.0) & (d2 <= r2)
+        if not m.any():
+            return empty
+        t = np.floor(float(scale) * v[bi][m] / d2[m]).astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids[ai][m]),
+            "__t": pa.array(t),
+            "__one": pa.array(np.ones(t.size, np.int64)),
+        })
+
+    terms = (
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+    out = bucketed_aggregate(
+        terms, ["id"],
+        {"idw_scaled": ("__t", "sum"), "n_src": ("__one", "sum")},
+        num_buckets=nb,
+    )
+    if dst_id == "id":
+        return out
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            dst_id: batch["id"],
+            "idw_scaled": batch["idw_scaled"],
+            "n_src": batch["n_src"],
+        })
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
 def triangle_point_join(
     tri_ds,
     pts_ds,

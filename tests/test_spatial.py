@@ -925,3 +925,57 @@ class TestArealInterpolate:
         a = got(2)
         assert a == want
         assert got(7) == a, "partitioning must not matter"
+
+
+class TestIdwInterpolate:
+    def test_matches_bruteforce_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import idw_interpolate
+
+        rng = np.random.default_rng(9)
+        ns, nd = 150, 90
+        # integer lattice keeps d^2 exact; include coincident points
+        sx = rng.integers(0, 30, ns) * 7.0
+        sy = rng.integers(0, 30, ns) * 9.0
+        v = rng.integers(1, 40, ns)
+        dx = rng.integers(0, 30, nd) * 7.0
+        dy = rng.integers(0, 30, nd) * 9.0
+        src = pa.table({
+            "id": pa.array(np.arange(ns, dtype=np.int64)),
+            "x": pa.array(sx), "y": pa.array(sy),
+            "val": pa.array(v.astype(np.int64)),
+        })
+        dst = pa.table({
+            "id": pa.array(np.arange(1000, 1000 + nd, dtype=np.int64)),
+            "x": pa.array(dx), "y": pa.array(dy),
+        })
+
+        R2 = 50.0 * 50.0
+        want = {}
+        for j in range(nd):
+            d2 = (sx - dx[j]) ** 2 + (sy - dy[j]) ** 2
+            m = (d2 > 0.0) & (d2 <= R2)
+            if m.any():
+                t = np.floor(1e6 * v[m].astype(np.float64) / d2[m]).astype(np.int64)
+                want[1000 + j] = (int(t.sum()), int(m.sum()))
+
+        def got(nblocks):
+            return {
+                r["id"]: (r["idw_scaled"], r["n_src"])
+                for r in idw_interpolate(
+                    ray.data.from_arrow(src).repartition(nblocks),
+                    ray.data.from_arrow(dst).repartition(nblocks),
+                    "val", radius_m=50.0,
+                ).take_all()
+            }
+
+        a = got(2)
+        assert a == want
+        assert got(7) == a, "partitioning must not matter"
+
+    def test_radius_beyond_kring_rejected(self, ray_session):
+        from overmatch_ray.stages.spatial import idw_interpolate
+
+        with pytest.raises(ValueError, match="k-ring"):
+            idw_interpolate(None, None, "v", radius_m=1e9)
