@@ -120,6 +120,70 @@ def read_geojson_points_ndjson(
     )
 
 
+def fetch_sparql_json(endpoint: str, query: str, timeout: float = 60.0) -> dict:
+    """S5 transport: ``GET <endpoint>?query=<urlencoded>`` returning the
+    SPARQL-results JSON (reference scripts/get_osm_ids.py:52-66 uses
+    requests; this is the same request in stdlib urllib — no extra dep).
+    ``file://`` endpoints (or bare paths) read the canned response
+    directly — the no-network test fixture and offline-replay path."""
+    from urllib.parse import urlencode, urlparse
+    from urllib.request import urlopen
+
+    p = urlparse(endpoint)
+    if p.scheme in ("", "file"):
+        with open(p.path if p.scheme == "file" else endpoint) as f:
+            return json.load(f)
+    url = f"{endpoint}?{urlencode({'query': query})}"
+    with urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read().decode())
+
+
+_OSM_URI_PREFIX = "https://www.openstreetmap.org/"
+
+
+def sparql_osm_source(endpoint: str, query: str) -> "ray.data.Dataset":
+    """S5: QLever SPARQL OSM source — bindings with (id, name,
+    housenumber?, centroid WKT) become a Dataset with the SAME contract
+    as ``read_geojson_points`` (osm_id, elem_type, name,
+    addr_housenumber, lon, lat), so the conflation pipeline accepts
+    either interchangeably (reference get_osm_ids.py:88-117: URI-prefix
+    strip, optional housenumber, POINT centroid parse). Bindings missing
+    a required field are skipped, mirroring the reference's
+    unexpected-format warning path (get_osm_ids.py:119).
+
+    The result set is API-bounded (the reference pages nothing), so the
+    single fetch is driver-side by construction; rows then distribute
+    for the downstream batch transforms."""
+    from ..geo import parse_wkt_points
+
+    data = fetch_sparql_json(endpoint, query)
+    binds = data.get("results", {}).get("bindings", [])
+    ids, names, hns, wkts = [], [], [], []
+    for b in binds:
+        try:
+            uri = b["id"]["value"]
+            name = b["name"]["value"]
+            wkt = b["centroid"]["value"]
+        except (KeyError, TypeError):
+            continue  # reference: "Unexpected result format" → skip
+        ids.append(uri.removeprefix(_OSM_URI_PREFIX))
+        names.append(name)
+        hns.append(b.get("housenumber", {}).get("value"))
+        wkts.append(wkt)
+    lon, lat = parse_wkt_points(wkts)
+    t = pa.table({
+        "osm_id": pa.array(ids, pa.string()),
+        "elem_type": pa.array(
+            [i.split("/", 1)[0] for i in ids], pa.string()
+        ),
+        "name": pa.array(names, pa.string()),
+        "addr_housenumber": pa.array(hns, pa.string()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    return ray.data.from_arrow(t)
+
+
 def write_geojson_features(ds, path: str) -> int:
     """S13/S14: match/feature rows → one FeatureCollection file (compact
     separators like the reference's writer, enrich…py:398-409). Streams

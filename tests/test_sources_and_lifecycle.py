@@ -736,3 +736,50 @@ class TestUriSinks:
         a = open(str(tmp_path / "arch.pmtiles"), "rb").read()
         b = open(plain, "rb").read()
         assert a == b
+
+
+class TestSparqlOsmSource:
+    CANNED = {
+        "results": {"bindings": [
+            {"id": {"value": "https://www.openstreetmap.org/node/100001"},
+             "name": {"value": "Potomac Grill"},
+             "housenumber": {"value": "4478"},
+             "centroid": {"value": "POINT(-77.02 38.88)"}},
+            {"id": {"value": "https://www.openstreetmap.org/way/22"},
+             "name": {"value": "No Number Cafe"},
+             "centroid": {"value": "POINT(-77.05 38.85)"}},
+            {"id": {"value": "https://www.openstreetmap.org/node/3"}},
+        ]}
+    }
+
+    def test_file_endpoint_parses_like_reference(self, ray_session, tmp_path):
+        import json
+
+        from overmatch_ray.sources import read_geojson_points, sparql_osm_source
+
+        p = tmp_path / "canned.json"
+        p.write_text(json.dumps(self.CANNED))
+
+        for endpoint in (str(p), f"file://{p}"):
+            ds = sparql_osm_source(endpoint, "SELECT ...")
+            rows = sorted(ds.take_all(), key=lambda r: r["osm_id"])
+            assert len(rows) == 2, "malformed binding must be skipped"
+            a, b = rows
+            assert a["osm_id"] == "node/100001" and a["elem_type"] == "node"
+            assert a["addr_housenumber"] == "4478"
+            assert (a["lon"], a["lat"]) == (-77.02, 38.88)
+            assert b["osm_id"] == "way/22" and b["elem_type"] == "way"
+            assert b["addr_housenumber"] is None
+
+        # same column contract as the GeoJSON reader (S1/S2), so the
+        # conflation pipeline accepts either source interchangeably
+        gj = {"type": "FeatureCollection", "features": [{
+            "type": "Feature",
+            "properties": {"@id": "node/1", "name": "x"},
+            "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        }]}
+        gp = tmp_path / "one.geojson"
+        gp.write_text(json.dumps(gj))
+        want_cols = set(read_geojson_points(str(gp)).schema().names)
+        got_cols = set(sparql_osm_source(str(p), "q").schema().names)
+        assert want_cols == got_cols
