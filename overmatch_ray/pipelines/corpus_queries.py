@@ -1029,6 +1029,71 @@ WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100
 """
 
 
+def q_track_resample(sf_dir: str):
+    """Track temporal resampling (stages.spatial.resample_tracks): each
+    user's ping track interpolated onto the daily grid strictly inside
+    its span — integer-µs timestamps and integer lattice coordinates make
+    the frac/interp chain bit-identical to the SQL oracle (one division,
+    one multiply, one add, authored in the same order)."""
+    from ..stages.spatial import resample_tracks
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "tu": tu,
+            "event_id": batch["event_id"],
+            "x": pa.array((11 * (eid % 1000)).astype(np.float64)),
+            "y": pa.array((14 * ((eid // 1000) % 1000)).astype(np.float64)),
+        })
+
+    out = resample_tracks(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "tu", "x", "y",
+        step_us=86_400_000_000, tiebreak_col="event_id",
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "t": b["t"].cast(pa.int64()),
+            "x_i": b["x_i"], "y_i": b["y_i"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["track_resample"] = """
+WITH pings AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+         CAST(11 * (event_id % 1000) AS DOUBLE) AS x,
+         CAST(14 * ((event_id // 1000) % 1000) AS DOUBLE) AS y
+  FROM events),
+spans AS (
+  SELECT user_id, tu AS t0, x AS x0, y AS y0,
+         lead(tu) OVER w AS t1, lead(x) OVER w AS x1, lead(y) OVER w AS y1
+  FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+bounds AS (SELECT user_id, min(tu) AS mn, max(tu) AS mx
+           FROM pings GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         unnest(range(((mn + 86399999999) // 86400000000) * 86400000000,
+                      mx, 86400000000)) AS t
+  FROM bounds WHERE mx > mn),
+hit AS (
+  SELECT g.user_id, g.t, s.t0, s.t1, s.x0, s.y0, s.x1, s.y1,
+         CAST(g.t - s.t0 AS DOUBLE) / CAST(s.t1 - s.t0 AS DOUBLE) AS frac
+  FROM grid g JOIN spans s
+    ON s.user_id = g.user_id AND g.t >= s.t0 AND g.t < s.t1)
+SELECT user_id, t,
+       x0 + (x1 - x0) * frac AS x_i,
+       y0 + (y1 - y0) * frac AS y_i
+FROM hit
+"""
+
+
 def q_idw_interp(sf_dir: str):
     """IDW point interpolation (stages.spatial.idw_interpolate): customer
     lattice points receive Σ value/d² over the part points within 50 m

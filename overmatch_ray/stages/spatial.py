@@ -583,6 +583,70 @@ def areal_interpolate(
     )
 
 
+def resample_tracks(
+    ds,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    step_us: int,
+    num_buckets: int = 32,
+    tiebreak_col: str | None = None,
+):
+    """GPS-track temporal resampling: per key, linearly interpolate the
+    track onto a fixed time grid — grid points are the multiples of
+    ``step_us`` strictly inside [first ping, last ping), each bracketed
+    by its surrounding pings with ``frac = (t−t0)/(t1−t0)`` (the standard
+    fleet-telemetry normalization before cross-track analytics; exact
+    grid hits take the left ping, frac = 0). Duplicate timestamps need a
+    ``tiebreak_col`` for a deterministic ping order (partitioning must
+    not matter).
+
+    ``ts_col`` must be int64 epoch MICROSECONDS (cast timestamps before
+    the call) so grid arithmetic is integer-exact; with integer-valued
+    planar coordinates the whole interpolation chain (one division, one
+    multiply, one add — authored in that order) is bit-identical to a
+    SQL oracle writing the same expressions. Output rows per key =
+    span/step — the CALLER picks a step that bounds it; nothing
+    driver-side.
+
+    One bucketed shuffle; each key's grid+searchsorted interpolation is
+    vectorized numpy inside the bucket kernel."""
+    from .groupops import bucketed_group_apply
+
+    step = int(step_us)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_t, out_x, out_y = [], [], [], []
+        for key, sub in g.groupby(key_col, sort=False):
+            by = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+            sub = sub.sort_values(by, kind="mergesort")
+            tu = sub[ts_col].to_numpy(dtype=np.int64)
+            if tu.size < 2:
+                continue
+            x = sub[x_col].to_numpy(dtype=np.float64)
+            y = sub[y_col].to_numpy(dtype=np.float64)
+            start = ((tu[0] + step - 1) // step) * step
+            grid = np.arange(start, tu[-1], step, dtype=np.int64)
+            if grid.size == 0:
+                continue
+            idx = np.searchsorted(tu, grid, side="right") - 1
+            frac = (grid - tu[idx]).astype(np.float64) \
+                / (tu[idx + 1] - tu[idx]).astype(np.float64)
+            out_k.extend([key] * grid.size)
+            out_t.extend(grid.tolist())
+            out_x.extend((x[idx] + (x[idx + 1] - x[idx]) * frac).tolist())
+            out_y.extend((y[idx] + (y[idx + 1] - y[idx]) * frac).tolist())
+        return pd.DataFrame({
+            key_col: np.asarray(out_k),
+            "t": np.asarray(out_t, dtype=np.int64),
+            "x_i": np.asarray(out_x, dtype=np.float64),
+            "y_i": np.asarray(out_y, dtype=np.float64),
+        })
+
+    return bucketed_group_apply(ds, [key_col], kernel, num_buckets=num_buckets)
+
+
 def idw_interpolate(
     src_ds,
     dst_ds,

@@ -979,3 +979,70 @@ class TestIdwInterpolate:
 
         with pytest.raises(ValueError, match="k-ring"):
             idw_interpolate(None, None, "v", radius_m=1e9)
+
+
+class TestResampleTracks:
+    def test_matches_reference_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import resample_tracks
+
+        rng = np.random.default_rng(13)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            n = int(rng.integers(2, 30))
+            ts = np.sort(rng.choice(np.arange(0, 10_000, 7), n, replace=False))
+            for t in ts:
+                rows.append((uid, int(t) * 1000, eid,
+                             float(rng.integers(0, 50) * 3),
+                             float(rng.integers(0, 50) * 5)))
+                eid += 1
+        # one user with a DUPLICATE timestamp (tiebreak must decide)
+        rows.append((99, 0, eid, 0.0, 0.0)); eid += 1
+        rows.append((99, 5000, eid, 10.0, 10.0)); eid += 1
+        rows.append((99, 5000, eid, 99.0, 99.0)); eid += 1
+        rows.append((99, 9000, eid, 20.0, 20.0)); eid += 1
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "tu": pa.array([r[1] for r in rows], pa.int64()),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "x": pa.array([r[3] for r in rows]),
+            "y": pa.array([r[4] for r in rows]),
+        })
+        STEP = 1000
+
+        # single-process reference (same bracketing rule)
+        import collections
+        byu = collections.defaultdict(list)
+        for r in rows:
+            byu[r[0]].append(r)
+        want = {}
+        for uid, rs in byu.items():
+            rs = sorted(rs, key=lambda r: (r[1], r[2]))
+            tu = np.array([r[1] for r in rs], dtype=np.int64)
+            x = np.array([r[3] for r in rs])
+            y = np.array([r[4] for r in rs])
+            start = ((tu[0] + STEP - 1) // STEP) * STEP
+            for g in range(start, tu[-1], STEP):
+                i = int(np.searchsorted(tu, g, side="right")) - 1
+                frac = float(g - tu[i]) / float(tu[i + 1] - tu[i])
+                want[(uid, g)] = (x[i] + (x[i + 1] - x[i]) * frac,
+                                  y[i] + (y[i + 1] - y[i]) * frac)
+
+        def got(nblocks):
+            return {
+                (r["user_id"], r["t"]): (r["x_i"], r["y_i"])
+                for r in resample_tracks(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "user_id", "tu", "x", "y",
+                    step_us=STEP, tiebreak_col="event_id",
+                ).take_all()
+            }
+
+        a = got(2)
+        assert a == want
+        assert got(9) == a, "partitioning must not matter"
+        # exact grid hit at the duplicate ts takes the LAST ping there
+        # (searchsorted-right == the SQL half-open span rule)
+        assert a[(99, 5000)] == (99.0, 99.0)
