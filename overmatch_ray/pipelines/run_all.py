@@ -168,14 +168,25 @@ def corpus_stages(
     fractions: "dict[str, float] | None" = None,
     lsh_threshold: float = 0.5,
     num_buckets: int = 32,
+    segment_window: "int | None" = None,
+    mix: "tuple[dict, float] | None" = None,
 ) -> "list[Stage]":
     """The text-axis nightly: the full training-corpus prep chain as
     declarative resumable stages —
 
         filter (quality + langid) → dedup (exact fingerprint + minhash-LSH
-        near-dup clusters) → scrub (decontaminate + PII redaction) →
-        split_pack (train/val/test + per-split token-budget shards) →
-        shards_sink (resumable split-shard-partitioned parquet)
+        near-dup clusters) [→ segment_dedup] → scrub (decontaminate + PII
+        redaction) [→ mix] → split_pack (train/val/test + per-split
+        token-budget shards) → shards_sink (resumable
+        split-shard-partitioned parquet)
+
+    Opt-in stages (both default OFF, stage list unchanged otherwise):
+    ``segment_window`` inserts C4-style sub-document dedup
+    (stages.dedup.segment_dedup) after document-level dedup, rewriting
+    text and recomputing n_tokens; ``mix=(target_weights,
+    budget_fraction)`` inserts static data-mixture resampling
+    (stages.splits.domain_mix) on the DETECTED language after scrubbing,
+    so packing sees the rebalanced corpus.
 
     Same contract as ``flagship_stages``: every stage fetches inputs via
     ``_ensure_*`` providers so a resumed run (receipted stages skipped,
@@ -244,11 +255,53 @@ def corpus_stages(
             )
         return ctx["unique"]
 
+    def _ensure_segmented(ctx: dict):
+        """unique docs with sub-document dedup applied (or passthrough):
+        segment_dedup emits (doc_id, text_dedup) — lang_pred rides back
+        via a bucketed join, n_tokens is recomputed on the rewritten
+        text so packing budgets stay honest."""
+        if not segment_window:
+            return _ensure_unique(ctx)
+        if "seg" not in ctx:
+            from ..stages.dedup import segment_dedup
+            from ..stages.joins import bucket_hash_join
+            from ..stages.textstats import token_count_batch
+
+            uniq = _ensure_unique(ctx)
+            seg = segment_dedup(
+                uniq, "text", "doc_id", window=segment_window,
+                num_buckets=num_buckets,
+            ).materialize()
+
+            def langs_only(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "doc_id": batch["doc_id"],
+                    "lang_pred": batch["lang_pred"],
+                })
+
+            joined = bucket_hash_join(
+                seg, uniq.map_batches(langs_only, batch_format="pyarrow"),
+                "doc_id", "doc_id", num_buckets=num_buckets,
+            )
+
+            def finish(batch: pa.Table) -> pa.Table:
+                t = pa.table({
+                    "doc_id": batch["doc_id"],
+                    "text": batch["text_dedup"],
+                    "lang_pred": batch["lang_pred"],
+                })
+                return token_count_batch(t)
+
+            ctx["seg"] = joined.map_batches(
+                finish, batch_format="pyarrow"
+            ).materialize()
+        return ctx["seg"]
+
     def _ensure_clean(ctx: dict):
         if "clean" not in ctx:
             from ..stages.pii import redact_pii
 
-            ds = _ensure_unique(ctx)
+            ds = _ensure_segmented(ctx)
             if benchmark_ds is not None:
                 import ray
 
@@ -273,12 +326,28 @@ def corpus_stages(
             ctx["clean"] = redact_pii(ds).materialize()
         return ctx["clean"]
 
+    def _ensure_mixed(ctx: dict):
+        """scrubbed docs after static-mixture resampling (or passthrough):
+        domain_mix on the DETECTED language, keep-rates from measured
+        token mass."""
+        if not mix:
+            return _ensure_clean(ctx)
+        if "mixed" not in ctx:
+            from ..stages.splits import domain_mix
+
+            weights, bf = mix
+            ctx["mixed"] = domain_mix(
+                _ensure_clean(ctx), "doc_id", "lang_pred", "n_tokens",
+                target_weights=weights, budget_fraction=bf,
+            ).materialize()
+        return ctx["mixed"]
+
     def _ensure_packed(ctx: dict):
         if "packed" not in ctx:
             from ..stages.joins import bucket_hash_join
             from ..stages.splits import pack_sequences, split_assign
 
-            tagged = split_assign(_ensure_clean(ctx), "doc_id").materialize()
+            tagged = split_assign(_ensure_mixed(ctx), "doc_id").materialize()
             parts = []
             for split in fractions:
                 sub = tagged.filter(expr=f"split == '{split}'")
@@ -343,13 +412,27 @@ def corpus_stages(
             "n_rows": sum(r["rows"] for r in receipts),
         }
 
-    return [
+    def s_segment(ctx: dict) -> dict:
+        return {"n_docs": _ensure_segmented(ctx).count(),
+                "window": segment_window}
+
+    def s_mix(ctx: dict) -> dict:
+        return {"n_docs": _ensure_mixed(ctx).count()}
+
+    stages: "list[Stage]" = [
         ("filter", s_filter),
         ("dedup", s_dedup),
-        ("scrub", s_scrub),
+    ]
+    if segment_window:
+        stages.append(("segment_dedup", s_segment))
+    stages.append(("scrub", s_scrub))
+    if mix:
+        stages.append(("mix", s_mix))
+    stages += [
         ("split_pack", s_split_pack),
         ("shards_sink", s_shards_sink),
     ]
+    return stages
 
 
 def main(argv: "list[str] | None" = None) -> int:
@@ -375,7 +458,22 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing stage receipts")
     p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--segment-window", type=int, default=0,
+                   help="corpus: insert sub-document segment dedup at this "
+                        "token window (0 = off)")
+    p.add_argument("--mix", default="",
+                   help="corpus: insert static data-mixture resampling — "
+                        "'bf:lang=w,lang=w' e.g. '0.6:en=0.4,de=0.3,fr=0.3'")
     args = p.parse_args(argv)
+
+    mix = None
+    if args.mix:
+        bf_s, _, ws = args.mix.partition(":")
+        weights = dict(
+            (k, float(v)) for k, v in
+            (pair.split("=", 1) for pair in ws.split(",") if pair)
+        )
+        mix = (weights, float(bf_s))
 
     import ray
 
@@ -392,7 +490,8 @@ def main(argv: "list[str] | None" = None) -> int:
             num_buckets=args.num_buckets)))
     if args.pipeline in ("corpus", "both"):
         stage_lists.append(("corpus", corpus_stages(
-            args.sf_dir, os.path.join(args.out, "corpus"))))
+            args.sf_dir, os.path.join(args.out, "corpus"),
+            segment_window=args.segment_window or None, mix=mix)))
 
     rc = 0
     for name, stages in stage_lists:

@@ -482,6 +482,37 @@ class TestCorpusStages:
         n_timing = len(open(f"{out}/timing.jsonl").read().splitlines())
         assert n_timing == 5  # no duplicate timing lines after resume
 
+    def test_optional_segment_and_mix_stages(self, ray_session, tmp_path):
+        """Opt-in stages: segment_window inserts sub-document dedup after
+        document dedup (text rewritten, n_tokens recomputed), mix inserts
+        domain_mix on the detected language after scrub — row flow stays
+        monotone, the default stage list is untouched elsewhere."""
+        from overmatch_ray.pipelines.run_all import corpus_stages, run_pipeline
+
+        out = str(tmp_path / "segmix")
+        r = run_pipeline(
+            corpus_stages(
+                self.SF, out, benchmark_ds=None, budget=2048,
+                segment_window=5,
+                mix=({"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}, 0.6),
+            ),
+            {}, out,
+        )
+        by = {x["stage"]: x for x in r}
+        assert [x["stage"] for x in r] == [
+            "filter", "dedup", "segment_dedup", "scrub", "mix",
+            "split_pack", "shards_sink",
+        ]
+        assert all(x["status"] == "done" for x in r)
+        assert by["segment_dedup"]["window"] == 5
+        # segment dedup rewrites but never drops whole docs unless they
+        # lose every segment; mix only removes docs
+        assert by["dedup"]["n_unique"] >= by["segment_dedup"]["n_docs"]
+        assert by["scrub"]["n_clean"] >= by["mix"]["n_docs"]
+        assert by["mix"]["n_docs"] == by["split_pack"]["n_rows"]
+        assert by["shards_sink"]["n_rows"] == by["mix"]["n_docs"]
+        assert by["mix"]["n_docs"] > 0
+
     def test_no_benchmark_skips_decontamination(self, ray_session, tmp_path):
         from overmatch_ray.pipelines.run_all import corpus_stages, run_pipeline
 
