@@ -306,6 +306,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         counts["lm_scored"] = lm_score(docs()).count()
         timings["textscale_lmscore"] = round(time.time() - t0, 3)
+        from overmatch_ray.stages.dedup import segment_dedup
+
+        t0 = time.time()
+        counts["segment_deduped"] = segment_dedup(docs()).count()
+        timings["textscale_segdedup"] = round(time.time() - t0, 3)
         counts["n_docs_scaled"] = n_docs_scaled
         return counts
 

@@ -433,6 +433,21 @@ def q_minhash_pairs(sf_dir: str):
 
 ORACLE_SQL["minhash_pairs"] = ORACLE_SQL["ngram_neardup_pairs"]
 
+# rows_only.q_video_shot_cuts: the planted-scene-cut structure oracle —
+# the detector must recover exactly these positions from decoded pixels
+# (the phash_dedup deterministic-synth trick extended to video).
+ORACLE_SQL["video_shot_cuts"] = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS video_id,
+       CAST(3 + doc_id % 4 AS BIGINT) AS cut_frame
+FROM ids
+UNION ALL
+SELECT 'vid-' || CAST(doc_id AS VARCHAR),
+       CAST(8 + doc_id % 3 AS BIGINT)
+FROM ids
+"""
+
+
 # q_source_dedup_stats: the exact pair oracle reused verbatim, each side
 # joined to its source (perturbed copies inherit their base's source),
 # counted per unordered source pair.

@@ -1172,6 +1172,56 @@ def q_video_frames(sf_dir: str):
     )
 
 
+def q_video_shot_cuts(sf_dir: str):
+    """Shot-boundary detection end-to-end (stages.images.ShotBoundaries):
+    100 deterministic AVI/MJPEG videos of 12 flat-color frames with TWO
+    formula-planted scene cuts each (at 3 + d%4 and 8 + d%3, scene means
+    40/100/160 — jumps of ~60 gray levels dwarf the ≤2-level JPEG loss on
+    flat frames and the single-pixel uniqueness mark). The detector must
+    recover exactly the planted cut positions from DECODED PIXELS, so the
+    structure oracle (corpus_queries registers the formula in SQL) pins
+    the whole demux→decode→delta pipeline with a hash compare — the
+    phash_dedup trick extended to video."""
+    from ..stages.images import detect_shot_cuts
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).filter(
+        expr="doc_id < 100"
+    )
+
+    def synth_scene_videos(batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import encode_video_avi
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids, blobs = [], []
+        for d in ids.tolist():
+            c1, c2 = 3 + d % 4, 8 + d % 3
+            frames = []
+            for f in range(12):
+                base = 40 + 60 * ((f >= c1) + (f >= c2))
+                img = np.full((16, 16, 3), np.uint8(base), np.uint8)
+                h = (d * 1_000_003 + f * 2654435761) % (1 << 31)
+                img[(h >> 8) % 16, (h >> 16) % 16] = 255  # uniqueness mark
+                frames.append(img)
+            vids.append(f"vid-{d}")
+            blobs.append(encode_video_avi(frames))
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+        })
+
+    videos = docs.map_batches(synth_scene_videos, batch_format="pyarrow",
+                              batch_size=32)
+    out = detect_shot_cuts(videos, threshold=30.0, concurrency=2,
+                           batch_size=16)
+    return out.map_batches(
+        lambda b: pa.table({
+            "video_id": b["video_id"],
+            "cut_frame": b["cut_frame"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_augmented_images(sf_dir: str):
     """Training-time image augmentation through the REAL codec path
     (stages.images.Augment actor pool): per image a deterministic id-hash

@@ -430,6 +430,62 @@ def sample_frames(videos_ds, stride: int = 5, max_frames: int = 8,
     )
 
 
+class ShotBoundaries:
+    """Shot-cut detection over AVI/MJPEG payloads — the temporal-
+    segmentation member of the video family: demux + decode every frame
+    (imaging.codec's real RIFF demuxer + baseline-JPEG decoder), compute
+    each frame's mean gray level, and emit a cut row at every frame whose
+    mean jumps more than ``threshold`` gray levels from its predecessor
+    (the classic intensity-delta detector; histogram variants ride the
+    same scaffold). Output one row per detected cut: (video_id,
+    cut_frame). A corrupt container quarantines its whole video as a
+    single ``cut_frame = -1`` sentinel row (the FrameSample convention)."""
+
+    def __init__(self, threshold: float = 30.0):
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.codec import decode_jpeg_batch, iter_video_frames
+
+        vids = batch["video_id"].to_pylist()
+        out_vid: list = []
+        out_cut: list = []
+        for vid, blob in zip(vids, batch["bytes"].to_pylist()):
+            try:
+                jpgs = [jpg for _i, jpg in iter_video_frames(blob)]
+                imgs = decode_jpeg_batch(jpgs)
+                means = np.array([
+                    im.astype(np.int64).sum() / im.size for im in imgs
+                ])
+            except Exception:
+                out_vid.append(vid)
+                out_cut.append(-1)
+                continue
+            if means.size >= 2:
+                cuts = np.flatnonzero(
+                    np.abs(np.diff(means)) > self.threshold
+                ) + 1
+                out_vid.extend([vid] * cuts.size)
+                out_cut.extend(cuts.tolist())
+        return pa.table({
+            "video_id": pa.array(out_vid, pa.string()),
+            "cut_frame": pa.array(np.asarray(out_cut, dtype=np.int64)),
+        })
+
+
+def detect_shot_cuts(videos_ds, threshold: float = 30.0,
+                     concurrency=(2, 8), batch_size: int = 32):
+    """Wire the shot-boundary actor pool (small batches: video payloads)."""
+    return videos_ds.map_batches(
+        ShotBoundaries,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def caption_consistency(
     images_ds,
     id_col: str = "image_id",

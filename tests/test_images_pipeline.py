@@ -330,3 +330,41 @@ class TestAugment:
                 ops_seen.add(r["aug_ops"])
             assert len(ops_seen) > 2  # the plan actually varies
         assert runs[0] == runs[1], "augmentation not partition-invariant"
+
+
+class TestShotBoundaries:
+    def test_detects_planted_cuts_and_quarantines(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from overmatch_ray.imaging.codec import encode_video_avi
+        from overmatch_ray.stages.images import detect_shot_cuts
+
+        def video(cuts, n=10, base0=40, jump=60):
+            frames = []
+            for f in range(n):
+                scene = sum(f >= c for c in cuts)
+                frames.append(
+                    np.full((16, 16, 3), np.uint8(base0 + jump * scene),
+                            np.uint8)
+                )
+            return encode_video_avi(frames)
+
+        t = pa.table({
+            "video_id": pa.array(["a", "b", "bad"], pa.string()),
+            "bytes": pa.array(
+                [video([3, 7]), video([]), b"RIFFgarbage"],
+                pa.large_binary(),
+            ),
+        })
+        rows = detect_shot_cuts(
+            ray.data.from_arrow(t), threshold=30.0, concurrency=2,
+            batch_size=2,
+        ).take_all()
+        got = {}
+        for r in rows:
+            got.setdefault(r["video_id"], []).append(r["cut_frame"])
+        assert sorted(got["a"]) == [3, 7]
+        assert "b" not in got, "no cuts in a single-scene video"
+        assert got["bad"] == [-1], "corrupt container → sentinel row"
