@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interp": cq.q_idw_interp,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
+        "copurchase_lift": cq.q_copurchase_lift,
         "repetition_stats": cq.q_repetition_stats,
         "heavy_tokens": cq.q_heavy_tokens,
         "lang_heavy_tokens": cq.q_lang_heavy_tokens,

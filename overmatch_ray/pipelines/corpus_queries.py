@@ -130,6 +130,39 @@ FROM s
 """
 
 
+def q_copurchase_lift(sf_dir: str):
+    """Market-basket association mining
+    (stages.groupops.association_pairs): part pairs co-occurring in ≥ 2
+    orders, scored by lift, top-100 — rounded-lift ordering with a pair
+    tie-break so both engines sort identical keys."""
+    from ..stages.groupops import association_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return association_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, k=100
+    )
+
+
+ORACLE_SQL["copurchase_lift"] = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM li),
+m AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.p AS item_a, b.p AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, support,
+       round(CAST(nb AS DOUBLE) * support
+             / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 6) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN m ma ON ma.p = item_a
+JOIN m mb ON mb.p = item_b
+ORDER BY lift DESC, item_a, item_b
+LIMIT 100
+"""
+
+
 def q_quality_prune(sf_dir: str):
     """Calibrated quality pruning (stages.groupops.filter_by_group_quantile):
     keep documents at or above their OWN language's median token count —

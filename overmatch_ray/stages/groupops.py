@@ -274,6 +274,99 @@ def exact_quantiles_by(
     )
 
 
+def association_pairs(
+    ds, basket_col: str, item_col: str, min_support: int = 2, k: int = 100,
+    num_buckets: int = 32, max_basket: int = 10_000,
+):
+    """Market-basket association mining: unordered item pairs that
+    co-occur in at least ``min_support`` baskets, scored by lift
+    ``n_baskets·c_ab / (c_a·c_b)``, top-``k`` by (rounded lift DESC,
+    pair) — the co-purchase / co-occurrence miner every feature-store
+    pipeline wants, as one Ray Data plan.
+
+    Plan: distinct (basket, item) via a bucketed aggregate (never the
+    native per-group reduce — basket cardinality ≈ rows), in-bucket pair
+    expansion over baskets (``group_pair_indices``; baskets above
+    ``max_basket`` are stop-baskets — the documented inverted-index
+    trade-off, set it above your basket-size bound for exact output),
+    bucketed pair counts, item marginals attached via two bucketed hash
+    joins (pair-count-bounded), then one k-bounded global sort. Lift is
+    computed as the literal float64 chain ``(n·c_ab) / (c_a·c_b)`` —
+    exact integers under 2^53 — and ROUNDED before the ordering so the
+    SQL oracle's ORDER BY sees identical keys."""
+    distinct = bucketed_aggregate(
+        ds, [basket_col, item_col], {"__one": (item_col, "size")},
+        num_buckets=num_buckets,
+    )
+    n_baskets = bucketed_aggregate(
+        distinct, [basket_col], {"__n": (item_col, "size")},
+        num_buckets=num_buckets,
+    ).count()
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([basket_col, item_col], kind="mergesort")
+        b = g[basket_col].to_numpy()
+        items = g[item_col].to_numpy()
+        ia, ib = group_pair_indices(b, max_basket)
+        return pd.DataFrame({"item_a": items[ia], "item_b": items[ib]})
+
+    pairs = bucketed_aggregate(
+        bucketed_group_apply(
+            distinct, [basket_col], expand, num_buckets=num_buckets
+        ),
+        ["item_a", "item_b"], {"support": ("item_a", "size")},
+        num_buckets=num_buckets,
+    )
+
+    marg = bucketed_aggregate(
+        distinct, [item_col], {"__c": (item_col, "size")},
+        num_buckets=num_buckets,
+    )
+    from .joins import bucket_hash_join
+
+    def ren(name_key: str, name_c: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({name_key: batch[item_col],
+                             name_c: batch["__c"]})
+
+        return _r
+
+    j = bucket_hash_join(
+        pairs.materialize(),
+        marg.map_batches(ren("item_a", "__ca"), batch_format="pyarrow"),
+        "item_a", "item_a", num_buckets=num_buckets,
+    )
+    j = bucket_hash_join(
+        j, marg.map_batches(ren("item_b", "__cb"), batch_format="pyarrow"),
+        "item_b", "item_b", num_buckets=num_buckets,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        sup = batch["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = batch["__ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = batch["__cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = sup >= min_support
+        lift = np.round(
+            (float(n_baskets) * sup[keep]) / (ca[keep] * cb[keep]), 6
+        )
+        return pa.table({
+            "item_a": pa.array(
+                batch["item_a"].to_numpy(zero_copy_only=False)[keep]
+            ).cast(pa.int64()),
+            "item_b": pa.array(
+                batch["item_b"].to_numpy(zero_copy_only=False)[keep]
+            ).cast(pa.int64()),
+            "support": pa.array(sup[keep]),
+            "lift": pa.array(lift),
+        })
+
+    return (
+        j.map_batches(score, batch_format="pyarrow")
+        .sort(["lift", "item_a", "item_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def filter_by_group_quantile(
     ds, group_col: str, value_col: str, p: float, keep: str = "ge",
     num_buckets: int = 16,

@@ -1408,3 +1408,56 @@ class TestProfileColumns:
         assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 8.0
         assert rows["b"]["n_rows"] == 8 and rows["b"]["n_nulls"] == 4
         assert rows["b"]["min_v"] == 0.5 and rows["b"]["max_v"] == 6.0
+
+
+class TestAssociationPairs:
+    def test_matches_bruteforce_and_invariance(self, ray_session):
+        import itertools
+
+        import numpy as np
+        import ray.data
+
+        from overmatch_ray.stages.groupops import association_pairs
+
+        rng = np.random.default_rng(21)
+        rows = []
+        for basket in range(300):
+            items = rng.choice(40, size=rng.integers(1, 6), replace=False)
+            for it in items:
+                rows.append((basket, int(it)))
+                if rng.random() < 0.1:
+                    rows.append((basket, int(it)))  # duplicate line
+        t = pa.table({
+            "b": pa.array([r[0] for r in rows], pa.int64()),
+            "i": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+        # brute force with the same rounding + ordering rule
+        baskets = {}
+        for b, i in rows:
+            baskets.setdefault(b, set()).add(i)
+        nb = len(baskets)
+        marg, pair = {}, {}
+        for b, items in baskets.items():
+            for i in items:
+                marg[i] = marg.get(i, 0) + 1
+            for a, c in itertools.combinations(sorted(items), 2):
+                pair[(a, c)] = pair.get((a, c), 0) + 1
+        scored = [
+            (a, c, s, round(float(nb) * s / (marg[a] * marg[c]), 6))
+            for (a, c), s in pair.items() if s >= 2
+        ]
+        want = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:50]
+
+        def got(nblocks):
+            return [
+                (r["item_a"], r["item_b"], r["support"], r["lift"])
+                for r in association_pairs(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    "b", "i", min_support=2, k=50,
+                ).take_all()
+            ]
+
+        a = got(2)
+        assert a == want
+        assert got(7) == a, "partitioning must not matter"
