@@ -1879,6 +1879,70 @@ QUALIFY knn_rank <= 3
 """
 
 
+def q_mutual_nn(sf_dir: str):
+    """Iterated mutual-nearest-neighbor 1:1 assignment
+    (stages.spatial.mutual_nn_assign): 3 rounds of mutual-best matching
+    between customer points and thinned order points within 100 m — the
+    one-to-one conflation policy over the reference matcher's multi-match
+    candidate graph (scripts/match.py:452-474). Oracle = 3 unrolled
+    MATERIALIZED rounds of paired row_number() windows + NOT IN peels."""
+    from ..stages.spatial import mutual_nn_assign
+
+    cust = _formula_points(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    orders = _formula_points(
+        _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey", (4, 1)
+    )
+    return mutual_nn_assign(cust, orders, radius_m=100.0, rounds=3)
+
+
+_MNN_POINTS = f"""a AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer),
+b AS (
+  SELECT o_orderkey AS id, {_MERC} * radians(-77.05 + (o_orderkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((o_orderkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM orders WHERE (o_orderkey * 2654435761) % 4 < 1),
+p1 AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM a JOIN b
+    ON b.x BETWEEN a.x - 100 AND a.x + 100
+   AND b.y BETWEEN a.y - 100 AND a.y + 100
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100)"""
+
+
+def _mnn_round(r: int) -> str:
+    return f"""m{r} AS MATERIALIZED (
+  SELECT id_a, id_b, d FROM (
+    SELECT id_a, id_b, d,
+           row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS ra,
+           row_number() OVER (PARTITION BY id_b ORDER BY d, id_a) AS rb
+    FROM p{r}) WHERE ra = 1 AND rb = 1)"""
+
+
+def _mnn_peel(r: int) -> str:
+    return f"""p{r + 1} AS MATERIALIZED (
+  SELECT * FROM p{r}
+  WHERE id_a NOT IN (SELECT id_a FROM m{r})
+    AND id_b NOT IN (SELECT id_b FROM m{r}))"""
+
+
+ORACLE_SQL["mutual_nn_matches"] = f"""
+WITH {_MNN_POINTS},
+{_mnn_round(1)},
+{_mnn_peel(1)},
+{_mnn_round(2)},
+{_mnn_peel(2)},
+{_mnn_round(3)}
+SELECT id_a, id_b, round(d, 1) AS dist_m, CAST(r AS BIGINT) AS match_round
+FROM (
+  SELECT id_a, id_b, d, 1 AS r FROM m1
+  UNION ALL SELECT id_a, id_b, d, 2 FROM m2
+  UNION ALL SELECT id_a, id_b, d, 3 FROM m3)
+"""
+
+
 def q_dbscan_clusters(sf_dir: str):
     """Grid DBSCAN over thinned customer formula points (eps 25 m,
     min_pts 4): (id, cluster_id, role) with min-label-deterministic

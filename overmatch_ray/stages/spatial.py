@@ -1669,3 +1669,143 @@ def track_hausdorff_pairs(
         })
 
     return sym.map_batches(finish, batch_format="pyarrow")
+
+
+def mutual_nn_assign(
+    left_ds,
+    right_ds,
+    radius_m: float,
+    *,
+    rounds: int = 3,
+    left_id: str = "id",
+    right_id: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+    round_to: int | None = 1,
+):
+    """Iterated mutual-nearest-neighbor 1:1 assignment — the greedy-free
+    one-to-one conflation policy (each left feature matched to at most one
+    right feature and vice versa): in each round, pair (a, b) is matched
+    iff b is a's nearest unmatched candidate AND a is b's nearest
+    unmatched candidate (ties broken by (distance, other id) — fully
+    deterministic); matched endpoints are peeled and the rule repeats for
+    ``rounds`` rounds. Classic entity-resolution mutual-best matching; the
+    reference's matcher keeps multi-matches (scripts/match.py:452-474) —
+    this is the 1:1 post-processing policy a dedup-minded consumer of its
+    match table applies.
+
+    Scale plan: the candidate graph is built ONCE by the radius-bounded
+    cell co-shuffle (``radius_pairs``); every per-round step is bounded by
+    the surviving PAIR count, never the point count — two bucketed argmin
+    shuffles (per a / per b), one bucketed pair-count shuffle for the
+    mutuality check (a pair is mutual ⇔ it appears in both argmin sets),
+    and two shuffled ANTI semi joins for the peel. Nothing lands on the
+    driver; ``rounds`` is a small literal. Output: (id_a, id_b, dist_m,
+    match_round), empty-typed when no candidate survives.
+
+    Oracle form: ``rounds`` unrolled MATERIALIZED CTEs of two row_number()
+    windows (PARTITION BY id_a / id_b ORDER BY d, other) + NOT IN peels —
+    the distance is the exact literal-mirrored float64 sqrt chain, so both
+    engines order identical keys; round(d, round_to) only at emission.
+    """
+    from .groupops import bucketed_group_apply
+    from .joins import semi_join_shuffled
+
+    nb = _auto_buckets(num_buckets)
+    pairs = radius_pairs(
+        left_ds, right_ds, radius_m,
+        left_id=left_id, right_id=right_id, lon_col=lon_col,
+        lat_col=lat_col, num_buckets=nb, round_to=None,
+    ).materialize()
+    # the per-round stages are PAIR-bounded (≪ point count): a quarter of
+    # the point-scale bucket count keeps their fixed per-bucket task cost
+    # from dominating the 5 shuffles × rounds this plan runs, and the
+    # coalesce keeps block counts small across them (CLAUDE.md rule)
+    nb = max(8, nb // 4)
+    pairs = pairs.repartition(nb).materialize()
+
+    def best_kernel(group_col: str, other_col: str):
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([group_col, "dist_m", other_col],
+                              kind="mergesort")
+            key = g[group_col].to_numpy()
+            if key.size == 0:
+                return g[["id_a", "id_b", "dist_m"]]
+            first = np.concatenate([[True], key[1:] != key[:-1]])
+            return g.iloc[np.flatnonzero(first)][["id_a", "id_b", "dist_m"]]
+
+        return kern
+
+    def mutual_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_a", "id_b"], kind="mergesort")
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        if a.size == 0:
+            return g[["id_a", "id_b", "dist_m"]]
+        # a pair present in BOTH argmin sets appears exactly twice
+        same = np.concatenate(
+            [[False], (a[1:] == a[:-1]) & (b[1:] == b[:-1])]
+        )
+        return g.iloc[np.flatnonzero(same)][["id_a", "id_b", "dist_m"]]
+
+    matched_rounds = []
+    for rnd in range(1, rounds + 1):
+        if pairs.count() == 0:
+            break
+        best_a = bucketed_group_apply(
+            pairs, ["id_a"], best_kernel("id_a", "id_b"), num_buckets=nb
+        )
+        best_b = bucketed_group_apply(
+            pairs, ["id_b"], best_kernel("id_b", "id_a"), num_buckets=nb
+        )
+        # two all-to-all branches → union → all-to-all: materialize the
+        # boundary (CLAUDE.md livelock rule)
+        both = best_a.union(best_b).materialize()
+        mutual = bucketed_group_apply(
+            both, ["id_a", "id_b"], mutual_kernel, num_buckets=nb
+        ).materialize()
+        if mutual.count() == 0:
+            break
+
+        def stamp(batch: pa.Table, _r=rnd) -> pa.Table:
+            return batch.append_column(
+                "match_round",
+                pa.array(np.full(batch.num_rows, _r, np.int64)),
+            )
+
+        matched_rounds.append(
+            mutual.map_batches(stamp, batch_format="pyarrow").materialize()
+        )
+        if rnd < rounds:
+            rest = semi_join_shuffled(
+                pairs, mutual, "id_a", "id_a", anti=True, num_buckets=nb
+            )
+            pairs = semi_join_shuffled(
+                rest, mutual, "id_b", "id_b", anti=True, num_buckets=nb
+            ).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["dist_m"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            d = np.round(d, round_to)
+        return pa.table({
+            "id_a": batch["id_a"].cast(pa.int64()),
+            "id_b": batch["id_b"].cast(pa.int64()),
+            "dist_m": pa.array(d, pa.float64()),
+            "match_round": batch["match_round"].cast(pa.int64()),
+        })
+
+    if not matched_rounds:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "dist_m": pa.array([], pa.float64()),
+            "match_round": pa.array([], pa.int64()),
+        }))
+    out = matched_rounds[0]
+    for m in matched_rounds[1:]:
+        out = out.union(m)
+    return out.map_batches(finish, batch_format="pyarrow")

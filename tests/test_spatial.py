@@ -1046,3 +1046,129 @@ class TestResampleTracks:
         # exact grid hit at the duplicate ts takes the LAST ping there
         # (searchsorted-right == the SQL half-open span rule)
         assert a[(99, 5000)] == (99.0, 99.0)
+
+
+class TestMutualNNAssign:
+    @staticmethod
+    def _reference(lon_a, lat_a, ids_a, lon_b, lat_b, ids_b,
+                   radius, rounds):
+        """Brute-force iterated mutual-NN: O(n·m) distance matrix, per-round
+        per-side argmin with (d, other-id) tie-break, peel, repeat."""
+        from overmatch_ray.geo import mercator_xy
+
+        xa, ya = mercator_xy(lon_a, lat_a)
+        xb, yb = mercator_xy(lon_b, lat_b)
+        d = np.sqrt((xa[:, None] - xb[None, :]) ** 2
+                    + (ya[:, None] - yb[None, :]) ** 2)
+        pairs = [
+            (ids_a[i], ids_b[j], d[i, j])
+            for i in range(len(ids_a)) for j in range(len(ids_b))
+            if d[i, j] <= radius
+        ]
+        out = []
+        for rnd in range(1, rounds + 1):
+            if not pairs:
+                break
+            best_a = {}
+            best_b = {}
+            for a, b, dd in pairs:
+                if a not in best_a or (dd, b) < (best_a[a][1], best_a[a][0]):
+                    best_a[a] = (b, dd)
+                if b not in best_b or (dd, a) < (best_b[b][1], best_b[b][0]):
+                    best_b[b] = (a, dd)
+            matched = [
+                (a, b, dd) for a, b, dd in pairs
+                if best_a[a][0] == b and best_b[b][0] == a
+            ]
+            matched = list({(a, b): (a, b, dd)
+                            for a, b, dd in matched}.values())
+            if not matched:
+                break
+            out.extend((a, b, round(dd, 1), rnd) for a, b, dd in matched)
+            ma = {a for a, _b, _d in matched}
+            mb = {b for _a, b, _d in matched}
+            pairs = [(a, b, dd) for a, b, dd in pairs
+                     if a not in ma and b not in mb]
+        return sorted(out)
+
+    def test_vs_brute_force_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import mutual_nn_assign
+
+        rng = np.random.RandomState(7)
+        na, nb_ = 120, 150
+        lon_a = -77.05 + rng.rand(na) * 4e-3
+        lat_a = 38.85 + rng.rand(na) * 4e-3
+        lon_b = -77.05 + rng.rand(nb_) * 4e-3
+        lat_b = 38.85 + rng.rand(nb_) * 4e-3
+        ids_a = np.arange(na, dtype=np.int64)
+        ids_b = np.arange(1000, 1000 + nb_, dtype=np.int64)
+
+        def side(ids, lon, lat, blocks):
+            return ray.data.from_arrow(pa.table({
+                "id": pa.array(ids), "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            })).repartition(blocks)
+
+        want = self._reference(lon_a, lat_a, ids_a, lon_b, lat_b, ids_b,
+                               radius=100.0, rounds=3)
+        assert want, "fixture must produce matches"
+        rounds_seen = {r for *_x, r in want}
+        assert len(rounds_seen) >= 2, "fixture must exercise >1 round"
+
+        for blocks in (1, 7):
+            got = mutual_nn_assign(
+                side(ids_a, lon_a, lat_a, blocks),
+                side(ids_b, lon_b, lat_b, max(1, blocks - 2)),
+                radius_m=100.0, rounds=3, num_buckets=8,
+            ).to_pandas()
+            got_t = sorted(
+                (int(r.id_a), int(r.id_b), round(float(r.dist_m), 1),
+                 int(r.match_round))
+                for r in got.itertuples()
+            )
+            assert got_t == want
+
+    def test_one_to_one_property(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import mutual_nn_assign
+
+        rng = np.random.RandomState(11)
+        n = 200
+        tbl = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon": pa.array(-77.05 + rng.rand(n) * 3e-3),
+            "lat": pa.array(38.85 + rng.rand(n) * 3e-3),
+        })
+        t2 = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon": pa.array(-77.05 + rng.rand(n) * 3e-3),
+            "lat": pa.array(38.85 + rng.rand(n) * 3e-3),
+        })
+        out = mutual_nn_assign(
+            ray.data.from_arrow(tbl), ray.data.from_arrow(t2),
+            radius_m=100.0, rounds=3, num_buckets=8,
+        ).to_pandas()
+        assert len(out) > 0
+        assert out["id_a"].is_unique and out["id_b"].is_unique
+
+    def test_empty_candidates(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import mutual_nn_assign
+
+        a = ray.data.from_arrow(pa.table({
+            "id": pa.array([1], pa.int64()),
+            "lon": pa.array([-77.05]), "lat": pa.array([38.85]),
+        }))
+        b = ray.data.from_arrow(pa.table({
+            "id": pa.array([2], pa.int64()),
+            "lon": pa.array([-77.5]), "lat": pa.array([38.5]),
+        }))
+        out = mutual_nn_assign(a, b, radius_m=100.0, num_buckets=8)
+        assert out.count() == 0
+        # ray to_pandas drops columns on empty datasets; the TYPED contract
+        # lives in the schema (joins._key_type relies on it downstream)
+        assert out.schema().names == ["id_a", "id_b", "dist_m", "match_round"]
