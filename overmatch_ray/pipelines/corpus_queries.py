@@ -1943,6 +1943,44 @@ FROM (
 """
 
 
+def q_ripley_k(sf_dir: str):
+    """Ripley-K pair-correlation readout (stages.spatial.ripley_counts):
+    ordered within-r pair counts + mean neighbors per point at literal
+    radii {25, 50, 100} m over md5-thinned customer points (the
+    density-sensitive thinning — an affine mod-m thin is periodic along
+    the formula lattice)."""
+    from ..stages.spatial import ripley_counts
+
+    pts = _formula_points(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", md5_frac=0.4
+    )
+    return ripley_counts(pts, [25.0, 50.0, 100.0])
+
+
+ORACLE_SQL["ripley_k"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < '66666666'),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM pts),
+pr AS MATERIALIZED (
+  SELECT sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM pts a JOIN pts b
+    ON b.x BETWEEN a.x - 100 AND a.x + 100
+   AND b.y BETWEEN a.y - 100 AND a.y + 100 AND a.id <> b.id
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100),
+rr(rad) AS (VALUES (25.0), (50.0), (100.0)),
+cnt AS (
+  SELECT rad, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM rr JOIN pr ON pr.d <= rr.rad GROUP BY 1)
+SELECT rr.rad AS radius_m,
+       coalesce(cnt.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       round(CAST(coalesce(cnt.n_pairs, 0) AS DOUBLE) / (SELECT c FROM n), 6)
+           AS mean_neighbors
+FROM rr LEFT JOIN cnt ON cnt.rad = rr.rad
+"""
+
+
 def q_dbscan_clusters(sf_dir: str):
     """Grid DBSCAN over thinned customer formula points (eps 25 m,
     min_pts 4): (id, cluster_id, role) with min-label-deterministic

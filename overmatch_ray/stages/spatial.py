@@ -1809,3 +1809,62 @@ def mutual_nn_assign(
     for m in matched_rounds[1:]:
         out = out.union(m)
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def ripley_counts(
+    points_ds,
+    radii: "list[float]",
+    *,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_buckets: int | None = None,
+):
+    """Ripley-K / pair-correlation readout: for each literal radius r,
+    the number of ORDERED point pairs (a ≠ b) within r, plus the mean
+    neighbor count per point — the spatial-clustering summary statistic
+    (K̂(r) up to the area constant). One radius-bounded cell co-shuffle
+    at max(radii) generates candidate pairs; each per-bucket batch folds
+    its pairs into |radii| cumulative-bin partial rows (searchsorted
+    against the sorted radii), so the aggregate shuffle moves |radii|
+    rows per block, never pairs. The final division is the mirrored
+    ``CAST(n_pairs AS DOUBLE) / n_points`` rounded to 6 dp so the SQL
+    oracle compares identical keys. Output: (radius_m, n_pairs,
+    mean_neighbors), one row per radius (zero-count radii included)."""
+    rads = np.asarray(sorted(float(r) for r in radii), np.float64)
+    n_points = points_ds.count()
+    pairs = radius_pairs(
+        points_ds, points_ds, float(rads[-1]),
+        left_id=id_col, right_id=id_col, lon_col=lon_col, lat_col=lat_col,
+        num_buckets=num_buckets, exclude_self=True, round_to=None,
+    )
+
+    def binfold(batch: pa.Table) -> pa.Table:
+        d = batch["dist_m"].to_numpy(zero_copy_only=False)
+        # pair counts per cumulative bin: d ≤ rads[i] ⇔ first bin idx ≤ i
+        idx = np.searchsorted(rads, d, side="left")
+        per_bin = np.bincount(idx, minlength=rads.size)[: rads.size]
+        cum = np.cumsum(per_bin)
+        return pa.table({
+            "radius_m": pa.array(rads, pa.float64()),
+            "part": pa.array(cum.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        pairs.map_batches(binfold, batch_format="pyarrow")
+        .groupby("radius_m")
+        .aggregate(Sum("part", alias_name="n_pairs"))  # |radii| groups
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_pairs = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        mean = np.round(n_pairs.astype(np.float64) / float(n_points), 6)
+        return pa.table({
+            "radius_m": batch["radius_m"],
+            "n_pairs": pa.array(n_pairs.astype(np.int64)),
+            "mean_neighbors": pa.array(mean, pa.float64()),
+        })
+
+    return totals.map_batches(finish, batch_format="pyarrow")

@@ -1172,3 +1172,29 @@ class TestMutualNNAssign:
         # ray to_pandas drops columns on empty datasets; the TYPED contract
         # lives in the schema (joins._key_type relies on it downstream)
         assert out.schema().names == ["id_a", "id_b", "dist_m", "match_round"]
+
+
+class TestRipleyCounts:
+    def test_vs_brute_force_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import ripley_counts
+
+        tbl, lon, lat = _toy_points()
+        d = _dist_matrix(lon, lat)
+        np.fill_diagonal(d, np.inf)
+        radii = [1e-6, 5.0, 50.0]  # first bin exercises the zero path
+        want = {r: int((d <= r).sum()) for r in radii}
+        n = len(lon)
+
+        for blocks in (1, 6):
+            out = ripley_counts(
+                ray.data.from_arrow(tbl).repartition(blocks),
+                radii, num_buckets=8,
+            ).to_pandas().sort_values("radius_m").reset_index(drop=True)
+            assert len(out) == 3
+            for _, row in out.iterrows():
+                r = float(row.radius_m)
+                assert int(row.n_pairs) == want[r]
+                assert float(row.mean_neighbors) == round(want[r] / n, 6)
+        assert want[1e-6] == 0 and want[50.0] > 0
