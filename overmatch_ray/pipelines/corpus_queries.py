@@ -2219,6 +2219,56 @@ GROUP BY 1
 """
 
 
+def q_hotspot_cells(sf_dir: str):
+    """Local-maximum hotspot cells (stages.spatial.hotspot_cells): 16 m
+    grid over customer formula points, keep cells ≥ 3 points and strictly
+    above every 3×3 neighbor — sparse non-max suppression, ≤ 9 splat rows
+    per non-empty cell across the shuffle."""
+    from ..stages.groupops import bucketed_aggregate
+    from ..stages.spatial import hotspot_cells
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from ..geo import mercator_xy
+
+        lon, lat = _formula_coords(
+            batch["c_custkey"].to_numpy(zero_copy_only=False)
+        )
+        x, y = mercator_xy(lon, lat)
+        return pa.table({
+            "cell_x": pa.array(np.floor(x / 16.0).astype(np.int64)),
+            "cell_y": pa.array(np.floor(y / 16.0).astype(np.int64)),
+        })
+
+    counts = bucketed_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y"], {"n": ("cell_x", "size")},
+    )
+    return hotspot_cells(counts, min_count=3)
+
+
+ORACLE_SQL["hotspot_cells"] = f"""
+WITH pts AS (
+  SELECT {_COORD_SQL.format(k='c_custkey')} FROM customer),
+proj AS (
+  SELECT CAST(floor({_MERC} * radians(lon) / 16.0) AS BIGINT) AS cell_x,
+         CAST(floor({_MERC} * ln(tan(pi()/4 + radians(lat)/2)) / 16.0) AS BIGINT)
+             AS cell_y
+  FROM pts),
+counts AS (SELECT cell_x, cell_y, count(*) AS n FROM proj GROUP BY 1, 2),
+k(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+nb AS (
+  SELECT c.cell_x + k.dx AS cell_x, c.cell_y + k.dy AS cell_y,
+         max(c.n) AS nbr_max
+  FROM counts c CROSS JOIN k GROUP BY 1, 2)
+SELECT c.cell_x, c.cell_y, CAST(c.n AS BIGINT) AS n,
+       CAST(coalesce(nb.nbr_max, 0) AS BIGINT) AS nbr_max
+FROM counts c LEFT JOIN nb USING (cell_x, cell_y)
+WHERE c.n >= 3 AND c.n > coalesce(nb.nbr_max, 0)
+"""
+
+
 def q_cell_heatmap(sf_dir: str):
     """Sparse-grid heatmap: per-cell customer counts convolved with a 3×3
     binomial kernel (stages.spatial.kernel_smooth_counts) — 9 rows per

@@ -1868,3 +1868,67 @@ def ripley_counts(
         })
 
     return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def hotspot_cells(
+    counts_ds,
+    *,
+    x_col: str = "cell_x",
+    y_col: str = "cell_y",
+    n_col: str = "n",
+    min_count: int = 1,
+    num_buckets: int = 32,
+):
+    """Local-maximum hotspot detection over a sparse cell-count grid:
+    keep cells whose count is ≥ ``min_count`` AND STRICTLY greater than
+    every 3×3 neighbor's (ties suppress both — the standard non-max-
+    suppression rule). Same sparse-splat plan as ``kernel_smooth_counts``:
+    each non-empty cell emits its own row plus 8 neighbor rows, one
+    bucketed max-aggregate folds them, so the shuffle moves ≤ 9 rows per
+    non-empty cell and a dense raster never exists. Integer counts →
+    exact cross-engine parity. Output: (cell_x, cell_y, n, nbr_max) with
+    absent neighborhoods reading 0."""
+    from .groupops import bucketed_aggregate
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+
+    def splat(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs = [x]
+        ys = [y]
+        own = [n]
+        nbr = [np.full(n.size, -1, np.int64)]
+        for dx, dy in offs:
+            xs.append(x + dx)
+            ys.append(y + dy)
+            own.append(np.full(n.size, -1, np.int64))
+            nbr.append(n)
+        return pa.table({
+            x_col: pa.array(np.concatenate(xs)),
+            y_col: pa.array(np.concatenate(ys)),
+            "__own": pa.array(np.concatenate(own)),
+            "__nbr": pa.array(np.concatenate(nbr)),
+        })
+
+    agg = bucketed_aggregate(
+        counts_ds.map_batches(splat, batch_format="pyarrow"),
+        [x_col, y_col],
+        {"own_n": ("__own", "max"), "nbr_raw": ("__nbr", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        own = batch["own_n"].to_numpy(zero_copy_only=False)
+        nbr = np.maximum(batch["nbr_raw"].to_numpy(zero_copy_only=False), 0)
+        keep = (own >= min_count) & (own > nbr)
+        return pa.table({
+            x_col: batch[x_col].cast(pa.int64()).filter(pa.array(keep)),
+            y_col: batch[y_col].cast(pa.int64()).filter(pa.array(keep)),
+            "n": pa.array(own[keep]),
+            "nbr_max": pa.array(nbr[keep]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

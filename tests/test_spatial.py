@@ -1198,3 +1198,39 @@ class TestRipleyCounts:
                 assert int(row.n_pairs) == want[r]
                 assert float(row.mean_neighbors) == round(want[r] / n, 6)
         assert want[1e-6] == 0 and want[50.0] > 0
+
+
+class TestHotspotCells:
+    def test_manual_grid_ties_and_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import hotspot_cells
+
+        # grid:      (0,0)=5  (1,0)=3  (5,5)=4  (6,5)=4  (9,0)=2
+        # 5 beats 3 → hotspot; the 4/4 tie suppresses both; 2 < min_count
+        counts = pa.table({
+            "cell_x": pa.array([0, 1, 5, 6, 9], pa.int64()),
+            "cell_y": pa.array([0, 0, 5, 5, 0], pa.int64()),
+            "n": pa.array([5, 3, 4, 4, 2], pa.int64()),
+        })
+        for blocks in (1, 4):
+            out = hotspot_cells(
+                ray.data.from_arrow(counts).repartition(blocks),
+                min_count=3, num_buckets=4,
+            ).to_pandas().sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+            assert list(map(tuple, out.to_numpy())) == [(0, 0, 5, 3)]
+
+    def test_isolated_cell_nbr_zero(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import hotspot_cells
+
+        counts = pa.table({
+            "cell_x": pa.array([100], pa.int64()),
+            "cell_y": pa.array([100], pa.int64()),
+            "n": pa.array([7], pa.int64()),
+        })
+        out = hotspot_cells(
+            ray.data.from_arrow(counts), min_count=1, num_buckets=4
+        ).to_pandas()
+        assert list(map(tuple, out.to_numpy())) == [(100, 100, 7, 0)]
