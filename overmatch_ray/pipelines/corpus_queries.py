@@ -1392,6 +1392,38 @@ FROM df
 """
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document TF-IDF keyword extraction (stages.textstats.
+    doc_keywords): top-3 tokens per doc by tf·ln(n/df), score rounded
+    before the (score DESC, word) ordering — df stays a Dataset and joins
+    back by word, nothing vocabulary-scale on the driver."""
+    from ..stages.textstats import doc_keywords
+
+    return doc_keywords(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+ORACLE_SQL["doc_keywords"] = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2),
+df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6)
+             AS score
+  FROM tf JOIN df USING (word))
+SELECT doc_id, word, tf, score, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word)
+         AS rn
+  FROM sc)
+WHERE rn <= 3
+"""
+
+
 _HH_DENOM = 100  # keep literal in sync with the SQL oracle below
 
 

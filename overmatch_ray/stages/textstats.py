@@ -769,3 +769,94 @@ def bpe_encode(ds, text_col: str, id_col: str, merges: pa.Table,
         [id_col], {"n_bpe_tokens": ("n_bpe_tokens", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def doc_keywords(ds, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id", num_buckets: int = 32):
+    """Per-document keyword extraction: the top-``k`` tokens by TF-IDF
+    (``tf · ln(n_docs / df)``, score DESC / word ASC tie-break) — the
+    topical-tagging stage of a training-data pipeline, as one Ray plan
+    with NOTHING vocabulary-scale on the driver (the ``bpe_encode`` /
+    ``lm_score`` join pattern):
+
+    1. document frequencies stay a Dataset (``term_doc_freq`` — per-batch
+       combiner, one vocabulary-bounded shuffle);
+    2. one corpus pass explodes documents to per-doc ``(id, word, tf)``;
+    3. a bucketed hash join on the word attaches df to the exploded rows;
+    4. per-doc top-k inside one bucketed group apply.
+
+    The score is ROUNDED to 6 dp before the ordering, so the SQL oracle's
+    ``ORDER BY score DESC, word`` sees identical keys. Output:
+    (id, word, tf, score, rank), rank 1-based."""
+    import pandas as pd
+
+    from .groupops import bucketed_group_apply
+    from .joins import bucket_hash_join
+
+    n_docs = ds.count()
+    df_ds = term_doc_freq(ds, text_col=text_col).map_batches(
+        lambda b: pa.table({
+            "word": b["word"],
+            "df": b["sum(df_partial)"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, offsets, flat = _split_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        doc_i = np.repeat(np.arange(len(n_tok)), n_tok)
+        words = np.asarray(flat.to_pandas(), dtype=object)
+        g = (
+            pd.DataFrame({"i": doc_i, "word": words})
+            .groupby(["i", "word"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table({
+            id_col: pa.array(
+                ids[g["i"].to_numpy()] if len(g) else ids[:0],
+                batch.schema.field(id_col).type,
+            ),
+            "word": pa.array(g["word"].to_numpy(), pa.string()),
+            "tf": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    docwords = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    joined = bucket_hash_join(
+        docwords, df_ds, "word", "word", num_buckets=num_buckets
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # literal-mirrored chain: ln(n·1.0/df) first, × tf, THEN round
+        s = np.round(tf * np.log(float(n_docs) / df), 6)
+        return batch.append_column("score", pa.array(s, pa.float64()))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "word": pd.Series(dtype=object),
+                "tf": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+                "rank": pd.Series(dtype=np.int64),
+            })
+        g = g.sort_values([id_col, "score", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))
+        ends = np.concatenate([starts[1:], [ids.size]])
+        grp = np.repeat(np.arange(starts.size), ends - starts)
+        rank = np.arange(ids.size, dtype=np.int64) - starts[grp] + 1
+        out = g.iloc[np.flatnonzero(rank <= k)][
+            [id_col, "word", "tf", "score"]
+        ].copy()
+        out["rank"] = rank[rank <= k]
+        return out
+
+    return bucketed_group_apply(
+        joined.map_batches(score, batch_format="pyarrow"),
+        [id_col], topk, num_buckets=num_buckets,
+    )

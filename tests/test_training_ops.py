@@ -1461,3 +1461,55 @@ class TestAssociationPairs:
         a = got(2)
         assert a == want
         assert got(7) == a, "partitioning must not matter"
+
+
+class TestDocKeywords:
+    def test_hand_computed_and_partition_invariance(self, ray_session):
+        import math
+
+        import ray.data
+
+        from overmatch_ray.stages.textstats import doc_keywords
+
+        # 4 docs; 'apple' in 1 doc, 'pear' in 2, 'the' in all 4
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "the apple apple pear",
+                "the pear kiwi",
+                "the kiwi kiwi kiwi",
+                "the",
+            ]),
+        })
+        n = 4
+        dfs = {"the": 4, "apple": 1, "pear": 2, "kiwi": 2}
+        tfs = {
+            1: {"the": 1, "apple": 2, "pear": 1},
+            2: {"the": 1, "pear": 1, "kiwi": 1},
+            3: {"the": 1, "kiwi": 3},
+            4: {"the": 1},
+        }
+        want = []
+        for d, tf in tfs.items():
+            scored = sorted(
+                ((round(c * math.log(n / dfs[w]), 6), w, c)
+                 for w, c in tf.items()),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for r, (s, w, c) in enumerate(scored[:3], 1):
+                want.append((d, w, c, s, r))
+        want.sort()
+
+        for blocks in (1, 3):
+            out = doc_keywords(
+                ray.data.from_arrow(docs).repartition(blocks),
+                k=3, num_buckets=4,
+            ).to_pandas()
+            got = sorted(
+                (int(r.doc_id), r.word, int(r.tf), float(r.score),
+                 int(r.rank))
+                for r in out.itertuples()
+            )
+            assert got == want
+        # 'the' appears in every doc → idf 0 → never outranks real terms
+        assert ("1", "the") not in {(d, w) for d, w, *_ in want[:3]}
