@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": cq.q_ripley_k,
         "hotspot_cells": cq.q_hotspot_cells,
         "doc_keywords": cq.q_doc_keywords,
+        "brand_lowqty_revenue": cq.q_brand_lowqty_revenue,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

@@ -1392,6 +1392,120 @@ FROM df
 """
 
 
+def q_brand_lowqty_revenue(sf_dir: str):
+    """TPC-H Q17-pattern decorrelated correlated subquery: revenue of
+    lineitems whose quantity is below HALF their part's average quantity,
+    rolled up per brand. The per-part average is a bucketed aggregate
+    (part cardinality ≈ rows/30 — high-cardinality, never the native
+    per-group reduce) joined back by a bucketed hash join; the brand roll
+    is a per-batch partial combine into the bounded 25-brand groupby.
+    Quantities are integer-valued → the avg is the exact
+    CAST(sum AS DOUBLE)/n both engines compute; revenue folds in exact
+    integer cents."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_aggregate
+    from ..stages.joins import bucket_hash_join
+    from .queries import _cents
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qint(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": batch["l_partkey"],
+            "q": pa.array(
+                batch["l_quantity"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        })
+
+    stats = bucketed_aggregate(
+        li.map_batches(qint, batch_format="pyarrow"),
+        ["pk"], {"sq": ("q", "sum"), "nq": ("q", "size")},
+    )
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "qty": batch["l_quantity"],
+            "cents": pa.array(_cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            )),
+        })
+
+    j = bucket_hash_join(
+        li.map_batches(proj, batch_format="pyarrow").materialize(),
+        stats.materialize(), "l_partkey", "pk",
+    )
+
+    # part → brand: bounded dimension (|part| = rows/30) as one broadcast
+    # of SORTED (key, brand-code) arrays — searchsorted gather, no
+    # per-row dict probe (CLAUDE.md broadcast-map rule)
+    import ray as _ray
+
+    part = pa.concat_tables(
+        [pa.table(b) for b in _read(
+            sf_dir, "part", ["p_partkey", "p_brand"]
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    pk_sorted = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)[pk_sorted]
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[pk_sorted]
+    lut = _ray.put((keys, brands))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k, br = _ray.get(lut)
+        q = batch["qty"].to_numpy(zero_copy_only=False)
+        sq = batch["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nq = batch["nq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = q < 0.5 * (sq / nq)  # literal-mirrored predicate
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        cents = batch["cents"].to_numpy(zero_copy_only=False)[keep]
+        pos = np.searchsorted(k, pkv)
+        g = pd.DataFrame({"p_brand": br[pos], "c": cents}).groupby(
+            "p_brand", as_index=False
+        ).agg(rev=("c", "sum"), n=("c", "size"))
+        g["rev"] = g["rev"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        j.map_batches(fold, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("rev", alias_name="revenue_cents"),
+                   Sum("n", alias_name="n_items"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "revenue_cents": batch["revenue_cents"].cast(pa.int64()),
+            "n_items": batch["n_items"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["brand_lowqty_revenue"] = """
+WITH stats AS (
+  SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS nq
+  FROM lineitem GROUP BY 1)
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN stats s ON s.pk = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * (CAST(s.sq AS DOUBLE) / s.nq)
+GROUP BY 1
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """Per-document TF-IDF keyword extraction (stages.textstats.
     doc_keywords): top-3 tokens per doc by tf·ln(n/df), score rounded
