@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_cells": cq.q_hotspot_cells,
         "doc_keywords": cq.q_doc_keywords,
         "brand_lowqty_revenue": cq.q_brand_lowqty_revenue,
+        "link_prediction": cq.q_link_prediction,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

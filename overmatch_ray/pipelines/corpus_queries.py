@@ -1392,6 +1392,111 @@ FROM df
 """
 
 
+def q_link_prediction(sf_dir: str):
+    """Common-neighbors link prediction over the deterministic order-key
+    graph (the triangle_count synth): score every UNCONNECTED vertex pair
+    by its common-neighbor count (wedge generation per vertex → bucketed
+    pair count → shuffled ANTI semi join against the edge set on a
+    domain-bounded packed pair key), top-100 by (count DESC, pair). The
+    wedge volume is Σ deg² — the documented bound of every wedge-based
+    plan here; vertices are a literal N=500 domain so the packed key
+    a·N+b is exact."""
+    from ..stages.groupops import (
+        bucketed_aggregate,
+        bucketed_group_apply,
+        group_pair_indices,
+    )
+    from ..stages.joins import semi_join_shuffled
+
+    N = 500
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((k % 991) * (k % 997)) % N
+        v = ((k % 977) * (k % 983)) % N
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    e = bucketed_aggregate(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["u", "v"], {"__one": ("u", "size")},
+    ).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array(np.concatenate([u, v])),
+            "x": pa.array(np.concatenate([v, u])),
+        })
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow")
+
+    def wedge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", "x"], kind="mergesort")
+        run = (g["w"] != g["w"].shift()).cumsum().to_numpy()
+        ia, ib = group_pair_indices(run, np.iinfo(np.int64).max)
+        x = g["x"].to_numpy()
+        return pd.DataFrame({"ia": x[ia], "ib": x[ib]})  # sorted ⇒ ia < ib
+
+    cn = bucketed_aggregate(
+        bucketed_group_apply(adj, ["w"], wedge),
+        ["ia", "ib"], {"common_neighbors": ("ia", "size")},
+    )
+
+    def pack(ca: str, cb: str):
+        def _p(batch: pa.Table) -> pa.Table:
+            a = batch[ca].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch[cb].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column("pk", pa.array(a * N + b))
+
+        return _p
+
+    nonedges = semi_join_shuffled(
+        cn.map_batches(pack("ia", "ib"), batch_format="pyarrow").materialize(),
+        e.map_batches(pack("u", "v"), batch_format="pyarrow").materialize(),
+        "pk", "pk", anti=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["ia"].cast(pa.int64()),
+            "id_b": batch["ib"].cast(pa.int64()),
+            "common_neighbors": batch["common_neighbors"].cast(pa.int64()),
+        })
+
+    return (
+        nonedges.map_batches(finish, batch_format="pyarrow")
+        .sort(["common_neighbors", "id_a", "id_b"],
+              descending=[True, False, False])
+        .limit(100)
+    )
+
+
+ORACLE_SQL["link_prediction"] = """
+WITH raw AS (
+  SELECT ((o_orderkey % 991) * (o_orderkey % 997)) % 500 AS u,
+         ((o_orderkey % 977) * (o_orderkey % 983)) % 500 AS v
+  FROM orders),
+e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM raw WHERE u <> v),
+adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+wedge AS (
+  SELECT a.x AS ia, b.x AS ib
+  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x),
+cn AS (
+  SELECT ia, ib, CAST(count(*) AS BIGINT) AS c FROM wedge GROUP BY 1, 2)
+SELECT cn.ia AS id_a, cn.ib AS id_b, cn.c AS common_neighbors
+FROM cn LEFT JOIN e ON e.u = cn.ia AND e.v = cn.ib
+WHERE e.u IS NULL
+ORDER BY common_neighbors DESC, id_a, id_b
+LIMIT 100
+"""
+
+
 def q_brand_lowqty_revenue(sf_dir: str):
     """TPC-H Q17-pattern decorrelated correlated subquery: revenue of
     lineitems whose quantity is below HALF their part's average quantity,
