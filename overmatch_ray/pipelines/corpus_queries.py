@@ -1392,6 +1392,68 @@ FROM df
 """
 
 
+def q_decayed_activity(sf_dir: str):
+    """Half-life-decayed per-user activity score (the feature-store
+    recency feature) in EXACT integer fixed point: age k = whole days
+    before the corpus max timestamp (integer µs floor-div), each event
+    contributes 2^(30−k) — a dyadic term that needs no float anywhere,
+    so the per-user sum is order-free and bit-exact at any parallelism.
+    One high-cardinality bucketed aggregate; the corpus max ts is the
+    only scalar on the driver."""
+    from ..stages.groupops import bucketed_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    t_max = int(pa.concat_tables(
+        [pa.table(b) for b in ev.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [int(b["ts"].cast(pa.int64()).to_numpy().max())]
+                if b.num_rows else [np.iinfo(np.int64).min])}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")]
+    )["m"].to_numpy().max())
+
+    US_PER_DAY = 86_400_000_000
+
+    def terms(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = (t_max - ts) // US_PER_DAY
+        term = np.where(k <= 30, np.int64(1) << np.minimum(30 - k, 62), 0)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "term": pa.array(term.astype(np.int64)),
+        })
+
+    agg = bucketed_aggregate(
+        ev.map_batches(terms, batch_format="pyarrow"),
+        ["user_id"],
+        {"decay_score": ("term", "sum"), "n_events": ("term", "size")},
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "decay_score": b["decay_score"].cast(pa.int64()),
+            "n_events": b["n_events"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["decayed_activity"] = """
+WITH mx AS (SELECT max(ts) AS t FROM events),
+t AS (
+  SELECT user_id,
+         date_diff('microsecond', ts, (SELECT t FROM mx)) // 86400000000
+             AS k
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN k <= 30
+                     THEN (CAST(1 AS BIGINT) << (30 - k)) ELSE 0 END)
+            AS BIGINT) AS decay_score,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM t GROUP BY 1
+"""
+
+
 def q_link_prediction(sf_dir: str):
     """Common-neighbors link prediction over the deterministic order-key
     graph (the triangle_count synth): score every UNCONNECTED vertex pair
