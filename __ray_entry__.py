@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_lowqty_revenue": cq.q_brand_lowqty_revenue,
         "link_prediction": cq.q_link_prediction,
         "decayed_activity": cq.q_decayed_activity,
+        "track_turns": cq.q_track_turns,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

@@ -2416,6 +2416,93 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_track_turns(sf_dir: str):
+    """Per-track heading-change analysis: count the sharp turns (heading
+    change > 90°) along each user's (ts, event_id)-ordered ping track.
+    The test is the SIGN of the consecutive-leg dot product — no atan2,
+    no angle: both engines evaluate the identical float64 product chain,
+    so the comparison is bit-mirrored the same way the sqrt distance
+    chains are. One bucketed shuffle, vectorized across a bucket's users;
+    users with < 3 pings have no interior vertex and emit nothing (the
+    oracle's WHERE lag/lead IS NOT NULL does the same)."""
+    from ..geo import mercator_xy
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        x, y = mercator_xy(lon, lat)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "event_id": batch["event_id"],
+            "x": pa.array(x),
+            "y": pa.array(y),
+        })
+
+    def turn_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=u.dtype if n else np.int64),
+                "n_turns": pd.Series(dtype=np.int64),
+                "n_interior": pd.Series(dtype=np.int64),
+            })
+        # interior vertex i: legs (i-1→i) and (i→i+1), same user on both
+        dot = ((x[1:-1] - x[:-2]) * (x[2:] - x[1:-1])
+               + (y[1:-1] - y[:-2]) * (y[2:] - y[1:-1]))
+        same = (u[1:-1] == u[:-2]) & (u[2:] == u[1:-1])
+        users, starts = np.unique(u, return_index=True)
+        ends = np.concatenate([starts[1:], [n]])
+        trn = np.zeros(n, np.int64)
+        itr = np.zeros(n, np.int64)
+        trn[1:-1] = np.where(same & (dot < 0), 1, 0)
+        itr[1:-1] = np.where(same, 1, 0)
+        cum_t = np.concatenate([[0], np.cumsum(trn)])
+        cum_i = np.concatenate([[0], np.cumsum(itr)])
+        n_turns = cum_t[ends] - cum_t[starts]
+        n_int = cum_i[ends] - cum_i[starts]
+        keep = n_int > 0
+        return pd.DataFrame({
+            "user_id": users[keep],
+            "n_turns": n_turns[keep],
+            "n_interior": n_int[keep],
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(add_xy, batch_format="pyarrow"),
+        ["user_id"], turn_bucket, num_buckets=16,
+    )
+
+
+ORACLE_SQL["track_turns"] = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_MERC} * radians(-77.05 + (event_id % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((event_id // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM events),
+w3 AS (
+  SELECT user_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+turns AS (
+  SELECT user_id,
+         CASE WHEN (x - px) * (nx - x) + (y - py) * (ny - y) < 0
+              THEN 1 ELSE 0 END AS trn
+  FROM w3 WHERE px IS NOT NULL AND nx IS NOT NULL)
+SELECT user_id, CAST(sum(trn) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_interior
+FROM turns GROUP BY 1
+"""
+
+
 def _formula_boxes(ds, key_col: str, wmod: int, hmod: int):
     """(id, xmin, ymin, xmax, ymax) planar boxes from PURE INTEGER
     arithmetic: center (11·(k%1000), 14·((k//1000)%1000)) m — the formula
