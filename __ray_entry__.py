@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": cq.q_link_prediction,
         "decayed_activity": cq.q_decayed_activity,
         "track_turns": cq.q_track_turns,
+        "label_centroid_dists": cq.q_label_centroid_dists,
+        "type_value_mad": cq.q_type_value_mad,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

@@ -2416,6 +2416,157 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_type_value_mad(sf_dir: str):
+    """Per-group MEDIAN ABSOLUTE DEVIATION — the robust-statistics spread
+    readout: two chained exact-quantile passes (median of value, then
+    median of |value − median|). The per-group medians are UNROUNDED
+    doubles broadcast as sorted arrays (group domain is the bounded
+    event-type set; searchsorted gather, no per-row dict); |v − m| is the
+    identical float chain on both engines, and the quantile interpolation
+    is the proven quantile_cont-parity machinery."""
+    from ..stages.groupops import exact_quantiles_by
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    med = exact_quantiles_by(ev, "event_type", "value", [0.5],
+                             round_to=None)
+    mt = pa.concat_tables(
+        [pa.table(b) for b in med.iter_batches(batch_format="pyarrow")]
+    )
+    keys = np.asarray(mt["event_type"].to_pylist(), dtype=np.str_)
+    vals = mt["q"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    import ray as _ray
+
+    lut = _ray.put((keys, vals))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        k, m = _ray.get(lut)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=np.str_)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mm = m[np.searchsorted(k, et)]
+        return pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array(np.abs(v - mm), pa.float64()),
+        })
+
+    mad = exact_quantiles_by(
+        ev.map_batches(dev, batch_format="pyarrow"), "event_type", "d",
+        [0.5], round_to=6,
+    )
+    return mad.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "mad": b["q"].cast(pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["type_value_mad"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, abs(e.value - med.m) AS d
+  FROM events e JOIN med USING (event_type))
+SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+FROM dev GROUP BY 1
+"""
+
+
+def q_label_centroid_dists(sf_dir: str):
+    """Embedding-space label geometry: pairwise squared distances between
+    per-label centroid embeddings — the class-separation readout an
+    embedding-quality audit wants. Exactness plan: components quantize to
+    floor(1e6·v) integers inside the per-batch combiner (one bounded
+    (label, component) groupby — |labels|·dim rows cross the shuffle,
+    never vectors); centroids are the mirrored CAST(s AS DOUBLE)/n; the
+    pair distance folds floor((1e6·d)·d) PER-COMPONENT integer terms, so
+    no float summation order exists anywhere. The |labels|·dim sum table
+    is the only driver materialization (documented bound)."""
+    from ray.data.aggregate import Sum
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.stack(
+            batch["embedding"].to_pandas().to_numpy()
+        ).astype(np.float64)
+        q = np.floor(v * 1000000.0).astype(np.int64)
+        labs = np.unique(lab)
+        rows_l, rows_c, rows_s, rows_n = [], [], [], []
+        dim = q.shape[1]
+        for lb in labs:
+            m = lab == lb
+            rows_l.append(np.full(dim, lb, np.int64))
+            rows_c.append(np.arange(1, dim + 1, dtype=np.int64))
+            rows_s.append(q[m].sum(axis=0))
+            rows_n.append(np.full(dim, int(m.sum()), np.int64))
+        return pa.table({
+            "label": pa.array(np.concatenate(rows_l)),
+            "comp": pa.array(np.concatenate(rows_c)),
+            "s": pa.array(np.concatenate(rows_s)),
+            "n": pa.array(np.concatenate(rows_n)),
+        })
+
+    sums = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "comp"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    # |labels| × dim rows — the bounded driver materialization
+    t = pa.concat_tables(
+        [pa.table(b) for b in sums.iter_batches(batch_format="pyarrow")]
+    )
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = t["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labs = np.unique(lab)
+    dim = int(comp.max())
+    cent = np.zeros((labs.size, dim), np.float64)
+    pos = {int(lb): i for i, lb in enumerate(labs)}
+    for i in range(lab.size):
+        cent[pos[int(lab[i])], comp[i] - 1] = s[i] / n[i]  # CAST(s AS DOUBLE)/n
+    out_a, out_b, out_d = [], [], []
+    for i in range(labs.size):
+        for j in range(i + 1, labs.size):
+            d = cent[i] - cent[j]
+            terms = np.floor((1000000.0 * d) * d).astype(np.int64)
+            out_a.append(int(labs[i]))
+            out_b.append(int(labs[j]))
+            out_d.append(int(terms.sum()))
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "label_a": pa.array(out_a, pa.int64()),
+        "label_b": pa.array(out_b, pa.int64()),
+        "dist2_scaled": pa.array(out_d, pa.int64()),
+    }))
+
+
+ORACLE_SQL["label_centroid_dists"] = """
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) AS c,
+         unnest(embedding) AS v
+  FROM embeddings),
+sums AS (
+  SELECT label, c,
+         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY 1, 2),
+cent AS (SELECT label, c, CAST(s AS DOUBLE) / n AS v FROM sums)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum(CAST(floor((1000000.0 * (a.v - b.v)) * (a.v - b.v))
+                     AS BIGINT)) AS BIGINT) AS dist2_scaled
+FROM cent a JOIN cent b ON a.c = b.c AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+
 def q_track_turns(sf_dir: str):
     """Per-track heading-change analysis: count the sharp turns (heading
     change > 90°) along each user's (ts, event_id)-ordered ping track.
