@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_turns": cq.q_track_turns,
         "label_centroid_dists": cq.q_label_centroid_dists,
         "type_value_mad": cq.q_type_value_mad,
+        "revenue_changepoint": cq.q_revenue_changepoint,
+        "morans_i": cq.q_morans_i,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

@@ -2416,6 +2416,146 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_morans_i(sf_dir: str):
+    """Global Moran's I (stages.spatial.morans_i) over the 16 m customer
+    cell grid — the spatial-autocorrelation audit next to hotspot_cells:
+    integer n-scaled deviations, Python-int folds, one mirrored float at
+    the end."""
+    from ..stages.groupops import bucketed_aggregate
+    from ..stages.spatial import morans_i
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from ..geo import mercator_xy
+
+        lon, lat = _formula_coords(
+            batch["c_custkey"].to_numpy(zero_copy_only=False)
+        )
+        x, y = mercator_xy(lon, lat)
+        return pa.table({
+            "cell_x": pa.array(np.floor(x / 16.0).astype(np.int64)),
+            "cell_y": pa.array(np.floor(y / 16.0).astype(np.int64)),
+        })
+
+    counts = bucketed_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y"], {"n": ("cell_x", "size")},
+    ).materialize()
+    return morans_i(counts)
+
+
+ORACLE_SQL["morans_i"] = f"""
+WITH pts AS (
+  SELECT {_COORD_SQL.format(k='c_custkey')} FROM customer),
+proj AS (
+  SELECT CAST(floor({_MERC} * radians(lon) / 16.0) AS BIGINT) AS cell_x,
+         CAST(floor({_MERC} * ln(tan(pi()/4 + radians(lat)/2)) / 16.0) AS BIGINT)
+             AS cell_y
+  FROM pts),
+counts AS (
+  SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS x
+  FROM proj GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+        FROM counts),
+dev AS (
+  SELECT cell_x, cell_y,
+         (SELECT n FROM tot) * x - (SELECT t FROM tot) AS d
+  FROM counts),
+k(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS (
+  SELECT a.d AS da, b.d AS db
+  FROM dev a CROSS JOIN k
+  JOIN dev b ON b.cell_x = a.cell_x + k.dx AND b.cell_y = a.cell_y + k.dy),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS w, CAST(sum(da * db) AS BIGINT)
+            AS num FROM pairs),
+dn AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev)
+SELECT (SELECT n FROM tot) AS n_cells,
+       (SELECT w FROM agg) AS w_pairs,
+       (SELECT num FROM agg) AS num,
+       (SELECT den FROM dn) AS den,
+       round((CAST((SELECT n FROM tot) AS DOUBLE) / (SELECT w FROM agg))
+             * (CAST((SELECT num FROM agg) AS DOUBLE) / (SELECT den FROM dn)),
+             6) AS moran_i
+"""
+
+
+def q_revenue_changepoint(sf_dir: str):
+    """CUSUM change-point detection on the daily revenue series — the
+    regression-monitoring op, fully integer-exact: daily totals fold in
+    integer cents (calendar-bounded groupby — per-batch partials, the
+    shuffle moves ≤ |days| rows per block), and the CUSUM deviation is
+    the n-scaled integer n·cum_i − i·T (no mean division, no float
+    anywhere). The |days| series is the one driver materialization
+    (calendar-bounded, documented); output is the single argmax-|S| day
+    with the earliest-day tie-break."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _cents
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    US_PER_DAY = 86_400_000_000
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        day = (batch["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        g = pd.DataFrame({"day_id": day, "x": cents}).groupby(
+            "day_id", as_index=False
+        )["x"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    daily = (
+        orders.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby("day_id")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in daily.iter_batches(batch_format="pyarrow")]
+    )
+    day = t["day_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(day)
+    day, x = day[order], x[order]
+    n = int(day.size)
+    total = int(x.sum())
+    cum = np.cumsum(x)
+    s = n * cum - (np.arange(1, n + 1, dtype=np.int64)) * total  # exact ints
+    best = int(np.lexsort((day, -np.abs(s)))[0])
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "change_day": pa.array([int(day[best])], pa.int64()),
+        "cusum_scaled": pa.array([int(s[best])], pa.int64()),
+        "n_days": pa.array([n], pa.int64()),
+    }))
+
+
+ORACLE_SQL["revenue_changepoint"] = """
+WITH daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+             // 86400000000 AS day_id,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS t
+      FROM daily),
+cum AS (
+  SELECT day_id,
+         CAST(sum(x) OVER (ORDER BY day_id) AS BIGINT) AS cx,
+         CAST(row_number() OVER (ORDER BY day_id) AS BIGINT) AS i
+  FROM daily)
+SELECT day_id AS change_day,
+       CAST((SELECT c FROM n) * cx - i * (SELECT t FROM n) AS BIGINT)
+           AS cusum_scaled,
+       (SELECT c FROM n) AS n_days
+FROM cum
+ORDER BY abs((SELECT c FROM n) * cx - i * (SELECT t FROM n)) DESC, day_id
+LIMIT 1
+"""
+
+
 def q_type_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION — the robust-statistics spread
     readout: two chained exact-quantile passes (median of value, then

@@ -1234,3 +1234,53 @@ class TestHotspotCells:
             ray.data.from_arrow(counts), min_count=1, num_buckets=4
         ).to_pandas()
         assert list(map(tuple, out.to_numpy())) == [(100, 100, 7, 0)]
+
+
+class TestMoransI:
+    @staticmethod
+    def _reference(cells):
+        n = len(cells)
+        t = sum(v for *_c, v in cells)
+        dev = {(cx, cy): n * v - t for cx, cy, v in cells}
+        num = w = 0
+        for (cx, cy), d in dev.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    nb = dev.get((cx + dx, cy + dy))
+                    if nb is not None:
+                        num += d * nb
+                        w += 1
+        den = sum(d * d for d in dev.values())
+        mi = round((n / w) * (num / den), 6) if w and den else float("nan")
+        return n, w, num, den, mi
+
+    def test_checkerboard_negative_cluster_positive(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import morans_i
+
+        # checkerboard: high/low alternating → strong negative I
+        cb = [(x, y, 9 if (x + y) % 2 == 0 else 1)
+              for x in range(4) for y in range(4)]
+        # two smooth blobs → positive I
+        blob = [(x, y, 10 - abs(x - 1) - abs(y - 1))
+                for x in range(4) for y in range(4)]
+        for cells, sign in [(cb, -1), (blob, 1)]:
+            want = self._reference(cells)
+            t = pa.table({
+                "cell_x": pa.array([c[0] for c in cells], pa.int64()),
+                "cell_y": pa.array([c[1] for c in cells], pa.int64()),
+                "n": pa.array([c[2] for c in cells], pa.int64()),
+            })
+            for blocks in (1, 5):
+                out = morans_i(
+                    ray.data.from_arrow(t).repartition(blocks),
+                    num_buckets=4,
+                ).to_pandas()
+                got = (int(out.n_cells[0]), int(out.w_pairs[0]),
+                       int(out.num[0]), int(out.den[0]),
+                       float(out.moran_i[0]))
+                assert got == want
+                assert np.sign(got[4]) == sign
