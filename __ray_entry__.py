@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_mad": cq.q_type_value_mad,
         "revenue_changepoint": cq.q_revenue_changepoint,
         "morans_i": cq.q_morans_i,
+        "blocking_quality": cq.q_blocking_quality,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "copurchase_lift": cq.q_copurchase_lift,

@@ -2416,6 +2416,119 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_blocking_quality(sf_dir: str):
+    """Entity-resolution blocking audit over the conflation join's k-ring
+    cell scheme: candidate-pair volume (pairs sharing a k-ring-1 cell),
+    true-match volume (distance ≤ 100 m), and the reduction ratio
+    1 − cand/(nA·nB). The ORACLE computes the true count from an
+    INDEPENDENT brute-force distance join — so the hash compare literally
+    audits the pair-completeness invariant (k-ring-1 ⊇ the 100 m disk,
+    the guarantee every cell-blocked join in this engine rests on): if
+    the blocking ever missed a pair, engine and oracle would disagree.
+    Counting happens inside the cell buckets — candidate pairs are
+    COUNTED, never materialized; one partial row per bucket reaches the
+    aggregate."""
+    from ..stages.spatial import _auto_buckets, _encode_side
+
+    cust = _formula_points(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    orders = _formula_points(
+        _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey", (4, 1)
+    )
+    n_a = cust.count()
+    n_b = orders.count()
+    nb_ = _auto_buckets(None)
+
+    probe = cust.map_batches(
+        _encode_side("id", "lon", "lat", nb_, 0, replicate=False),
+        batch_format="pyarrow",
+    )
+    cand = orders.map_batches(
+        _encode_side("id", "lon", "lat", nb_, 1, replicate=True),
+        batch_format="pyarrow",
+    )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.groupops import concat_ranges
+
+        side = g["side"].to_numpy(zero_copy_only=False)
+        am = side == 0
+        bm = ~am
+        if not am.any() or not bm.any():
+            return pa.table({"n_cand": pa.array([0], pa.int64()),
+                             "n_caught": pa.array([0], pa.int64())})
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell[bm], kind="mergesort")
+        bc = cell[bm][order]
+        lo = np.searchsorted(bc, cell[am], "left")
+        hi = np.searchsorted(bc, cell[am], "right")
+        counts = hi - lo
+        n_cand = int(counts.sum())
+        if n_cand:
+            ai = np.repeat(np.flatnonzero(am), counts)
+            bi = np.flatnonzero(bm)[order[concat_ranges(lo, hi)]]
+            d = np.sqrt((x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2)
+            n_caught = int((d <= 100.0).sum())
+        else:
+            n_caught = 0
+        return pa.table({"n_cand": pa.array([n_cand], pa.int64()),
+                         "n_caught": pa.array([n_caught], pa.int64())})
+
+    parts = pa.concat_tables([
+        pa.table(b) for b in (
+            probe.union(cand).materialize()
+            .groupby("bucket")
+            .map_groups(count_bucket, batch_format="pyarrow")
+        ).iter_batches(batch_format="pyarrow")
+    ])
+    n_cand = int(parts["n_cand"].to_numpy().sum())
+    n_caught = int(parts["n_caught"].to_numpy().sum())
+    red = round(1.0 - float(n_cand) / (float(n_a) * float(n_b)), 6)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "n_candidates": pa.array([n_cand], pa.int64()),
+        "n_matches": pa.array([n_caught], pa.int64()),
+        "n_left": pa.array([n_a], pa.int64()),
+        "n_right": pa.array([n_b], pa.int64()),
+        "reduction_ratio": pa.array([red], pa.float64()),
+    }))
+
+
+ORACLE_SQL["blocking_quality"] = f"""
+WITH a AS (
+  SELECT c_custkey AS id, {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer),
+b AS (
+  SELECT o_orderkey AS id, {_MERC} * radians(-77.05 + (o_orderkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 + radians(38.85 + ((o_orderkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM orders WHERE (o_orderkey * 2654435761) % 4 < 1),
+ac AS (SELECT id, x, y, CAST(floor(x / 256.0) AS BIGINT) AS cx,
+              CAST(floor(y / 256.0) AS BIGINT) AS cy FROM a),
+bc AS (SELECT id, x, y, CAST(floor(x / 256.0) AS BIGINT) AS cx,
+              CAST(floor(y / 256.0) AS BIGINT) AS cy FROM b),
+cand AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM ac JOIN bc ON bc.cx BETWEEN ac.cx - 1 AND ac.cx + 1
+                 AND bc.cy BETWEEN ac.cy - 1 AND ac.cy + 1),
+tru AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM a JOIN b ON b.x BETWEEN a.x - 100 AND a.x + 100
+               AND b.y BETWEEN a.y - 100 AND a.y + 100
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100)
+SELECT (SELECT n FROM cand) AS n_candidates,
+       (SELECT n FROM tru) AS n_matches,
+       (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_right,
+       round(1.0 - CAST((SELECT n FROM cand) AS DOUBLE)
+                   / (CAST((SELECT count(*) FROM a) AS DOUBLE)
+                      * CAST((SELECT count(*) FROM b) AS DOUBLE)), 6)
+           AS reduction_ratio
+"""
+
+
 def q_morans_i(sf_dir: str):
     """Global Moran's I (stages.spatial.morans_i) over the 16 m customer
     cell grid — the spatial-autocorrelation audit next to hotspot_cells:
