@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality": cq.q_blocking_quality,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
+        "dtw_tracks": ro.q_dtw_tracks,
         "copurchase_lift": cq.q_copurchase_lift,
         "repetition_stats": cq.q_repetition_stats,
         "heavy_tokens": cq.q_heavy_tokens,

@@ -1504,3 +1504,70 @@ def q_images_quarantine(sf_dir: str):
         .aggregate(Sum("n_images", alias_name="n_images"),
                    Sum("n_quarantined", alias_name="n_quarantined"))
     )
+
+
+def q_dtw_tracks(sf_dir: str):
+    """Banded-DTW similarity matrix over a bounded track panel
+    (stages.spatial.dtw_panel): md5-thinned users' ping tracks, all
+    unordered panel pairs, exact integer decimeter costs. Rows-only —
+    DTW's optimal-path DP has no SQL form; the kernel is pinned by
+    tests/test_spatial.py's brute-force reference instead. Tracks never
+    land on the driver: only the bounded PANEL ID LIST does (like a
+    literal radius set), tracks pack and pair inside the shuffle."""
+    import hashlib
+
+    from ..geo import mercator_xy
+    from ..stages.spatial import dtw_panel
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts"])
+
+    # bounded panel: the 24 users with the SMALLEST md5 — a fixed-SIZE
+    # deterministic panel at any corpus scale (the pair table is
+    # quadratic in the panel, so the panel must not grow with the
+    # corpus); the driver holds ONLY these ids, like a literal radius set
+    all_users = sorted({
+        int(u) for b in ev.map_batches(
+            lambda t: pa.table({"u": pa.array(
+                np.unique(t["user_id"].to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        for u in b["u"].to_pylist()
+    })
+    users = sorted(
+        sorted(all_users,
+               key=lambda u: (hashlib.md5(str(u).encode()).hexdigest(), u))
+        [:24]
+    )
+    panel = set(users)
+    pid, ka, kb = [], [], []
+    for i, a in enumerate(users):
+        for b in users[i + 1:]:
+            pid.append(len(pid))
+            ka.append(a)
+            kb.append(b)
+    pairs = pa.table({
+        "pair_id": pa.array(pid, pa.int64()),
+        "key_a": pa.array(ka, pa.int64()),
+        "key_b": pa.array(kb, pa.int64()),
+    })
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(uid, np.asarray(users, np.int64))
+        t = batch.filter(pa.array(keep))
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = -77.05 + (eid % 1000) * 1e-4
+        lat = 38.85 + ((eid // 1000) % 1000) * 1e-4
+        x, y = mercator_xy(lon, lat)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_id": t["event_id"],
+            "x": pa.array(x),
+            "y": pa.array(y),
+        })
+
+    pts = ev.map_batches(add_xy, batch_format="pyarrow")
+    return dtw_panel(pts, pairs, key_col="user_id",
+                     order_cols=["ts", "event_id"], band=16)

@@ -2045,3 +2045,132 @@ def morans_i(
         "den": pa.array([den], pa.int64()),
         "moran_i": pa.array([mi], pa.float64()),
     }))
+
+
+def dtw_cost_int(xa: np.ndarray, ya: np.ndarray, xb: np.ndarray,
+                 yb: np.ndarray, band: int) -> int:
+    """Banded (Sakoe-Chiba) DTW alignment cost between two tracks in
+    INTEGER decimeter coordinates: per-step cost is the squared planar
+    decimeter distance, so the optimal-path total is an exact int64 —
+    deterministic at any partitioning, no float ever enters the DP.
+    The band widens automatically to cover a length mismatch
+    (max(band, |n−m|) — the standard feasibility adjustment)."""
+    n, m = xa.size, xb.size
+    if n == 0 or m == 0:
+        return -1
+    w = max(int(band), abs(n - m))
+    INF = np.int64(2**62)
+    prev = np.full(m + 1, INF, np.int64)
+    prev[0] = 0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, INF, np.int64)
+        jlo = max(1, i - w)
+        jhi = min(m, i + w)
+        dx = xa[i - 1] - xb[jlo - 1:jhi]
+        dy = ya[i - 1] - yb[jlo - 1:jhi]
+        cost = dx * dx + dy * dy
+        # t[j] = cost + min(prev[j], prev[j-1]) vectorized; the cur[j-1]
+        # alternative needs the short sequential band scan (≤ 2w+1 steps)
+        t = cost + np.minimum(prev[jlo:jhi + 1], prev[jlo - 1:jhi])
+        run = INF
+        for k in range(jhi - jlo + 1):
+            c = cost[k] + run if run < INF else INF
+            run = t[k] if t[k] < c else c
+            cur[jlo + k] = run
+        prev = cur
+    return int(prev[m])
+
+
+def dtw_panel(
+    points_ds,
+    pairs,
+    *,
+    key_col: str = "user_id",
+    order_cols: "list[str] | None" = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    band: int = 16,
+    num_buckets: int = 32,
+):
+    """Dynamic-time-warping similarity matrix over a BOUNDED panel of
+    tracks — the trajectory-analytics companion to the radius-bounded
+    ``track_hausdorff_pairs`` (DTW compares full temporal shape; its
+    pair list is quadratic, so this op takes an explicit panel pair
+    table rather than pretending to be corpus-scale — the documented
+    contract). ``pairs``: pyarrow table (pair_id, key_a, key_b) built
+    from a bounded panel (driver-known, like literal radii). Tracks
+    NEVER land on the driver: each key's track packs to one
+    (key, npts, xs, ys) binary row inside a bucketed group apply
+    (decimeter ints, little-endian int64), ships to its pairs via a
+    bucketed hash join on the member key, and each pair's banded DTW
+    runs inside one final bucketed apply. Costs are exact int64
+    (squared decimeter steps) — bit-identical at any parallelism.
+    Output: (pair_id, key_a, key_b, n_a, n_b, dtw_cost)."""
+    import pandas as pd_
+    import ray.data as _rd
+
+    from .groupops import bucketed_group_apply
+    from .joins import bucket_hash_join
+
+    if not order_cols:
+        raise ValueError("dtw_panel: order_cols is required (see "
+                         "simplify_tracks — shuffle order is not a contract)")
+    order = list(order_cols)
+
+    def pack_bucket(g: pd_.DataFrame) -> pd_.DataFrame:
+        g = g.sort_values([key_col] + order, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        xq = np.floor(g[x_col].to_numpy(dtype=np.float64) * 10.0).astype(np.int64)
+        yq = np.floor(g[y_col].to_numpy(dtype=np.float64) * 10.0).astype(np.int64)
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        return pd_.DataFrame({
+            "member": uniq,
+            "npts": (ends - starts).astype(np.int64),
+            "xs": [xq[s:e].tobytes() for s, e in zip(starts, ends)],
+            "ys": [yq[s:e].tobytes() for s, e in zip(starts, ends)],
+        })
+
+    packed = bucketed_group_apply(
+        points_ds, [key_col], pack_bucket, num_buckets=num_buckets
+    ).materialize()
+
+    pid = pairs["pair_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ka = pairs["key_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kb = pairs["key_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    members = _rd.from_arrow(pa.table({
+        "pair_id": pa.array(np.concatenate([pid, pid])),
+        "member": pa.array(np.concatenate([ka, kb])),
+        "slot": pa.array(np.concatenate([
+            np.zeros(pid.size, np.int64), np.ones(pid.size, np.int64)
+        ])),
+    })).materialize()
+
+    joined = bucket_hash_join(
+        members, packed, "member", "member", num_buckets=num_buckets
+    )
+
+    def dtw_bucket(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = {"pair_id": [], "key_a": [], "key_b": [],
+               "n_a": [], "n_b": [], "dtw_cost": []}
+        for pair_id, sub in g.groupby("pair_id", sort=True):
+            if len(sub) != 2:
+                continue  # a member with no track rows → pair incomplete
+            sub = sub.sort_values("slot")
+            ra, rb = sub.iloc[0], sub.iloc[1]
+            xa = np.frombuffer(ra["xs"], np.int64)
+            ya = np.frombuffer(ra["ys"], np.int64)
+            xb = np.frombuffer(rb["xs"], np.int64)
+            yb = np.frombuffer(rb["ys"], np.int64)
+            out["pair_id"].append(int(pair_id))
+            out["key_a"].append(int(ra["member"]))
+            out["key_b"].append(int(rb["member"]))
+            out["n_a"].append(int(ra["npts"]))
+            out["n_b"].append(int(rb["npts"]))
+            out["dtw_cost"].append(dtw_cost_int(xa, ya, xb, yb, band))
+        return pd_.DataFrame({k: pd_.Series(v, dtype=np.int64)
+                              for k, v in out.items()})
+
+    return bucketed_group_apply(
+        joined, ["pair_id"], dtw_bucket, num_buckets=num_buckets
+    )

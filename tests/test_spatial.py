@@ -1284,3 +1284,79 @@ class TestMoransI:
                        float(out.moran_i[0]))
                 assert got == want
                 assert np.sign(got[4]) == sign
+
+
+def _brute_dtw(xa, ya, xb, yb, w):
+    """Textbook full-matrix banded DTW on integer coords."""
+    n, m = len(xa), len(xb)
+    w = max(w, abs(n - m))
+    INF = float("inf")
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(1, i - w), min(m, i + w) + 1):
+            c = (xa[i - 1] - xb[j - 1]) ** 2 + (ya[i - 1] - yb[j - 1]) ** 2
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    return D[n][m]
+
+
+class TestDtwPanel:
+    def test_kernel_vs_brute_force(self):
+        from overmatch_ray.stages.spatial import dtw_cost_int
+
+        rng = np.random.RandomState(3)
+        for n, m, w in [(12, 12, 3), (20, 9, 4), (1, 5, 2), (7, 7, 100)]:
+            xa = rng.randint(-50, 50, n).astype(np.int64)
+            ya = rng.randint(-50, 50, n).astype(np.int64)
+            xb = rng.randint(-50, 50, m).astype(np.int64)
+            yb = rng.randint(-50, 50, m).astype(np.int64)
+            assert dtw_cost_int(xa, ya, xb, yb, w) == _brute_dtw(
+                xa.tolist(), ya.tolist(), xb.tolist(), yb.tolist(), w)
+        # identical tracks align for free
+        xa = np.arange(30, dtype=np.int64)
+        assert dtw_cost_int(xa, xa, xa, xa, 4) == 0
+        assert dtw_cost_int(np.empty(0, np.int64), np.empty(0, np.int64),
+                            xa, xa, 4) == -1
+
+    def test_panel_distributed_vs_direct(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import dtw_cost_int, dtw_panel
+
+        rng = np.random.RandomState(5)
+        tracks = {}
+        rows = {"user_id": [], "t": [], "x": [], "y": []}
+        for uid in (3, 7, 11):
+            n = 25 + uid
+            x = np.cumsum(rng.randint(-3, 4, n)).astype(np.float64)
+            y = np.cumsum(rng.randint(-3, 4, n)).astype(np.float64)
+            tracks[uid] = (np.floor(x * 10).astype(np.int64),
+                           np.floor(y * 10).astype(np.int64))
+            rows["user_id"] += [uid] * n
+            rows["t"] += list(range(n))
+            rows["x"] += x.tolist()
+            rows["y"] += y.tolist()
+        pts = pa.table({
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "t": pa.array(rows["t"], pa.int64()),
+            "x": pa.array(rows["x"]),
+            "y": pa.array(rows["y"]),
+        })
+        pairs = pa.table({
+            "pair_id": pa.array([0, 1, 2], pa.int64()),
+            "key_a": pa.array([3, 3, 7], pa.int64()),
+            "key_b": pa.array([7, 11, 11], pa.int64()),
+        })
+        want = {
+            (a, b): dtw_cost_int(*tracks[a], *tracks[b], 5)
+            for a, b in [(3, 7), (3, 11), (7, 11)]
+        }
+        for blocks in (1, 4):
+            out = dtw_panel(
+                ray.data.from_arrow(pts).repartition(blocks), pairs,
+                key_col="user_id", order_cols=["t"], band=5, num_buckets=4,
+            ).to_pandas().sort_values("pair_id")
+            got = {(int(r.key_a), int(r.key_b)): int(r.dtw_cost)
+                   for r in out.itertuples()}
+            assert got == want
+            assert out["n_a"].tolist() == [28, 28, 32]
