@@ -2416,6 +2416,57 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_dp_type_counts(sf_dir: str):
+    """Differentially-private-style noisy release counts with
+    DETERMINISTIC Laplace(1) noise: the md5-uniform inverse-CDF draw
+    (u = hex-prefix/2³², x = −sign(u−½)·ln(1−2|u−½|)) — the engine's
+    no-RNG rule applied to a privacy mechanism, so the release is
+    reproducible AND partition-invariant. One bounded groupby; noise is
+    the branch-for-branch mirrored float chain, rounded at 6 dp."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    counts = ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def noise(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.array([
+            int(hashlib.md5(("dp:" + t).encode()).hexdigest()[:8], 16)
+            for t in et
+        ], np.float64) / 4294967296.0
+        x = np.where(
+            u >= 0.5,
+            -1.0 * np.log(1.0 - 2.0 * (u - 0.5)),
+            np.log(1.0 - 2.0 * (0.5 - u)),
+        )
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(n),
+            "noisy_n": pa.array(np.round(n + x, 6), pa.float64()),
+        })
+
+    return counts.map_batches(noise, batch_format="pyarrow")
+
+
+ORACLE_SQL["dp_type_counts"] = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+  FROM c)
+SELECT event_type, n,
+       round(n + CASE WHEN u >= 0.5
+                      THEN -1.0 * ln(1.0 - 2.0 * (u - 0.5))
+                      ELSE ln(1.0 - 2.0 * (0.5 - u)) END, 6) AS noisy_n
+FROM u
+"""
+
+
 def q_blocking_quality(sf_dir: str):
     """Entity-resolution blocking audit over the conflation join's k-ring
     cell scheme: candidate-pair volume (pairs sharing a k-ring-1 cell),
