@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": cq.q_morans_i,
         "blocking_quality": cq.q_blocking_quality,
         "dp_type_counts": cq.q_dp_type_counts,
+        "zipf_fit": cq.q_zipf_fit,
         "track_resample": cq.q_track_resample,
         "video_shot_cuts": ro.q_video_shot_cuts,
         "dtw_tracks": ro.q_dtw_tracks,

@@ -2416,6 +2416,43 @@ FROM counts c LEFT JOIN sums s ON s.user_id = c.user_id
 """
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law rank–frequency OLS fit (stages.textstats.zipf_fit):
+    exact global ranks via the log2-range two-phase scan, quantized-
+    integer moment folds, mirrored float finish."""
+    from ..stages.textstats import zipf_fit
+
+    return zipf_fit(_read(sf_dir, "documents", ["text"]))
+
+
+ORACLE_SQL["zipf_fit"] = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+  FROM tf),
+q AS (
+  SELECT CAST(floor(1000000.0 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM q)
+SELECT n AS n_words,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+"""
+
+
 def q_dp_type_counts(sf_dir: str):
     """Differentially-private-style noisy release counts with
     DETERMINISTIC Laplace(1) noise: the md5-uniform inverse-CDF draw

@@ -860,3 +860,114 @@ def doc_keywords(ds, k: int = 3, text_col: str = "text",
         joined.map_batches(score, batch_format="pyarrow"),
         [id_col], topk, num_buckets=num_buckets,
     )
+
+
+def zipf_fit(ds, text_col: str = "text"):
+    """Zipf's-law fit of the corpus rank–frequency curve: OLS slope and
+    intercept of ln(tf) against ln(rank) — the corpus-health statistic
+    (natural text sits near slope −1). Fully distributed and EXACT:
+
+    1. the vocabulary-scale tf table is the per-batch value_counts
+       combiner + one bucketed shuffle (the ``corpus_term_logprobs``
+       pass — nothing vocabulary-scale on the driver);
+    2. exact global ranks by (tf DESC, word) WITHOUT a global sort: tf
+       partitions into floor(log2(tf)) ranges (rank-order-respecting
+       intervals), per-range counts give the driver ~40 range OFFSETS,
+       and each range sorts locally inside one bucketed apply;
+    3. regression moments fold the QUANTIZED integer terms
+       floor(1e6·ln(rank)) / floor(1e6·ln(tf)) with Python ints (the
+       exact_corr pattern — Σx² overflows int64 at web vocabularies), so
+       the only floats are the mirrored slope/intercept divisions.
+
+    Output: one row (n_words, slope, intercept), both rounded to 6 dp.
+    SQL mirror: row_number() OVER (ORDER BY c DESC, w) + the identical
+    quantized HUGEINT moment sums."""
+    import json as _json
+
+    import pandas as pd
+
+    from .groupops import bucketed_aggregate, bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, flat = _split_tokens(batch[text_col])
+        counts = pd.Series(
+            np.asarray(flat.to_pandas(), dtype=object)
+        ).value_counts()
+        return pa.table({
+            "word": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+            "tf_partial": pa.array(counts.to_numpy().astype(np.int64)),
+        })
+
+    tf_ds = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"],
+        {"tf": ("tf_partial", "sum")},
+    ).materialize()
+
+    def rng_tag(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # descending-rank-respecting interval key: larger tf → smaller key
+        rng = -np.floor(np.log2(tf)).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng))
+
+    tagged = tf_ds.map_batches(rng_tag, batch_format="pyarrow").materialize()
+    rc = pa.concat_tables([
+        pa.table(b) for b in tagged.map_batches(
+            lambda t: pa.table({
+                "rng": pa.array(
+                    np.unique(t["rng"].to_numpy(zero_copy_only=False))),
+                "n": pa.array(np.unique(
+                    t["rng"].to_numpy(zero_copy_only=False),
+                    return_counts=True)[1].astype(np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ])
+    rdf = pd.DataFrame({
+        "rng": rc["rng"].to_numpy(zero_copy_only=False),
+        "n": rc["n"].to_numpy(zero_copy_only=False),
+    }).groupby("rng", as_index=False)["n"].sum().sort_values("rng")
+    offsets = dict(zip(
+        rdf["rng"].tolist(),
+        (rdf["n"].cumsum() - rdf["n"]).tolist(),
+    ))
+    n_words = int(rdf["n"].sum())
+
+    def range_moments(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rng_key, sub in g.groupby("rng", sort=False):
+            sub = sub.sort_values(["tf", "word"],
+                                  ascending=[False, True], kind="mergesort")
+            base = offsets[int(rng_key)]
+            rank = np.arange(1, len(sub) + 1, dtype=np.int64) + base
+            x = np.floor(
+                1000000.0 * np.log(rank.astype(np.float64))
+            ).astype(np.int64).tolist()
+            y = np.floor(
+                1000000.0 * np.log(
+                    sub["tf"].to_numpy().astype(np.float64))
+            ).astype(np.int64).tolist()
+            out.append(_json.dumps([
+                len(x), sum(x), sum(y),
+                sum(v * v for v in x), sum(a * b for a, b in zip(x, y)),
+            ]))
+        return pd.DataFrame({"m": pd.Series(out, dtype=object)})
+
+    n = sx = sy = sxx = sxy = 0
+    for b in bucketed_group_apply(
+        tagged, ["rng"], range_moments, num_buckets=16
+    ).iter_batches(batch_format="pyarrow"):
+        for s in b["m"].to_pylist():
+            pn, px, py_, pxx, pxy = _json.loads(s)
+            n += pn; sx += px; sy += py_; sxx += pxx; sxy += pxy
+    assert n == n_words
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "n_words": pa.array([n], pa.int64()),
+        "slope": pa.array([round(slope, 6)], pa.float64()),
+        "intercept": pa.array([round(intercept, 6)], pa.float64()),
+    }))

@@ -1513,3 +1513,48 @@ class TestDocKeywords:
             assert got == want
         # 'the' appears in every doc → idf 0 → never outranks real terms
         assert ("1", "the") not in {(d, w) for d, w, *_ in want[:3]}
+
+
+class TestZipfFit:
+    def test_vs_direct_numpy_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.textstats import zipf_fit
+
+        docs = pa.table({
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array([
+                "a a a a b b c",
+                "a a b c d d",
+                "a b e",
+                "a a a c",
+                "b d e e",
+                "a",
+            ]),
+        })
+        # direct reference: full sort by (tf DESC, word), quantized OLS
+        from collections import Counter
+
+        tf = Counter()
+        for t in docs["text"].to_pylist():
+            tf.update(t.split(" "))
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = [int(np.floor(1e6 * np.log(float(r))))
+             for r in range(1, len(ranked) + 1)]
+        y = [int(np.floor(1e6 * np.log(float(c)))) for _w, c in ranked]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        sxy = sum(a * b for a, b in zip(x, y))
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        want = (n, round(slope, 6), round(intercept, 6))
+
+        for blocks in (1, 3):
+            out = zipf_fit(
+                ray.data.from_arrow(docs).repartition(blocks)
+            ).to_pandas()
+            got = (int(out.n_words[0]), float(out.slope[0]),
+                   float(out.intercept[0]))
+            assert got == want
+        assert want[1] < 0  # frequency falls with rank
