@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_sessions": cq.q_incremental_sessions,
         "skewed_segment_load": cq.q_skewed_segment_load,
         "colocation_pairs": cq.q_colocation_pairs,
+        "segment_crossings": cq.q_segment_crossings,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

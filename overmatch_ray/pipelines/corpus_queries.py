@@ -7835,3 +7835,134 @@ d AS (
 SELECT user_a, user_b, CAST(footrule AS BIGINT) AS footrule
 FROM d WHERE footrule <= {_FOOTRULE_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# trajectory interaction: segment-crossing join
+# ---------------------------------------------------------------------------
+
+_SEG_CAP = 100  # max |dx|,|dy| in grid units — "local move" segments only
+
+
+def _md5_grid_coords(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Scrambled 1000×1000 grid coordinates from an integer key via md5 —
+    chosen over the module's linear `_formula_coords` because sequential
+    event_ids make those segments near-collinear (crossings degenerate),
+    and over a fast integer mixer because DuckDB's md5() mirrors this
+    bit-exactly (`'0x' || substr(md5(CAST(k AS VARCHAR)),1,12)`). One
+    md5 per row is oracle-parity glue, not the scale path — a production
+    corpus carries real coordinates."""
+    import hashlib
+
+    h = np.fromiter(
+        (int(hashlib.md5(str(int(k)).encode()).hexdigest()[:12], 16)
+         for k in key),
+        np.int64, len(key),
+    )
+    return h % 1000, (h // 1000) % 1000
+
+
+def q_segment_crossings(sf_dir: str):
+    """Which users' movement paths properly CROSS? Consecutive-ping
+    segments per user (ordered by ts, event_id; long teleport segments
+    > _SEG_CAP grid units dropped), then the PBSM segment-intersection
+    join (`stages.spatial.segment_crossing_join`): one bucketed cell
+    co-shuffle, exact int64 orientation determinants, canonical-cell
+    dedup — no all-pairs anywhere, so the plan survives a 10^9-segment
+    fleet corpus (cells bound the quadratic term; the loud
+    max_cell_segments guard documents the skew failure mode)."""
+    from ..stages.groupops import bucketed_group_apply
+    from ..stages.spatial import segment_crossing_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_gxy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = _md5_grid_coords(eid)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "event_id": batch["event_id"],
+            "gx": pa.array(gx),
+            "gy": pa.array(gy),
+        })
+
+    def seg_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        gx = g["gx"].to_numpy()
+        gy = g["gy"].to_numpy()
+        empty = pd.DataFrame({
+            "seg_id": pd.Series(dtype=np.int64),
+            "key": pd.Series(dtype=np.int64),
+            "x1": pd.Series(dtype=np.int64),
+            "y1": pd.Series(dtype=np.int64),
+            "x2": pd.Series(dtype=np.int64),
+            "y2": pd.Series(dtype=np.int64),
+        })
+        if len(g) < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        x1, y1, x2, y2 = gx[:-1], gy[:-1], gx[1:], gy[1:]
+        m = (same & (np.abs(x2 - x1) <= _SEG_CAP)
+             & (np.abs(y2 - y1) <= _SEG_CAP) & ((x1 != x2) | (y1 != y2)))
+        if not m.any():
+            return empty
+        return pd.DataFrame({
+            "seg_id": e[:-1][m].astype(np.int64),
+            "key": u[:-1][m].astype(np.int64),
+            "x1": x1[m].astype(np.int64), "y1": y1[m].astype(np.int64),
+            "x2": x2[m].astype(np.int64), "y2": y2[m].astype(np.int64),
+        })
+
+    segs = bucketed_group_apply(
+        ds.map_batches(add_gxy, batch_format="pyarrow"),
+        ["user_id"], seg_kernel,
+    ).materialize()
+    if segs.count() == 0:  # schemaless-empty guard (CLAUDE.md rule)
+        return pa.table({
+            "seg_a": pa.array([], pa.int64()),
+            "seg_b": pa.array([], pa.int64()),
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+        })
+    return segment_crossing_join(segs, cell_units=100)
+
+
+ORACLE_SQL["segment_crossings"] = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1000 AS gx,
+         (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+               AS BIGINT) // 1000) % 1000 AS gy
+  FROM events
+), seg AS (
+  SELECT user_id, event_id AS seg_id, gx AS x1, gy AS y1,
+         lead(gx) OVER w AS x2, lead(gy) OVER w AS y2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segs AS (
+  SELECT user_id, seg_id, x1, y1, x2, y2,
+         least(x1, x2) AS xlo, greatest(x1, x2) AS xhi,
+         least(y1, y2) AS ylo, greatest(y1, y2) AS yhi
+  FROM seg
+  WHERE x2 IS NOT NULL AND abs(x2 - x1) <= {_SEG_CAP}
+    AND abs(y2 - y1) <= {_SEG_CAP} AND (x2 <> x1 OR y2 <> y1)
+), cand AS (
+  SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+         a.user_id AS key_a, b.user_id AS key_b,
+         (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d1,
+         (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d2,
+         (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d3,
+         (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d4
+  FROM segs a JOIN segs b
+    ON a.user_id < b.user_id
+   AND a.xlo <= b.xhi AND b.xlo <= a.xhi
+   AND a.ylo <= b.yhi AND b.ylo <= a.yhi
+)
+SELECT seg_a, seg_b, key_a, key_b FROM cand
+WHERE (d1 > 0) <> (d2 > 0) AND d1 <> 0 AND d2 <> 0
+  AND (d3 > 0) <> (d4 > 0) AND d3 <> 0 AND d4 <> 0
+"""

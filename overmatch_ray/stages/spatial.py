@@ -2174,3 +2174,152 @@ def dtw_panel(
     return bucketed_group_apply(
         joined, ["pair_id"], dtw_bucket, num_buckets=num_buckets
     )
+
+
+def segment_crossing_join(
+    segs_ds,
+    *,
+    id_col: str = "seg_id",
+    key_col: str = "key",
+    cell_units: int = 100,
+    num_buckets: int | None = None,
+    max_cell_segments: int = 100_000,
+):
+    """Proper-crossing pairs between 2D INTEGER line segments of different
+    keys — the trajectory-interaction join ("whose paths crossed?"). Input
+    columns: (id_col, key_col, x1, y1, x2, y2), integer grid coordinates
+    (|coord| must stay ≲ 2^30 so the int64 orientation cross-products
+    cannot overflow). Output one row per unordered segment pair whose
+    OPEN interiors intersect (collinear/touching pairs excluded) and
+    whose keys differ: (seg_a, seg_b, key_a, key_b) with key_a < key_b —
+    exactly the SQL predicate
+
+        (d1>0) <> (d2>0) AND d1<>0 AND d2<>0 AND
+        (d3>0) <> (d4>0) AND d3<>0 AND d4<>0
+
+    over the four int64 orientation determinants, so a DuckDB oracle can
+    mirror it bit-exactly.
+
+    Shape (PBSM, same plan as ``bbox_intersection_join``): each segment
+    replicates to the ``cell_units``-sized grid cells its bbox touches
+    (bounded by segment extent — callers pre-filter giant segments), ONE
+    bucketed cell co-shuffle, in-bucket vectorized pair generation +
+    orientation tests, canonical-cell rule (a pair is emitted only from
+    the cell containing the bbox-intersection's min corner) so no second
+    dedup shuffle is needed. A cell holding more than
+    ``max_cell_segments`` segments raises loudly (quadratic pair blowup)
+    instead of OOMing a worker."""
+    from .groupops import group_pair_indices
+
+    nb = _auto_buckets(num_buckets)
+    cs = int(cell_units)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = batch["y1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = batch["x2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y2 = batch["y2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xlo, xhi = np.minimum(x1, x2), np.maximum(x1, x2)
+        ylo, yhi = np.minimum(y1, y2), np.maximum(y1, y2)
+        ix0, ix1 = xlo // cs, xhi // cs
+        iy0, iy1 = ylo // cs, yhi // cs
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        tot = int(counts.sum())
+        row = np.repeat(np.arange(ids.size), counts)
+        start = (np.concatenate([[0], np.cumsum(counts)[:-1]])
+                 if ids.size else np.empty(0, np.int64))
+        local = np.arange(tot) - np.repeat(start, counts)
+        cix = ix0[row] + local % np.maximum(nx[row], 1)
+        ciy = iy0[row] + local // np.maximum(nx[row], 1)
+        cells = _pack_ij(cix, ciy).view(np.int64)
+        return pa.table({
+            "seg_id": pa.array(ids[row]),
+            "key": pa.array(key[row]),
+            "x1": pa.array(x1[row]), "y1": pa.array(y1[row]),
+            "x2": pa.array(x2[row]), "y2": pa.array(y2[row]),
+            "xlo": pa.array(xlo[row]), "ylo": pa.array(ylo[row]),
+            "xhi": pa.array(xhi[row]), "yhi": pa.array(yhi[row]),
+            "cell": pa.array(cells),
+            "bucket": pa.array(bucket_of(cells.view(np.uint64), nb)),
+        })
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "seg_a": pa.array([], pa.int64()),
+            "seg_b": pa.array([], pa.int64()),
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+        })
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        if cell.size < 2:
+            return empty
+        order = np.argsort(cell, kind="mergesort")
+        cell = cell[order]
+        runs = np.unique(cell, return_counts=True)[1]
+        if runs.max() > max_cell_segments:
+            raise ValueError(
+                f"segment_crossing_join: a cell holds {runs.max()} segments"
+                f" (> {max_cell_segments}); pair blowup would be quadratic —"
+                " raise cell_units granularity or pre-split the hot region"
+            )
+        ia, ib = group_pair_indices(cell, max_group=np.iinfo(np.int64).max)
+        if ia.size == 0:
+            return empty
+
+        def col(name):
+            return g[name].to_numpy(zero_copy_only=False)[order]
+
+        key = col("key")
+        ka, kb = key[ia], key[ib]
+        m = ka != kb
+        if not m.any():
+            return empty
+        ia, ib, ka, kb = ia[m], ib[m], ka[m], kb[m]
+        xlo, xhi, ylo, yhi = col("xlo"), col("xhi"), col("ylo"), col("yhi")
+        # bbox overlap (closed) — cheap reject before the determinant work
+        m = ((np.maximum(xlo[ia], xlo[ib]) <= np.minimum(xhi[ia], xhi[ib]))
+             & (np.maximum(ylo[ia], ylo[ib]) <= np.minimum(yhi[ia], yhi[ib])))
+        if not m.any():
+            return empty
+        ia, ib, ka, kb = ia[m], ib[m], ka[m], kb[m]
+        # canonical cell: bbox-intersection min corner must live HERE
+        ccell = _pack_ij(
+            np.maximum(xlo[ia], xlo[ib]) // cs,
+            np.maximum(ylo[ia], ylo[ib]) // cs,
+        ).view(np.int64)
+        m = ccell == cell[ia]
+        if not m.any():
+            return empty
+        ia, ib, ka, kb = ia[m], ib[m], ka[m], kb[m]
+        x1, y1, x2, y2 = col("x1"), col("y1"), col("x2"), col("y2")
+        dxa, dya = x2[ia] - x1[ia], y2[ia] - y1[ia]
+        dxb, dyb = x2[ib] - x1[ib], y2[ib] - y1[ib]
+        d1 = dxa * (y1[ib] - y1[ia]) - dya * (x1[ib] - x1[ia])
+        d2 = dxa * (y2[ib] - y1[ia]) - dya * (x2[ib] - x1[ia])
+        d3 = dxb * (y1[ia] - y1[ib]) - dyb * (x1[ia] - x1[ib])
+        d4 = dxb * (y2[ia] - y1[ib]) - dyb * (x2[ia] - x1[ib])
+        m = (((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+             & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0))
+        if not m.any():
+            return empty
+        ia, ib, ka, kb = ia[m], ib[m], ka[m], kb[m]
+        sid = col("seg_id")
+        sa, sb = sid[ia], sid[ib]
+        swap = ka > kb
+        return pa.table({
+            "seg_a": pa.array(np.where(swap, sb, sa), pa.int64()),
+            "seg_b": pa.array(np.where(swap, sa, sb), pa.int64()),
+            "key_a": pa.array(np.minimum(ka, kb), pa.int64()),
+            "key_b": pa.array(np.maximum(ka, kb), pa.int64()),
+        })
+
+    return (
+        segs_ds.map_batches(cover, batch_format="pyarrow")
+        .materialize()
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -1360,3 +1360,85 @@ class TestDtwPanel:
                    for r in out.itertuples()}
             assert got == want
             assert out["n_a"].tolist() == [28, 28, 32]
+
+
+class TestSegmentCrossingJoin:
+    @staticmethod
+    def _brute(segs):
+        """O(n²) reference: proper crossings between different keys."""
+        out = set()
+        n = len(segs)
+        for i in range(n):
+            si, ki, ax1, ay1, ax2, ay2 = segs[i]
+            for j in range(i + 1, n):
+                sj, kj, bx1, by1, bx2, by2 = segs[j]
+                if ki == kj:
+                    continue
+                d1 = (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1)
+                d2 = (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1)
+                d3 = (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1)
+                d4 = (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1)
+                if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                        and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+                    a, b = ((si, ki), (sj, kj)) if ki < kj else ((sj, kj), (si, ki))
+                    out.add((a[0], b[0], a[1], b[1]))
+        return out
+
+    def test_vs_brute_force_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import segment_crossing_join
+
+        rng = np.random.RandomState(11)
+        n = 400
+        x1 = rng.randint(0, 1000, n).astype(np.int64)
+        y1 = rng.randint(0, 1000, n).astype(np.int64)
+        x2 = x1 + rng.randint(-90, 91, n)
+        y2 = y1 + rng.randint(-90, 91, n)
+        keep = (x1 != x2) | (y1 != y2)
+        segs = [
+            (int(i), int(i % 23), int(a), int(b), int(c), int(d))
+            for i, (a, b, c, d) in enumerate(zip(x1, y1, x2, y2))
+            if keep[i]
+        ]
+        want = self._brute(segs)
+        tbl = pa.table({
+            "seg_id": pa.array([s[0] for s in segs], pa.int64()),
+            "key": pa.array([s[1] for s in segs], pa.int64()),
+            "x1": pa.array([s[2] for s in segs], pa.int64()),
+            "y1": pa.array([s[3] for s in segs], pa.int64()),
+            "x2": pa.array([s[4] for s in segs], pa.int64()),
+            "y2": pa.array([s[5] for s in segs], pa.int64()),
+        })
+        for blocks, cell in ((1, 100), (4, 100), (4, 64)):
+            out = segment_crossing_join(
+                ray.data.from_arrow(tbl).repartition(blocks),
+                cell_units=cell, num_buckets=8,
+            ).to_pandas()
+            got = {(int(r.seg_a), int(r.seg_b), int(r.key_a), int(r.key_b))
+                   for r in out.itertuples()}
+            assert got == want
+            assert len(out) == len(got)  # canonical-cell rule → no dupes
+
+    def test_touch_and_collinear_excluded(self, ray_session):
+        import ray.data
+
+        from overmatch_ray.stages.spatial import segment_crossing_join
+
+        tbl = pa.table({
+            # 0-1 cross; 2 touches 0 at an endpoint (excluded);
+            # 3 collinear-overlaps 0 (excluded)
+            "seg_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "key": pa.array([0, 1, 2, 3], pa.int64()),
+            "x1": pa.array([0, 0, 10, 2], pa.int64()),
+            "y1": pa.array([0, 10, 10, 2], pa.int64()),
+            "x2": pa.array([10, 10, 20, 8], pa.int64()),
+            "y2": pa.array([10, 0, 0, 8], pa.int64()),
+        })
+        out = segment_crossing_join(
+            ray.data.from_arrow(tbl), cell_units=8, num_buckets=4
+        ).to_pandas()
+        # 0-1 cross at (5,5); 3 (interior diagonal) crosses 1 there too;
+        # endpoint touch (0-2) and collinear overlap (0-3) are excluded
+        assert {(int(r.seg_a), int(r.seg_b)) for r in out.itertuples()} == {
+            (0, 1), (1, 3)}
