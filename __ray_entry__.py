@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skewed_segment_load": cq.q_skewed_segment_load,
         "colocation_pairs": cq.q_colocation_pairs,
         "segment_crossings": cq.q_segment_crossings,
+        "late_events": cq.q_late_events,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

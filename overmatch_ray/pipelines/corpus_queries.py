@@ -7966,3 +7966,127 @@ SELECT seg_a, seg_b, key_a, key_b FROM cand
 WHERE (d1 > 0) <> (d2 > 0) AND d1 <> 0 AND d2 <> 0
   AND (d3 > 0) <> (d4 > 0) AND d3 <> 0 AND d4 <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark: allowed-lateness drop accounting
+# ---------------------------------------------------------------------------
+
+_LATE_ALLOWED_S = 1800   # allowed lateness (Flink watermark semantics)
+_LATE_DELAY_MOD = 3600   # synthetic network delay: md5(event_id) % 1h
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark semantics over a batch log: events ARRIVE at
+    ``ats = ts + md5(event_id) % 1h`` (deterministic network delay —
+    md5 so DuckDB mirrors it); the watermark is the running max event-time
+    over arrival order; an event is DROPPED-late when its event time is
+    more than ``_LATE_ALLOWED_S`` behind the watermark at its arrival.
+    Output: per tumbling event-time hour, on-time vs late-dropped counts.
+
+    Scale shape: the global prefix-max over arrival order is the
+    incremental-sessions state-handoff plan — (1) per-arrival-hour max
+    event time via a native bounded-domain aggregate (group count =
+    CALENDAR HOURS, grows with time span, never with rows), (2) the
+    hour-level prefix max (≤ thousands of entries for years of log) is
+    the ONLY thing the driver touches and is broadcast sorted, (3) one
+    bucketed shuffle on arrival hour finishes the scan in-kernel. µs
+    integer arithmetic end-to-end — bit-exact vs the SQL window."""
+    import hashlib
+
+    import ray as _ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    hour_us = np.int64(3_600_000_000)
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        delay = np.fromiter(
+            (int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+             % _LATE_DELAY_MOD for k in eid),
+            np.int64, len(eid),
+        ) * np.int64(1_000_000)
+        ats = ts_us + delay
+        return pa.table({
+            "event_id": pa.array(eid),
+            "ts_us": pa.array(ts_us),
+            "ats": pa.array(ats),
+            "ahour": pa.array(ats // hour_us),
+        })
+
+    arr = ds.map_batches(arrival, batch_format="pyarrow").materialize()
+
+    # (1) per-arrival-hour event-time max — bounded key domain → native
+    hour_max = arr.groupby("ahour").aggregate(Max("ts_us")).take_all()
+    hours = np.array(sorted(r["ahour"] for r in hour_max), np.int64)
+    hmax = np.array([r["max(ts_us)"] for r in
+                     sorted(hour_max, key=lambda r: r["ahour"])], np.int64)
+    # prefix max of STRICTLY EARLIER hours (sentinel: min int64 = "none")
+    carry = np.concatenate([[np.iinfo(np.int64).min],
+                            np.maximum.accumulate(hmax)[:-1]])
+    hours_ref = _ray.put(hours)
+    carry_ref = _ray.put(carry)
+    allowed_us = np.int64(_LATE_ALLOWED_S) * np.int64(1_000_000)
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ahour", "ats", "event_id"], kind="mergesort")
+        ah = g["ahour"].to_numpy()
+        ts_us = g["ts_us"].to_numpy()
+        hrs = _ray.get(hours_ref)
+        car = _ray.get(carry_ref)
+        starts = np.flatnonzero(np.concatenate([[True], ah[1:] != ah[:-1]]))
+        ends = np.concatenate([starts[1:], [len(g)]])
+        prev = np.empty(len(g), np.int64)
+        for s, e in zip(starts, ends):
+            c = car[np.searchsorted(hrs, ah[s])]
+            run = np.maximum.accumulate(ts_us[s:e])
+            prev[s] = c
+            prev[s + 1:e] = np.maximum(c, run[:-1])
+        late = (prev != np.iinfo(np.int64).min) & (ts_us < prev - allowed_us)
+        return pd.DataFrame({
+            "win_us": (ts_us // hour_us) * hour_us,
+            "late": late.astype(np.int64),
+        })
+
+    flagged = bucketed_group_apply(arr, ["ahour"], flag_bucket)
+
+    # (2) tumbling event-time hour readout — bounded domain → native
+    out = flagged.groupby("win_us").aggregate(Count(), Sum("late"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = batch["sum(late)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "win": batch["win_us"].cast(pa.timestamp("us")),
+            "n_ontime": pa.array(n - nl),
+            "n_late": pa.array(nl),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+ORACLE_SQL["late_events"] = f"""
+WITH arr AS (
+  SELECT ts, event_id,
+         ts + INTERVAL 1 SECOND *
+              (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_LATE_DELAY_MOD}) AS ats
+  FROM events
+), w AS (
+  SELECT ts, max(ts) OVER (ORDER BY ats, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_src
+  FROM arr
+)
+SELECT date_trunc('hour', ts) AS win,
+  CAST(count(*) FILTER (WHERE wm_src IS NULL
+       OR ts >= wm_src - INTERVAL {_LATE_ALLOWED_S} SECOND) AS BIGINT)
+    AS n_ontime,
+  CAST(count(*) FILTER (WHERE wm_src IS NOT NULL
+       AND ts < wm_src - INTERVAL {_LATE_ALLOWED_S} SECOND) AS BIGINT)
+    AS n_late
+FROM w GROUP BY win
+"""

@@ -474,3 +474,53 @@ class TestCorpusCard:
                 ("n_emails", "n_ips", "n_phones"))
         )
         assert 0.0 <= out["exact_dedup_rate"] < 1.0
+
+
+class TestLateEvents:
+    def test_matches_sequential_watermark_reference(self, ray_session):
+        import hashlib
+
+        from overmatch_ray.pipelines.corpus_queries import (
+            _LATE_ALLOWED_S, _LATE_DELAY_MOD, q_late_events,
+        )
+
+        out = (
+            _to_table(q_late_events(SF))
+            .to_pandas()
+            .sort_values("win")
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "ts"]
+        ).to_pandas()
+        ts = ev["ts"].astype("int64").to_numpy()
+        eid = ev["event_id"].to_numpy()
+        delay = np.array(
+            [int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+             % _LATE_DELAY_MOD for k in eid], np.int64) * 1_000_000
+        order = np.lexsort((eid, ts + delay))  # arrival order
+        ts_arr = ts[order]
+        # sequential single-stream watermark replay (the ground truth)
+        wm = np.iinfo(np.int64).min
+        late = np.zeros(len(ts_arr), bool)
+        first = True
+        for i, t in enumerate(ts_arr):
+            if not first and t < wm - _LATE_ALLOWED_S * 1_000_000:
+                late[i] = True
+            wm = t if first else max(wm, t)
+            first = False
+        win = (ts_arr // 3_600_000_000) * 3_600_000_000
+        ref = (
+            pd.DataFrame({"win_us": win, "late": late.astype(np.int64)})
+            .groupby("win_us", as_index=False)
+            .agg(n=("late", "size"), n_late=("late", "sum"))
+            .sort_values("win_us")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        assert (out["win"].astype("int64").to_numpy()
+                == ref["win_us"].to_numpy()).all()
+        assert (out["n_late"].to_numpy() == ref["n_late"].to_numpy()).all()
+        assert (out["n_ontime"].to_numpy()
+                == (ref["n"] - ref["n_late"]).to_numpy()).all()
+        assert out["n_late"].sum() > 0  # the corpus actually exercises lateness
