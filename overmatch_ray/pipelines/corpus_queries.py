@@ -8090,3 +8090,94 @@ SELECT date_trunc('hour', ts) AS win,
     AS n_late
 FROM w GROUP BY win
 """
+
+
+# ---------------------------------------------------------------------------
+# ML feature prep: K-fold out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+def q_target_encoding(sf_dir: str):
+    """Leakage-free target encoding of the order-priority categorical:
+    each order's feature is the mean order value of its category computed
+    WITHOUT its own fold (fold = o_orderkey % K), the standard K-fold
+    out-of-fold scheme that keeps a row's own target out of its feature.
+    Exact integer cents: the encoding ships as (numerator, denominator)
+    plus the floor-divided cents so float never enters the compare.
+
+    Scale shape: the (category × fold) table is a BOUNDED domain
+    (|categories|·K — 25 cells here), so the native per-block partial
+    aggregate is the right tool (CLAUDE.md rule), the complement table is
+    computed once from those ≤25 rows, and the attach is a per-batch
+    vectorized pandas merge against the tiny broadcast frame — rows never
+    shuffle at all."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(key),
+            "cat": batch["o_orderpriority"],
+            "fold": pa.array(key % _TE_FOLDS),
+            "cents": pa.array(cents),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    agg = prepped.groupby(["cat", "fold"]).aggregate(
+        Sum("cents"), Count()
+    ).take_all()  # ≤ |categories|·K rows — bounded domain, not data-scale
+    per = pd.DataFrame(agg).rename(
+        columns={"sum(cents)": "s", "count()": "n"})
+    tot = per.groupby("cat", as_index=False).agg(S=("s", "sum"),
+                                                 N=("n", "sum"))
+    enc = per.merge(tot, on="cat")
+    enc["enc_num_cents"] = (enc["S"] - enc["s"]).astype(np.int64)
+    enc["enc_den"] = (enc["N"] - enc["n"]).astype(np.int64)
+    enc = enc[["cat", "fold", "enc_num_cents", "enc_den"]]
+    enc_ref = _ray.put(enc)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.select(["o_orderkey", "cat", "fold"]).to_pandas()
+        j = df.merge(_ray.get(enc_ref), on=["cat", "fold"], how="left")
+        num = j["enc_num_cents"].to_numpy(dtype=np.int64)
+        den = j["enc_den"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(j["o_orderkey"].to_numpy(np.int64)),
+            "fold": pa.array(j["fold"].to_numpy(np.int64)),
+            "enc_num_cents": pa.array(num),
+            "enc_den": pa.array(den),
+            "enc_cents": pa.array(num // den),
+        })
+
+    return prepped.map_batches(attach, batch_format="pyarrow")
+
+
+ORACLE_SQL["target_encoding"] = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         o_orderkey % {_TE_FOLDS} AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), agg AS (
+  SELECT cat, fold, sum(cents) AS s, count(*) AS n FROM o GROUP BY 1, 2
+), tot AS (
+  SELECT cat, sum(s) AS st, sum(n) AS nt FROM agg GROUP BY 1
+), enc AS (
+  SELECT a.cat, a.fold,
+         CAST(t.st - a.s AS BIGINT) AS enc_num_cents,
+         CAST(t.nt - a.n AS BIGINT) AS enc_den
+  FROM agg a JOIN tot t ON t.cat = a.cat
+)
+SELECT o.o_orderkey, o.fold, e.enc_num_cents, e.enc_den,
+       e.enc_num_cents // e.enc_den AS enc_cents
+FROM o JOIN enc e ON e.cat = o.cat AND e.fold = o.fold
+"""

