@@ -8181,3 +8181,88 @@ SELECT o.o_orderkey, o.fold, e.enc_num_cents, e.enc_den,
        e.enc_num_cents // e.enc_den AS enc_cents
 FROM o JOIN enc e ON e.cat = o.cat AND e.fold = o.fold
 """
+
+
+# ---------------------------------------------------------------------------
+# ML feature prep: the hashing trick (signed feature hashing)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64  # hashed vector dimensionality
+
+
+def q_feature_hashing(sf_dir: str):
+    """Signed feature hashing (Weinberger et al.'s hashing trick): every
+    whitespace token lands in dimension ``md5(tok) % D`` with sign ±1
+    from the next hash bit, so a document becomes a fixed-D sparse vector
+    with NO vocabulary table anywhere — the property that makes the trick
+    the scale answer to term-indexing (compare `term_idf`, which must
+    carry the vocabulary as a Dataset). md5 keeps DuckDB bit-parity.
+
+    Shape: tokens explode per batch (md5 once per DISTINCT in-batch
+    token), collapse to (doc_id, dim) partials IN-BATCH (≤ |docs|·D rows
+    leave the map), then one bucketed integer-sum aggregate — group count
+    is corpus-scale so the native reduce's per-group constant would bite
+    (CLAUDE.md); signed ±1 sums are exact integers at any order."""
+    import hashlib
+
+    from ..stages.groupops import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        toks_per = [(t or "").split(" ") for t in texts]
+        counts = np.array([len(t) for t in toks_per], np.int64)
+        if counts.sum() == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "val_partial": pa.array([], pa.int64()),
+            })
+        all_toks = np.array(
+            [w for toks in toks_per for w in toks], dtype=object)
+        uniq, inv = np.unique(all_toks, return_inverse=True)
+        hv = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in uniq),
+            np.int64, len(uniq),
+        )
+        dim_of = hv % _FH_DIM
+        sign_of = np.where((hv // _FH_DIM) % 2 == 0, np.int64(1),
+                           np.int64(-1))
+        doc = np.repeat(ids, counts)
+        d = dim_of[inv]
+        s = sign_of[inv]
+        # in-batch partial combine on (doc, dim)
+        key = doc * _FH_DIM + d
+        order = np.argsort(key, kind="mergesort")
+        key_s, s_s = key[order], s[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+        sums = np.add.reduceat(s_s, starts)
+        k = key_s[starts]
+        return pa.table({
+            "doc_id": pa.array(k // _FH_DIM),
+            "dim": pa.array(k % _FH_DIM),
+            "val_partial": pa.array(sums.astype(np.int64)),
+        })
+
+    return bucketed_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "dim"], {"val": ("val_partial", "sum")},
+    )
+
+
+ORACLE_SQL["feature_hashing"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+  FROM toks
+)
+SELECT doc_id, hv % {_FH_DIM} AS dim,
+       CAST(sum(CASE WHEN (hv // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+"""

@@ -553,3 +553,32 @@ class TestTargetEncoding:
         same = j[(j["o_orderpriority"] == row["o_orderpriority"])
                  & (j["fold_x"] == row["fold_x"])]
         assert row["cents"] * len(same) != 0  # sanity: non-degenerate cell
+
+
+class TestFeatureHashing:
+    def test_matches_direct_and_partition_invariant(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from overmatch_ray.pipelines.corpus_queries import (
+            _FH_DIM, q_feature_hashing,
+        )
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        want: dict[tuple[int, int], int] = {}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            for tok in text.split(" "):
+                hv = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                k = (int(doc_id), hv % _FH_DIM)
+                want[k] = want.get(k, 0) + (1 if (hv // _FH_DIM) % 2 == 0
+                                            else -1)
+        out = _to_table(q_feature_hashing(SF)).to_pandas()
+        got = {(int(r.doc_id), int(r.dim)): int(r.val)
+               for r in out.itertuples()}
+        assert got == want
+        # zero-sum dims survive (SQL GROUP BY keeps them; so must we)
+        assert any(v == 0 for v in want.values()) == any(
+            v == 0 for v in got.values())
