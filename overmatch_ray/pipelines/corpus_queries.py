@@ -8266,3 +8266,133 @@ SELECT doc_id, hv % {_FH_DIM} AS dim,
             AS BIGINT) AS val
 FROM h GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# drift monitoring: exact two-sample Kolmogorov–Smirnov (all type pairs)
+# ---------------------------------------------------------------------------
+
+_KS_RANGE_W = 8.0  # value-range bucket width for the two-phase CDF scan
+
+
+def q_ks_drift(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov distance between every pair of
+    event-type value distributions — the drift monitor PSI can't give you
+    (PSI needs binning; KS is the sup over ALL thresholds). Entirely in
+    integers: D = ks_num / (n_a·n_b) with
+    ks_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a| — products of counts, so
+    the max is order-free and bit-exact vs the SQL RANGE-frame window.
+
+    Scale shape (the zipf_fit two-phase scan, not a global sort): values
+    range-partition by a monotone quantizer; per-(range, type) counts are
+    a BOUNDED native aggregate; the driver sees only that bounded table
+    and broadcasts per-type prefix counts; one bucketed shuffle on the
+    range key finishes every type's CDF in-kernel and emits per-pair
+    PARTIAL maxima (|pairs| rows per range bucket); a bounded native max
+    folds them. Nothing row-scale ever sorts globally or lands on the
+    driver."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def vbucket(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "value": batch["value"],
+            "vb": pa.array(np.floor(v / _KS_RANGE_W).astype(np.int64)),
+        })
+
+    vb = ds.map_batches(vbucket, batch_format="pyarrow").materialize()
+
+    # bounded domain: (range buckets × types)
+    marg = vb.groupby(["vb", "event_type"]).aggregate(Count()).take_all()
+    mt = pd.DataFrame(marg).rename(columns={"count()": "n"})
+    types = sorted(mt["event_type"].unique().tolist())
+    k = len(types)
+    tidx = {t: i for i, t in enumerate(types)}
+    vbs = np.array(sorted(mt["vb"].unique()), np.int64)
+    grid = np.zeros((len(vbs), k), np.int64)
+    vb_pos = {int(b): i for i, b in enumerate(vbs)}
+    for r in mt.itertuples():
+        grid[vb_pos[int(r.vb)], tidx[r.event_type]] = r.n
+    totals = grid.sum(axis=0)                       # n per type
+    carry = np.vstack([np.zeros(k, np.int64),
+                       np.cumsum(grid, axis=0)[:-1]])  # counts in earlier vbs
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    types_ref = _ray.put(types)
+    vbs_ref = _ray.put(vbs)
+    carry_ref = _ray.put(carry)
+    totals_ref = _ray.put(totals)
+
+    def ks_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ty = _ray.get(types_ref)
+        car = _ray.get(carry_ref)
+        tot = _ray.get(totals_ref)
+        vbs_all = _ray.get(vbs_ref)
+        out = {"type_a": [], "type_b": [], "part_num": []}
+        ti = {t: i for i, t in enumerate(ty)}
+        for b, sub in g.groupby("vb", sort=True):
+            v = sub["value"].to_numpy()
+            order = np.argsort(v, kind="mergesort")
+            v = v[order]
+            tcol = sub["event_type"].to_numpy()[order]
+            last = np.concatenate([v[1:] != v[:-1], [True]])
+            base = car[np.searchsorted(vbs_all, b)]
+            cums = np.empty((last.sum(), len(ty)), np.int64)
+            for t, i in ti.items():
+                cums[:, i] = base[i] + np.cumsum(tcol == t)[last]
+            for i, j in [(a_, b_) for a_ in range(len(ty))
+                         for b_ in range(a_ + 1, len(ty))]:
+                num = np.abs(cums[:, i] * tot[j] - cums[:, j] * tot[i]).max()
+                out["type_a"].append(ty[i])
+                out["type_b"].append(ty[j])
+                out["part_num"].append(int(num))
+        return pd.DataFrame({
+            "type_a": pd.Series(out["type_a"], dtype=object),
+            "type_b": pd.Series(out["type_b"], dtype=object),
+            "part_num": pd.Series(out["part_num"], dtype=np.int64),
+        })
+
+    partials = bucketed_group_apply(vb, ["vb"], ks_bucket, num_buckets=16)
+    agg = partials.groupby(["type_a", "type_b"]).aggregate(Max("part_num"))
+    na = {t: int(n) for t, n in zip(types, totals)}
+
+    def shape(batch: pa.Table) -> pa.Table:
+        ta = batch["type_a"].to_pylist()
+        tb = batch["type_b"].to_pylist()
+        return pa.table({
+            "type_a": batch["type_a"],
+            "type_b": batch["type_b"],
+            "n_a": pa.array([na[t] for t in ta], pa.int64()),
+            "n_b": pa.array([na[t] for t in tb], pa.int64()),
+            "ks_num": batch["max(part_num)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+ORACLE_SQL["ks_drift"] = """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type),
+u AS (SELECT p.type_a, p.type_b, e.value, e.event_type
+      FROM p JOIN events e ON e.event_type IN (p.type_a, p.type_b)),
+c AS (SELECT type_a, type_b, value,
+        sum(CASE WHEN event_type = type_a THEN 1 ELSE 0 END)
+          OVER (PARTITION BY type_a, type_b ORDER BY value
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        sum(CASE WHEN event_type = type_b THEN 1 ELSE 0 END)
+          OVER (PARTITION BY type_a, type_b ORDER BY value
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM u),
+n AS (SELECT type_a, type_b, max(ca) AS na, max(cb) AS nb FROM c GROUP BY 1, 2)
+SELECT c.type_a, c.type_b,
+       CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST(max(abs(c.ca * n.nb - c.cb * n.na)) AS BIGINT) AS ks_num
+FROM c JOIN n ON n.type_a = c.type_a AND n.type_b = c.type_b
+GROUP BY c.type_a, c.type_b, n.na, n.nb
+"""

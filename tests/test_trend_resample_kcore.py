@@ -582,3 +582,27 @@ class TestFeatureHashing:
         # zero-sum dims survive (SQL GROUP BY keeps them; so must we)
         assert any(v == 0 for v in want.values()) == any(
             v == 0 for v in got.values())
+
+
+class TestKsDrift:
+    def test_matches_direct_union_cdf(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_ks_drift
+
+        out = _to_table(q_ks_drift(SF)).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        types = sorted(ev["event_type"].unique())
+        samples = {t: np.sort(ev.loc[ev["event_type"] == t, "value"].to_numpy())
+                   for t in types}
+        got = {(r.type_a, r.type_b): (int(r.n_a), int(r.n_b), int(r.ks_num))
+               for r in out.itertuples()}
+        assert len(got) == len(types) * (len(types) - 1) // 2
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                a, b = samples[ta], samples[tb]
+                allv = np.union1d(a, b)
+                ca = np.searchsorted(a, allv, "right").astype(np.int64)
+                cb = np.searchsorted(b, allv, "right").astype(np.int64)
+                num = int(np.abs(ca * len(b) - cb * len(a)).max())
+                assert got[(ta, tb)] == (len(a), len(b), num)
