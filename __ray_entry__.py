@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encoding": cq.q_target_encoding,
         "feature_hashing": cq.q_feature_hashing,
         "ks_drift": cq.q_ks_drift,
+        "cms_counts": cq.q_cms_counts,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -8396,3 +8396,148 @@ SELECT c.type_a, c.type_b,
 FROM c JOIN n ON n.type_a = c.type_a AND n.type_b = c.type_b
 GROUP BY c.type_a, c.type_b, n.na, n.nb
 """
+
+
+# ---------------------------------------------------------------------------
+# sketches: Count-Min point-frequency estimates (fully SQL-mirrored)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     # hash rows
+_CMS_W = 256   # counters per row
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-Min sketch (Cormode–Muthukrishnan) over the corpus token
+    stream, probed at the tokens of the smallest-doc_id document:
+    output (token, exact_n, cms_est) with est = min_i sketch[i][h_i(tok)]
+    — always ≥ exact (one-sided error), equality when no collision. The
+    whole sketch — hashes included — is mirrored in SQL (md5-row-salted
+    column hashes, dense 4×256 register grid with zero registers kept),
+    so the driver hash-checks the SKETCH ITSELF, not a pinned constant
+    (contrast `approx_distinct`, where HLL's float path forces a pin).
+
+    Scale shape: per-batch token counts collapse into (row, col) partials
+    — the shuffle moves ≤ d·w counters per block, NEVER tokens (same
+    fixed-size-partial argument as HLL); the register merge is a bounded
+    native aggregate; only the 4×256 grid and the probe token list ever
+    land on the driver. Probe exact counts ride one bounded aggregate
+    over a broadcast-filtered explode."""
+    import hashlib
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # probe set: tokens of the min-doc_id document (deterministic, tiny)
+    min_doc = ds.groupby(None).min("doc_id").to_pandas()["min(doc_id)"][0]
+    probe_rows = ds.filter(
+        expr=f"doc_id == {int(min_doc)}").take_all()
+    probe_tokens = sorted({w for r in probe_rows
+                           for w in (r["text"] or "").split(" ")})
+    probes = np.array(probe_tokens, dtype=object)
+    probes_ref = _ray.put(probes)
+
+    def _col_hash(i: int, toks: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16)
+             % _CMS_W for t in toks),
+            np.int64, len(toks),
+        )
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = np.array([w for t in texts for w in (t or "").split(" ")],
+                        dtype=object)
+        if toks.size == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "cnt_partial": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(toks, return_counts=True)
+        ii, cc, vv = [], [], []
+        for i in range(_CMS_D):
+            cols = _col_hash(i, uniq)
+            order = np.argsort(cols, kind="mergesort")
+            cs, ws = cols[order], cnt[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], cs[1:] != cs[:-1]]))
+            ii.append(np.full(starts.size, i, np.int64))
+            cc.append(cs[starts])
+            vv.append(np.add.reduceat(ws, starts).astype(np.int64))
+        return pa.table({"i": pa.array(np.concatenate(ii)),
+                         "col": pa.array(np.concatenate(cc)),
+                         "cnt_partial": pa.array(np.concatenate(vv))})
+
+    reg_rows = ds.map_batches(
+        sketch_partial, batch_format="pyarrow"
+    ).groupby(["i", "col"]).aggregate(Sum("cnt_partial")).take_all()
+    sketch = np.zeros((_CMS_D, _CMS_W), np.int64)  # dense: zeros KEPT
+    for r in reg_rows:
+        sketch[int(r["i"]), int(r["col"])] = int(r["sum(cnt_partial)"])
+    est = np.full(len(probes), np.iinfo(np.int64).max, np.int64)
+    for i in range(_CMS_D):
+        est = np.minimum(est, sketch[i, _col_hash(i, probes)])
+
+    # exact counts for the probe tokens: broadcast-filtered explode
+    def probe_counts(batch: pa.Table) -> pa.Table:
+        p = _ray.get(probes_ref)
+        texts = batch["text"].to_pylist()
+        toks = np.array([w for t in texts for w in (t or "").split(" ")],
+                        dtype=object)
+        if toks.size == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        pos = np.searchsorted(p, toks)
+        pos = np.clip(pos, 0, len(p) - 1)
+        m = p[pos] == toks
+        if not m.any():
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(toks[m], return_counts=True)
+        return pa.table({"token": pa.array(uniq.astype(str)),
+                         "n_partial": pa.array(cnt.astype(np.int64))})
+
+    exact = ds.map_batches(probe_counts, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("n_partial")).take_all()
+    exact_n = {r["token"]: int(r["sum(n_partial)"]) for r in exact}
+    return pa.table({
+        "token": pa.array([str(t) for t in probes], pa.string()),
+        "exact_n": pa.array([exact_n[t] for t in probes], pa.int64()),
+        "cms_est": pa.array(est, pa.int64()),
+    })
+
+
+ORACLE_SQL["cms_counts"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), salted AS (
+  SELECT tok, i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))
+              AS BIGINT) % {_CMS_W} AS col
+  FROM toks CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i)
+), reg AS (
+  SELECT i, col, count(*) AS cnt FROM salted GROUP BY 1, 2
+), grid AS (
+  SELECT a.i, b.c FROM (SELECT unnest(range({_CMS_D})) AS i) a
+  CROSS JOIN (SELECT unnest(range({_CMS_W})) AS c) b
+), regd AS (
+  SELECT g.i, g.c, COALESCE(r.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN reg r ON r.i = g.i AND r.col = g.c
+), probes AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+), est AS (
+  SELECT p.token, min(rd.cnt) AS cms_est
+  FROM probes p
+  CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i) d
+  JOIN regd rd ON rd.i = d.i AND rd.c =
+       CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || p.token),
+                            1, 8)) AS BIGINT) % {_CMS_W}
+  GROUP BY 1
+), exact AS (
+  SELECT tok AS token, count(*) AS n FROM toks GROUP BY 1
+)
+SELECT e.token, CAST(x.n AS BIGINT) AS exact_n,
+       CAST(e.cms_est AS BIGINT) AS cms_est
+FROM est e JOIN exact x ON x.token = e.token
+"""

@@ -606,3 +606,37 @@ class TestKsDrift:
                 cb = np.searchsorted(b, allv, "right").astype(np.int64)
                 num = int(np.abs(ca * len(b) - cb * len(a)).max())
                 assert got[(ta, tb)] == (len(a), len(b), num)
+
+
+class TestCmsCounts:
+    def test_one_sided_error_and_direct_parity(self, ray_session):
+        import hashlib
+
+        from overmatch_ray.pipelines.corpus_queries import (
+            _CMS_D, _CMS_W, q_cms_counts,
+        )
+
+        out = q_cms_counts(SF).to_pandas()
+        assert len(out) > 0
+        # CMS is one-sided: estimate never undercounts
+        assert (out["cms_est"] >= out["exact_n"]).all()
+        # direct single-process sketch replay
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        sketch = np.zeros((_CMS_D, _CMS_W), np.int64)
+        counts: dict[str, int] = {}
+        for t in docs["text"]:
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        for w, n in counts.items():
+            for i in range(_CMS_D):
+                col = int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:8],
+                          16) % _CMS_W
+                sketch[i, col] += n
+        for r in out.itertuples():
+            want = min(
+                sketch[i, int(hashlib.md5(f"{i}:{r.token}".encode())
+                              .hexdigest()[:8], 16) % _CMS_W]
+                for i in range(_CMS_D))
+            assert int(r.cms_est) == want
+            assert int(r.exact_n) == counts[r.token]
