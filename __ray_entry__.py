@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing": cq.q_feature_hashing,
         "ks_drift": cq.q_ks_drift,
         "cms_counts": cq.q_cms_counts,
+        "bigram_lm": cq.q_bigram_lm,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -8541,3 +8541,122 @@ SELECT e.token, CAST(x.n AS BIGINT) AS exact_n,
        CAST(e.cms_est AS BIGINT) AS cms_est
 FROM est e JOIN exact x ON x.token = e.token
 """
+
+
+# ---------------------------------------------------------------------------
+# text LM: bigram add-one language-model document scoring
+# ---------------------------------------------------------------------------
+
+_BG_SEP = "\x1f"  # unit separator — never appears in the token stream
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram add-one-smoothed LM document scoring — the order-aware
+    upgrade of `lm_score`'s unigram model: each document's score is the
+    sum over its bigrams of ln((c(w1,w2)+1)/(c(w1·)+V)). Every term is
+    quantized to floor(1e6·ln(...)) BEFORE summing, so the per-doc fold
+    is an exact int64 sum (order-free at any parallelism; the float work
+    is one literal-mirrored expression per DISTINCT bigram, never per
+    occurrence).
+
+    Scale plan — the `bpe_encode` pattern end-to-end: bigram and context
+    counts stay DATASETS (vocabulary-scale, never on the driver), the
+    quantized term table is built by one bucketed string join
+    (bigram-counts ⋈ context-counts on w1), and scoring is a second
+    bucketed join of the exploded (doc, bigram) stream against it,
+    finished by a bucketed integer-sum aggregate on doc_id. The only
+    scalar the driver holds is |V|."""
+    from ..stages.groupops import bucketed_aggregate, bucketed_group_apply
+    from ..stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        doc, bg = [], []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            doc.extend([d] * (len(ws) - 1))
+            bg.extend(ws[i] + _BG_SEP + ws[i + 1] for i in range(len(ws) - 1))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(doc, np.int64)),
+            "bg": pa.array(bg, pa.string()),
+        })
+
+    def explode_unigrams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [w for t in texts for w in (t or "").split(" ")]
+        return pa.table({"w": pa.array(sorted(set(toks)), pa.string())})
+
+    big = ds.map_batches(
+        explode_bigrams, batch_format="pyarrow").materialize()
+
+    # |V|: distinct tokens — per-batch dedup partials, bucketed distinct
+    vocab_size = bucketed_group_apply(
+        ds.map_batches(explode_unigrams, batch_format="pyarrow"),
+        ["w"], lambda g: g.drop_duplicates("w"),
+    ).count()
+
+    cb = bucketed_aggregate(big, ["bg"], {"c_bg": ("bg", "size")})
+
+    def w1_of(batch: pa.Table) -> pa.Table:
+        w1 = pc.split_pattern(batch["bg"], _BG_SEP)
+        return batch.append_column(
+            "w1", pc.list_element(w1, 0))
+
+    cb = cb.map_batches(w1_of, batch_format="pyarrow")
+    cu = bucketed_aggregate(
+        cb, ["w1"], {"c_w1": ("c_bg", "sum")})  # context count from cb
+
+    terms = bucket_hash_join(cb, cu, "w1", "w1", num_buckets=32)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        c = batch["c_bg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu_ = batch["c_w1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(
+            1e6 * np.log((c + 1.0) / (cu_ + vocab_size))).astype(np.int64)
+        return pa.table({"bg": batch["bg"], "q": pa.array(q)})
+
+    term_q = terms.map_batches(quantize, batch_format="pyarrow")
+    scored = bucket_hash_join(big, term_q, "bg", "bg", num_buckets=32)
+    out = bucketed_aggregate(
+        scored, ["doc_id"],
+        {"n_bigrams": ("q", "size"), "score_q": ("q", "sum")},
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_bigrams": b["n_bigrams"].cast(pa.int64()),
+            "score_q": b["score_q"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["bigram_lm"] = f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM s
+), big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), cb AS (
+  SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+), cu AS (
+  SELECT w1, count(*) AS c FROM big GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS vsz FROM toks
+), terms AS (
+  SELECT g.doc_id,
+         CAST(floor(1e6 * ln((cb.c + 1.0) / (cu.c + v.vsz))) AS BIGINT) AS q
+  FROM big g
+  JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+  JOIN cu ON cu.w1 = g.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q) AS BIGINT) AS score_q
+FROM terms GROUP BY 1
+"""

@@ -640,3 +640,35 @@ class TestCmsCounts:
                 for i in range(_CMS_D))
             assert int(r.cms_est) == want
             assert int(r.exact_n) == counts[r.token]
+
+
+class TestBigramLm:
+    def test_matches_direct_counts(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_bigram_lm
+
+        out = _to_table(q_bigram_lm(SF)).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        cb: dict[tuple[str, str], int] = {}
+        cu: dict[str, int] = {}
+        vocab: set[str] = set()
+        bigrams: dict[int, list[tuple[str, str]]] = {}
+        for doc_id, t in zip(docs["doc_id"], docs["text"]):
+            ws = t.split(" ")
+            vocab.update(ws)
+            bgs = list(zip(ws[:-1], ws[1:]))
+            bigrams[int(doc_id)] = bgs
+            for bg in bgs:
+                cb[bg] = cb.get(bg, 0) + 1
+                cu[bg[0]] = cu.get(bg[0], 0) + 1
+        v = len(vocab)
+        got = {int(r.doc_id): (int(r.n_bigrams), int(r.score_q))
+               for r in out.itertuples()}
+        for doc_id, bgs in bigrams.items():
+            if not bgs:
+                assert doc_id not in got
+                continue
+            score = sum(
+                int(np.floor(1e6 * np.log((cb[bg] + 1.0) / (cu[bg[0]] + v))))
+                for bg in bgs)
+            assert got[doc_id] == (len(bgs), score)
