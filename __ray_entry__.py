@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": cq.q_ks_drift,
         "cms_counts": cq.q_cms_counts,
         "bigram_lm": cq.q_bigram_lm,
+        "doc_entropy": cq.q_doc_entropy,
+        "phrase_search": cq.q_phrase_search,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

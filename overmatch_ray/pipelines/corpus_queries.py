@@ -8660,3 +8660,178 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(q) AS BIGINT) AS score_q
 FROM terms GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# text quality: per-document token Shannon entropy
+# ---------------------------------------------------------------------------
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-document token Shannon entropy — the repetition/diversity
+    quality signal (a doc of one repeated token scores 0; uniform tokens
+    score ln n): H = −Σ_w (c_w/n)·ln(c_w/n). Emitted as the exact int64
+    ``neg_entropy_q = Σ_w floor(1e6·c_w·ln(c_w/n))`` so the fold is
+    order-free; the float work is ONE literal-mirrored expression per
+    distinct (doc, word).
+
+    Scale shape: a document is one row, so the whole statistic is a
+    ZERO-SHUFFLE map_batches — per-batch tokens explode into a (doc-rank,
+    word-rank) integer key array, one lexsort + reduceat recovers every
+    doc's word histogram, and the per-doc fold happens in the same
+    kernel. Nothing leaves the node but the answer rows."""
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        toks_per = [(t or "").split(" ") for t in texts]
+        n_tok = np.array([len(t) for t in toks_per], np.int64)
+        flat = np.array([w for ts in toks_per for w in ts], dtype=object)
+        if flat.size == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "neg_entropy_q": pa.array([], pa.int64()),
+            })
+        _, wrank = np.unique(flat, return_inverse=True)
+        drank = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+        key = drank * np.int64(flat.size + 1) + wrank
+        order = np.argsort(key, kind="mergesort")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        c = np.diff(np.concatenate([starts, [ks.size]])).astype(np.int64)
+        d_of = ks[starts] // np.int64(flat.size + 1)
+        n_of = n_tok[d_of]
+        terms = np.floor(
+            1e6 * (c * np.log(c * 1.0 / n_of))).astype(np.int64)
+        neg_q = np.zeros(len(ids), np.int64)
+        np.add.at(neg_q, d_of, terms)
+        n_dist = np.zeros(len(ids), np.int64)
+        np.add.at(n_dist, d_of, 1)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dist),
+            "neg_entropy_q": pa.array(neg_q),
+        })
+
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+ORACLE_SQL["doc_entropy"] = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w, len(ws) AS n FROM s
+), c AS (
+  SELECT doc_id, w, n, count(*) AS cw FROM t GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CAST(floor(1e6 * (cw * ln(cw * 1.0 / n))) AS BIGINT))
+            AS BIGINT) AS neg_entropy_q
+FROM c GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# retrieval: positional phrase search of the top collocation
+# ---------------------------------------------------------------------------
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search, self-targeted: find the corpus's most
+    frequent bigram collocation (ties → lexicographically smallest), then
+    emit every positional occurrence (doc_id, pos, w1, w2) — the
+    inverted-POSITIONAL-index primitive phrase queries need, composed
+    with the `bpe_train`-style distributed argmax.
+
+    Scale shape: bigram counts collapse per batch, one bucketed
+    vocabulary-scale aggregate; the global argmax is per-block top-1
+    partials (≤ #blocks rows to the driver — the r4 fix pattern, nothing
+    vocabulary-scale ever materializes); occurrence listing is a second
+    ZERO-SHUFFLE map over the docs with the 2-word phrase broadcast. The
+    packed `w1\\x1fw2` key ties EXACTLY like the oracle's (w1, w2) tuple
+    because 0x1f sorts below every token character."""
+    import ray as _ray
+
+    from ..stages.groupops import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        bg = []
+        for t in texts:
+            ws = (t or "").split(" ")
+            bg.extend(ws[i] + _BG_SEP + ws[i + 1] for i in range(len(ws) - 1))
+        return pa.table({"bg": pa.array(bg, pa.string())})
+
+    counts = bucketed_aggregate(
+        ds.map_batches(explode_bigrams, batch_format="pyarrow"),
+        ["bg"], {"n": ("bg", "size")},
+    )
+
+    def block_top1(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if n.size == 0:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bg = np.asarray(batch["bg"].to_pylist(), dtype=object)
+        m = n == n.max()
+        best = min(bg[m])
+        return pa.table({"bg": pa.array([best], pa.string()),
+                         "n": pa.array([int(n.max())], pa.int64())})
+
+    partials = counts.map_batches(
+        block_top1, batch_format="pyarrow").take_all()
+    if not partials:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    best = min(partials, key=lambda r: (-int(r["n"]), r["bg"]))
+    w1, w2 = best["bg"].split(_BG_SEP)
+    phrase_ref = _ray.put((w1, w2))
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        p1, p2 = _ray.get(phrase_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        doc, pos = [], []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            doc.extend(d for i in range(len(ws) - 1)
+                       if ws[i] == p1 and ws[i + 1] == p2)
+            pos.extend(i + 1 for i in range(len(ws) - 1)
+                       if ws[i] == p1 and ws[i + 1] == p2)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(doc, np.int64)),
+            "pos": pa.array(np.asarray(pos, np.int64)),
+            "w1": pa.array([p1] * len(doc), pa.string()),
+            "w2": pa.array([p2] * len(doc), pa.string()),
+        })
+
+    return ds.map_batches(occurrences, batch_format="pyarrow")
+
+
+ORACLE_SQL["phrase_search"] = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM s
+), big AS (
+  SELECT a.doc_id, a.pos, a.w AS w1, b.w AS w2
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), top AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, count(*) AS n FROM big GROUP BY 1, 2
+  ) ORDER BY n DESC, w1, w2 LIMIT 1
+)
+SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.w1, g.w2
+FROM big g JOIN top ON top.w1 = g.w1 AND top.w2 = g.w2
+"""

@@ -672,3 +672,48 @@ class TestBigramLm:
                 int(np.floor(1e6 * np.log((cb[bg] + 1.0) / (cu[bg[0]] + v))))
                 for bg in bgs)
             assert got[doc_id] == (len(bgs), score)
+
+
+class TestDocEntropyAndPhraseSearch:
+    def test_entropy_matches_direct(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_doc_entropy
+
+        out = _to_table(q_doc_entropy(SF)).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        got = {int(r.doc_id): (int(r.n_tokens), int(r.n_distinct),
+                               int(r.neg_entropy_q))
+               for r in out.itertuples()}
+        assert len(got) == len(docs)
+        for doc_id, t in zip(docs["doc_id"], docs["text"]):
+            ws = t.split(" ")
+            n = len(ws)
+            _, cnt = np.unique(ws, return_counts=True)
+            q = int(sum(int(np.floor(1e6 * (c * np.log(c * 1.0 / n))))
+                        for c in cnt))
+            assert got[int(doc_id)] == (n, len(cnt), q)
+            # sanity: entropy of a repeated-token doc would be 0; real
+            # docs are diverse so the quantized -H is strictly negative
+            assert q < 0
+
+    def test_phrase_search_is_global_argmax(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_phrase_search
+
+        out = _to_table(q_phrase_search(SF)).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        cb: dict[tuple[str, str], int] = {}
+        occ: list[tuple[int, int]] = []
+        for doc_id, t in zip(docs["doc_id"], docs["text"]):
+            ws = t.split(" ")
+            for i in range(len(ws) - 1):
+                cb[(ws[i], ws[i + 1])] = cb.get((ws[i], ws[i + 1]), 0) + 1
+        best = min(cb, key=lambda k: (-cb[k], k))
+        for doc_id, t in zip(docs["doc_id"], docs["text"]):
+            ws = t.split(" ")
+            occ += [(int(doc_id), i + 1) for i in range(len(ws) - 1)
+                    if (ws[i], ws[i + 1]) == best]
+        assert set(zip(out["w1"], out["w2"])) == {best}
+        assert sorted(zip(out["doc_id"].astype(int), out["pos"].astype(int))) \
+            == sorted(occ)
+        assert len(out) == cb[best]
