@@ -8835,3 +8835,117 @@ WITH s AS (
 SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.w1, g.w2
 FROM big g JOIN top ON top.w1 = g.w1 AND top.w2 = g.w2
 """
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction — `link_prediction`'s common-neighbor
+    count upgraded with the classic 1/ln(deg) rarity weighting (a shared
+    rare neighbor is stronger evidence than a shared hub). Each wedge
+    through hub w contributes floor(1e6/ln(deg(w))) — quantized int64
+    BEFORE the per-pair sum, so the fold is order-free; deg(w) is free
+    in-kernel (it IS the hub's adjacency run length — no extra join,
+    which is the advantage over the oracle's deg CTE). Same wedge →
+    bucketed pair sum → ANTI join vs the edge set → bounded top-100
+    plan; Σ deg² wedge volume, documented like every wedge plan here."""
+    from ..stages.groupops import (
+        bucketed_aggregate,
+        bucketed_group_apply,
+        group_pair_indices,
+    )
+    from ..stages.joins import semi_join_shuffled
+
+    N = 500
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((k % 991) * (k % 997)) % N
+        v = ((k % 977) * (k % 983)) % N
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    e = bucketed_aggregate(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["u", "v"], {"__one": ("u", "size")},
+    ).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array(np.concatenate([u, v])),
+            "x": pa.array(np.concatenate([v, u])),
+        })
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow")
+
+    def wedge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", "x"], kind="mergesort")
+        run = (g["w"] != g["w"].shift()).cumsum().to_numpy()
+        ia, ib = group_pair_indices(run, np.iinfo(np.int64).max)
+        if ia.size == 0:
+            return pd.DataFrame({"ia": pd.Series(dtype=np.int64),
+                                 "ib": pd.Series(dtype=np.int64),
+                                 "wq": pd.Series(dtype=np.int64)})
+        x = g["x"].to_numpy()
+        deg = np.bincount(run)[run]  # hub degree = its run length
+        wq = np.floor(1e6 / np.log(deg[ia].astype(np.float64))).astype(
+            np.int64)
+        return pd.DataFrame({"ia": x[ia], "ib": x[ib], "wq": wq})
+
+    aa = bucketed_aggregate(
+        bucketed_group_apply(adj, ["w"], wedge),
+        ["ia", "ib"], {"score_q": ("wq", "sum")},
+    )
+
+    def pack(ca: str, cb: str):
+        def _p(batch: pa.Table) -> pa.Table:
+            a = batch[ca].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch[cb].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column("pk", pa.array(a * N + b))
+        return _p
+
+    nonedges = semi_join_shuffled(
+        aa.map_batches(pack("ia", "ib"), batch_format="pyarrow").materialize(),
+        e.map_batches(pack("u", "v"), batch_format="pyarrow").materialize(),
+        "pk", "pk", anti=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["ia"].cast(pa.int64()),
+            "id_b": batch["ib"].cast(pa.int64()),
+            "score_q": batch["score_q"].cast(pa.int64()),
+        })
+
+    return (
+        nonedges.map_batches(finish, batch_format="pyarrow")
+        .sort(["score_q", "id_a", "id_b"], descending=[True, False, False])
+        .limit(100)
+    )
+
+
+ORACLE_SQL["adamic_adar"] = """
+WITH raw AS (
+  SELECT ((o_orderkey % 991) * (o_orderkey % 997)) % 500 AS u,
+         ((o_orderkey % 977) * (o_orderkey % 983)) % 500 AS v
+  FROM orders),
+e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM raw WHERE u <> v),
+adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT a.x AS ia, b.x AS ib,
+         CAST(floor(1e6 / ln(d.d)) AS BIGINT) AS wq
+  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x
+  JOIN deg d ON d.w = a.w),
+aa AS (
+  SELECT ia, ib, CAST(sum(wq) AS BIGINT) AS score_q FROM wedge GROUP BY 1, 2)
+SELECT aa.ia AS id_a, aa.ib AS id_b, aa.score_q
+FROM aa LEFT JOIN e ON e.u = aa.ia AND e.v = aa.ib
+WHERE e.u IS NULL
+ORDER BY score_q DESC, id_a, id_b
+LIMIT 100
+"""

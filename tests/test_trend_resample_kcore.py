@@ -717,3 +717,32 @@ class TestDocEntropyAndPhraseSearch:
         assert sorted(zip(out["doc_id"].astype(int), out["pos"].astype(int))) \
             == sorted(occ)
         assert len(out) == cb[best]
+
+
+class TestAdamicAdar:
+    def test_matches_direct_graph(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_adamic_adar
+
+        out = _to_table(q_adamic_adar(SF)).to_pandas()
+        k = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey"]).to_pandas()[
+            "o_orderkey"].to_numpy().astype(np.int64)
+        u = ((k % 991) * (k % 997)) % 500
+        v = ((k % 977) * (k % 983)) % 500
+        edges = {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        scores: dict[tuple[int, int], int] = {}
+        for w, xs in nbrs.items():
+            wq = int(np.floor(1e6 / np.log(float(len(xs)))))
+            xs_s = sorted(xs)
+            for i, a in enumerate(xs_s):
+                for b in xs_s[i + 1:]:
+                    if (a, b) not in edges:
+                        scores[(a, b)] = scores.get((a, b), 0) + wq
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        got = [((int(r.id_a), int(r.id_b)), int(r.score_q))
+               for r in out.itertuples()]
+        assert got == want
