@@ -736,6 +736,8 @@ class TestAdamicAdar:
             nbrs.setdefault(b, set()).add(a)
         scores: dict[tuple[int, int], int] = {}
         for w, xs in nbrs.items():
+            if len(xs) < 2:  # no wedge through a degree-1 hub
+                continue
             wq = int(np.floor(1e6 / np.log(float(len(xs)))))
             xs_s = sorted(xs)
             for i, a in enumerate(xs_s):
