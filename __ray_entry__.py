@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": cq.q_doc_entropy,
         "phrase_search": cq.q_phrase_search,
         "adamic_adar": cq.q_adamic_adar,
+        "pca_power": cq.q_pca_power,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

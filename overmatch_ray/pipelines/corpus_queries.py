@@ -8949,3 +8949,117 @@ WHERE e.u IS NULL
 ORDER BY score_q DESC, id_a, id_b
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# linear algebra: top principal direction by fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 4
+_PCA_SCALE = 1_000_000  # embedding-component quantization (a scale knob:
+                        # at 10^9+ rows drop to 1e3 so Gram sums stay in
+                        # int64 through the distributed partial fold)
+
+
+def _pca_iterate(G: "list[list[int]]", dim: int,
+                 rounds: int = _PCA_ROUNDS) -> "list[int]":
+    """Fixed-point power iteration on an integer Gram matrix, in Python
+    ints (overflow-free at any magnitude) — the exact chain the DuckDB
+    oracle replays in HUGEINT."""
+    def tdiv(a: int, b: int) -> int:
+        # DuckDB's integer `//` truncates toward zero; Python's floors —
+        # mirror DuckDB exactly or negative components drift by 1/step
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [_PCA_SCALE] * dim  # all-ones in fixed point
+    for _ in range(rounds):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * _PCA_SCALE, m) for x in w]
+    return v
+
+
+def q_pca_power(sf_dir: str):
+    """Power-iteration toward the top principal direction of the
+    embedding table (uncentered second-moment PCA — the
+    normalized-embedding convention) in FIXED POINT, bit-exact at any
+    parallelism: components quantize to floor(1e6·x) int64, the 64×64
+    Gram matrix is an exact integer fold, and each of the 4 unrolled
+    iterations renormalizes by truncating division with max|w| — all
+    integer ops, so the DuckDB oracle replays the identical chain in
+    HUGEINT MATERIALIZED CTEs (the unrolled-iteration authoring rule)
+    and hashes match to the last bit. Convergence is spectral-gap-bound
+    as always for power iteration (this synth corpus is near-isotropic,
+    λ2/λ1 ≈ 0.98, so 4 rounds only START rotating toward the top
+    direction — the planted-spike unit test pins that the same kernel
+    converges when a dominant direction exists); what the driver checks
+    is the exact deterministic ITERATE, which is parallelism-invariant
+    by construction.
+
+    Scale shape: per-block Gram partials are FIXED-size (dim² int64 —
+    the HLL argument: blocks contribute 32 KB regardless of rows; Q^T Q
+    per block is one integer matmul), merged by a bounded native
+    aggregate; ONLY the 4096-entry Gram ever reaches the driver, where
+    the 64-vector iteration runs in Python ints (no overflow at any
+    magnitude). Row count never touches the driver path."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * _PCA_SCALE).astype(np.int64)
+        g = q.T @ q  # exact int64 within a block (docstring bound)
+        d = g.shape[0]
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({
+            "i": pa.array(i + 1),  # 1-based: generate_subscripts parity
+            "j": pa.array(j + 1),
+            "g_partial": pa.array(g.ravel()),
+        })
+
+    rows = ds.map_batches(gram_partial, batch_format="pyarrow").groupby(
+        ["i", "j"]).aggregate(Sum("g_partial")).take_all()
+    dim = int(np.sqrt(len(rows)))
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["sum(g_partial)"])
+    v = _pca_iterate(G, dim)
+    return pa.table({
+        "i": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+        "v_q": pa.array(np.array(v, dtype=np.int64)),
+    })
+
+
+def _pca_oracle_sql() -> str:
+    s = _PCA_SCALE
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i, CAST(floor({s} * CAST(x AS DOUBLE)) AS BIGINT) AS qv
+  FROM e
+), g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.qv AS HUGEINT) * b.qv) AS gij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), v0 AS (SELECT i, CAST({s} AS HUGEINT) AS v
+          FROM (SELECT DISTINCT i FROM g))"""
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        sql += f""",
+w{r} AS MATERIALIZED (
+  SELECT g.i, sum(g.gij * {prev}.v) AS w
+  FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY 1
+), v{r} AS MATERIALIZED (
+  SELECT i, (w * {s}) // (SELECT max(abs(w)) FROM w{r}) AS v FROM w{r}
+)"""
+        prev = f"v{r}"
+    sql += f"""
+SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS v_q FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["pca_power"] = _pca_oracle_sql()

@@ -748,3 +748,41 @@ class TestAdamicAdar:
         got = [((int(r.id_a), int(r.id_b)), int(r.score_q))
                for r in out.itertuples()]
         assert got == want
+
+
+class TestPcaPower:
+    def test_fixed_point_replay_on_real_data(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _PCA_SCALE, _pca_iterate, q_pca_power,
+        )
+
+        out = q_pca_power(SF).to_pandas().sort_values("i")
+        emb = np.stack(pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["embedding"]
+        ).to_pandas()["embedding"].to_numpy())
+        q = np.floor(
+            emb.astype(np.float64) * _PCA_SCALE
+        ).astype(np.int64).astype(object)  # int64 FIRST: floor yields
+        # float64, and astype(object) on floats keeps Python floats
+        G = (q.T @ q).tolist()  # object dtype -> exact Python ints
+        assert out["v_q"].tolist() == _pca_iterate(G, len(G))
+
+    def test_converges_on_planted_spike(self):
+        """The synth embeddings are near-isotropic, so the query's 4
+        rounds only start rotating — pin CONVERGENCE on a matrix with a
+        real spectral gap instead (what power iteration is for)."""
+        from overmatch_ray.pipelines.corpus_queries import (
+            _PCA_SCALE, _pca_iterate,
+        )
+
+        rng = np.random.RandomState(7)
+        d = 16
+        u = rng.randn(d)
+        u /= np.linalg.norm(u)
+        noise = rng.randn(d, d)
+        Gf = 50.0 * np.outer(u, u) + 0.5 * (noise + noise.T) / d
+        G = [[int(x) for x in np.floor(Gf[i] * _PCA_SCALE)]
+             for i in range(d)]
+        v = np.array(_pca_iterate(G, d, rounds=12), dtype=np.float64)
+        cos = abs(v @ u) / np.linalg.norm(v)
+        assert cos > 0.999
