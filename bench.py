@@ -311,6 +311,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         counts["segment_deduped"] = segment_dedup(docs()).count()
         timings["textscale_segdedup"] = round(time.time() - t0, 3)
+        # round-5 third-session text ops: the bigram-LM scorer's two
+        # vocabulary-scale bucketed joins and the vocabulary-FREE hashing
+        # trick — both must keep driver RSS flat as the corpus grows
+        from overmatch_ray.stages.textstats import (
+            bigram_lm_scores,
+            feature_hash_vectors,
+        )
+
+        t0 = time.time()
+        counts["bigram_scored"] = bigram_lm_scores(docs()).count()
+        timings["textscale_bigramlm"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        counts["feature_hashed"] = feature_hash_vectors(docs()).count()
+        timings["textscale_feathash"] = round(time.time() - t0, 3)
         counts["n_docs_scaled"] = n_docs_scaled
         return counts
 

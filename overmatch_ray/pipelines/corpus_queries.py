@@ -8191,66 +8191,15 @@ _FH_DIM = 64  # hashed vector dimensionality
 
 
 def q_feature_hashing(sf_dir: str):
-    """Signed feature hashing (Weinberger et al.'s hashing trick): every
-    whitespace token lands in dimension ``md5(tok) % D`` with sign ±1
-    from the next hash bit, so a document becomes a fixed-D sparse vector
-    with NO vocabulary table anywhere — the property that makes the trick
-    the scale answer to term-indexing (compare `term_idf`, which must
-    carry the vocabulary as a Dataset). md5 keeps DuckDB bit-parity.
+    """Signed feature hashing (Weinberger et al.'s hashing trick) over
+    the documents table — see `stages.textstats.feature_hash_vectors`
+    (the stage form the GRAFT_DOC_SCALE probe drives): fixed-D sparse
+    vectors with NO vocabulary table anywhere, md5-mirrored dims/signs,
+    in-batch partial combine, one bucketed integer-sum aggregate."""
+    from ..stages.textstats import feature_hash_vectors
 
-    Shape: tokens explode per batch (md5 once per DISTINCT in-batch
-    token), collapse to (doc_id, dim) partials IN-BATCH (≤ |docs|·D rows
-    leave the map), then one bucketed integer-sum aggregate — group count
-    is corpus-scale so the native reduce's per-group constant would bite
-    (CLAUDE.md); signed ±1 sums are exact integers at any order."""
-    import hashlib
-
-    from ..stages.groupops import bucketed_aggregate
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        toks_per = [(t or "").split(" ") for t in texts]
-        counts = np.array([len(t) for t in toks_per], np.int64)
-        if counts.sum() == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "dim": pa.array([], pa.int64()),
-                "val_partial": pa.array([], pa.int64()),
-            })
-        all_toks = np.array(
-            [w for toks in toks_per for w in toks], dtype=object)
-        uniq, inv = np.unique(all_toks, return_inverse=True)
-        hv = np.fromiter(
-            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in uniq),
-            np.int64, len(uniq),
-        )
-        dim_of = hv % _FH_DIM
-        sign_of = np.where((hv // _FH_DIM) % 2 == 0, np.int64(1),
-                           np.int64(-1))
-        doc = np.repeat(ids, counts)
-        d = dim_of[inv]
-        s = sign_of[inv]
-        # in-batch partial combine on (doc, dim)
-        key = doc * _FH_DIM + d
-        order = np.argsort(key, kind="mergesort")
-        key_s, s_s = key[order], s[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], key_s[1:] != key_s[:-1]]))
-        sums = np.add.reduceat(s_s, starts)
-        k = key_s[starts]
-        return pa.table({
-            "doc_id": pa.array(k // _FH_DIM),
-            "dim": pa.array(k % _FH_DIM),
-            "val_partial": pa.array(sums.astype(np.int64)),
-        })
-
-    return bucketed_aggregate(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["doc_id", "dim"], {"val": ("val_partial", "sum")},
-    )
+    return feature_hash_vectors(
+        _read(sf_dir, "documents", ["doc_id", "text"]), dim=_FH_DIM)
 
 
 ORACLE_SQL["feature_hashing"] = f"""
@@ -8551,87 +8500,15 @@ _BG_SEP = "\x1f"  # unit separator — never appears in the token stream
 
 
 def q_bigram_lm(sf_dir: str):
-    """Bigram add-one-smoothed LM document scoring — the order-aware
-    upgrade of `lm_score`'s unigram model: each document's score is the
-    sum over its bigrams of ln((c(w1,w2)+1)/(c(w1·)+V)). Every term is
-    quantized to floor(1e6·ln(...)) BEFORE summing, so the per-doc fold
-    is an exact int64 sum (order-free at any parallelism; the float work
-    is one literal-mirrored expression per DISTINCT bigram, never per
-    occurrence).
+    """Bigram add-one-smoothed LM document scoring — see
+    `stages.textstats.bigram_lm_scores` (the stage form the
+    GRAFT_DOC_SCALE probe drives): counts stay Datasets, two bucketed
+    string joins (the `bpe_encode` pattern), per-distinct-bigram
+    quantized ln terms, exact int64 per-doc folds. The only driver
+    scalar is |V|."""
+    from ..stages.textstats import bigram_lm_scores
 
-    Scale plan — the `bpe_encode` pattern end-to-end: bigram and context
-    counts stay DATASETS (vocabulary-scale, never on the driver), the
-    quantized term table is built by one bucketed string join
-    (bigram-counts ⋈ context-counts on w1), and scoring is a second
-    bucketed join of the exploded (doc, bigram) stream against it,
-    finished by a bucketed integer-sum aggregate on doc_id. The only
-    scalar the driver holds is |V|."""
-    from ..stages.groupops import bucketed_aggregate, bucketed_group_apply
-    from ..stages.joins import bucket_hash_join
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def explode_bigrams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        doc, bg = [], []
-        for d, t in zip(ids, texts):
-            ws = (t or "").split(" ")
-            doc.extend([d] * (len(ws) - 1))
-            bg.extend(ws[i] + _BG_SEP + ws[i + 1] for i in range(len(ws) - 1))
-        return pa.table({
-            "doc_id": pa.array(np.asarray(doc, np.int64)),
-            "bg": pa.array(bg, pa.string()),
-        })
-
-    def explode_unigrams(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = [w for t in texts for w in (t or "").split(" ")]
-        return pa.table({"w": pa.array(sorted(set(toks)), pa.string())})
-
-    big = ds.map_batches(
-        explode_bigrams, batch_format="pyarrow").materialize()
-
-    # |V|: distinct tokens — per-batch dedup partials, bucketed distinct
-    vocab_size = bucketed_group_apply(
-        ds.map_batches(explode_unigrams, batch_format="pyarrow"),
-        ["w"], lambda g: g.drop_duplicates("w"),
-    ).count()
-
-    cb = bucketed_aggregate(big, ["bg"], {"c_bg": ("bg", "size")})
-
-    def w1_of(batch: pa.Table) -> pa.Table:
-        w1 = pc.split_pattern(batch["bg"], _BG_SEP)
-        return batch.append_column(
-            "w1", pc.list_element(w1, 0))
-
-    cb = cb.map_batches(w1_of, batch_format="pyarrow")
-    cu = bucketed_aggregate(
-        cb, ["w1"], {"c_w1": ("c_bg", "sum")})  # context count from cb
-
-    terms = bucket_hash_join(cb, cu, "w1", "w1", num_buckets=32)
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        c = batch["c_bg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cu_ = batch["c_w1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        q = np.floor(
-            1e6 * np.log((c + 1.0) / (cu_ + vocab_size))).astype(np.int64)
-        return pa.table({"bg": batch["bg"], "q": pa.array(q)})
-
-    term_q = terms.map_batches(quantize, batch_format="pyarrow")
-    scored = bucket_hash_join(big, term_q, "bg", "bg", num_buckets=32)
-    out = bucketed_aggregate(
-        scored, ["doc_id"],
-        {"n_bigrams": ("q", "size"), "score_q": ("q", "sum")},
-    )
-    return out.map_batches(
-        lambda b: pa.table({
-            "doc_id": b["doc_id"].cast(pa.int64()),
-            "n_bigrams": b["n_bigrams"].cast(pa.int64()),
-            "score_q": b["score_q"].cast(pa.int64()),
-        }),
-        batch_format="pyarrow",
-    )
+    return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 ORACLE_SQL["bigram_lm"] = f"""

@@ -971,3 +971,140 @@ def zipf_fit(ds, text_col: str = "text"):
         "slope": pa.array([round(slope, 6)], pa.float64()),
         "intercept": pa.array([round(intercept, 6)], pa.float64()),
     }))
+
+
+# --- bigram LM + feature hashing (stage forms of the driver queries) -------
+
+BG_SEP = "\x1f"  # unit separator — never appears in the token stream
+
+
+def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 32):
+    """Bigram add-one-smoothed LM document scoring (order-aware upgrade of
+    `lm_score`): per doc, Σ over its bigrams of floor(1e6·ln((c(w1,w2)+1)
+    /(c(w1·)+V))) — quantized int64 BEFORE summing, order-free.
+
+    Scale plan — the `bpe_encode` pattern end-to-end: bigram and context
+    counts stay Datasets, the quantized term table is one bucketed string
+    join (bigram counts ⋈ context counts on w1), scoring is a second
+    bucketed join of the exploded (doc, bigram) stream, finished by a
+    bucketed integer-sum aggregate. The only driver scalar is |V|."""
+    import pyarrow.compute as pc_
+
+    from .groupops import bucketed_aggregate, bucketed_group_apply
+    from .joins import bucket_hash_join
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        doc, bg = [], []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            doc.extend([d] * (len(ws) - 1))
+            bg.extend(ws[i] + BG_SEP + ws[i + 1] for i in range(len(ws) - 1))
+        return pa.table({
+            id_col: pa.array(np.asarray(doc, np.int64)),
+            "bg": pa.array(bg, pa.string()),
+        })
+
+    def explode_unigrams(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks = [w for t in texts for w in (t or "").split(" ")]
+        return pa.table({"w": pa.array(sorted(set(toks)), pa.string())})
+
+    big = ds.map_batches(
+        explode_bigrams, batch_format="pyarrow").materialize()
+    vocab_size = bucketed_group_apply(
+        ds.map_batches(explode_unigrams, batch_format="pyarrow"),
+        ["w"], lambda g: g.drop_duplicates("w"),
+        num_buckets=num_buckets,
+    ).count()
+    cb = bucketed_aggregate(big, ["bg"], {"c_bg": ("bg", "size")},
+                            num_buckets=num_buckets)
+
+    def w1_of(batch: pa.Table) -> pa.Table:
+        w1 = pc_.split_pattern(batch["bg"], BG_SEP)
+        return batch.append_column("w1", pc_.list_element(w1, 0))
+
+    cb = cb.map_batches(w1_of, batch_format="pyarrow")
+    cu = bucketed_aggregate(cb, ["w1"], {"c_w1": ("c_bg", "sum")},
+                            num_buckets=num_buckets)
+    terms = bucket_hash_join(cb, cu, "w1", "w1", num_buckets=num_buckets)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        c = batch["c_bg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu_ = batch["c_w1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(
+            1e6 * np.log((c + 1.0) / (cu_ + vocab_size))).astype(np.int64)
+        return pa.table({"bg": batch["bg"], "q": pa.array(q)})
+
+    term_q = terms.map_batches(quantize, batch_format="pyarrow")
+    scored = bucket_hash_join(big, term_q, "bg", "bg",
+                              num_buckets=num_buckets)
+    out = bucketed_aggregate(
+        scored, [id_col],
+        {"n_bigrams": ("q", "size"), "score_q": ("q", "sum")},
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            "n_bigrams": b["n_bigrams"].cast(pa.int64()),
+            "score_q": b["score_q"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def feature_hash_vectors(ds, dim: int = 64, text_col: str = "text",
+                         id_col: str = "doc_id", num_buckets: int = 32):
+    """Signed feature hashing (the hashing trick): token → dimension
+    md5(tok) % dim with ±1 sign from the next hash bit — fixed-D sparse
+    vectors with NO vocabulary table anywhere (the scale answer to term
+    indexing). md5 keeps DuckDB oracle parity; in-batch (doc, dim)
+    partial combine, then ONE bucketed integer-sum aggregate."""
+    import hashlib
+
+    from .groupops import bucketed_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        toks_per = [(t or "").split(" ") for t in texts]
+        counts = np.array([len(t) for t in toks_per], np.int64)
+        if counts.sum() == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "val_partial": pa.array([], pa.int64()),
+            })
+        all_toks = np.array(
+            [w for toks in toks_per for w in toks], dtype=object)
+        uniq, inv = np.unique(all_toks, return_inverse=True)
+        hv = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in uniq),
+            np.int64, len(uniq),
+        )
+        dim_of = hv % dim
+        sign_of = np.where((hv // dim) % 2 == 0, np.int64(1), np.int64(-1))
+        doc = np.repeat(ids, counts)
+        d = dim_of[inv]
+        s = sign_of[inv]
+        key = doc * dim + d
+        order = np.argsort(key, kind="mergesort")
+        key_s, s_s = key[order], s[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+        sums = np.add.reduceat(s_s, starts)
+        k = key_s[starts]
+        return pa.table({
+            id_col: pa.array(k // dim),
+            "dim": pa.array(k % dim),
+            "val_partial": pa.array(sums.astype(np.int64)),
+        })
+
+    return bucketed_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        [id_col, "dim"], {"val": ("val_partial", "sum")},
+        num_buckets=num_buckets,
+    )
