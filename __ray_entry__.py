@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": cq.q_phrase_search,
         "adamic_adar": cq.q_adamic_adar,
         "pca_power": cq.q_pca_power,
+        "bootstrap_ci": cq.q_bootstrap_ci,
+        "event_transitions": cq.q_event_transitions,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -8940,3 +8940,134 @@ SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS v_q FROM {prev}
 
 
 ORACLE_SQL["pca_power"] = _pca_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# statistics: deterministic subsampling bootstrap + event-type transitions
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+
+
+def q_bootstrap_ci(sf_dir: str):
+    """Subsampling (m-out-of-n) bootstrap of the mean order value: 32
+    deterministic half-replicates, each row's membership in replicate b
+    read off the b-th hex digit of ONE md5 per key (top bit set → in),
+    so the whole resampling plan costs one hash per row and is
+    bit-mirrored by `substr(md5(k), b+1, 1) >= '8'` in SQL. Output one
+    row per replicate (n, sum_cents, floor mean) — the driver hashes the
+    full replicate table, and a CI is any quantile readout over it.
+
+    Scale shape: replicate membership is evaluated IN-BATCH (32 bits per
+    row, no explosion — the per-batch partial is a fixed 32×2 matrix,
+    the HLL argument again); one bounded native aggregate merges."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        # bit b of the row = whether hex digit b has its top bit set
+        bits = np.zeros((key.size, _BOOT_REPS), bool)
+        for r, k in enumerate(key):
+            h = hashlib.md5(str(int(k)).encode()).hexdigest()
+            bits[r] = [c in "89abcdef" for c in h[:_BOOT_REPS]]
+        n_part = bits.sum(axis=0).astype(np.int64)
+        s_part = (bits * cents[:, None]).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.arange(_BOOT_REPS, dtype=np.int64)),
+            "n_partial": pa.array(n_part),
+            "sum_partial": pa.array(s_part),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby(
+        "b").aggregate(Sum("n_partial"), Sum("sum_partial"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n_partial)"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = batch["sum(sum_partial)"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "b": batch["b"].cast(pa.int64()),
+            "n": pa.array(n),
+            "sum_cents": pa.array(s),
+            "mean_cents": pa.array(s // n),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+ORACLE_SQL["bootstrap_ci"] = f"""
+WITH reps AS (SELECT unnest(range({_BOOT_REPS})) AS b),
+s AS (
+  SELECT r.b, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o CROSS JOIN reps r
+  WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+               CAST(r.b AS INTEGER) + 1, 1) >= '8'
+)
+SELECT b, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+FROM s GROUP BY b
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts of the per-user event-type
+    sequence ((ts, event_id)-ordered) — the behavioral transition matrix
+    sessionization/funnel features build on. One bucketed shuffle on
+    user_id (a user's whole sequence meets in its bucket, vectorized
+    shift — no per-user dispatch), finished by the bounded
+    |types|²-domain native aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series(dtype=object),
+                "to_type": pd.Series(dtype=object),
+                "n_partial": pd.Series(dtype=np.int64),
+            })
+        same = u[1:] == u[:-1]
+        sub = pd.DataFrame({"from_type": t[:-1][same],
+                            "to_type": t[1:][same]})
+        out = sub.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n_partial"})
+
+    agg = bucketed_group_apply(ds, ["user_id"], trans_bucket).groupby(
+        ["from_type", "to_type"]).aggregate(Sum("n_partial"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "from_type": b["from_type"],
+            "to_type": b["to_type"],
+            "n": b["sum(n_partial)"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["event_transitions"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""

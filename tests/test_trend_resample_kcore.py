@@ -786,3 +786,43 @@ class TestPcaPower:
         v = np.array(_pca_iterate(G, d, rounds=12), dtype=np.float64)
         cos = abs(v @ u) / np.linalg.norm(v)
         assert cos > 0.999
+
+
+class TestBootstrapAndTransitions:
+    def test_bootstrap_matches_direct(self, ray_session):
+        import hashlib
+
+        from overmatch_ray.pipelines.corpus_queries import (
+            _BOOT_REPS, q_bootstrap_ci,
+        )
+
+        out = _to_table(q_bootstrap_ci(SF)).to_pandas().sort_values("b")
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"]).to_pandas()
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        hexes = [hashlib.md5(str(int(k)).encode()).hexdigest()
+                 for k in o["o_orderkey"]]
+        assert len(out) == _BOOT_REPS
+        for r in out.itertuples():
+            sel = np.array([h[r.b] in "89abcdef" for h in hexes])
+            assert int(r.n) == int(sel.sum())
+            assert int(r.sum_cents) == int(cents[sel].sum())
+            assert int(r.mean_cents) == int(cents[sel].sum()) // int(sel.sum())
+        # half-sampling sanity: replicate sizes concentrate near n/2
+        assert abs(out["n"].mean() - len(o) / 2) < len(o) * 0.05
+
+    def test_transitions_match_direct(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_event_transitions
+
+        out = _to_table(q_event_transitions(SF)).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        want: dict[tuple[str, str], int] = {}
+        for _, g in ev.groupby("user_id"):
+            t = g["event_type"].tolist()
+            for a, b in zip(t[:-1], t[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+        assert got == want
