@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power": cq.q_pca_power,
         "bootstrap_ci": cq.q_bootstrap_ci,
         "event_transitions": cq.q_event_transitions,
+        "cohort_ltv": cq.q_cohort_ltv,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

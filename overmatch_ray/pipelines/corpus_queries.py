@@ -9071,3 +9071,88 @@ SELECT prev AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# customer analytics: cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: customers cohorted by the calendar
+    month of their FIRST order; revenue accumulated per (cohort_month,
+    months_since_first) cell in exact integer cents — `user_retention`'s
+    money-weighted sibling (retention counts heads, LTV sums spend).
+    Month arithmetic is pure integers (year·12+month), so the age
+    computation is exact in both engines.
+
+    Scale shape: the per-customer first-order month is a bucketed
+    min-aggregate (customer cardinality — never the native per-group
+    reduce), joined back by one bucketed hash join; the (cohort × age)
+    readout is a bounded calendar-domain native aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_aggregate
+    from ..stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = ts.astype("datetime64[us]").astype("datetime64[M]")
+        mon = (d.astype(np.int64)  # 0-based months since 1970-01 →
+               + np.int64(1970 * 12 + 1))  # SQL's year·12+month (1-based)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "cust": batch["o_custkey"].cast(pa.int64()),
+            "mon": pa.array(mon),
+            "cents": pa.array(cents),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    first = bucketed_aggregate(
+        prepped, ["cust"], {"first_mon": ("mon", "min")})
+    joined = bucket_hash_join(prepped, first, "cust", "cust",
+                              num_buckets=32)
+
+    def cell(batch: pa.Table) -> pa.Table:
+        mon = batch["mon"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fm = batch["first_mon"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "cohort_mon": pa.array(fm),
+            "age_months": pa.array(mon - fm),
+            "cents": batch["cents"],
+        })
+
+    agg = joined.map_batches(cell, batch_format="pyarrow").groupby(
+        ["cohort_mon", "age_months"]).aggregate(Sum("cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cohort_mon": b["cohort_mon"].cast(pa.int64()),
+            "age_months": b["age_months"].cast(pa.int64()),
+            "revenue_cents": b["sum(cents)"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), f AS (
+  SELECT cust, min(mon) AS first_mon FROM o GROUP BY 1
+)
+SELECT f.first_mon AS cohort_mon,
+       o.mon - f.first_mon AS age_months,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN f ON f.cust = o.cust
+GROUP BY 1, 2
+"""

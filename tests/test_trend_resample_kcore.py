@@ -826,3 +826,29 @@ class TestBootstrapAndTransitions:
                 want[(a, b)] = want.get((a, b), 0) + 1
         got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
         assert got == want
+
+
+class TestCohortLtv:
+    def test_matches_pandas_reference(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_cohort_ltv
+
+        out = _to_table(q_cohort_ltv(SF)).to_pandas()
+        o = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ).to_pandas()
+        o["mon"] = (o["o_orderdate"].dt.year * 12
+                    + o["o_orderdate"].dt.month).astype(np.int64)
+        o["cents"] = np.round(o["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        o["first_mon"] = o.groupby("o_custkey")["mon"].transform("min")
+        ref = (o.assign(age=o["mon"] - o["first_mon"])
+               .groupby(["first_mon", "age"], as_index=False)["cents"].sum())
+        got = {(int(r.cohort_mon), int(r.age_months)): int(r.revenue_cents)
+               for r in out.itertuples()}
+        want = {(int(r.first_mon), int(r.age)): int(r.cents)
+                for r in ref.itertuples()}
+        assert got == want
+        # every customer's first order lands in age 0 of its cohort
+        assert all(a >= 0 for (_, a) in got)
+        assert sum(v for (c, a), v in got.items() if a == 0) > 0
