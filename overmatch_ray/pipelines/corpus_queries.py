@@ -9156,3 +9156,37 @@ SELECT f.first_mon AS cohort_mon,
 FROM o JOIN f ON f.cust = o.cust
 GROUP BY 1, 2
 """
+
+
+def q_order_width_hist(sf_dir: str):
+    """Fan-out distribution: histogram of lineitems-per-order widths —
+    the skew diagnostic every join planner wants (a heavy tail here is
+    exactly what the skew_hash_join bypass exists for). Two-stage plan:
+    per-order width by a bucketed size-aggregate (order cardinality —
+    high, so never the native per-group reduce), then the bounded
+    width-domain native count; rows cross one shuffle as (key) only."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groupops import bucketed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    widths = bucketed_aggregate(
+        li, ["l_orderkey"], {"width": ("l_orderkey", "size")})
+    agg = widths.groupby("width").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "width": b["width"].cast(pa.int64()),
+            "n_orders": b["count()"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["order_width_hist"] = """
+WITH w AS (
+  SELECT l_orderkey, count(*) AS width FROM lineitem GROUP BY 1
+)
+SELECT CAST(width AS BIGINT) AS width,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM w GROUP BY 1
+"""
