@@ -9190,3 +9190,80 @@ SELECT CAST(width AS BIGINT) AS width,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY 1
 """
+
+
+def q_codemand_pairs(sf_dir: str):
+    """Temporal co-demand: per part, the number of lineitem pairs from
+    DIFFERENT orders shipped within 7 days of each other — the
+    interval self-join that feeds demand-correlation features. Counted
+    WITHOUT generating pairs: lineitems sort (part, day) inside their
+    hash bucket, one searchsorted sweep counts each row's 7-day
+    successors (total pairs), a second keyed (part, order, day) sweep
+    subtracts same-order pairs — O(n log n) per bucket, output
+    cardinality |parts|, never the quadratic pair stream (shipdates are
+    day-aligned, so integer day diffs mirror the oracle's µs diffs
+    exactly)."""
+    from ..stages.groupops import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_orderkey", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (batch["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "part": batch["l_partkey"].cast(pa.int64()),
+            "order_key": batch["l_orderkey"].cast(pa.int64()),
+            "day": pa.array(day.astype(np.int64)),
+        })
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"part": pd.Series(dtype=np.int64),
+                                 "n_pairs": pd.Series(dtype=np.int64)})
+        part = g["part"].to_numpy()
+        order_key = g["order_key"].to_numpy()
+        day = g["day"].to_numpy()
+
+        def window_counts(keys1, keys2, d):
+            # rows sorted by (keys…, day): for row i, successors j > i
+            # with same keys and day_j − day_i ≤ 7
+            order = np.lexsort((d,) + tuple(reversed(keys2)))
+            dd = d[order]
+            # composite int key: group rank · 2^20 + day-offset (day
+            # range ≪ 2^20 and rank · 2^20 ≪ 2^63)
+            grp = np.zeros(len(dd), np.int64)
+            if keys1:
+                stacked = np.stack([k[order] for k in keys1])
+                changed = np.zeros(len(dd), bool)
+                changed[1:] = (stacked[:, 1:] != stacked[:, :-1]).any(axis=0)
+                grp = np.cumsum(changed)
+            base = dd - dd.min()
+            ck = grp * np.int64(1) * np.int64(1 << 20) + base
+            hi = np.searchsorted(ck, ck + 7, "right")
+            cnt = hi - np.arange(len(ck)) - 1
+            out = np.zeros(len(dd), np.int64)
+            out[order] = cnt
+            return out
+
+        total = window_counts([part], [part], day)
+        same = window_counts([part, order_key], [part, order_key], day)
+        per_row = total - same
+        res = pd.DataFrame({"part": part, "n_pairs": per_row}).groupby(
+            "part", as_index=False)["n_pairs"].sum()
+        return res[res["n_pairs"] > 0].astype(np.int64)
+
+    return bucketed_group_apply(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["part"], count_bucket,
+    )
+
+
+ORACLE_SQL["codemand_pairs"] = """
+SELECT a.l_partkey AS part, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey
+ AND abs(epoch_us(a.l_shipdate) - epoch_us(b.l_shipdate))
+     <= CAST(7 AS BIGINT) * 86400 * 1000000
+GROUP BY 1
+"""

@@ -852,3 +852,28 @@ class TestCohortLtv:
         # every customer's first order lands in age 0 of its cohort
         assert all(a >= 0 for (_, a) in got)
         assert sum(v for (c, a), v in got.items() if a == 0) > 0
+
+
+class TestCodemandPairs:
+    def test_matches_brute_force(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_codemand_pairs
+
+        out = _to_table(q_codemand_pairs(SF)).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_orderkey", "l_shipdate"],
+        ).to_pandas()
+        li["day"] = li["l_shipdate"].astype("int64") // 86_400_000_000
+        want: dict[int, int] = {}
+        for part, g in li.groupby("l_partkey"):
+            d = g["day"].to_numpy()
+            ok = g["l_orderkey"].to_numpy()
+            n = 0
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    if ok[i] != ok[j] and abs(int(d[i]) - int(d[j])) <= 7:
+                        n += 1
+            if n:
+                want[int(part)] = n
+        got = {int(r.part): int(r.n_pairs) for r in out.itertuples()}
+        assert got == want
