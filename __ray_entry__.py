@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": cq.q_cohort_ltv,
         "order_width_hist": cq.q_order_width_hist,
         "codemand_pairs": cq.q_codemand_pairs,
+        "label_propagation": cq.q_label_propagation,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

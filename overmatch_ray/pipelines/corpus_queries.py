@@ -9267,3 +9267,193 @@ FROM lineitem a JOIN lineitem b
      <= CAST(7 AS BIGINT) * 86400 * 1000000
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised auto-labeling: label propagation on the exact kNN graph
+# ---------------------------------------------------------------------------
+
+_LP_K = 8
+_LP_ROUNDS = 2
+
+
+def q_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation — the auto-labeling operator a
+    training-data pipeline uses to extend a seed label set: vectors with
+    vec_id % 3 == 0 are unlabeled; the rest seed their class. The graph
+    is the EXACT top-8 neighbor list by INTEGER dot product of
+    floor(1e6·x)-quantized embeddings (exact because float dot-product
+    accumulation order would make cross-engine top-k ties undecidable),
+    ties → smaller dst; 2 unrolled rounds of majority vote (ties →
+    smaller label; seeds clamped).
+
+    Scale shape: quantized QUERY matrix broadcast once (the ANN-family
+    broadcast-queries convention — shard queries at fleet scale), corpus
+    stays distributed; per-batch integer matmul emits per-query
+    top-(k+1) PARTIALS, one bucketed merge finishes the graph. Label
+    rounds are Dataset-only: bucketed hash join (edges ⋈ labels on dst)
+    + bucketed majority per src — nothing corpus-scale on the driver at
+    any step."""
+    import ray as _ray
+
+    from ..stages.groupops import bucketed_group_apply
+    from ..stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def quant(batch: pa.Table):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        return ids, q
+
+    # query side: the full quantized corpus, broadcast once
+    qparts = ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "qbytes": pa.array(
+                [q.tobytes() for q in quant(b)[1]], pa.binary()),
+        }),
+        batch_format="pyarrow",
+    ).take_all()
+    qids = np.array([r["vec_id"] for r in qparts], np.int64)
+    order = np.argsort(qids, kind="mergesort")
+    qids = qids[order]
+    qmat = np.stack([
+        np.frombuffer(qparts[i]["qbytes"], np.int64) for i in order])
+    q_ref = _ray.put((qids, qmat))
+
+    def knn_partial(batch: pa.Table) -> pa.Table:
+        ids, q = quant(batch)
+        qi, qm = _ray.get(q_ref)
+        dots = q @ qm.T  # (batch × corpus) exact int64
+        take = min(_LP_K + 1, ids.size)
+        out_src, out_dst, out_dot = [], [], []
+        # per QUERY column: top candidates among this batch's rows
+        part = np.argpartition(-dots, take - 1, axis=0)[:take]
+        for c in range(qi.size):
+            rows = part[:, c]
+            out_src.append(np.full(take, qi[c], np.int64))
+            out_dst.append(ids[rows])
+            out_dot.append(dots[rows, c])
+        return pa.table({
+            "src": pa.array(np.concatenate(out_src)),
+            "dst": pa.array(np.concatenate(out_dst)),
+            "dot": pa.array(np.concatenate(out_dot)),
+        })
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["src"] != g["dst"]]
+        g = g.sort_values(["src", "dot", "dst"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("src", sort=False).head(_LP_K)[["src", "dst"]]
+
+    edges = bucketed_group_apply(
+        ds.map_batches(knn_partial, batch_format="pyarrow"),
+        ["src"], topk_bucket,
+    ).materialize()
+
+    labels = ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "lab": pa.array(np.where(
+                b["vec_id"].to_numpy(zero_copy_only=False) % 3 != 0,
+                b["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.int64(-1))),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["lab"] != -1]
+        if not len(g):
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "maj": pd.Series(dtype=np.int64)})
+        cnt = g.groupby(["src", "lab"], as_index=False).size()
+        cnt = cnt.sort_values(["src", "size", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = cnt.groupby("src", sort=False).head(1)
+        return pd.DataFrame({"vec_id": top["src"].to_numpy(np.int64),
+                             "maj": top["lab"].to_numpy(np.int64)})
+
+    for _ in range(_LP_ROUNDS):
+        joined = bucket_hash_join(edges, labels, "dst", "vec_id",
+                                  num_buckets=16)
+        maj = bucketed_group_apply(joined, ["src"], majority)
+        upd = bucket_hash_join(labels, maj, "vec_id", "vec_id",
+                               num_buckets=16, how="left")
+
+        def apply_update(batch: pa.Table) -> pa.Table:
+            lab = batch["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mj = batch["maj"].to_numpy(zero_copy_only=False)
+            mj = np.where(pd.isna(mj), -1, mj).astype(np.int64)
+            return pa.table({
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "lab": pa.array(np.where(lab != -1, lab, mj)),
+            })
+
+        labels = upd.map_batches(
+            apply_update, batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "label_out": b["lab"].cast(pa.int64()),
+            "was_seed": pa.array(
+                (b["vec_id"].to_numpy(zero_copy_only=False) % 3 != 0)
+                .astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _lp_oracle_sql() -> str:
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i, CAST(floor(1e6 * CAST(x AS DOUBLE)) AS BIGINT) AS qv
+  FROM e
+), dots AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.qv * b.qv) AS dot
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), knn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY dot DESC, dst) AS rn
+    FROM dots) WHERE rn <= {_LP_K}
+), l0 AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN vec_id % 3 <> 0 THEN CAST(label AS BIGINT)
+                      ELSE -1 END AS lab
+  FROM embeddings)"""
+    prev = "l0"
+    for r in range(1, _LP_ROUNDS + 1):
+        sql += f""",
+maj{r} AS (
+  SELECT src, lab FROM (
+    SELECT k.src, l.lab,
+           row_number() OVER (PARTITION BY k.src
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM knn k JOIN {prev} l ON l.vec_id = k.dst AND l.lab <> -1
+    GROUP BY k.src, l.lab) WHERE rn = 1
+), r{r} AS MATERIALIZED (
+  SELECT v.vec_id,
+         CASE WHEN v.lab <> -1 THEN v.lab
+              ELSE COALESCE(m.lab, -1) END AS lab
+  FROM {prev} v LEFT JOIN maj{r} m ON m.src = v.vec_id)"""
+        prev = f"r{r}"
+    sql += f"""
+SELECT vec_id, lab AS label_out,
+       CAST(CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS was_seed
+FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["label_propagation"] = _lp_oracle_sql()

@@ -877,3 +877,51 @@ class TestCodemandPairs:
                 want[int(part)] = n
         got = {int(r.part): int(r.n_pairs) for r in out.itertuples()}
         assert got == want
+
+
+class TestLabelPropagation:
+    def test_matches_direct_replay(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _LP_K, _LP_ROUNDS, q_label_propagation,
+        )
+
+        out = _to_table(q_label_propagation(SF)).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = np.stack(t["embedding"].to_numpy())[order]
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        dots = q @ q.T
+        n = len(ids)
+        nbrs = []
+        for i in range(n):
+            cand = [(-(dots[i, j]), ids[j]) for j in range(n) if j != i]
+            cand.sort()
+            nbrs.append([d for _, d in cand[:_LP_K]])
+        pos = {int(v): i for i, v in enumerate(ids)}
+        lab = np.where(ids % 3 != 0,
+                       t["label"].to_numpy()[order].astype(np.int64), -1)
+        for _ in range(_LP_ROUNDS):
+            new = lab.copy()
+            for i in range(n):
+                if lab[i] != -1:
+                    continue
+                votes: dict[int, int] = {}
+                for d in nbrs[i]:
+                    l_ = lab[pos[d]]
+                    if l_ != -1:
+                        votes[int(l_)] = votes.get(int(l_), 0) + 1
+                if votes:
+                    new[i] = min(votes, key=lambda k: (-votes[k], k))
+            lab = new
+        got = dict(zip(out["vec_id"].astype(int), out["label_out"].astype(int)))
+        want = dict(zip(ids.tolist(), lab.tolist()))
+        assert got == want
+        # seeds are clamped; at least one non-seed actually got labeled
+        seeds = out[out["was_seed"] == 1]
+        orig = dict(zip(t["vec_id"].astype(int), t["label"].astype(int)))
+        assert all(int(r.label_out) == orig[int(r.vec_id)]
+                   for r in seeds.itertuples())
+        nonseed = out[out["was_seed"] == 0]
+        assert (nonseed["label_out"] != -1).any()
