@@ -415,3 +415,67 @@ def read_overture_places(
 
         ds = ds.map_batches(cat_filter, batch_format="pyarrow")
     return ds
+
+
+# --- Arrow IPC (Feather v2) source/sink ------------------------------------
+
+
+def write_arrow_ipc(ds, out_dir: str) -> "ray.data.Dataset":
+    """Arrow IPC (Feather v2) sink: one .arrow file per block, tmp +
+    atomic rename, (file, rows) receipt rows — same crash-safe part-file
+    contract as the JSONL sink, but zero-copy columnar on the way back
+    in (the interchange format to hand batches to another Arrow-native
+    engine without a parquet re-encode)."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.arrow")
+        tmp = name + ".tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, batch.schema) as w:
+                w.write_table(batch)
+        os.replace(tmp, name)
+        return pa.table(
+            {"file": pa.array([name]), "rows": pa.array([batch.num_rows])}
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def read_arrow_ipc(path_or_dir: str, columns=None) -> "ray.data.Dataset":
+    """Arrow IPC (Feather v2) source: one READ TASK PER FILE (the file
+    list is the split axis — same parallelism story as read_parquet's
+    fragments), column projection pushed into the IPC reader so only the
+    requested columns are materialized; unreadable files are skipped
+    with the JSONL reader's bad-input tolerance (truncated tail files
+    from a killed writer must not poison a resume)."""
+    if os.path.isdir(path_or_dir):
+        paths = sorted(
+            os.path.join(path_or_dir, f)
+            for f in os.listdir(path_or_dir)
+            if f.endswith(".arrow")
+        )
+    else:
+        paths = [path_or_dir]
+
+    def load(batch: pa.Table) -> "pa.Table":
+        out = []
+        for p in batch["path"].to_pylist():
+            try:
+                with pa.memory_map(p, "r") as src:
+                    t = pa.ipc.open_file(src).read_all()
+            except (pa.ArrowInvalid, OSError):
+                continue  # skip corrupt/truncated part files
+            out.append(t.select(columns) if columns else t)
+        if not out:
+            return pa.table({})
+        combined = pa.concat_tables(out)
+        return combined.combine_chunks()
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths]
+    ).repartition(max(1, len(paths))).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )

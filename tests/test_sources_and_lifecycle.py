@@ -814,3 +814,38 @@ class TestSparqlOsmSource:
         want_cols = set(read_geojson_points(str(gp)).schema().names)
         got_cols = set(sparql_osm_source(str(p), "q").schema().names)
         assert want_cols == got_cols
+
+
+class TestArrowIpc:
+    def test_roundtrip_and_corrupt_skip(self, ray_session, tmp_path):
+        import ray.data
+
+        from overmatch_ray.sources import read_arrow_ipc, write_arrow_ipc
+
+        tbl = pa.table({
+            "k": pa.array(np.arange(100, dtype=np.int64)),
+            "s": pa.array([f"v{i}" for i in range(100)]),
+            "x": pa.array(np.linspace(0, 1, 100)),
+        })
+        out = str(tmp_path / "ipc")
+        receipts = write_arrow_ipc(
+            ray.data.from_arrow(tbl).repartition(4), out
+        ).to_pandas()
+        assert receipts["rows"].sum() == 100
+        assert len(receipts) == 4  # one part per block
+
+        back = read_arrow_ipc(out).to_pandas().sort_values("k")
+        assert back["k"].tolist() == list(range(100))
+        assert back["s"].tolist() == [f"v{i}" for i in range(100)]
+
+        # column projection
+        proj = read_arrow_ipc(out, columns=["k"]).to_pandas()
+        assert list(proj.columns) == ["k"]
+
+        # a truncated part file (killed writer) is skipped, not fatal
+        part = sorted(p for p in os.listdir(out) if p.endswith(".arrow"))[0]
+        full = os.path.join(out, part)
+        data = open(full, "rb").read()
+        open(full, "wb").write(data[: len(data) // 2])
+        survivors = read_arrow_ipc(out).to_pandas()
+        assert 0 < len(survivors) < 100
