@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_width_hist": cq.q_order_width_hist,
         "codemand_pairs": cq.q_codemand_pairs,
         "label_propagation": cq.q_label_propagation,
+        "inventory_scan": cq.q_inventory_scan,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

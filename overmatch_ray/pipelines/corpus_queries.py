@@ -9457,3 +9457,96 @@ FROM {prev}
 
 
 ORACLE_SQL["label_propagation"] = _lp_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# stateful scan: clamped running balance (bounded-counter semantics)
+# ---------------------------------------------------------------------------
+
+_INV_CAP = 50_000   # balance ceiling (cents)
+_INV_USER_CAP = 30  # oracle cost bound: recursive CTE iterates per step
+
+
+def q_inventory_scan(sf_dir: str):
+    """Clamped running balance per user — bounded-counter semantics
+    (inventory/credit ledgers): bal_i = clamp(bal_{i-1} + δ_i, 0, CAP),
+    purchases/clicks credit, everything else debits, in exact cents.
+    This scan is NON-ASSOCIATIVE as plain addition (the window-function
+    family can't express it — the oracle needs a WITH RECURSIVE replay),
+    but x ↦ clamp(x+a, l, h) maps COMPOSE closed-form ((a,l,h) triples:
+    a'=a₁+a₂, l'=clamp(l₁+a₂,l₂,h₂), h'=clamp(h₁+a₂,l₂,h₂)), which is
+    the split-sequence parallel-scan law a fleet-scale deployment would
+    use to shard one enormous key; here a user's whole sequence meets in
+    its hash bucket and runs as one ordered pass (users are the parallel
+    axis, per-user length bounds the sequential term)."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = uid < _INV_USER_CAP
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)[m]
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        delta = np.where((et == "purchase") | (et == "click"),
+                         cents, -cents)
+        return pa.table({
+            "user_id": pa.array(uid[m]),
+            "ts": batch["ts"].filter(pa.array(m)),
+            "event_id": batch["event_id"].filter(pa.array(m)).cast(
+                pa.int64()),
+            "delta": pa.array(delta),
+        })
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "event_id": pd.Series(dtype=np.int64),
+                                 "bal": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["delta"].to_numpy()
+        bal = np.empty(len(g), np.int64)
+        b = 0
+        prev_u = None
+        for i in range(len(g)):  # inherently sequential per key; users
+            if u[i] != prev_u:   # are the parallel axis (docstring)
+                b = 0
+                prev_u = u[i]
+            b = min(_INV_CAP, max(0, b + int(d[i])))
+            bal[i] = b
+        return pd.DataFrame({
+            "user_id": u, "event_id": g["event_id"].to_numpy(), "bal": bal})
+
+    return bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], scan_bucket,
+    )
+
+
+ORACLE_SQL["inventory_scan"] = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'click')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < {_INV_USER_CAP}
+),
+rec AS (
+  SELECT user_id, rn, event_id,
+         least(CAST({_INV_CAP} AS BIGINT),
+               greatest(CAST(0 AS BIGINT), delta)) AS bal
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_id,
+         least(CAST({_INV_CAP} AS BIGINT),
+               greatest(CAST(0 AS BIGINT), r.bal + s.delta))
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, bal FROM rec
+"""

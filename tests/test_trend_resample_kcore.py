@@ -925,3 +925,66 @@ class TestLabelPropagation:
                    for r in seeds.itertuples())
         nonseed = out[out["was_seed"] == 0]
         assert (nonseed["label_out"] != -1).any()
+
+
+class TestInventoryScan:
+    def test_matches_sequential_and_composition_law(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _INV_CAP, _INV_USER_CAP, q_inventory_scan,
+        )
+
+        out = _to_table(q_inventory_scan(SF)).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+        ).to_pandas()
+        ev = ev[ev["user_id"] < _INV_USER_CAP].sort_values(
+            ["user_id", "ts", "event_id"])
+        want = {}
+        hit_low = hit_high = False
+        for uid, g in ev.groupby("user_id"):
+            b = 0
+            for r in g.itertuples():
+                cents = int(np.round(r.value * 100))
+                d = cents if r.event_type in ("purchase", "click") else -cents
+                raw = b + d
+                b = min(_INV_CAP, max(0, raw))
+                hit_low |= raw < 0
+                hit_high |= raw > _INV_CAP
+                want[int(r.event_id)] = b
+        got = dict(zip(out["event_id"].astype(int), out["bal"].astype(int)))
+        assert got == want
+        assert hit_low and hit_high  # both clamps actually bind
+
+    def test_clamp_composition_closed_form(self):
+        """The split-sequence law the docstring claims: composing
+        x→clamp(x+a,l,h) maps via (a'=a1+a2, l'=clamp(l1+a2,l2,h2),
+        h'=clamp(h1+a2,l2,h2)) must equal direct sequential evaluation."""
+        rng = np.random.RandomState(3)
+
+        def clamp(x, lo, hi):
+            return min(hi, max(lo, x))
+
+        for _ in range(200):
+            deltas = rng.randint(-50, 51, 12)
+            lo, hi = 0, 40
+            split = rng.randint(1, 11)
+            # direct
+            b = rng.randint(0, 41)
+            direct = b
+            for d in deltas:
+                direct = clamp(direct + int(d), lo, hi)
+            # composed: fold each half into an (a, l, h) triple, compose
+            def fold(ds):
+                a, l_, h_ = 0, -10**9, 10**9
+                for d in ds:
+                    a2, l2, h2 = int(d), lo, hi
+                    a, l_, h_ = (a + a2,
+                                 clamp(l_ + a2, l2, h2),
+                                 clamp(h_ + a2, l2, h2))
+                return a, l_, h_
+            a1, l1, h1 = fold(deltas[:split])
+            a2, l2, h2 = fold(deltas[split:])
+            comp = (a1 + a2, clamp(l1 + a2, l2, h2), clamp(h1 + a2, l2, h2))
+            via = clamp(b + comp[0], comp[1], comp[2])
+            assert via == direct
