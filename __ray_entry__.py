@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codemand_pairs": cq.q_codemand_pairs,
         "label_propagation": cq.q_label_propagation,
         "inventory_scan": cq.q_inventory_scan,
+        "first_touch": cq.q_first_touch,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -9550,3 +9550,82 @@ rec AS (
 )
 SELECT user_id, event_id, bal FROM rec
 """
+
+
+def q_first_touch(sf_dir: str):
+    """FIRST-touch attribution: each purchase credits the EARLIEST click
+    in its trailing 7-day window — the complement of
+    `purchase_attribution`'s as-of (last-touch) join, and a different
+    join shape: as-of wants the nearest predecessor (merge_asof), first
+    touch wants the window MINIMUM, which searchsorted delivers directly
+    — per user, clicks sort once, each purchase binary-searches its
+    window's left edge (O((P+C)·log C) per bucket, no pair stream, no
+    per-row Python). µs-integer latency, ties by (ts, event_id)."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    win_us = np.int64(7 * 86400) * np.int64(1_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "purchase") | (et == "click")
+        sel = pa.array(m)
+        return pa.table({
+            "user_id": batch["user_id"].filter(sel).cast(pa.int64()),
+            "ts_us": batch["ts"].filter(sel).cast(pa.int64()),
+            "event_id": batch["event_id"].filter(sel).cast(pa.int64()),
+            "is_p": pa.array((et[m] == "purchase").astype(np.int8)),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series(dtype=np.int64),
+            "click_id": pd.Series(dtype=np.int64),
+            "lat_us": pd.Series(dtype=np.int64),
+        })
+        out = []
+        for _, sub in g.groupby("user_id", sort=False):
+            p = sub[sub["is_p"] == 1]
+            c = sub[sub["is_p"] == 0].sort_values(
+                ["ts_us", "event_id"], kind="mergesort")
+            if not len(p) or not len(c):
+                continue
+            cts = c["ts_us"].to_numpy()
+            cid = c["event_id"].to_numpy()
+            pts = p["ts_us"].to_numpy()
+            pid = p["event_id"].to_numpy()
+            lo = np.searchsorted(cts, pts - win_us, "left")
+            hi = np.searchsorted(cts, pts, "left")  # strict c.ts < p.ts
+            m = hi > lo
+            if not m.any():
+                continue
+            first = lo[m]  # ties: the (ts, event_id) sort makes min exact
+            out.append(pd.DataFrame({
+                "purchase_id": pid[m],
+                "click_id": cid[first],
+                "lat_us": pts[m] - cts[first],
+            }))
+        return pd.concat(out) if out else empty
+
+    return bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], attach,
+    )
+
+
+ORACLE_SQL["first_touch"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS lat_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, click_id, CAST(lat_us AS BIGINT) AS lat_us
+FROM j WHERE rn = 1
+"""

@@ -988,3 +988,30 @@ class TestInventoryScan:
             comp = (a1 + a2, clamp(l1 + a2, l2, h2), clamp(h1 + a2, l2, h2))
             via = clamp(b + comp[0], comp[1], comp[2])
             assert via == direct
+
+
+class TestFirstTouch:
+    def test_matches_brute_force(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_first_touch
+
+        out = _to_table(q_first_touch(SF)).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ).to_pandas()
+        ev["us"] = ev["ts"].astype("int64")
+        win = 7 * 86400 * 1_000_000
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            p = g[g["event_type"] == "purchase"]
+            c = g[g["event_type"] == "click"].sort_values(["us", "event_id"])
+            for r in p.itertuples():
+                cand = c[(c["us"] < r.us) & (c["us"] >= r.us - win)]
+                if len(cand):
+                    f = cand.iloc[0]
+                    want[int(r.event_id)] = (int(f["event_id"]),
+                                             int(r.us - f["us"]))
+        got = {int(r.purchase_id): (int(r.click_id), int(r.lat_us))
+               for r in out.itertuples()}
+        assert got == want
+        assert len(got) > 0
