@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": cq.q_label_propagation,
         "inventory_scan": cq.q_inventory_scan,
         "first_touch": cq.q_first_touch,
+        "weekday_seasonality": cq.q_weekday_seasonality,
+        "fk_integrity": cq.q_fk_integrity,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -9629,3 +9629,122 @@ WITH p AS (
 SELECT purchase_id, click_id, CAST(lat_us AS BIGINT) AS lat_us
 FROM j WHERE rn = 1
 """
+
+
+def q_weekday_seasonality(sf_dir: str):
+    """Day-of-week seasonal index of order revenue: per ISO weekday,
+    exact revenue/count integers plus the seasonal ratio
+    (weekday mean ÷ overall mean) as ONE mirrored float division of
+    integer-exact operands — the STL-lite seasonal readout. Bounded
+    7-key domain → native per-block partial combine is optimal
+    (CLAUDE.md bounded-domain rule)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d_us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = d_us // 86_400_000_000
+        # 1970-01-01 was a Thursday; ISO weekday 1=Mon..7=Sun
+        dow = ((day + 3) % 7) + 1
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"dow": pa.array(dow.astype(np.int64)),
+                         "cents": pa.array(cents)})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "dow").aggregate(Count(), Sum("cents"))
+    rows = agg.take_all()  # ≤ 7 rows — bounded calendar domain
+    tot_n = sum(int(r["count()"]) for r in rows)
+    tot_s = sum(int(r["sum(cents)"]) for r in rows)
+    rows.sort(key=lambda r: int(r["dow"]))
+    n = np.array([int(r["count()"]) for r in rows], np.int64)
+    s = np.array([int(r["sum(cents)"]) for r in rows], np.int64)
+    # one mirrored float expression over exact integers
+    idx = (s.astype(np.float64) / n) / (np.float64(tot_s) / np.float64(tot_n))
+    return pa.table({
+        "dow": pa.array([int(r["dow"]) for r in rows], pa.int64()),
+        "n_orders": pa.array(n),
+        "revenue_cents": pa.array(s),
+        "seasonal_idx": pa.array(np.round(idx, 6)),
+    })
+
+
+ORACLE_SQL["weekday_seasonality"] = """
+WITH o AS (
+  SELECT isodow(o_orderdate) AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), per AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM o GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+         CAST(sum(revenue_cents) AS BIGINT) AS ts FROM per
+)
+SELECT p.dow, p.n_orders, p.revenue_cents,
+       round((CAST(p.revenue_cents AS DOUBLE) / p.n_orders)
+             / (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6)
+         AS seasonal_idx
+FROM per p CROSS JOIN tot t
+"""
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across the star schema — the data-
+    quality gate a nightly load runs before publishing: for each FK edge
+    (lineitem→orders, orders→customer, customer→nation), total rows and
+    orphan rows (FK with no parent). Orphan detection is the shuffled
+    ANTI semi-join (ids only cross the wire — the Bloom/broadcast
+    small-side path auto-selects when the parent side is small);
+    output is one bounded row per edge."""
+    from ..stages.joins import semi_join_shuffled
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rel, total, orphans = [], [], []
+    for child, fk, parent, pk in edges:
+        c = _read(sf_dir, child, [fk])
+        p = _read(sf_dir, parent, [pk])
+
+        def to_key(col):
+            def _m(batch: pa.Table) -> pa.Table:
+                return pa.table({"k": batch[col].cast(pa.int64())})
+            return _m
+
+        ck = c.map_batches(to_key(fk), batch_format="pyarrow").materialize()
+        pk_ds = p.map_batches(to_key(pk), batch_format="pyarrow").materialize()
+        n_orphan = semi_join_shuffled(ck, pk_ds, "k", "k", anti=True).count()
+        rel.append(f"{child}->{parent}")
+        total.append(ck.count())
+        orphans.append(n_orphan)
+    return pa.table({
+        "edge": pa.array(rel, pa.string()),
+        "n_rows": pa.array(total, pa.int64()),
+        "n_orphans": pa.array(orphans, pa.int64()),
+    })
+
+
+ORACLE_SQL["fk_integrity"] = """
+SELECT 'lineitem->orders' AS edge,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+FROM orders r LEFT JOIN customer c ON c.c_custkey = r.o_custkey
+UNION ALL
+SELECT 'customer->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+"""
