@@ -170,6 +170,7 @@ def corpus_stages(
     num_buckets: int = 32,
     segment_window: "int | None" = None,
     mix: "tuple[dict, float] | None" = None,
+    lm_prune: "float | None" = None,
 ) -> "list[Stage]":
     """The text-axis nightly: the full training-corpus prep chain as
     declarative resumable stages —
@@ -180,7 +181,14 @@ def corpus_stages(
         token-budget shards) → shards_sink (resumable
         split-shard-partitioned parquet)
 
-    Opt-in stages (both default OFF, stage list unchanged otherwise):
+    Opt-in stages (all default OFF, stage list unchanged otherwise):
+    ``lm_prune=p`` inserts bigram-LM perplexity pruning after scrubbing:
+    documents score under the corpus's OWN add-one bigram model
+    (stages.textstats.bigram_lm_scores — exact int64 quantized terms),
+    and each language keeps only docs at or above its p-quantile of
+    per-bigram mean score (filter_by_group_quantile — the calibrated
+    FineWeb-style cut, so a global threshold can't wipe out a
+    low-resource language);
     ``segment_window`` inserts C4-style sub-document dedup
     (stages.dedup.segment_dedup) after document-level dedup, rewriting
     text and recomputing n_tokens; ``mix=(target_weights,
@@ -326,18 +334,69 @@ def corpus_stages(
             ctx["clean"] = redact_pii(ds).materialize()
         return ctx["clean"]
 
+    def _ensure_lm_pruned(ctx: dict):
+        """scrubbed docs after bigram-LM perplexity pruning (or
+        passthrough): per-doc mean quantized log-prob (score_q //
+        n_bigrams — integer, order-free), calibrated per detected
+        language so the cut is relative to each language's own
+        distribution; docs with no bigram (length < 2) carry the
+        minimum score and fall to the cut when lm_prune > 0."""
+        if not lm_prune:
+            return _ensure_clean(ctx)
+        if "lm_pruned" not in ctx:
+            from ..stages.groupops import filter_by_group_quantile
+            from ..stages.joins import bucket_hash_join
+            from ..stages.textstats import bigram_lm_scores
+
+            clean = _ensure_clean(ctx)
+            scores = bigram_lm_scores(clean, "text", "doc_id")
+
+            def per_bigram(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                q = batch["score_q"].to_numpy(zero_copy_only=False)
+                n = batch["n_bigrams"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "doc_id": batch["doc_id"],
+                    "lm_q": pa.array(
+                        (q // np.maximum(n, 1)).astype(np.int64)),
+                })
+
+            joined = bucket_hash_join(
+                clean,
+                scores.map_batches(per_bigram, batch_format="pyarrow"),
+                "doc_id", "doc_id", num_buckets=num_buckets, how="left",
+            )
+
+            def fill_min(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                v = batch["lm_q"].to_numpy(zero_copy_only=False)
+                v = np.where(
+                    pd.isna(v), np.iinfo(np.int64).min, v
+                ).astype(np.int64)
+                return batch.set_column(
+                    batch.column_names.index("lm_q"), "lm_q", pa.array(v))
+
+            filled = joined.map_batches(fill_min, batch_format="pyarrow")
+            ctx["lm_pruned"] = filter_by_group_quantile(
+                filled, "lang_pred", "lm_q", lm_prune, keep="ge",
+                num_buckets=num_buckets,
+            ).drop_columns(["lm_q"]).materialize()
+        return ctx["lm_pruned"]
+
     def _ensure_mixed(ctx: dict):
         """scrubbed docs after static-mixture resampling (or passthrough):
         domain_mix on the DETECTED language, keep-rates from measured
         token mass."""
         if not mix:
-            return _ensure_clean(ctx)
+            return _ensure_lm_pruned(ctx)
         if "mixed" not in ctx:
             from ..stages.splits import domain_mix
 
             weights, bf = mix
             ctx["mixed"] = domain_mix(
-                _ensure_clean(ctx), "doc_id", "lang_pred", "n_tokens",
+                _ensure_lm_pruned(ctx), "doc_id", "lang_pred", "n_tokens",
                 target_weights=weights, budget_fraction=bf,
             ).materialize()
         return ctx["mixed"]
@@ -419,6 +478,9 @@ def corpus_stages(
     def s_mix(ctx: dict) -> dict:
         return {"n_docs": _ensure_mixed(ctx).count()}
 
+    def s_lm_prune(ctx: dict) -> dict:
+        return {"n_docs": _ensure_lm_pruned(ctx).count(), "p": lm_prune}
+
     stages: "list[Stage]" = [
         ("filter", s_filter),
         ("dedup", s_dedup),
@@ -426,6 +488,8 @@ def corpus_stages(
     if segment_window:
         stages.append(("segment_dedup", s_segment))
     stages.append(("scrub", s_scrub))
+    if lm_prune:
+        stages.append(("lm_prune", s_lm_prune))
     if mix:
         stages.append(("mix", s_mix))
     stages += [
@@ -464,6 +528,10 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("--mix", default="",
                    help="corpus: insert static data-mixture resampling — "
                         "'bf:lang=w,lang=w' e.g. '0.6:en=0.4,de=0.3,fr=0.3'")
+    p.add_argument("--lm-prune", type=float, default=0.0,
+                   help="corpus: insert bigram-LM perplexity pruning — keep "
+                        "docs at/above this per-language score quantile "
+                        "(0 = off)")
     args = p.parse_args(argv)
 
     mix = None
@@ -491,7 +559,8 @@ def main(argv: "list[str] | None" = None) -> int:
     if args.pipeline in ("corpus", "both"):
         stage_lists.append(("corpus", corpus_stages(
             args.sf_dir, os.path.join(args.out, "corpus"),
-            segment_window=args.segment_window or None, mix=mix)))
+            segment_window=args.segment_window or None, mix=mix,
+            lm_prune=args.lm_prune or None)))
 
     rc = 0
     for name, stages in stage_lists:

@@ -849,3 +849,29 @@ class TestArrowIpc:
         open(full, "wb").write(data[: len(data) // 2])
         survivors = read_arrow_ipc(out).to_pandas()
         assert 0 < len(survivors) < 100
+
+
+class TestLmPruneStage:
+    def test_calibrated_pruning_and_resume_contract(self, ray_session,
+                                                    tmp_path):
+        from overmatch_ray.pipelines.run_all import (
+            corpus_stages, run_pipeline,
+        )
+
+        out = str(tmp_path / "corpus")
+        receipts = run_pipeline(
+            corpus_stages("/root/testdata/sf0.001", out, lm_prune=0.2),
+            {}, out,
+        )
+        by = {r["stage"]: r for r in receipts}
+        assert "lm_prune" in by and by["lm_prune"]["status"] == "done"
+        n_clean = by["scrub"]["n_clean"]
+        n_pruned = by["lm_prune"]["n_docs"]
+        # the calibrated cut keeps 75-85% at p=0.2 (per-language quantile
+        # boundaries need not land exactly on 80%)
+        assert 0.70 * n_clean <= n_pruned <= 0.90 * n_clean
+        # downstream packing consumed the PRUNED corpus
+        assert by["split_pack"]["n_rows"] == n_pruned
+        # default-off: no lm_prune stage in the plain registry
+        plain = [n for n, _ in corpus_stages("/root/testdata/sf0.001", out)]
+        assert "lm_prune" not in plain
