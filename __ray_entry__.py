@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch": cq.q_first_touch,
         "weekday_seasonality": cq.q_weekday_seasonality,
         "fk_integrity": cq.q_fk_integrity,
+        "haversine_join": cq.q_haversine_join,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

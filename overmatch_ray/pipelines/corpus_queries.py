@@ -9748,3 +9748,101 @@ SELECT 'customer->nation',
        CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
 FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# spatial: great-circle (haversine) radius join
+# ---------------------------------------------------------------------------
+
+_HAV_R = "6371000.0"  # mean Earth radius — mirrored literal
+
+
+def q_haversine_join(sf_dir: str):
+    """Great-circle radius join: customer points vs thinned order points
+    within 100 m HAVERSINE distance — the geodesic twin of
+    `distance_join_100m` (the reference is planar-only; real-Earth
+    metric completeness). Plan: candidates come from the SAME one-shuffle
+    cell co-join at a 150 m PLANAR radius (at φ≈38.9° a 100 m great
+    circle is ≤ ~129 m planar — the cover bound is documented, not
+    hoped), then one vectorized haversine evaluation filters exactly;
+    the trig chain (radians → sin/cos half-angle form → asin) is
+    literal-mirrored so the 1-decimal distances hash-match."""
+    from ..stages.spatial import radius_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def pts(col, thin=None):
+        def _m(batch: pa.Table) -> pa.Table:
+            key = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if thin:
+                key = key[key % thin == 0]
+            lon, lat = _formula_coords(key)
+            return pa.table({
+                "id": pa.array(key),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            })
+        return _m
+
+    a = cust.map_batches(pts("c_custkey"), batch_format="pyarrow")
+    b = orders.map_batches(pts("o_orderkey", thin=4), batch_format="pyarrow")
+    cand = radius_pairs(a, b, 150.0, emit_dist=False)
+
+    def hav(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon1, lat1 = _formula_coords(ia)
+        lon2, lat2 = _formula_coords(ib)
+        R = float(_HAV_R)
+        p1 = np.radians(lat1)
+        p2 = np.radians(lat2)
+        dphi = np.radians(lat2 - lat1)
+        dlam = np.radians(lon2 - lon1)
+        h = (np.sin(dphi / 2) * np.sin(dphi / 2)
+             + np.cos(p1) * np.cos(p2)
+             * np.sin(dlam / 2) * np.sin(dlam / 2))
+        d = 2.0 * R * np.arcsin(np.sqrt(h))
+        m = d <= 100.0
+        return pa.table({
+            "cust_id": pa.array(ia[m]),
+            "order_id": pa.array(ib[m]),
+            "hav_m": pa.array(np.round(d[m], 1)),
+        })
+
+    return cand.map_batches(hav, batch_format="pyarrow")
+
+
+ORACLE_SQL["haversine_join"] = f"""
+WITH a AS (
+  SELECT c_custkey AS id,
+         -77.05 + (c_custkey % 1000) * 1e-4 AS lon,
+         38.85 + ((c_custkey // 1000) % 1000) * 1e-4 AS lat,
+         {_MERC} * radians(-77.05 + (c_custkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 +
+             radians(38.85 + ((c_custkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM customer),
+b AS (
+  SELECT o_orderkey AS id,
+         -77.05 + (o_orderkey % 1000) * 1e-4 AS lon,
+         38.85 + ((o_orderkey // 1000) % 1000) * 1e-4 AS lat,
+         {_MERC} * radians(-77.05 + (o_orderkey % 1000) * 1e-4) AS x,
+         {_MERC} * ln(tan(pi()/4 +
+             radians(38.85 + ((o_orderkey // 1000) % 1000) * 1e-4)/2)) AS y
+  FROM orders WHERE o_orderkey % 4 = 0),
+cand AS (
+  SELECT a.id AS cust_id, b.id AS order_id,
+         a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2
+  FROM a JOIN b
+    ON b.x BETWEEN a.x - 150 AND a.x + 150
+   AND b.y BETWEEN a.y - 150 AND a.y + 150),
+h AS (
+  SELECT cust_id, order_id,
+         2.0 * {_HAV_R} * asin(sqrt(
+             sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+             * sin(radians(lon2 - lon1) / 2)
+             * sin(radians(lon2 - lon1) / 2))) AS d
+  FROM cand)
+SELECT cust_id, order_id, round(d, 1) AS hav_m FROM h WHERE d <= 100.0
+"""

@@ -1015,3 +1015,33 @@ class TestFirstTouch:
                for r in out.itertuples()}
         assert got == want
         assert len(got) > 0
+
+
+class TestHaversineJoin:
+    def test_matches_brute_force_haversine(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _formula_coords, q_haversine_join,
+        )
+
+        out = _to_table(q_haversine_join(SF)).to_pandas()
+        ck = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]
+                           )["c_custkey"].to_numpy().astype(np.int64)
+        ok = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]
+                           )["o_orderkey"].to_numpy().astype(np.int64)
+        ok = ok[ok % 4 == 0]
+        lon1, lat1 = _formula_coords(ck)
+        lon2, lat2 = _formula_coords(ok)
+        R = 6371000.0
+        p1 = np.radians(lat1)[:, None]
+        p2 = np.radians(lat2)[None, :]
+        dphi = np.radians(lat2[None, :] - lat1[:, None])
+        dlam = np.radians(lon2[None, :] - lon1[:, None])
+        h = (np.sin(dphi / 2) ** 2
+             + np.cos(p1) * np.cos(p2) * np.sin(dlam / 2) ** 2)
+        d = 2.0 * R * np.arcsin(np.sqrt(h))
+        ii, jj = np.nonzero(d <= 100.0)
+        want = {(int(ck[i]), int(ok[j])) for i, j in zip(ii, jj)}
+        got = {(int(r.cust_id), int(r.order_id)) for r in out.itertuples()}
+        assert got == want
+        assert len(got) > 0
+        assert (out["hav_m"] <= 100.0).all()
