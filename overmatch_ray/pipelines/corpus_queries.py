@@ -9846,3 +9846,92 @@ h AS (
   FROM cand)
 SELECT cust_id, order_id, round(d, 1) AS hav_m FROM h WHERE d <= 100.0
 """
+
+
+def q_fisher_ratio(sf_dir: str):
+    """Fisher discriminant ratio per label pair over the embeddings table
+    — the class-separability diagnostic (is this label pair linearly
+    distinguishable at all?): Σ_d (μ1_d − μ2_d)² / (σ1²_d + σ2²_d),
+    computed from integer-quantized per-(label, dim) moment sums
+    (floor(1e6·x) and its square — exact int64 folds; the float
+    means/variances are ONE mirrored expression chain over exact
+    operands, summed in fixed dim order both sides).
+
+    Scale shape: per-block (label × dim)-bounded moment partials (640
+    cells) → native aggregate; only that bounded table reaches the
+    driver; the |labels|² pair readout is pure arithmetic."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        dim = q.shape[1]
+        labs = np.repeat(lab, dim)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(lab))
+        return pa.table({
+            "label": pa.array(labs),
+            "d": pa.array(dims),
+            "s": pa.array(q.ravel()),
+            "s2": pa.array((q * q).ravel()),
+            "one": pa.array(np.ones(labs.size, np.int64)),
+        })
+
+    rows = ds.map_batches(moments, batch_format="pyarrow").groupby(
+        ["label", "d"]).aggregate(Sum("s"), Sum("s2"), Sum("one")).take_all()
+    per: dict[int, dict[int, tuple[int, int, int]]] = {}
+    for r in rows:
+        per.setdefault(int(r["label"]), {})[int(r["d"])] = (
+            int(r["sum(s)"]), int(r["sum(s2)"]), int(r["sum(one)"]))
+    labels = sorted(per)
+    la_out, lb_out, ratio = [], [], []
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            tot = 0
+            for d in sorted(per[la]):  # per-term quantize → order-free sum
+                s1, ss1, n1 = per[la][d]
+                s2, ss2, n2 = per[lb][d]
+                m1 = s1 / n1
+                m2 = s2 / n2
+                v1 = ss1 / n1 - m1 * m1
+                v2 = ss2 / n2 - m2 * m2
+                term = (m1 - m2) * (m1 - m2) / (v1 + v2)
+                tot += int(np.floor(1e9 * term))
+            la_out.append(la)
+            lb_out.append(lb)
+            ratio.append(tot)
+    return pa.table({
+        "label_a": pa.array(la_out, pa.int64()),
+        "label_b": pa.array(lb_out, pa.int64()),
+        "fisher_q": pa.array(ratio, pa.int64()),
+    })
+
+
+ORACLE_SQL["fisher_ratio"] = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), q AS (
+  SELECT label, d, CAST(floor(1e6 * CAST(x AS DOUBLE)) AS BIGINT) AS qv
+  FROM e
+), m AS (
+  SELECT label, d,
+         CAST(sum(qv) AS BIGINT) AS s,
+         CAST(sum(qv * qv) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.d,
+         CAST(floor(1e9 * (
+           ((a.s / a.n) - (b.s / b.n)) * ((a.s / a.n) - (b.s / b.n))
+           / ((a.ss / a.n - (a.s / a.n) * (a.s / a.n))
+              + (b.ss / b.n - (b.s / b.n) * (b.s / b.n))))) AS BIGINT)
+           AS term_q
+  FROM m a JOIN m b ON a.d = b.d AND a.label < b.label
+)
+SELECT label_a, label_b, CAST(sum(term_q) AS BIGINT) AS fisher_q
+FROM pairs GROUP BY 1, 2
+"""

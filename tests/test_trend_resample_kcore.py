@@ -1045,3 +1045,34 @@ class TestHaversineJoin:
         assert got == want
         assert len(got) > 0
         assert (out["hav_m"] <= 100.0).all()
+
+
+class TestFisherRatio:
+    def test_matches_direct_and_orders_sanely(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_fisher_ratio
+
+        out = q_fisher_ratio(SF).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        emb = np.stack(t["embedding"].to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        labels = sorted(set(lab.tolist()))
+        got = {(int(r.label_a), int(r.label_b)): int(r.fisher_q)
+               for r in out.itertuples()}
+        assert len(got) == len(labels) * (len(labels) - 1) // 2
+        for i, la in enumerate(labels):
+            for lb in labels[i + 1:]:
+                A = q[lab == la].astype(object)
+                B = q[lab == lb].astype(object)
+                tot = 0
+                for d in range(q.shape[1]):
+                    s1, ss1, n1 = (int(sum(A[:, d])),
+                                   int(sum(x * x for x in A[:, d])), len(A))
+                    s2, ss2, n2 = (int(sum(B[:, d])),
+                                   int(sum(x * x for x in B[:, d])), len(B))
+                    m1, m2 = s1 / n1, s2 / n2
+                    v1 = ss1 / n1 - m1 * m1
+                    v2 = ss2 / n2 - m2 * m2
+                    tot += int(np.floor(
+                        1e9 * ((m1 - m2) * (m1 - m2) / (v1 + v2))))
+                assert got[(la, lb)] == tot
