@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity": cq.q_fk_integrity,
         "haversine_join": cq.q_haversine_join,
         "fisher_ratio": cq.q_fisher_ratio,
+        "scd2_history": cq.q_scd2_history,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -9935,3 +9935,66 @@ WITH e AS (
 SELECT label_a, label_b, CAST(sum(term_q) AS BIGINT) AS fisher_q
 FROM pairs GROUP BY 1, 2
 """
+
+
+def q_scd2_history(sf_dir: str):
+    """Type-2 slowly-changing-dimension history build from the event
+    stream — the warehouse-CDC operator that turns an update log into
+    versioned rows: per user, each observed value becomes a version with
+    [valid_from, valid_to) bounds (valid_to = next change's timestamp,
+    NULL while current), consecutive DUPLICATE values collapsed (a
+    re-assertion of the same value is not a new version). One bucketed
+    shuffle on user_id; the per-user pass is a vectorized shift —
+    µs-integer timestamps end to end."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype=np.int64),
+            "value_cents": pd.Series(dtype=np.int64),
+            "valid_from": pd.Series(dtype="datetime64[us]"),
+            "valid_to": pd.Series(dtype="datetime64[us]"),
+        })
+        if not len(g):
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        same_u = np.concatenate([[False], u[1:] == u[:-1]])
+        same_v = np.concatenate([[False], v[1:] == v[:-1]])
+        keep = ~(same_u & same_v)  # collapse re-asserted values
+        u, ts, v = u[keep], ts[keep], v[keep]
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = np.datetime64("NaT", "us")
+        cont = np.concatenate([u[1:] == u[:-1], [False]])
+        valid_to = np.where(cont, nxt, np.datetime64("NaT", "us"))
+        return pd.DataFrame({
+            "user_id": u.astype(np.int64),
+            "value_cents": v,
+            "valid_from": ts,
+            "valid_to": valid_to.astype("datetime64[us]"),
+        })
+
+    return bucketed_group_apply(ds, ["user_id"], versions)
+
+
+ORACLE_SQL["scd2_history"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         lag(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, value_cents FROM o
+  WHERE prev_v IS NULL OR prev_v <> value_cents
+)
+SELECT user_id, value_cents, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM changes
+"""

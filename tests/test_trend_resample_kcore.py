@@ -1076,3 +1076,31 @@ class TestFisherRatio:
                     tot += int(np.floor(
                         1e9 * ((m1 - m2) * (m1 - m2) / (v1 + v2))))
                 assert got[(la, lb)] == tot
+
+
+class TestScd2History:
+    def test_versions_partition_time_and_collapse(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import q_scd2_history
+
+        out = (_to_table(q_scd2_history(SF)).to_pandas()
+               .sort_values(["user_id", "valid_from"]).reset_index(drop=True))
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        n_versions = 0
+        for uid, g in ev.groupby("user_id"):
+            vs = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+            keep = np.concatenate([[True], vs[1:] != vs[:-1]])
+            tss = g["ts"].to_numpy()[keep]
+            sub = out[out["user_id"] == uid]
+            n_versions += len(sub)
+            assert len(sub) == keep.sum()
+            # versions tile the user's observed time axis: each valid_to
+            # equals the next valid_from; the last is NaT (open/current)
+            vf = sub["valid_from"].to_numpy()
+            vt = sub["valid_to"].to_numpy()
+            assert (vf == tss).all()
+            assert (vt[:-1] == vf[1:]).all()
+            assert pd.isna(vt[-1])
+        assert n_versions == len(out)
