@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haversine_join": cq.q_haversine_join,
         "fisher_ratio": cq.q_fisher_ratio,
         "scd2_history": cq.q_scd2_history,
+        "user_features": cq.q_user_features,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -9998,3 +9998,55 @@ SELECT user_id, value_cents, ts AS valid_from,
                       ORDER BY ts, event_id) AS valid_to
 FROM changes
 """
+
+
+def q_user_features(sf_dir: str):
+    """Feature-store assembly: one wide feature row per user, composed
+    from two independently-computed feature families — the RFM buckets
+    (orders axis) and the half-life decayed activity score (events
+    axis) — joined on the shared user key. This is the multi-pipeline
+    composition a training job consumes (and exactly how a feature
+    store materializes: each family built by ITS OWN pipeline, assembly
+    is one bucketed hash join; adding a family is another join, never a
+    rewrite). Inner join: only users present on both axes emit."""
+    from ..stages.joins import bucket_hash_join
+
+    rfm = q_customer_rfm(sf_dir).map_batches(
+        lambda b: pa.table({
+            "user_id": b["o_custkey"].cast(pa.int64()),
+            "r_bucket": b["r_bucket"].cast(pa.int64()),
+            "f_bucket": b["f_bucket"].cast(pa.int64()),
+            "m_bucket": b["m_bucket"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    act = q_decayed_activity(sf_dir).materialize()
+    joined = bucket_hash_join(rfm, act, "user_id", "user_id",
+                              num_buckets=16)
+    return joined.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "r_bucket": b["r_bucket"].cast(pa.int64()),
+            "f_bucket": b["f_bucket"].cast(pa.int64()),
+            "m_bucket": b["m_bucket"].cast(pa.int64()),
+            "decay_score": b["decay_score"].cast(pa.int64()),
+            "n_events": b["n_events"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _user_features_oracle_sql() -> str:
+    rfm = ORACLE_SQL["customer_rfm"]
+    act = ORACLE_SQL["decayed_activity"]
+    return f"""
+WITH rfm_t AS ({rfm}),
+act_t AS ({act})
+SELECT CAST(r.o_custkey AS BIGINT) AS user_id,
+       r.r_bucket, r.f_bucket, r.m_bucket,
+       a.decay_score, a.n_events
+FROM rfm_t r JOIN act_t a ON a.user_id = r.o_custkey
+"""
+
+
+ORACLE_SQL["user_features"] = _user_features_oracle_sql()
