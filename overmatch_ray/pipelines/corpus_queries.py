@@ -10050,3 +10050,97 @@ FROM rfm_t r JOIN act_t a ON a.user_id = r.o_custkey
 
 
 ORACLE_SQL["user_features"] = _user_features_oracle_sql()
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized (clipped) per-type value statistics — the robust mean
+    tail outliers can't drag: each event value clamps to its type's
+    [p05, p95] band at RANK-BASED integer thresholds (sorted-position
+    floor((n−1)·p) — an actual observed cent value, so the whole clamp
+    + fold is pure int64; interpolated quantile_cont thresholds would
+    put a last-ulp float under a floor() and break the hash, which is
+    exactly what happened to this query's first draft).
+    Two passes: a (type, value) count collapse gives exact ranks (the
+    `exact_quantiles_by` shuffle shape), thresholds broadcast (|types|
+    bounded); one clamp map + bounded native aggregate finish."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pa.array(np.round(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    # (type, value) collapse → exact per-type sorted ranks from counts
+    vc = cents.groupby(["event_type", "cents"]).aggregate(Count()).take_all()
+    per: dict[str, list[tuple[int, int]]] = {}
+    for r in vc:
+        per.setdefault(r["event_type"], []).append(
+            (int(r["cents"]), int(r["count()"])))
+    lo, hi = {}, {}
+    for t, pairs in per.items():
+        pairs.sort()
+        vals = np.array([v for v, _ in pairs], np.int64)
+        cum = np.cumsum([c for _, c in pairs])
+        n = int(cum[-1])
+        for p_, out in ((0.05, lo), (0.95, hi)):
+            k = int((n - 1) * p_)  # 0-based rank, mirrored float mult
+            out[t] = int(vals[np.searchsorted(cum, k + 1)])
+    thr_ref = _ray.put((lo, hi))
+
+    def clamp_fold(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = _ray.get(thr_ref)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        lov = np.array([lo_[t] for t in et], np.int64)  # |types| bounded
+        hiv = np.array([hi_[t] for t in et], np.int64)
+        c = np.minimum(np.maximum(v, lov), hiv)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "wq": pa.array(c.astype(np.int64)),
+        })
+
+    agg = cents.map_batches(clamp_fold, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Count(), Sum("wq"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["count()"].cast(pa.int64()),
+            "winsorized_sum_cents": b["sum(wq)"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["winsorized_stats"] = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), t AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor((n - 1) * 0.05) AS BIGINT) + 1
+                  THEN cents END) AS lo,
+         max(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1
+                  THEN cents END) AS hi
+  FROM r GROUP BY 1
+), w AS (
+  SELECT c.event_type,
+         least(greatest(c.cents, t.lo), t.hi) AS wq
+  FROM c JOIN t ON t.event_type = c.event_type
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(wq) AS BIGINT) AS winsorized_sum_cents
+FROM w GROUP BY 1
+"""
+
