@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": cq.q_scd2_history,
         "user_features": cq.q_user_features,
         "winsorized_stats": cq.q_winsorized_stats,
+        "dedup_keep_best": cq.q_dedup_keep_best,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10144,3 +10144,63 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM w GROUP BY 1
 """
 
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup: within each 8-token-prefix duplicate
+    group keep the BEST copy — longest text (tie → smallest doc_id) —
+    instead of `prefix_dedup`'s min-id rule. This is the policy layer
+    real corpus dedup wants (the canonical copy is usually the most
+    complete one; `best_of_cluster` is the image-side analog). One
+    bucketed group apply; the keep rule is a vectorized sort +
+    drop_duplicates per bucket."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        keys = [" ".join((t or "").split(" ")[:8]) for t in texts]
+        return pa.table({
+            "prefix_key": pa.array(keys, pa.string()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+        })
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["prefix_key", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        sizes = g.groupby("prefix_key", sort=False)["doc_id"].transform(
+            "size")
+        best = g.drop_duplicates("prefix_key", keep="first").copy()
+        best["dup_count"] = (
+            sizes[best.index].to_numpy(np.int64) - 1)
+        return pd.DataFrame({
+            "prefix_key": best["prefix_key"],
+            "keep_id": best["doc_id"].to_numpy(np.int64),
+            "kept_chars": best["n_chars"].to_numpy(np.int64),
+            "dup_count": best["dup_count"].to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["prefix_key"], keep_best,
+    )
+
+
+ORACLE_SQL["dedup_keep_best"] = """
+WITH k AS (
+  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix_key,
+         doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY array_to_string(string_split(text, ' ')[1:8], ' ')
+           ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (
+           PARTITION BY array_to_string(string_split(text, ' ')[1:8], ' ')
+         ) AS grp_n
+  FROM documents
+)
+SELECT prefix_key, doc_id AS keep_id, n_chars AS kept_chars,
+       CAST(grp_n - 1 AS BIGINT) AS dup_count
+FROM k WHERE rn = 1
+"""
