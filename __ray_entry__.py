@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features": cq.q_user_features,
         "winsorized_stats": cq.q_winsorized_stats,
         "dedup_keep_best": cq.q_dedup_keep_best,
+        "transition_pmi": cq.q_transition_pmi,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10204,3 +10204,81 @@ SELECT prefix_key, doc_id AS keep_id, n_chars AS kept_chars,
        CAST(grp_n - 1 AS BIGINT) AS dup_count
 FROM k WHERE rn = 1
 """
+
+
+def q_transition_pmi(sf_dir: str):
+    """Pointwise mutual information of consecutive event-type transitions
+    — which behavioral step-pairs co-occur more than chance (the
+    collocation statistic applied to the session axis; complements raw
+    `event_transitions` counts): pmi_q = floor(1e6·ln(N·c(a,b) /
+    (c(a,·)·c(·,b)))) over the transition table. All counts are exact
+    integers from one bucketed shuffle; the ln is ONE mirrored
+    expression per (a, b) cell of the bounded |types|² domain."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series(dtype=object),
+                "to_type": pd.Series(dtype=object),
+                "n_partial": pd.Series(dtype=np.int64),
+            })
+        same = u[1:] == u[:-1]
+        sub = pd.DataFrame({"from_type": t[:-1][same],
+                            "to_type": t[1:][same]})
+        out = sub.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n_partial"})
+
+    agg = bucketed_group_apply(ds, ["user_id"], trans_bucket).groupby(
+        ["from_type", "to_type"]).aggregate(Sum("n_partial")).take_all()
+    cab = {(r["from_type"], r["to_type"]): int(r["sum(n_partial)"])
+           for r in agg}  # bounded |types|² domain
+    n_tot = sum(cab.values())
+    ca: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for (a, b), n in cab.items():
+        ca[a] = ca.get(a, 0) + n
+        cb[b] = cb.get(b, 0) + n
+    fr, to, nn, pmi = [], [], [], []
+    for (a, b), n in sorted(cab.items()):
+        fr.append(a)
+        to.append(b)
+        nn.append(n)
+        pmi.append(int(np.floor(
+            1e6 * np.log(n_tot * 1.0 * n / (ca[a] * 1.0 * cb[b])))))
+    return pa.table({
+        "from_type": pa.array(fr, pa.string()),
+        "to_type": pa.array(to, pa.string()),
+        "n": pa.array(nn, pa.int64()),
+        "pmi_q": pa.array(pmi, pa.int64()),
+    })
+
+
+ORACLE_SQL["transition_pmi"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), tr AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+), tots AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM tr
+), ma AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS na FROM tr GROUP BY 1),
+mb AS (SELECT to_type, CAST(sum(n) AS BIGINT) AS nb FROM tr GROUP BY 1)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       CAST(floor(1e6 * ln(s.nt * 1.0 * t.n / (a.na * 1.0 * b.nb)))
+            AS BIGINT) AS pmi_q
+FROM tr t
+JOIN ma a ON a.from_type = t.from_type
+JOIN mb b ON b.to_type = t.to_type
+CROSS JOIN tots s
+"""
