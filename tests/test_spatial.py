@@ -1442,3 +1442,29 @@ class TestSegmentCrossingJoin:
         # endpoint touch (0-2) and collinear overlap (0-3) are excluded
         assert {(int(r.seg_a), int(r.seg_b)) for r in out.itertuples()} == {
             (0, 1), (1, 3)}
+
+
+class TestSegmentCrossingGuard:
+    def test_hot_cell_raises_loudly(self, ray_session):
+        """A degenerate corpus (all segments in one cell) must fail with
+        the documented quadratic-blowup guard, not OOM a worker."""
+        import ray.data
+
+        from overmatch_ray.stages.spatial import segment_crossing_join
+
+        n = 50
+        tbl = pa.table({
+            "seg_id": pa.array(np.arange(n, dtype=np.int64)),
+            "key": pa.array(np.arange(n, dtype=np.int64)),
+            "x1": pa.array(np.zeros(n, np.int64)),
+            "y1": pa.array(np.arange(n, dtype=np.int64) % 7),
+            "x2": pa.array(np.full(n, 6, np.int64)),
+            "y2": pa.array((np.arange(n, dtype=np.int64) * 3) % 7),
+        })
+        with pytest.raises(Exception) as ei:
+            segment_crossing_join(
+                ray.data.from_arrow(tbl), cell_units=100, num_buckets=2,
+                max_cell_segments=10,
+            ).materialize()
+        # the loud guard's message survives Ray's task-error wrapping
+        assert "max_cell_segments" in str(ei.getrepr())
