@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": cq.q_winsorized_stats,
         "dedup_keep_best": cq.q_dedup_keep_best,
         "transition_pmi": cq.q_transition_pmi,
+        "quota_sample": cq.q_quota_sample,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10282,3 +10282,55 @@ JOIN ma a ON a.from_type = t.from_type
 JOIN mb b ON b.to_type = t.to_type
 CROSS JOIN tots s
 """
+
+
+_QUOTA_N = 20
+
+
+def q_quota_sample(sf_dir: str):
+    """Quota sampling: exactly min(N, group size) docs per language,
+    chosen by deterministic md5 order (the fixed-budget-per-stratum
+    complement of `doc_stratified_sample`'s fixed-RATE draw — eval-set
+    construction wants quotas, not rates). One bucketed shuffle on
+    lang; per-group head after an md5-order sort — the md5 ranking is
+    the same salt-hash rule every sampler here uses, so DuckDB mirrors
+    it with row_number() over md5()."""
+    import hashlib
+
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = [hashlib.md5(f"quota:{int(i)}".encode()).hexdigest()[:16]
+             for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": batch["lang"],
+            "h": pa.array(h, pa.string()),
+        })
+
+    def head_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(_QUOTA_N)[
+            ["doc_id", "lang"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        ["lang"], head_bucket,
+    )
+
+
+ORACLE_SQL["quota_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 16) AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= {_QUOTA_N}
+"""
