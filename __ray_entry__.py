@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": cq.q_dedup_keep_best,
         "transition_pmi": cq.q_transition_pmi,
         "quota_sample": cq.q_quota_sample,
+        "mmr_select": cq.q_mmr_select,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10334,3 +10334,134 @@ WITH h AS (
 )
 SELECT doc_id, lang FROM r WHERE rn <= {_QUOTA_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval: maximal-marginal-relevance diverse top-k selection
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-k (the RAG reranking
+    primitive): greedily pick 5 vectors maximizing
+    2·rel(v) − max_{s∈selected} dot(v, s) — relevance vs the min-vec_id
+    query vector, penalty vs the already-picked set, ALL in exact
+    integer dot products of floor(1e6·x)-quantized embeddings (λ=2/3
+    folded into the 2·rel scaling so no float enters the argmax; ties →
+    smaller vec_id; round 1 is plain relevance).
+
+    Scale shape: each of the k rounds is one distributed argmax — the
+    selected set (≤ k vectors) broadcasts, per-block kernels emit ONE
+    top-1 partial row each, the driver picks among ≤ #blocks candidates
+    (the `bpe_train` pattern); corpus vectors never leave their blocks.
+    The oracle unrolls the identical greedy chain in MATERIALIZED
+    CTEs."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(batch: pa.Table):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        return ids, np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+
+    qid = int(ds.groupby(None).min("vec_id").to_pandas()["min(vec_id)"][0])
+    qrow = ds.filter(expr=f"vec_id == {qid}").take_all()
+    qvec = np.floor(np.asarray(qrow[0]["embedding"], np.float64)
+                    * 1e6).astype(np.int64)
+
+    selected: "list[tuple[int, np.ndarray, int]]" = []  # (id, vec, rel)
+    for _ in range(_MMR_K):
+        sel_ref = _ray.put((qvec, [(i, v) for i, v, _ in selected]))
+
+        def top1(batch: pa.Table) -> pa.Table:
+            qv, sel = _ray.get(sel_ref)
+            ids, q = quant(batch)
+            if ids.size == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64()),
+                                 "rel": pa.array([], pa.int64())})
+            rel = q @ qv
+            if sel:
+                pen = np.max(
+                    np.stack([q @ v for _, v in sel]), axis=0)
+                score = 2 * rel - pen
+            else:
+                score = rel
+            taken = np.isin(ids, np.array([i for i, _ in sel], np.int64))
+            # sentinel must survive the -score negation below:
+            # -int64.min OVERFLOWS back to itself and would sort FIRST
+            score = np.where(taken, np.int64(-(2 ** 62)), score)
+            # block top-1, ties → smaller id
+            best = np.lexsort((ids, -score))[0]
+            return pa.table({
+                "vec_id": pa.array([ids[best]]),
+                "score": pa.array([int(score[best])]),
+                "rel": pa.array([int(rel[best])]),
+            })
+
+        parts = ds.map_batches(top1, batch_format="pyarrow").take_all()
+        win = min(parts, key=lambda r: (-int(r["score"]), int(r["vec_id"])))
+        wrow = ds.filter(expr=f"vec_id == {int(win['vec_id'])}").take_all()
+        wvec = np.floor(np.asarray(wrow[0]["embedding"], np.float64)
+                        * 1e6).astype(np.int64)
+        selected.append((int(win["vec_id"]), wvec, int(win["rel"])))
+
+    return pa.table({
+        "rank": pa.array(np.arange(1, _MMR_K + 1, dtype=np.int64)),
+        "vec_id": pa.array([i for i, _, _ in selected], pa.int64()),
+        "rel_q": pa.array([r for _, _, r in selected], pa.int64()),
+    })
+
+
+def _mmr_oracle_sql() -> str:
+    sql = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), quant AS MATERIALIZED (
+  SELECT vec_id, i, CAST(floor(1e6 * CAST(x AS DOUBLE)) AS BIGINT) AS qv
+  FROM e
+), qv AS MATERIALIZED (
+  SELECT i, qv FROM quant
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), rel AS MATERIALIZED (
+  SELECT e2.vec_id, sum(e2.qv * q.qv) AS rel
+  FROM quant e2 JOIN qv q ON q.i = e2.i GROUP BY 1
+), s1 AS MATERIALIZED (
+  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    for r in range(2, _MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, r))
+        dots = []
+        for j in range(1, r):
+            sql += f""",
+d{r}_{j} AS MATERIALIZED (
+  SELECT e2.vec_id, sum(e2.qv * s.qv) AS d
+  FROM quant e2 JOIN quant s
+    ON s.i = e2.i AND s.vec_id = (SELECT vec_id FROM s{j})
+  GROUP BY 1
+)"""
+            dots.append(f"d{r}_{j}.d")
+        pen = dots[0] if len(dots) == 1 else f"greatest({', '.join(dots)})"
+        joins = " ".join(
+            f"JOIN d{r}_{j} ON d{r}_{j}.vec_id = r.vec_id"
+            for j in range(1, r))
+        sql += f""",
+s{r} AS MATERIALIZED (
+  SELECT r.vec_id, r.rel FROM rel r {joins}
+  WHERE r.vec_id NOT IN ({prev_sel})
+  ORDER BY 2 * r.rel - {pen} DESC, r.vec_id LIMIT 1
+)"""
+    parts = " UNION ALL ".join(
+        f"SELECT {j} AS rank, vec_id, CAST(rel AS BIGINT) AS rel_q FROM s{j}"
+        for j in range(1, _MMR_K + 1))
+    sql += f"\n{parts}\n"
+    return sql
+
+
+ORACLE_SQL["mmr_select"] = _mmr_oracle_sql()

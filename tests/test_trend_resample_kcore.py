@@ -1104,3 +1104,34 @@ class TestScd2History:
             assert (vt[:-1] == vf[1:]).all()
             assert pd.isna(vt[-1])
         assert n_versions == len(out)
+
+
+class TestMmrSelect:
+    def test_matches_direct_greedy(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _MMR_K, q_mmr_select,
+        )
+
+        out = q_mmr_select(SF).to_pandas().sort_values("rank")
+        t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        emb = np.stack(t["embedding"].to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        qi = int(ids.min())
+        qvec = q[np.argmax(ids == qi)]
+        rel = q @ qvec
+        sel: list[int] = []
+        for r in range(_MMR_K):
+            if sel:
+                pen = np.max(np.stack(
+                    [q @ q[np.argmax(ids == s)] for s in sel]), axis=0)
+                score = 2 * rel - pen
+            else:
+                score = rel.copy()
+            mask = np.isin(ids, np.array(sel, np.int64))
+            order = np.lexsort((ids, -np.where(mask, -(2 ** 62), score)))
+            sel.append(int(ids[order[0]]))
+        assert out["vec_id"].astype(int).tolist() == sel
+        # diversity property: MMR's tail differs from plain top-rel order
+        plain = ids[np.lexsort((ids, -rel))][:_MMR_K].tolist()
+        assert out["vec_id"].astype(int).tolist() != plain
