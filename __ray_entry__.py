@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_pmi": cq.q_transition_pmi,
         "quota_sample": cq.q_quota_sample,
         "mmr_select": cq.q_mmr_select,
+        "temporal_reachability": cq.q_temporal_reachability,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

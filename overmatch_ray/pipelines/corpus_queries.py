@@ -10465,3 +10465,171 @@ s{r} AS MATERIALIZED (
 
 
 ORACLE_SQL["mmr_select"] = _mmr_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# temporal graph: time-respecting reachability (contact tracing)
+# ---------------------------------------------------------------------------
+
+_REACH_HOPS = 3
+_REACH_SEED_MOD = 97
+
+
+def q_temporal_reachability(sf_dir: str):
+    """Time-respecting reachability over the co-presence contact graph —
+    contact tracing semantics, NOT static BFS: a contact at hour t
+    transmits only if the source was infected STRICTLY BEFORE t, so
+    paths must move forward in time (the defining constraint of temporal
+    graphs). Seeds: user_id % 97 == 0 at virtual hour 0; 3 unrolled
+    rounds; a new case's infection hour is its MINIMUM valid contact
+    hour; output (user_id, inf_hour, hop).
+
+    Scale shape: contacts are the co-location cell emission (distinct
+    (zone, hour, user) → in-cell pair fan-out, occupancy²-bounded per
+    cell); each round is one bucketed hash join (contacts ⋈ infected on
+    source) + an in-kernel time filter + a bucketed min per target + an
+    ANTI join vs the infected set — Datasets end to end, the infected
+    table never lands on the driver."""
+    from ..stages.groupops import bucketed_aggregate, bucketed_group_apply
+    from ..stages.joins import bucket_hash_join, semi_join_shuffled
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        zone = np.full(eid.size, -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        hour = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 3_600_000_000)
+        m = zone >= 0
+        return pa.table({
+            "zone": pa.array(zone[m]),
+            "hour": pa.array(hour[m].astype(np.int64)),
+            "user_id": batch["user_id"].filter(pa.array(m)).cast(pa.int64()),
+        })
+
+    def contact_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["zone", "hour", "user_id"])
+        out_u, out_v, out_h = [], [], []
+        for (_, h), cell in g.groupby(["zone", "hour"], sort=False):
+            u = np.sort(cell["user_id"].to_numpy())
+            if u.size < 2:
+                continue
+            ia, ib = np.triu_indices(u.size, k=1)
+            # symmetric: both directions
+            out_u += [u[ia], u[ib]]
+            out_v += [u[ib], u[ia]]
+            out_h += [np.full(ia.size * 2, h, np.int64)]
+        if not out_u:
+            return pd.DataFrame({"u": pd.Series(dtype=np.int64),
+                                 "v": pd.Series(dtype=np.int64),
+                                 "hour": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "u": np.concatenate(out_u),
+            "v": np.concatenate(out_v),
+            "hour": np.concatenate(out_h),
+        })
+
+    contacts = bucketed_group_apply(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["zone", "hour"], contact_bucket,
+    ).materialize()
+
+    def seed_batch(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(u[u % _REACH_SEED_MOD == 0])  # vectorized seed rule
+        return pa.table({
+            "user_id": pa.array(u),
+            "inf_hour": pa.array(np.zeros(u.size, np.int64)),
+            "hop": pa.array(np.zeros(u.size, np.int64)),
+        })
+
+    infected = _distinct_users(
+        ds.map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    ).map_batches(seed_batch, batch_format="pyarrow").materialize()
+
+    for hop in range(1, _REACH_HOPS + 1):
+        src = infected.map_batches(
+            lambda b: pa.table({
+                "u": b["user_id"].cast(pa.int64()),
+                "src_inf": b["inf_hour"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        j = bucket_hash_join(contacts, src, "u", "u", num_buckets=16)
+
+        def valid(batch: pa.Table) -> pa.Table:
+            h = batch["hour"].to_numpy(zero_copy_only=False)
+            si = batch["src_inf"].to_numpy(zero_copy_only=False)
+            m = pa.array(si < h)  # strictly-forward-in-time rule
+            return pa.table({
+                "v": batch["v"].filter(m).cast(pa.int64()),
+                "hour": batch["hour"].filter(m).cast(pa.int64()),
+            })
+
+        cand = j.map_batches(valid, batch_format="pyarrow")
+        best = bucketed_aggregate(cand, ["v"], {"inf_hour": ("hour", "min")},
+                                  num_buckets=16)
+        fresh = semi_join_shuffled(
+            best.map_batches(
+                lambda b, _h=hop: pa.table({
+                    "user_id": b["v"].cast(pa.int64()),
+                    "inf_hour": b["inf_hour"].cast(pa.int64()),
+                    "hop": pa.array(np.full(b.num_rows, _h, np.int64)),
+                }),
+                batch_format="pyarrow",
+            ).materialize(),
+            infected, "user_id", "user_id", anti=True,
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        infected = infected.union(fresh).materialize()
+
+    return infected
+
+
+def _reach_oracle_sql() -> str:
+    zone_sql = _zone_case_sql()
+    sql = f"""
+WITH coords AS (
+  SELECT user_id, ts,
+         -77.05 + (event_id % 1000) * 1e-4 AS lon,
+         38.85 + ((event_id // 1000) % 1000) * 1e-4 AS lat
+  FROM events
+), pts AS (
+  SELECT DISTINCT {zone_sql} AS zone,
+         epoch_us(ts) // 3600000000 AS hour, user_id
+  FROM coords
+), z AS (SELECT * FROM pts WHERE zone IS NOT NULL),
+contacts AS MATERIALIZED (
+  SELECT a.user_id AS u, b.user_id AS v, a.hour
+  FROM z a JOIN z b
+    ON a.zone = b.zone AND a.hour = b.hour AND a.user_id <> b.user_id
+), inf0 AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS inf_hour,
+         CAST(0 AS BIGINT) AS hop
+  FROM events WHERE user_id % {_REACH_SEED_MOD} = 0
+)"""
+    prev = "inf0"
+    for r in range(1, _REACH_HOPS + 1):
+        sql += f""",
+new{r} AS MATERIALIZED (
+  SELECT c.v AS user_id, CAST(min(c.hour) AS BIGINT) AS inf_hour,
+         CAST({r} AS BIGINT) AS hop
+  FROM contacts c JOIN {prev} i ON i.user_id = c.u AND i.inf_hour < c.hour
+  WHERE c.v NOT IN (SELECT user_id FROM {prev})
+  GROUP BY 1
+), inf{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM new{r}
+)"""
+        prev = f"inf{r}"
+    sql += f"\nSELECT user_id, inf_hour, hop FROM {prev}\n"
+    return sql
+
+
+ORACLE_SQL["temporal_reachability"] = _reach_oracle_sql()

@@ -1135,3 +1135,50 @@ class TestMmrSelect:
         # regression pin: the sentinel-negation overflow re-picked an
         # already-selected vector — selections must be distinct
         assert len(set(out["vec_id"])) == _MMR_K
+
+
+class TestTemporalReachability:
+    def test_matches_sequential_trace_and_respects_time(self, ray_session):
+        from overmatch_ray.pipelines.corpus_queries import (
+            _DWELL_ZONES, _REACH_HOPS, _REACH_SEED_MOD, _formula_coords,
+            q_temporal_reachability,
+        )
+
+        out = _to_table(q_temporal_reachability(SF)).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.int64)
+        lon, lat = _formula_coords(eid)
+        zone = np.full(len(ev), -1, np.int64)
+        for zi, (x0, x1, y0, y1) in enumerate(_DWELL_ZONES):
+            zone[(lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)] = zi
+        hour = ev["ts"].astype("int64").to_numpy() // 3_600_000_000
+        uid = ev["user_id"].to_numpy().astype(np.int64)
+        pres = {(int(z), int(h), int(u))
+                for z, h, u in zip(zone, hour, uid) if z >= 0}
+        contacts: dict[int, list[tuple[int, int]]] = {}
+        cells: dict[tuple[int, int], set[int]] = {}
+        for z, h, u in pres:
+            cells.setdefault((z, h), set()).add(u)
+        for (z, h), us in cells.items():
+            for u in us:
+                for v in us:
+                    if u != v:
+                        contacts.setdefault(u, []).append((h, v))
+        inf = {int(u): (0, 0) for u in set(uid.tolist())
+               if u % _REACH_SEED_MOD == 0}
+        for hop in range(1, _REACH_HOPS + 1):
+            new: dict[int, int] = {}
+            for u, (ih, _) in inf.items():
+                for h, v in contacts.get(u, []):
+                    if ih < h and v not in inf:
+                        new[v] = min(new.get(v, h), h)
+            for v, h in new.items():
+                inf[v] = (h, hop)
+        got = {int(r.user_id): (int(r.inf_hour), int(r.hop))
+               for r in out.itertuples()}
+        assert got == inf
+        # time-respecting property: every non-seed case is infected at an
+        # hour strictly AFTER its source could have been (hour > 0)
+        assert all(h > 0 for u, (h, hp) in got.items() if hp > 0)
