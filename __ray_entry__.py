@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": cq.q_quota_sample,
         "mmr_select": cq.q_mmr_select,
         "temporal_reachability": cq.q_temporal_reachability,
+        "late_shipments": cq.q_late_shipments,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10633,3 +10633,84 @@ new{r} AS MATERIALIZED (
 
 
 ORACLE_SQL["temporal_reachability"] = _reach_oracle_sql()
+
+
+def q_late_shipments(sf_dir: str):
+    """Late-shipment audit: lineitems shipped more than 30 days after
+    their order date, rolled up per order month — the FK join +
+    derived-interval filter + calendar rollup chain (order fulfilment
+    SLA reporting). One bucketed hash join on orderkey (both sides
+    pruned to 2-3 columns at the read), day arithmetic in exact integer
+    days, bounded month-domain native finish."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucket_hash_join
+    from ..stages.groupops import bucketed_aggregate  # noqa: F401
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["l_orderkey"].cast(pa.int64()),
+            "ship_day": pa.array(
+                batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000),
+            "cents": pa.array(np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+        })
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        d_us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = d_us // 86_400_000_000
+        mon = (d_us.astype("datetime64[us]").astype("datetime64[M]")
+               .astype(np.int64) + np.int64(1970 * 12 + 1))
+        return pa.table({
+            "k": batch["o_orderkey"].cast(pa.int64()),
+            "order_day": pa.array(day.astype(np.int64)),
+            "mon": pa.array(mon),
+        })
+
+    j = bucket_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow").materialize(),
+        orders.map_batches(o_prep, batch_format="pyarrow").materialize(),
+        "k", "k", num_buckets=32,
+    )
+
+    def late(batch: pa.Table) -> pa.Table:
+        sd = batch["ship_day"].to_numpy(zero_copy_only=False)
+        od = batch["order_day"].to_numpy(zero_copy_only=False)
+        m = pa.array(sd - od > 30)
+        return pa.table({
+            "mon": batch["mon"].filter(m).cast(pa.int64()),
+            "cents": batch["cents"].filter(m).cast(pa.int64()),
+        })
+
+    agg = j.map_batches(late, batch_format="pyarrow").groupby(
+        "mon").aggregate(Count(), Sum("cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "order_mon": b["mon"].cast(pa.int64()),
+            "n_late": b["count()"].cast(pa.int64()),
+            "late_cents": b["sum(cents)"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL["late_shipments"] = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS order_mon,
+         epoch_us(l.l_shipdate) // 86400000000
+           - epoch_us(o.o_orderdate) // 86400000000 AS lag_days,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT order_mon, CAST(count(*) AS BIGINT) AS n_late,
+       CAST(sum(cents) AS BIGINT) AS late_cents
+FROM j WHERE lag_days > 30 GROUP BY 1
+"""
