@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": cq.q_mmr_select,
         "temporal_reachability": cq.q_temporal_reachability,
         "late_shipments": cq.q_late_shipments,
+        "churn_labels": cq.q_churn_labels,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10714,3 +10714,87 @@ SELECT order_mon, CAST(count(*) AS BIGINT) AS n_late,
        CAST(sum(cents) AS BIGINT) AS late_cents
 FROM j WHERE lag_days > 30 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ML label generation: churn labels at a cutoff
+# ---------------------------------------------------------------------------
+
+_CHURN_CUTOFF = "2024-01-15"
+_CHURN_HORIZON_DAYS = 1
+
+
+def q_churn_labels(sf_dir: str):
+    """Churn label generation — the supervised-learning companion of
+    `user_features`: for every user active BEFORE the cutoff, label 1 if
+    they produced NO event in the [cutoff, cutoff+horizon) window. The
+    (features at t, label after t) temporal split is the leakage rule
+    this op encodes; history stats (last_seen, n_events) ride along as
+    the features-at-cutoff. One bucketed aggregate over the pre-cutoff
+    slice + one broadcast-bounded membership flag from the horizon
+    slice (distinct active users, corpus-bounded per horizon)."""
+    import ray as _ray
+
+    from ..stages.groupops import bucketed_aggregate
+
+    cutoff_us = np.int64(pd.Timestamp(_CHURN_CUTOFF).value // 1000)
+    horizon_us = cutoff_us + np.int64(
+        _CHURN_HORIZON_DAYS * 86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = pa.array(ts < cutoff_us)
+        return pa.table({
+            "user_id": batch["user_id"].filter(m).cast(pa.int64()),
+            "ts_us": batch["ts"].filter(m).cast(pa.int64()),
+        })
+
+    hist = bucketed_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["user_id"],
+        {"last_seen_us": ("ts_us", "max"), "n_events": ("ts_us", "size")},
+    )
+
+    def post_users(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        act = np.unique(u[(ts >= cutoff_us) & (ts < horizon_us)])
+        return pa.table({"user_id": pa.array(act)})
+
+    active = sorted({r["user_id"] for r in ds.map_batches(
+        post_users, batch_format="pyarrow").take_all()})
+    active_ref = _ray.put(np.array(active, np.int64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        act = _ray.get(active_ref)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(act, u), 0, max(len(act) - 1, 0))
+        is_active = (act[pos] == u) if len(act) else np.zeros(u.size, bool)
+        return pa.table({
+            "user_id": pa.array(u),
+            "last_seen_us": batch["last_seen_us"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "churned": pa.array((~is_active).astype(np.int64)),
+        })
+
+    return hist.map_batches(label, batch_format="pyarrow")
+
+
+ORACLE_SQL["churn_labels"] = f"""
+WITH pre AS (
+  SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts < TIMESTAMP '{_CHURN_CUTOFF}'
+  GROUP BY 1
+), post AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CHURN_CUTOFF}'
+    AND ts < TIMESTAMP '{_CHURN_CUTOFF}'
+        + INTERVAL {_CHURN_HORIZON_DAYS} DAY
+)
+SELECT pre.user_id, pre.last_seen_us, pre.n_events,
+       CAST(CASE WHEN post.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS churned
+FROM pre LEFT JOIN post ON post.user_id = pre.user_id
+"""
