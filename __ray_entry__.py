@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reachability": cq.q_temporal_reachability,
         "late_shipments": cq.q_late_shipments,
         "churn_labels": cq.q_churn_labels,
+        "bounce_rate": cq.q_bounce_rate,
+        "langid_kappa": cq.q_langid_kappa,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

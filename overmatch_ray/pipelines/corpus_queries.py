@@ -10798,3 +10798,124 @@ SELECT pre.user_id, pre.last_seen_us, pre.n_events,
          AS churned
 FROM pre LEFT JOIN post ON post.user_id = pre.user_id
 """
+
+
+def q_bounce_rate(sf_dir: str):
+    """Per-user session bounce accounting: sessions (30-min-gap islands,
+    the `user_sessions` rule) that contain exactly ONE event are
+    bounces. Output (user_id, n_sessions, n_bounces) — the engagement-
+    quality readout sessionization feeds. Same one-bucketed-shuffle plan
+    as `user_sessions`, with per-session sizes recovered from the break
+    flags by one extra cumsum (no second pass)."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bounce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        s = g["ts"].astype("int64").to_numpy() // 1_000_000
+        u = g["user_id"].to_numpy()
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_sessions": pd.Series(dtype=np.int64),
+                                 "n_bounces": pd.Series(dtype=np.int64)})
+        new_sess = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (s[1:] - s[:-1] > 1800)])
+        sess_id = np.cumsum(new_sess) - 1
+        sizes = np.bincount(sess_id)
+        sess_user = u[new_sess]
+        df = pd.DataFrame({"user_id": sess_user,
+                           "one": (sizes == 1).astype(np.int64)})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("one", "size"), n_bounces=("one", "sum"))
+        return out.astype(np.int64)
+
+    return bucketed_group_apply(ds, ["user_id"], bounce_bucket)
+
+
+ORACLE_SQL["bounce_rate"] = """
+WITH t AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS p
+  FROM events
+), flagged AS (
+  SELECT user_id, s,
+         CASE WHEN p IS NULL OR s - p > 1800 THEN 1 ELSE 0 END AS brk
+  FROM t
+), sess AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sized AS (
+  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounces
+FROM sized GROUP BY 1
+"""
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between the heuristic language-ID prediction and
+    the labeled language — the chance-corrected upgrade of
+    `lang_confusion`'s raw matrix, and the label-QA scalar an annotation
+    pipeline gates on. Entirely exact integers:
+    kappa = (N·agree − Σᵢ rowᵢ·colᵢ) / (N² − Σᵢ rowᵢ·colᵢ) — emitted as
+    (num, den) plus ONE mirrored float division rounded to 6. Bounded
+    |langs|² native aggregate; nothing else."""
+    from ray.data.aggregate import Count
+
+    from ..stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(langid_batch, batch_format="pyarrow")
+    conf = pred.groupby(["lang", "lang_pred"]).aggregate(Count()).take_all()
+    cells = {(r["lang"], r["lang_pred"]): int(r["count()"]) for r in conf}
+    n = sum(cells.values())
+    agree = sum(v for (a, b), v in cells.items() if a == b)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for (a, b), v in cells.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    rc = sum(rows[k] * cols.get(k, 0) for k in rows)
+    num = n * agree - rc
+    den = n * n - rc
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "kappa_num": pa.array([num], pa.int64()),
+        "kappa_den": pa.array([den], pa.int64()),
+        "kappa": pa.array([round(num / den, 6)], pa.float64()),
+    })
+
+
+def _langid_kappa_oracle_sql() -> str:
+    # reuse the proven marker-argmax prediction CTE from lang_confusion
+    base = ORACLE_SQL["lang_confusion"]
+    # lang_confusion's final SELECT produces (lang, lang_pred, n) — wrap it
+    return f"""
+WITH conf AS ({base}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN declared_lang = detected_lang
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS agree
+        FROM conf),
+r AS (SELECT declared_lang AS k, CAST(sum(n_docs) AS BIGINT) AS rn
+      FROM conf GROUP BY 1),
+c AS (SELECT detected_lang AS k, CAST(sum(n_docs) AS BIGINT) AS cn
+      FROM conf GROUP BY 1),
+rc AS (SELECT CAST(sum(r.rn * c.cn) AS BIGINT) AS v
+       FROM r JOIN c ON c.k = r.k)
+SELECT t.nn AS n_docs, t.agree AS n_agree,
+       CAST(t.nn * t.agree - rc.v AS BIGINT) AS kappa_num,
+       CAST(t.nn * t.nn - rc.v AS BIGINT) AS kappa_den,
+       round((t.nn * t.agree - rc.v) * 1.0 / (t.nn * t.nn - rc.v), 6)
+         AS kappa
+FROM tot t CROSS JOIN rc
+"""
+
+
+ORACLE_SQL["langid_kappa"] = _langid_kappa_oracle_sql()
