@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churn_labels": cq.q_churn_labels,
         "bounce_rate": cq.q_bounce_rate,
         "langid_kappa": cq.q_langid_kappa,
+        "davies_bouldin": cq.q_davies_bouldin,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -10919,3 +10919,119 @@ FROM tot t CROSS JOIN rc
 
 
 ORACLE_SQL["langid_kappa"] = _langid_kappa_oracle_sql()
+
+
+def q_davies_bouldin(sf_dir: str):
+    """Davies–Bouldin cluster-quality index over the labeled embeddings
+    — the compactness/separation diagnostic for a clustering or a label
+    set (lower = tighter, better-separated): per label pair,
+    similarity = (s_i + s_j) / d(c_i, c_j) with s = mean point-to-
+    centroid distance and d = centroid distance; DB = mean over labels
+    of the worst pair. Everything derives from the (label × dim)
+    integer moment table (quantized floor(1e6·x) sums — the
+    `fisher_ratio` fold); the float finish is a FIXED-ORDER chain per
+    bounded label pair, with sqrt of exact operands.
+
+    Output: one row per label — (label, worst_other, db_term) — plus
+    the index as a mirrored round-6 mean; bounded |labels|² work after
+    one fixed-size-partial aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        dim = q.shape[1]
+        labs = np.repeat(lab, dim)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(lab))
+        return pa.table({
+            "label": pa.array(labs),
+            "d": pa.array(dims),
+            "s": pa.array(q.ravel()),
+            "s2": pa.array((q * q).ravel()),
+            "one": pa.array(np.ones(labs.size, np.int64)),
+        })
+
+    rows = ds.map_batches(moments, batch_format="pyarrow").groupby(
+        ["label", "d"]).aggregate(Sum("s"), Sum("s2"), Sum("one")).take_all()
+    per: dict[int, dict[int, tuple[int, int, int]]] = {}
+    for r in rows:
+        per.setdefault(int(r["label"]), {})[int(r["d"])] = (
+            int(r["sum(s)"]), int(r["sum(s2)"]), int(r["sum(one)"]))
+    labels = sorted(per)
+    dims = sorted(per[labels[0]])
+    # per-label scatter s_i = sqrt(mean ||x - c||²) from exact moments:
+    # mean ||x||² − ||c||² per dim, fixed dim order
+    scat = {}
+    cent = {}
+    for la in labels:
+        tot = 0.0
+        cvec = []
+        for d in dims:
+            s1, ss, n = per[la][d]
+            m = s1 / n
+            cvec.append(m)
+            tot += ss / n - m * m
+        scat[la] = np.sqrt(tot)
+        cent[la] = cvec
+    lab_out, worst_out, term_out = [], [], []
+    for la in labels:
+        best = None
+        for lb in labels:
+            if lb == la:
+                continue
+            dd = 0.0
+            for k in range(len(dims)):
+                diff = cent[la][k] - cent[lb][k]
+                dd += diff * diff
+            sim = (scat[la] + scat[lb]) / np.sqrt(dd)
+            if best is None or sim > best[0] or (
+                    sim == best[0] and lb < best[1]):
+                best = (sim, lb)
+        lab_out.append(la)
+        worst_out.append(best[1])
+        term_out.append(round(float(best[0]), 6))
+    return pa.table({
+        "label": pa.array(lab_out, pa.int64()),
+        "worst_other": pa.array(worst_out, pa.int64()),
+        "db_term": pa.array(term_out, pa.float64()),
+    })
+
+
+ORACLE_SQL["davies_bouldin"] = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), q AS (
+  SELECT label, d, CAST(floor(1e6 * CAST(x AS DOUBLE)) AS BIGINT) AS qv
+  FROM e
+), m AS (
+  SELECT label, d,
+         CAST(sum(qv) AS BIGINT) AS s,
+         CAST(sum(qv * qv) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+), scat AS (
+  SELECT label, sqrt(sum(ss / n - (s / n) * (s / n))) AS sc
+  FROM m GROUP BY 1
+), cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum((a.s / a.n - b.s / b.n) * (a.s / a.n - b.s / b.n)))
+           AS dist
+  FROM m a JOIN m b ON a.d = b.d AND a.label <> b.label
+  GROUP BY 1, 2
+), sim AS (
+  SELECT cd.la, cd.lb, (sa.sc + sb.sc) / cd.dist AS sim
+  FROM cd JOIN scat sa ON sa.label = cd.la
+          JOIN scat sb ON sb.label = cd.lb
+), pick AS (
+  SELECT la, lb, sim,
+         row_number() OVER (PARTITION BY la ORDER BY sim DESC, lb) AS rn
+  FROM sim
+)
+SELECT la AS label, lb AS worst_other, round(sim, 6) AS db_term
+FROM pick WHERE rn = 1
+"""
