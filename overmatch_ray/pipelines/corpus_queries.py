@@ -11035,3 +11035,82 @@ WITH e AS (
 SELECT la AS label, lb AS worst_other, round(sim, 6) AS db_term
 FROM pick WHERE rn = 1
 """
+
+
+def q_score_percentiles(sf_dir: str):
+    """Per-source rank normalization (score calibration): each document's
+    length score mapped to its percentile WITHIN its source —
+    percent_rank semantics ((rank−1)/(n−1), ties share the rank), the
+    standard move before mixing heterogeneous source scores. Plan: one
+    (source, value) count collapse (shuffle volume = distinct pairs, the
+    `exact_quantiles_by` shape), per-source cumulative counts give every
+    distinct value its rank, and a bucketed join maps docs to
+    percentiles — the per-doc float is ONE mirrored division rounded to
+    6."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    vc = ds.groupby(["source", "n_chars"]).aggregate(Count()).take_all()
+    per: dict[str, list[tuple[int, int]]] = {}
+    for r in vc:
+        per.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), int(r["count()"])))
+    rank_rows = {"source": [], "n_chars": [], "rnk": [], "n_src": []}
+    for src, pairs in per.items():  # bounded: distinct (source, value)
+        pairs.sort()
+        n = sum(c for _, c in pairs)
+        cum = 0
+        for v, c in pairs:
+            rank_rows["source"].append(src)
+            rank_rows["n_chars"].append(v)
+            rank_rows["rnk"].append(cum + 1)  # rank() tie rule
+            rank_rows["n_src"].append(n)
+            cum += c
+    import ray.data as _rd
+
+    ranks = _rd.from_arrow(pa.table({
+        "source": pa.array(rank_rows["source"], pa.string()),
+        "nc": pa.array(rank_rows["n_chars"], pa.int64()),
+        "rnk": pa.array(rank_rows["rnk"], pa.int64()),
+        "n_src": pa.array(rank_rows["n_src"], pa.int64()),
+    })).map_batches(
+        lambda b: b.append_column(
+            "k",
+            pa.array([f"{s}\x1f{v}" for s, v in
+                      zip(b["source"].to_pylist(), b["nc"].to_pylist())],
+                     pa.string())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    keyed = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "k": pa.array([f"{s}\x1f{v}" for s, v in
+                           zip(b["source"].to_pylist(),
+                               b["n_chars"].to_pylist())], pa.string()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    j = bucket_hash_join(keyed, ranks, "k", "k", num_buckets=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch["rnk"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_src"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "source": batch["source"],
+            "pct": pa.array(np.round((r - 1.0) / (n - 1.0), 6)),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["score_percentiles"] = """
+SELECT doc_id, source,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pct
+FROM documents
+"""
