@@ -11114,3 +11114,102 @@ SELECT doc_id, source,
          AS pct
 FROM documents
 """
+
+
+def q_survival_km(sf_dir: str):
+    """Kaplan–Meier survival of time-to-first-purchase — the survival-
+    analysis family: per user, duration = days from first event to first
+    purchase, right-censored at the last observed day when no purchase
+    happened. Output one row per event day with the EXACT integer KM
+    ingredients (n_at_risk, n_deaths) plus the cumulative quantized
+    log-survival Σ floor(1e6·ln((n−d)/n)) over days ≤ t — per-day terms
+    quantize BEFORE the prefix, so the fold is an order-free int sum and
+    the oracle's window SUM matches bit-for-bit (days with n = d would
+    put ln(0) in the chain; they terminate the curve and are excluded,
+    WHERE-mirrored). Per-user reductions are one bucketed aggregate; the
+    day domain is calendar-bounded, so the curve itself is driver-safe."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"dur": pd.Series(dtype=np.int64),
+                                 "event": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        day = g["ts"].astype("int64").to_numpy() // 86_400_000_000
+        u = g["user_id"].to_numpy()
+        is_p = (g["event_type"].to_numpy() == "purchase")
+        out_dur, out_evt = [], []
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(g)]])
+        for s, e in zip(starts, ends):
+            d0 = day[s]
+            p = np.flatnonzero(is_p[s:e])
+            if p.size:
+                out_dur.append(day[s + p[0]] - d0)
+                out_evt.append(1)
+            else:
+                out_dur.append(day[e - 1] - d0)
+                out_evt.append(0)
+        return pd.DataFrame({"dur": np.asarray(out_dur, np.int64),
+                             "event": np.asarray(out_evt, np.int64)})
+
+    rows = bucketed_group_apply(ds, ["user_id"], per_user).take_all()
+    dur = np.array([r["dur"] for r in rows], np.int64)
+    evt = np.array([r["event"] for r in rows], np.int64)
+    days = np.unique(dur[evt == 1])
+    out_day, out_n, out_d, out_log = [], [], [], []
+    cum = 0
+    for t in days:  # calendar-bounded loop
+        n_risk = int((dur >= t).sum())
+        d_t = int(((dur == t) & (evt == 1)).sum())
+        if n_risk <= d_t:
+            break  # curve hits zero — ln(0) undefined, terminate
+        cum += int(np.floor(1e6 * np.log((n_risk - d_t) * 1.0 / n_risk)))
+        out_day.append(int(t))
+        out_n.append(n_risk)
+        out_d.append(d_t)
+        out_log.append(cum)
+    return pa.table({
+        "day": pa.array(out_day, pa.int64()),
+        "n_at_risk": pa.array(out_n, pa.int64()),
+        "n_deaths": pa.array(out_d, pa.int64()),
+        "km_logq": pa.array(out_log, pa.int64()),
+    })
+
+
+ORACLE_SQL["survival_km"] = """
+WITH per AS (
+  SELECT user_id,
+         min(epoch_us(ts)) // 86400000000 AS d0,
+         max(epoch_us(ts)) // 86400000000 AS dlast,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS dp
+  FROM events GROUP BY 1
+), su AS (
+  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dlast - d0 END AS dur,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per
+), days AS (
+  SELECT DISTINCT dur AS day FROM su WHERE event = 1
+), km AS (
+  SELECT d.day,
+         (SELECT count(*) FROM su WHERE su.dur >= d.day) AS n_at_risk,
+         (SELECT count(*) FROM su
+          WHERE su.dur = d.day AND su.event = 1) AS n_deaths
+  FROM days d
+), terms AS (
+  SELECT day, n_at_risk, n_deaths,
+         CAST(floor(1e6 * ln((n_at_risk - n_deaths) * 1.0 / n_at_risk))
+              AS BIGINT) AS term
+  FROM km WHERE n_at_risk > n_deaths
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_deaths AS BIGINT) AS n_deaths,
+       CAST(sum(term) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS km_logq
+FROM terms
+"""
