@@ -11213,3 +11213,84 @@ SELECT CAST(day AS BIGINT) AS day,
          AS km_logq
 FROM terms
 """
+
+
+def q_stratified_ate(sf_dir: str):
+    """Stratified average-treatment-effect readout — the causal-inference
+    family: treatment = user produced ≥1 signup event, outcome = the
+    user's total purchase value, strata = user_id % 5 (the deterministic
+    stand-in for a propensity bucket). Per stratum: exact integer arm
+    sums/counts plus ate_q = floor(1e6·(ȳ_t − ȳ_c)) with each arm mean a
+    single mirrored division — the within-stratum difference estimator
+    (what IPW reduces to under discrete strata). Per-user reductions are
+    one bucketed aggregate; strata are a bounded native finish."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "treated": pd.Series(dtype=np.int64),
+                                 "y_cents": pd.Series(dtype=np.int64)})
+        et = g["event_type"].to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        sub = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "t": (et == "signup").astype(np.int64),
+            "y": np.where(et == "purchase", cents, 0),
+        })
+        out = sub.groupby("user_id", as_index=False).agg(
+            treated=("t", "max"), y_cents=("y", "sum"))
+        return out.astype(np.int64)
+
+    users = bucketed_group_apply(ds, ["user_id"], per_user).take_all()
+    uid = np.array([r["user_id"] for r in users], np.int64)
+    tr = np.array([r["treated"] for r in users], np.int64)
+    y = np.array([r["y_cents"] for r in users], np.int64)
+    s = uid % 5
+    rows = {"stratum": [], "n_treat": [], "n_ctrl": [],
+            "y_treat_cents": [], "y_ctrl_cents": [], "ate_q": []}
+    for st in sorted(set(s.tolist())):  # bounded strata loop
+        m = s == st
+        nt = int((tr[m] == 1).sum())
+        nc = int((tr[m] == 0).sum())
+        yt = int(y[m][tr[m] == 1].sum())
+        yc = int(y[m][tr[m] == 0].sum())
+        if nt == 0 or nc == 0:
+            continue  # stratum without both arms has no contrast
+        ate = int(np.floor(1e6 * (yt * 1.0 / nt - yc * 1.0 / nc)))
+        rows["stratum"].append(st)
+        rows["n_treat"].append(nt)
+        rows["n_ctrl"].append(nc)
+        rows["y_treat_cents"].append(yt)
+        rows["y_ctrl_cents"].append(yc)
+        rows["ate_q"].append(ate)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+ORACLE_SQL["stratified_ate"] = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y_cents
+  FROM events GROUP BY 1
+), arms AS (
+  SELECT user_id % 5 AS stratum, treated,
+         count(*) AS n, CAST(sum(y_cents) AS BIGINT) AS ysum
+  FROM per GROUP BY 1, 2
+), wide AS (
+  SELECT t.stratum,
+         CAST(t.n AS BIGINT) AS n_treat, CAST(c.n AS BIGINT) AS n_ctrl,
+         t.ysum AS y_treat_cents, c.ysum AS y_ctrl_cents
+  FROM arms t JOIN arms c
+    ON c.stratum = t.stratum AND t.treated = 1 AND c.treated = 0
+)
+SELECT stratum, n_treat, n_ctrl, y_treat_cents, y_ctrl_cents,
+       CAST(floor(1e6 * (y_treat_cents * 1.0 / n_treat
+                         - y_ctrl_cents * 1.0 / n_ctrl)) AS BIGINT)
+         AS ate_q
+FROM wide
+"""
