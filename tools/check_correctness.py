@@ -79,6 +79,13 @@ def main():
     spec.loader.exec_module(m)
 
     con = duckdb.connect()
+    # bound DuckDB's buffer pool and give it a spill path: a heavy oracle
+    # (label_propagation's 256M-row dot join at sf0.1) running next to the
+    # live Ray session once drove the box to a hard malloc failure in the
+    # NEXT query's oracle — spilling is the correct degradation
+    con.execute("SET memory_limit='16GB'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
