@@ -10442,8 +10442,10 @@ WITH e AS (
             sql += f""",
 d{r}_{j} AS MATERIALIZED (
   SELECT e2.vec_id, sum(e2.qv * s.qv) AS d
-  FROM quant e2 JOIN quant s
-    ON s.i = e2.i AND s.vec_id = (SELECT vec_id FROM s{j})
+  FROM quant e2 JOIN (
+    SELECT i, qv FROM quant
+    WHERE vec_id = (SELECT vec_id FROM s{j})
+  ) s ON s.i = e2.i
   GROUP BY 1
 )"""
             dots.append(f"d{r}_{j}.d")
