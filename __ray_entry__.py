@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_percentiles": cq.q_score_percentiles,
         "survival_km": cq.q_survival_km,
         "stratified_ate": cq.q_stratified_ate,
+        "burstiness": cq.q_burstiness,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

@@ -11296,3 +11296,89 @@ SELECT stratum, n_treat, n_ctrl, y_treat_cents, y_ctrl_cents,
          AS ate_q
 FROM wide
 """
+
+
+def q_burstiness(sf_dir: str):
+    """Per-user temporal burstiness B = (σ−μ)/(σ+μ) over inter-event
+    gaps (Goh–Barabási): B→−1 periodic, 0 Poisson, →1 bursty — the
+    temporal-pattern feature behind bot/anomaly detection. Gap moments
+    are EXACT integers (second-quantized gaps, Σg and Σg² folds); σ and
+    the final ratio are ONE mirrored float chain per user (sqrt of
+    exact operands, round 6). Users with < 5 gaps emit nothing. One
+    bucketed shuffle; per-user math is vectorized run arithmetic."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype=np.int64),
+            "n_gaps": pd.Series(dtype=np.int64),
+            "sum_gap_s": pd.Series(dtype=np.int64),
+            "sum_gap2_s": pd.Series(dtype=np.int64),
+            "burstiness": pd.Series(dtype=np.float64),
+        })
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["ts"].astype("int64").to_numpy() // 1_000_000
+        gap = s[1:] - s[:-1]
+        same = u[1:] == u[:-1]
+        users, starts = np.unique(u, return_index=True)
+        ends = np.concatenate([starts[1:], [len(g)]])
+        rows = {"user_id": [], "n_gaps": [], "sum_gap_s": [],
+                "sum_gap2_s": [], "burstiness": []}
+        for uu, st, en in zip(users, starts, ends):
+            m = same[st:en - 1] if en - 1 > st else np.zeros(0, bool)
+            gg = gap[st:en - 1][m]
+            if gg.size < 5:
+                continue
+            n = int(gg.size)
+            s1 = int(gg.sum())
+            s2 = int((gg.astype(object) ** 2).sum())
+            mu = s1 / n
+            var = s2 / n - mu * mu
+            sd = np.sqrt(var)
+            rows["user_id"].append(int(uu))
+            rows["n_gaps"].append(n)
+            rows["sum_gap_s"].append(s1)
+            rows["sum_gap2_s"].append(s2)
+            rows["burstiness"].append(round((sd - mu) / (sd + mu), 6))
+        return pd.DataFrame({
+            "user_id": pd.Series(rows["user_id"], dtype=np.int64),
+            "n_gaps": pd.Series(rows["n_gaps"], dtype=np.int64),
+            "sum_gap_s": pd.Series(rows["sum_gap_s"], dtype=np.int64),
+            "sum_gap2_s": pd.Series(rows["sum_gap2_s"], dtype=np.int64),
+            "burstiness": pd.Series(rows["burstiness"], dtype=np.float64),
+        })
+
+    return bucketed_group_apply(ds, ["user_id"], stats)
+
+
+ORACLE_SQL["burstiness"] = """
+WITH t AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+         lag(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events
+), gaps AS (
+  SELECT user_id, s - p AS gap FROM t WHERE p IS NOT NULL
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+         CAST(sum(gap * gap) AS BIGINT) AS sum_gap2_s
+  FROM gaps GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT user_id, n_gaps, sum_gap_s, sum_gap2_s,
+       round((sqrt(sum_gap2_s * 1.0 / n_gaps
+                   - (sum_gap_s * 1.0 / n_gaps)
+                     * (sum_gap_s * 1.0 / n_gaps))
+              - sum_gap_s * 1.0 / n_gaps)
+             / (sqrt(sum_gap2_s * 1.0 / n_gaps
+                     - (sum_gap_s * 1.0 / n_gaps)
+                       * (sum_gap_s * 1.0 / n_gaps))
+                + sum_gap_s * 1.0 / n_gaps), 6) AS burstiness
+FROM m
+"""
