@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_km": cq.q_survival_km,
         "stratified_ate": cq.q_stratified_ate,
         "burstiness": cq.q_burstiness,
+        "order_batches": cq.q_order_batches,
         # non-SQL-expressible (rows-only; pinned by the test suite)
         "image_dedup_clusters": ro.q_image_dedup_clusters,
         "dirty_tiles": ro.q_dirty_tiles,

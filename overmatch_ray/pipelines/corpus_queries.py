@@ -11382,3 +11382,71 @@ SELECT user_id, n_gaps, sum_gap_s, sum_gap2_s,
                 + sum_gap_s * 1.0 / n_gaps), 6) AS burstiness
 FROM m
 """
+
+
+def q_order_batches(sf_dir: str):
+    """Order-consolidation proposal: a customer's orders within 3 days of
+    the previous one merge into a shipping batch (gap-island
+    sessionization on the ORDERS axis — same island rule as
+    `user_sessions`, different table and a money rollup). Output per
+    batch: (custkey, batch_start_day, n_orders, total_cents). One
+    bucketed shuffle on custkey; islands recovered with vectorized run
+    arithmetic; exact integer days/cents."""
+    from ..stages.groupops import bucketed_group_apply
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def batches(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "custkey": pd.Series(dtype=np.int64),
+                "batch_start_day": pd.Series(dtype=np.int64),
+                "n_orders": pd.Series(dtype=np.int64),
+                "total_cents": pd.Series(dtype=np.int64),
+            })
+        g = g.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        day = g["o_orderdate"].astype("int64").to_numpy() // 86_400_000_000
+        cents = np.round(
+            g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (day[1:] - day[:-1] > 3)])
+        bid = np.cumsum(brk) - 1
+        n = np.bincount(bid)
+        tot = np.bincount(bid, weights=cents.astype(np.float64)).astype(
+            np.int64)  # cents ≤ 5e7 per order × ≤ batch — float64 exact
+        return pd.DataFrame({
+            "custkey": u[brk].astype(np.int64),
+            "batch_start_day": day[brk].astype(np.int64),
+            "n_orders": n.astype(np.int64),
+            "total_cents": tot,
+        })
+
+    return bucketed_group_apply(ds, ["o_custkey"], batches)
+
+
+ORACLE_SQL["order_batches"] = """
+WITH t AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         lag(epoch_us(o_orderdate) // 86400000000)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS p
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, day, cents,
+         CASE WHEN p IS NULL OR day - p > 3 THEN 1 ELSE 0 END AS brk
+  FROM t
+), isl AS (
+  SELECT o_custkey, day, cents,
+         sum(brk) OVER (PARTITION BY o_custkey ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS bid
+  FROM flagged
+)
+SELECT o_custkey AS custkey,
+       CAST(min(day) AS BIGINT) AS batch_start_day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM isl GROUP BY o_custkey, bid
+"""
